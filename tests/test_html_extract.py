@@ -1,0 +1,66 @@
+"""HTML main-content extraction tests (north_star component 1)."""
+
+from khl_pdf_ocr_ray.functions.html_extract import extract_main_content
+
+PAGE = b"""<!doctype html>
+<html><head><title> My  Title </title><script>var a=1;</script></head>
+<body>
+<header><h1>Site header junk</h1></header>
+<nav><ul><li><a href="/">home page link</a></li><li><a href="/b">another navigation link</a></li></ul></nav>
+<article>
+<p>This is the first real paragraph of the article body text.</p>
+<p>tiny</p>
+<p>Second paragraph with more than twenty five characters of content.</p>
+<div><a href="/x">link one here</a> <a href="/y">link two goes here too</a></div>
+</article>
+<aside><p>subscribe to our newsletter for daily updates now</p></aside>
+<footer><p>copyright twenty twenty four example press incorporated</p></footer>
+</body></html>"""
+
+
+def test_boilerplate_stripped_and_spans_align():
+    out = extract_main_content(PAGE)
+    assert out["title"] == "My Title"
+    assert out["text"] == (
+        "This is the first real paragraph of the article body text.\n"
+        "Second paragraph with more than twenty five characters of content."
+    )
+    # spans index exactly into text
+    for sp in out["spans"]:
+        seg = out["text"][sp["start"] : sp["end"]]
+        assert seg and "\n" not in seg
+    assert [sp["kind"] for sp in out["spans"]] == ["p", "p"]
+
+
+def test_link_density_filter():
+    html = b"<div><p>" + b"x" * 30 + b'</p><p><a href="/">' + b"y" * 30 + b"</a></p></div>"
+    out = extract_main_content(html)
+    assert out["text"] == "x" * 30  # all-link paragraph dropped
+
+
+def test_min_text_len_filter():
+    out = extract_main_content(b"<p>short one</p><p>%s</p>" % (b"long enough paragraph here ok yes",))
+    assert out["text"] == "long enough paragraph here ok yes"
+
+
+def test_malformed_html_no_crash():
+    out = extract_main_content(b"<div><p>unclosed paragraph that is certainly long enough to keep")
+    assert "unclosed paragraph" in out["text"]
+
+
+def test_nested_blocks_no_double_count():
+    html = (
+        b"<div><p>inner paragraph text that is long enough to keep around</p></div>"
+    )
+    out = extract_main_content(html)
+    assert out["text"] == "inner paragraph text that is long enough to keep around"
+    assert len(out["spans"]) == 1
+
+
+def test_bytes_and_str_equivalent():
+    s = "<p>paragraph with unicode текст длиной достаточной</p>"
+    assert extract_main_content(s)["text"] == extract_main_content(s.encode())["text"]
+
+
+def test_deterministic():
+    assert extract_main_content(PAGE) == extract_main_content(PAGE)

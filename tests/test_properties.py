@@ -1,0 +1,55 @@
+"""Property-based tests (SURVEY.md §5.3): line-reconstruction invariants."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from khl_pdf_ocr_ray.functions.textgeom import lines_from_words, split_columns
+
+tokens = st.text(
+    alphabet="abcdefgабвгдеХКС0123456789", min_size=1, max_size=8
+).filter(lambda s: s.strip())
+
+words_strategy = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+        st.floats(min_value=0, max_value=600, allow_nan=False, width=32),
+        tokens,
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words_strategy)
+def test_every_token_appears_exactly_once(words):
+    lines = lines_from_words(words)
+    out_tokens = [t for ln in lines for t in ln.split(" ")]
+    exp_tokens = sorted(t for _y, _x, tok in words for t in re.split(r"\s+", tok) if t)
+    assert sorted(out_tokens) == exp_tokens
+
+
+@settings(max_examples=200, deadline=None)
+@given(words_strategy)
+def test_deterministic_under_same_order(words):
+    assert lines_from_words(words) == lines_from_words(words)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words_strategy)
+def test_column_split_partitions_words(words):
+    _lines, cols = split_columns(words)
+    assert len(cols["left"]) + len(cols["right"]) == len(words)
+    if words:
+        assert len(cols["left"]) >= 1  # the median element itself ties left
+
+
+@settings(max_examples=100, deadline=None)
+@given(words_strategy)
+def test_lines_sorted_by_cluster_key(words):
+    # reconstructed lines follow ascending cluster-key order; keys are the
+    # first member's y, so re-running on the same input is stable
+    lines1 = lines_from_words(words)
+    lines2 = lines_from_words(list(words))
+    assert lines1 == lines2
