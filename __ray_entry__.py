@@ -1,44 +1,47 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module:
+nothing here (or in the library) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``    — flagship extraction pipeline over a deterministic
+  Common-Crawl-style pages corpus synthesized from
+  /root/testdata/sf0.001/documents.parquet (BASELINE.json input_hint
+  schema: url, warc_ts, html:binary, text, lang).
+- ``queries()``  — one callable per implemented operator (SURVEY.md §2).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset
+  (same column names as the Ray results).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize pages (cached) -> streaming extract pipeline."""
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import (
+        run_extract,
+        synthesize_pages,
+    )
+
+    pages_dir = synthesize_pages(SF_SMOKE, repeat=2)
+    return run_extract(pages_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from khl_pdf_ocr_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

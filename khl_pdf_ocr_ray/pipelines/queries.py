@@ -1,0 +1,523 @@
+"""The operator/pipeline registry: ``queries()`` + ``oracle_sql()``.
+
+Each public query is a callable ``fn(sf_dir) -> Dataset | DataFrame | Table``
+with (where SQL-expressible) a matching DuckDB oracle over the driver's
+pre-registered views (region nation customer supplier part orders lineitem
+events documents embeddings). Column names match the SQL exactly; money and
+float aggregates are computed as integer cents via ``floor(x*100 + 0.5)`` on
+BOTH sides so value hashes cannot drift on float formatting.
+
+Scale notes are attached per query: which ones shuffle, what is broadcast,
+and what the 100 TB variant changes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..remote import remote_fn
+
+_Q = "khl_pdf_ocr_ray.pipelines.queries"
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    """Pruned parquet read of one driver table."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(x):
+    """floor(x*100 + 0.5) as int64 — the fixed-point money convention used by
+    every oracle (duckdb ROUND is half-away-from-zero, numpy is banker's;
+    floor(+0.5) agrees everywhere for the positive values in these tables)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(x, 100.0), 0.5)), pa.int64())
+
+
+# --- worker-side batch bodies (top-level so remote_fn can import them) ------
+def md5_text_hash(batch: pa.Table) -> pa.Table:
+    return _md5_col(batch, "text", "text_hash").drop_columns(["text"])
+
+
+def pricing_project(batch: pa.Table) -> pa.Table:
+    disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+    return pa.table(
+        {
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            "base_cents": _cents(batch["l_extendedprice"]),
+            "disc_cents": _cents(disc_price),
+        }
+    )
+
+
+def events_project(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch["ts"], pa.int64())  # microseconds since epoch
+    return pa.table(
+        {
+            "event_type": batch["event_type"],
+            "hour_bucket": pc.cast(pc.divide(us, 3_600_000_000), pa.int64()),
+            "value_cents": _cents(batch["value"]),
+        }
+    )
+
+
+def sessions_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    ts = g["ts"].sort_values()
+    brk = (ts.diff().dt.total_seconds() > SESSION_GAP_S) | ts.diff().isna()
+    return pd.DataFrame(
+        {
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(brk.sum())],
+            "n_events": [len(g)],
+        }
+    )
+
+
+def customer_geo_enrich(batch: pa.Table, nat: dict) -> pa.Table:
+    keys = batch["c_nationkey"].to_numpy()
+    return pa.table(
+        {
+            "r_name": pa.array([nat[int(k)][1] for k in keys], pa.string()),
+            "n_name": pa.array([nat[int(k)][0] for k in keys], pa.string()),
+            "acctbal_cents": _cents(batch["c_acctbal"]),
+        }
+    )
+
+
+def orders_cents_project(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {"o_custkey": batch["o_custkey"], "price_cents": _cents(batch["o_totalprice"])}
+    )
+
+
+def supplier_enrich(batch: pa.Table, lookup: dict) -> pa.Table:
+    names = pa.array(
+        [lookup[int(k)] for k in batch["s_nationkey"].to_numpy()], pa.string()
+    )
+    return pa.table({"n_name": names, "acctbal_cents": _cents(batch["s_acctbal"])})
+
+
+def lineitem_qty_project(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "l_partkey": batch["l_partkey"],
+            "qty": pc.cast(batch["l_quantity"], pa.int64()),
+        }
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# A2: corpus stats — groupby aggregate with partial per-block combine
+# ---------------------------------------------------------------------------
+def q_corpus_stats(sf_dir: str) -> rd.Dataset:
+    """Docs + chars per (lang, source). Shuffle: hash on 2 keys; partials
+    are combined per block by Ray's aggregate so only (groups x blocks)
+    rows move (SURVEY.md §2.5 A2)."""
+    return (
+        _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+SQL_CORPUS_STATS = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: exact dedup — content-hash groupby (SURVEY.md §2.5 A3, §2.7)
+# ---------------------------------------------------------------------------
+def _md5_col(batch: pa.Table, src: str, dst: str) -> pa.Table:
+    import hashlib
+
+    vals = [
+        hashlib.md5((s or "").encode("utf-8")).hexdigest()
+        for s in batch[src].to_pylist()
+    ]
+    return batch.append_column(dst, pa.array(vals, pa.string()))
+
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup by content hash: hash added vectorized per batch, then a
+    single hash-shuffle groupby keeps min(doc_id) as the representative.
+    100 TB: identical plan — the shuffle key is the 16-byte digest, not the
+    document text, so only (hash, id) pairs move."""
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(remote_fn(_Q, "md5_text_hash"), batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k: sort + limit (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+def q_top_docs(sf_dir: str) -> rd.Dataset:
+    """10 largest documents; deterministic tie-break on doc_id."""
+    return (
+        _t(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, n_chars, lang FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: filter pushdown + wide aggregate
+# ---------------------------------------------------------------------------
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """Row-group filter pushdown at the read, vectorized cents projection,
+    then a tiny groupby (4-6 groups)."""
+    import datetime
+
+    cutoff = datetime.datetime(1998, 9, 2)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(pc.field("l_shipdate") <= cutoff),
+    )
+
+    return (
+        ds.map_batches(remote_fn(_Q, "pricing_project"), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling window aggregate (streaming-shaped, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1h windows per event_type. Event time is data; the window id
+    is a vectorized integer projection, so this is a plain groupby — the
+    Ray-Data-native form of a batch tumbling window."""
+
+    return (
+        _t(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(remote_fn(_Q, "events_project"), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization: per-key ordered state (groupby.map_groups)
+# ---------------------------------------------------------------------------
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows (gap > 30 min splits) per user. Shuffle on user_id;
+    each group is sorted and scanned with vectorized pandas. 100 TB: same
+    plan — state is per-key and bounded by a user's events; skewed users
+    would be range-split by day first."""
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_Q, "sessions_per_user"), batch_format="pandas")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast join: customer x nation x region (SURVEY.md §2.4 J1 pattern)
+# ---------------------------------------------------------------------------
+def q_customer_geo(sf_dir: str) -> rd.Dataset:
+    """Dimension tables are read driver-side (tiny), joined into one lookup
+    dict, and applied map-side — no shuffle for the join; only the final
+    2-key aggregate shuffles. This is the broadcast pattern that replaces a
+    shuffle join for small sides at 100 TB (ray.put would ship it once per
+    node for bigger lookups; a closure capture suffices at this size)."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pydict()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pydict()
+    r_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    nat = {
+        k: (n, r_name[r])
+        for k, n, r in zip(
+            nation["n_nationkey"], nation["n_name"], nation["n_regionkey"]
+        )
+    }
+
+    return (
+        _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(
+            remote_fn(_Q, "customer_geo_enrich", nat=nat),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents_sum"))
+    )
+
+
+SQL_CUSTOMER_GEO = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# partitioned hash join: orders x customer (Dataset.join path)
+# ---------------------------------------------------------------------------
+def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
+    """Exercises Ray Data's hash-partitioned ``Dataset.join`` (both sides
+    shuffled on the key). At 100 TB the num_partitions scales with input;
+    a skewed key would be salted before the join (stages/skew.py)."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        remote_fn(_Q, "orders_cents_project"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="revenue_cents")
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k with join-back: biggest customers by order revenue
+# ---------------------------------------------------------------------------
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Aggregate -> top-k (sort+limit) -> broadcast name lookup on the tiny
+    winner set (never a shuffle join for a 10-row side)."""
+    top = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            remote_fn(_Q, "orders_cents_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+        ["o_custkey", "c_name", "revenue_cents", "n_orders"]
+    ]
+    return out
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, c_name,
+       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue_cents DESC, o_custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct: unique values (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+def q_distinct_event_types(sf_dir: str) -> pa.Table:
+    vals = sorted(_t(sf_dir, "events", ["event_type"]).unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# supplier balances per nation (second broadcast-join aggregate)
+# ---------------------------------------------------------------------------
+def q_supplier_by_nation(sf_dir: str) -> rd.Dataset:
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    lookup = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    return (
+        _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(
+            remote_fn(_Q, "supplier_enrich", lookup=lookup),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("acctbal_cents", alias_name="acctbal_cents_sum"))
+    )
+
+
+SQL_SUPPLIER_BY_NATION = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents_sum
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# part shipment stats: hash join + aggregate (semi-join-flavored)
+# ---------------------------------------------------------------------------
+def q_part_ship_stats(sf_dir: str) -> rd.Dataset:
+    """Per-brand shipment stats. Pre-aggregates lineitem per partkey FIRST
+    (big side shrinks to one row per key) and only then joins the part
+    dimension — the shuffle moves |parts| rows, not |lineitem| rows."""
+    per_part = (
+        _t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(
+            remote_fn(_Q, "lineitem_qty_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("qty", alias_name="qty"), Count(alias_name="n_ship"))
+    )
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = per_part.join(
+        part,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    return joined.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("n_ship", alias_name="n_lineitems"),
+        Sum("qty", alias_name="total_qty"),
+    )
+
+
+SQL_PART_SHIP_STATS = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS n_ship
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n_ship) AS BIGINT) AS n_lineitems,
+       CAST(sum(qty) AS BIGINT) AS total_qty
+FROM per_part JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry (extended by other modules)
+# ---------------------------------------------------------------------------
+QUERIES: Dict[str, Callable[[str], object]] = {
+    "corpus_stats": q_corpus_stats,
+    "dedup_exact": q_dedup_exact,
+    "top_docs": q_top_docs,
+    "pricing_summary": q_pricing_summary,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "customer_geo": q_customer_geo,
+    "orders_by_segment": q_orders_by_segment,
+    "top_customers": q_top_customers,
+    "distinct_event_types": q_distinct_event_types,
+    "supplier_by_nation": q_supplier_by_nation,
+    "part_ship_stats": q_part_ship_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "corpus_stats": SQL_CORPUS_STATS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "top_docs": SQL_TOP_DOCS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "sessionize": SQL_SESSIONIZE,
+    "customer_geo": SQL_CUSTOMER_GEO,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+    "supplier_by_nation": SQL_SUPPLIER_BY_NATION,
+    "part_ship_stats": SQL_PART_SHIP_STATS,
+}

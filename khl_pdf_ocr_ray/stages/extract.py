@@ -1,0 +1,295 @@
+"""Ray Data extraction stages: sniff/route -> text-layer extract -> OCR pool.
+
+Stage design (SURVEY.md §3 target lifecycle):
+
+1. ``meta_stage`` — vectorized pyarrow projection: payload byte length,
+   host(url), content-type sniff. Pure Arrow kernels, zero-copy.
+2. ``ExtractTextLayer`` — stateless ``map_batches`` function doing the
+   per-document parse (HTML block scoring / WBOX word geometry / entity
+   regexes) WITHOUT any OCR; rows whose extraction needs the raster path
+   are flagged ``needs_ocr`` (reference fallback conditions,
+   /root/reference/app.py:240, 311). The document is parsed ONCE and all
+   extractors fan out (the reference re-parses 3x, app.py:183/235/304).
+3. ``OcrFallbackStage`` — an actor-pool ``map_batches`` class: the OCR
+   engine is constructed once per actor in ``__init__`` (north_star's
+   ActorPoolStrategy amortization; the tesseract-equivalent here is the
+   deterministic WBOX raster reader since image libs are absent — the
+   plumbing, batching and crop geometry are real). Rows not flagged pass
+   through untouched; rasters never cross a stage boundary (SURVEY §4.2).
+
+One pass over the data — the flag-and-pass-through design avoids the
+double-execution that a filter/union split of a streaming Dataset causes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import entities as E
+from ..functions.doc_extract import (
+    GOALIE_CROP_FRACTION,
+    OCR_DPI,
+    REFS_CROP_FRACTION,
+    extract_document,
+    extract_html_doc,
+    _empty_record,
+    _line_spans,
+)
+from ..functions.textgeom import reading_order, split_columns
+from ..sources import wordbox as wb
+
+# --- declared output schema (SURVEY.md §1.2, flattened) ---------------------
+EXTRACTED_FIELDS = [
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()),
+    ("host", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("content_type", pa.string()),
+    ("engine", pa.string()),
+    ("ok", pa.bool_()),
+    ("error", pa.string()),
+    ("needs_ocr", pa.bool_()),
+    ("text", pa.string()),
+    ("title", pa.string()),
+    ("span_starts", pa.list_(pa.int64())),
+    ("span_ends", pa.list_(pa.int64())),
+    ("span_kinds", pa.list_(pa.string())),
+    ("match_date", pa.string()),
+    ("match_time", pa.string()),
+    ("team_home", pa.string()),
+    ("team_away", pa.string()),
+    ("ref_main", pa.list_(pa.string())),
+    ("ref_linesmen", pa.list_(pa.string())),
+    ("gk_home_names", pa.list_(pa.string())),
+    ("gk_home_flags", pa.list_(pa.string())),
+    ("gk_away_names", pa.list_(pa.string())),
+    ("gk_away_flags", pa.list_(pa.string())),
+    ("n_chars", pa.int64()),
+    ("duration_s", pa.float64()),
+]
+EXTRACTED_SCHEMA = pa.schema(EXTRACTED_FIELDS)
+
+_RE_HOST = r"^[a-z]+://(?P<host>[^/]+)"
+
+
+def meta_stage(batch: pa.Table) -> pa.Table:
+    """Vectorized projection: n_bytes + host columns (pure Arrow kernels)."""
+    n_bytes = pc.binary_length(batch["html"]).cast(pa.int64())
+    host = pc.struct_field(pc.extract_regex(batch["url"], _RE_HOST), "host")
+    return batch.append_column("n_bytes", pc.fill_null(n_bytes, 0)).append_column(
+        "host", host
+    )
+
+
+def _records_to_table(base: pa.Table, recs: List[Dict]) -> pa.Table:
+    """Assemble the extracted table: carried-through input columns + per-doc
+    record columns, with the declared Arrow schema."""
+    cols: Dict[str, pa.Array] = {
+        "url": base["url"],
+        "warc_ts": base["warc_ts"],
+        "lang": base["lang"],
+        "n_bytes": base["n_bytes"],
+        "host": base["host"],
+    }
+    out_arrays = []
+    for name, typ in EXTRACTED_FIELDS:
+        if name in cols:
+            out_arrays.append(cols[name].combine_chunks() if isinstance(cols[name], pa.ChunkedArray) else cols[name])
+        else:
+            out_arrays.append(pa.array([r[name] for r in recs], typ))
+    return pa.Table.from_arrays(out_arrays, schema=EXTRACTED_SCHEMA)
+
+
+def _extract_text_layer_one(payload: Optional[bytes], pre_text: Optional[str]) -> Dict:
+    """Per-document text-layer extraction; flags rows for the OCR pool
+    instead of running fallbacks inline."""
+    t0 = time.perf_counter()
+    ctype = wb.sniff_content_type(payload)
+    rec: Dict
+    needs_ocr = False
+    if ctype == "text/html":
+        rec = extract_html_doc(payload)  # type: ignore[arg-type]
+    elif ctype in ("application/x-wbox", "application/pdf"):
+        try:
+            doc = wb.parse_payload(payload)  # type: ignore[arg-type]
+            page = doc.page(0)
+            words = reading_order(page.words)
+            lines, cols = split_columns(words)
+            meta = E.find_match_meta(lines, cols)
+            main, linesmen, _ = E.find_ref_lines(lines)
+            home = E.goalies_from_column(cols["left"])
+            away = E.goalies_from_column(cols["right"])
+            rec = _empty_record()
+            rec["content_type"] = ctype
+            rec["engine"] = "pdf-text"
+            rec["text"] = "\n".join(lines)
+            rec.update(_line_spans(lines))
+            rec["match_date"] = meta["date"]
+            rec["match_time"] = meta["time_msk"]
+            rec["team_home"] = meta["teams"]["home"]
+            rec["team_away"] = meta["teams"]["away"]
+            rec["ref_main"] = list(main)
+            rec["ref_linesmen"] = list(linesmen)
+            rec["gk_home_names"] = [g["name"] for g in home]
+            rec["gk_home_flags"] = [g["flag"] for g in home]
+            rec["gk_away_names"] = [g["name"] for g in away]
+            rec["gk_away_flags"] = [g["flag"] for g in away]
+            # reference OCR-fallback trigger conditions (app.py:240, 311)
+            needs_ocr = (
+                not lines
+                or (not main or not linesmen)
+                or (not home and not away)
+            )
+        except wb.PayloadError as e:
+            rec = _empty_record()
+            rec["content_type"] = ctype
+            rec["engine"] = "none"
+            rec["ok"] = False
+            rec["error"] = str(e)
+    else:
+        rec = _empty_record()
+        if pre_text:
+            rec["content_type"] = "text/plain"
+            rec["engine"] = "crawler-text"
+            rec["text"] = pre_text
+            rec.update(_line_spans([pre_text]))
+        else:
+            rec["ok"] = False
+            rec["engine"] = "none"
+            rec["error"] = f"unsupported payload ({ctype})"
+    rec["needs_ocr"] = needs_ocr
+    rec["n_chars"] = len(rec["text"])
+    rec["duration_s"] = round(time.perf_counter() - t0, 6)
+    return rec
+
+
+def extract_text_layer(batch: pa.Table) -> pa.Table:
+    """map_batches body (stateless tasks): text-layer extraction.
+
+    The payload column is dropped for non-OCR rows conceptually, but since
+    flagged rows still need their payload in the OCR stage, the payload is
+    carried in a pruned side column that the OCR stage drops.
+    """
+    payloads = batch["html"].to_pylist()
+    pre_texts = batch["text"].to_pylist()
+    recs = [_extract_text_layer_one(p, t) for p, t in zip(payloads, pre_texts)]
+    out = _records_to_table(batch, recs)
+    # carry payloads ONLY for rows that still need the raster path
+    carried = [
+        p if r["needs_ocr"] else None for p, r in zip(payloads, recs)
+    ]
+    return out.append_column("_payload", pa.array(carried, pa.binary()))
+
+
+@dataclass
+class OcrConfig:
+    dpi: int = OCR_DPI
+    lang: str = "rus+eng"  # reference TESS_LANG (app.py:44); config surface only
+
+
+class FakeWboxOcrEngine:
+    """Deterministic stand-in for a Tesseract/RapidOCR engine (the container
+    has no image libs). Holds the 'model' state an actor amortizes; the
+    ``image_to_lines`` call is where ``pytesseract.image_to_string``
+    (app.py:81) would plug in for real rasters."""
+
+    def __init__(self, cfg: OcrConfig):
+        self.cfg = cfg
+
+    def page_raster(self, payload: bytes) -> wb.FakeRaster:
+        doc = wb.parse_payload(payload)
+        return wb.rasterize(doc.page(0), dpi=self.cfg.dpi)
+
+    @staticmethod
+    def image_to_lines(raster: wb.FakeRaster) -> List[str]:
+        return raster.ocr_lines()
+
+
+class OcrFallbackStage:
+    """Actor-pool stage: OCR fallbacks for flagged rows; pass-through others.
+
+    Use as ``ds.map_batches(OcrFallbackStage, concurrency=(k, K),
+    batch_size=B, num_cpus=1, batch_format="pyarrow")`` — engine built once
+    per actor (north_star ActorPoolStrategy requirement).
+    """
+
+    def __init__(self, dpi: int = OCR_DPI, lang: str = "rus+eng"):
+        # plain-kwarg constructor: the args cross the actor boundary as
+        # primitives (see remote.py — no package classes in ctor args)
+        self.cfg = OcrConfig(dpi=dpi, lang=lang)
+        self.engine = FakeWboxOcrEngine(self.cfg)
+
+    def _ocr_one(self, rec: Dict, payload: bytes) -> Dict:
+        """Apply the reference's three OCR fallbacks to one flagged row."""
+        t0 = time.perf_counter()
+        try:
+            raster = self.engine.page_raster(payload)
+        except wb.PayloadError as e:  # corrupt despite flag: error row
+            rec["ok"] = False
+            rec["error"] = str(e)
+            rec["needs_ocr"] = False
+            return rec
+        used = False
+        # referees (app.py:240-261)
+        if not rec["ref_main"] or not rec["ref_linesmen"]:
+            crop = raster.crop(
+                0, 0, raster.width, int(raster.height * REFS_CROP_FRACTION)
+            )
+            main, linesmen, _ln = E.refs_from_ocr_lines(
+                self.engine.image_to_lines(crop)
+            )
+            if main and linesmen:
+                rec["ref_main"], rec["ref_linesmen"] = main, linesmen
+                used = True
+        # goalies (app.py:311-335)
+        if not rec["gk_home_names"] and not rec["gk_away_names"]:
+            h_cut = int(raster.height * GOALIE_CROP_FRACTION)
+            left = raster.crop(0, 0, raster.width // 2, h_cut)
+            right = raster.crop(raster.width // 2, 0, raster.width, h_cut)
+            home = E.goalies_from_ocr_lines(self.engine.image_to_lines(left))
+            away = E.goalies_from_ocr_lines(self.engine.image_to_lines(right))
+            if home or away:
+                rec["gk_home_names"] = [g["name"] for g in home]
+                rec["gk_home_flags"] = [g["flag"] for g in home]
+                rec["gk_away_names"] = [g["name"] for g in away]
+                rec["gk_away_flags"] = [g["flag"] for g in away]
+                used = True
+        # whole-page text when the text layer was empty
+        if not rec["text"]:
+            lines = self.engine.image_to_lines(raster)
+            rec["text"] = "\n".join(lines)
+            rec.update(_line_spans(lines))
+            rec["n_chars"] = len(rec["text"])
+            used = True
+        if used:
+            rec["engine"] = "pdf-ocr"
+        rec["needs_ocr"] = False
+        rec["duration_s"] = round(rec["duration_s"] + time.perf_counter() - t0, 6)
+        return rec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flags = batch["needs_ocr"].to_pylist()
+        if not any(flags):
+            return batch.drop_columns(["_payload"])
+        payloads = batch["_payload"].to_pylist()
+        recs = batch.to_pylist()
+        for i, (f, p) in enumerate(zip(flags, payloads)):
+            if f and p is not None:
+                recs[i] = self._ocr_one(recs[i], p)
+        out = pa.Table.from_pylist(
+            [{k: v for k, v in r.items() if k != "_payload"} for r in recs],
+            schema=EXTRACTED_SCHEMA,
+        )
+        return out
+
+
+def extract_document_oracle(payload: Optional[bytes], pre_text: Optional[str]) -> Dict:
+    """Sequential oracle record for tests: identical semantics to
+    text-layer stage + OCR stage composed (see functions.doc_extract)."""
+    return extract_document(payload, pre_text)
