@@ -489,6 +489,148 @@ GROUP BY p_brand
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID / quality / token stats / fingerprints
+# (stages/textqc.py — vectorized pandas kernels, integer outputs)
+# ---------------------------------------------------------------------------
+_TQC = "khl_pdf_ocr_ray.stages.textqc"
+
+
+def q_lang_id(sf_dir: str) -> rd.Dataset:
+    """Stopword-count language ID per doc (argmax, alphabetical tie-break,
+    'und' when no stopword hits). Embarrassingly parallel map."""
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        remote_fn(_TQC, "lang_id_batch"), batch_format="pandas"
+    )
+
+
+def q_text_quality(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality metrics (token/type/char counts, fixed-point mean
+    token length) — the filter features of a training-data pipeline."""
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        remote_fn(_TQC, "quality_batch"), batch_format="pandas"
+    )
+
+
+def q_token_stats(sf_dir: str) -> rd.Dataset:
+    """Corpus token totals per lang. Partial aggregation inside each batch
+    (one row per lang per batch crosses the shuffle), then a tiny groupby —
+    the combiner pattern that keeps the all-to-all small at 100 TB."""
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(remote_fn(_TQC, "token_stats_batch"), batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("ws_tokens", alias_name="ws_tokens"),
+            Sum("bpe_tokens", alias_name="bpe_tokens"),
+        )
+    )
+
+
+def q_fingerprint(sf_dir: str) -> rd.Dataset:
+    """md5 document fingerprint over normalized text (SQL-checkable)."""
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(remote_fn(_TQC, "fingerprint_batch"), batch_format="pandas")
+        .select_columns(["doc_id", "fp_md5"])
+    )
+
+
+def q_fingerprint_rolling(sf_dir: str) -> rd.Dataset:
+    """Rabin-Karp rolling-hash fingerprint (mod 2^61-1) — the incremental
+    hash used for shingling; not SQL-expressible, rows-only check."""
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(remote_fn(_TQC, "fingerprint_batch"), batch_format="pandas")
+        .select_columns(["doc_id", "fp_roll"])
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedup family (stages/dedup.py) + similarity search (stages/knn.py)
+# ---------------------------------------------------------------------------
+def q_minhash_dups(sf_dir: str) -> rd.Dataset:
+    """MinHash(128)+LSH(16x8) near-dup pairs over documents + planted
+    variants. Deterministic (seeded permutations) but not SQL-expressible
+    -> rows-only driver check; pytest asserts planted-pair recovery."""
+    from ..stages.dedup import docs_with_variants, minhash_dedup
+
+    return minhash_dedup(docs_with_variants(sf_dir), threshold_x100=70)
+
+
+def q_simhash_dups(sf_dir: str) -> rd.Dataset:
+    """SimHash-64 pairs with Hamming <= 3 via 16-bit band bucketing."""
+    from ..stages.dedup import docs_with_variants, simhash_dedup
+
+    return simhash_dedup(docs_with_variants(sf_dir))
+
+
+def q_ngram_jaccard_dups(sf_dir: str) -> rd.Dataset:
+    """Exact 3-gram Jaccard >= 0.7 pairs via a frequency-capped inverted
+    shingle index."""
+    from ..stages.dedup import docs_with_variants, ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(docs_with_variants(sf_dir), threshold_x100=70)
+
+
+def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-5 for the 8 lowest vec_ids: broadcast query matrix,
+    per-batch partial top-k, driver merge of the tiny candidate set.
+
+    The similarity value itself is dropped from the exported columns: duckdb
+    accumulates list_cosine_similarity differently from numpy float64, so a
+    fixed-point sim column can differ by 1 ulp at the rounding boundary —
+    the (query, neighbor, rank) set is the deterministic comparison."""
+    from ..stages.knn import knn_bruteforce
+
+    return knn_bruteforce(sf_dir, n_queries=8, k=5)[
+        ["query_id", "neighbor_id", "rank"]
+    ]
+
+
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-5 via random-hyperplane LSH bucket probing (the
+    100 TB path; recall vs brute force asserted in tests)."""
+    from ..stages.knn import ann_lsh
+
+    return ann_lsh(sf_dir, n_queries=8, k=5)
+
+
+def q_embedding_dups(sf_dir: str) -> rd.Dataset:
+    """Exact embedding near-dup pairs (cosine >= 0.35)."""
+    from ..stages.knn import embedding_dups
+
+    return embedding_dups(sf_dir, tau_e6=350_000)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(sim*1000000 + 0.5) AS BIGINT) AS sim_e6,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+SQL_EMBEDDING_DUPS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (extended by other modules)
 # ---------------------------------------------------------------------------
@@ -505,6 +647,17 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "distinct_event_types": q_distinct_event_types,
     "supplier_by_nation": q_supplier_by_nation,
     "part_ship_stats": q_part_ship_stats,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "fingerprint_rolling": q_fingerprint_rolling,
+    "minhash_dups": q_minhash_dups,
+    "simhash_dups": q_simhash_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "embedding_dups": q_embedding_dups,
 }
 
 ORACLES: Dict[str, str] = {
@@ -521,3 +674,24 @@ ORACLES: Dict[str, str] = {
     "supplier_by_nation": SQL_SUPPLIER_BY_NATION,
     "part_ship_stats": SQL_PART_SHIP_STATS,
 }
+
+# text-analysis oracles live beside their kernels
+from ..stages.textqc import (  # noqa: E402
+    SQL_FINGERPRINT,
+    SQL_TEXT_QUALITY,
+    SQL_TOKEN_STATS,
+    sql_lang_id,
+)
+
+ORACLES.update(
+    {
+        "lang_id": sql_lang_id(),
+        "text_quality": SQL_TEXT_QUALITY,
+        "token_stats": SQL_TOKEN_STATS,
+        "fingerprint": SQL_FINGERPRINT,
+        # fingerprint_rolling: intentionally no oracle (rows-only check)
+        "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+        "embedding_dups": SQL_EMBEDDING_DUPS,
+        # minhash/simhash/ngram-jaccard/ann_lsh: no oracle (rows-only)
+    }
+)

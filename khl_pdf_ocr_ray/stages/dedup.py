@@ -1,0 +1,329 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, exact n-gram Jaccard.
+
+Deduplication operators for a training-data pipeline (build brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — exact dedup lives
+in queries.q_dedup_exact; embedding dedup in stages/knn.py).
+
+All hashing is seeded/deterministic (blake2b digests + fixed affine
+permutations), so every operator's output is reproducible run-to-run —
+no SQL oracle exists for these (the driver records rows-only checks), but
+the pytest suite asserts planted near-dup pairs are recovered.
+
+Shuffle structure (the part that matters at 100 TB):
+- minhash: map (sig per doc) -> explode to (band_id, band_hash) keys ->
+  groupby buckets -> per-bucket candidate pairs (bucket size capped) ->
+  groupby pair dedup. Signatures ride with band rows (128*8 bytes) so no
+  join-back is needed; at petabyte scale you would join sigs instead.
+- simhash: 64-bit fingerprint, 4x16-bit band bucketing, Hamming<=k verify
+  inside buckets.
+- ngram-jaccard: inverted index (shingle -> docs) with hot-shingle
+  frequency cap, pair co-count, exact J from broadcast shingle counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MINHASH_PERMS = 128
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+SHINGLE_K = 3
+BUCKET_CAP = 64          # max docs per LSH bucket before pair generation truncates
+MERSENNE = (1 << 61) - 1
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+SHINGLE_DOC_FREQ_CAP = 200  # drop shingles present in more docs (hot-key guard)
+
+_rs = np.random.RandomState(0xC0FFEE)
+_A = _rs.randint(1, MERSENNE, size=MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+_B = _rs.randint(0, MERSENNE, size=MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(np.array([_hash64(g) for g in grams], dtype=np.uint64))
+
+
+def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
+    if shingle_hashes.size == 0:
+        return np.full(MINHASH_PERMS, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # affine permutations mod a Mersenne prime, vectorized (n_shingles x perms)
+    x = shingle_hashes.reshape(-1, 1) % MERSENNE
+    vals = (x * _A.reshape(1, -1) + _B.reshape(1, -1)) % MERSENNE
+    return vals.min(axis=0)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+def minhash_band_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc -> LSH band rows (band_id, band_hash, doc_id, sig)."""
+    rows: Dict[str, list] = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
+    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        sig = _minhash_sig(_shingles(text))
+        sig_list = sig.astype("int64")  # arrow-friendly (bit-identical reinterpret)
+        for b in range(LSH_BANDS):
+            chunk = sig[b * LSH_ROWS : (b + 1) * LSH_ROWS]
+            bh = _hash64("|".join(map(str, chunk)))
+            rows["band_id"].append(b)
+            rows["band_hash"].append(np.int64(bh % (1 << 62)))
+            rows["doc_id"].append(doc_id)
+            rows["sig"].append(sig_list)
+    return pd.DataFrame(rows)
+
+
+def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, with the signature-agreement
+    Jaccard estimate. Buckets larger than BUCKET_CAP are truncated (the
+    hot-bucket guard; truncation is deterministic by doc_id order)."""
+    if len(g) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_x100": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"}
+        )
+    g = g.sort_values("doc_id").head(BUCKET_CAP)
+    ids = g["doc_id"].to_numpy()
+    sigs = np.stack(g["sig"].to_numpy())
+    out_a, out_b, out_j = [], [], []
+    for i in range(len(ids)):
+        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        for off, frac in enumerate(agree):
+            out_a.append(ids[i])
+            out_b.append(ids[i + 1 + off])
+            out_j.append(int(100 * frac))
+    return pd.DataFrame(
+        {"doc_a": out_a, "doc_b": out_b, "est_jaccard_x100": out_j}
+    ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"})
+
+
+def minhash_dedup(docs, threshold_x100: int = 70):
+    """documents Dataset(doc_id, text) -> near-dup pairs
+    (doc_a < doc_b, est_jaccard_x100 >= threshold)."""
+    from ray.data.aggregate import Max
+
+    bands = docs.map_batches(
+        _rfn("minhash_band_batch"), batch_format="pandas", batch_size=512
+    )
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _rfn("bucket_pairs"), batch_format="pandas"
+    )
+    # a pair can surface from several bands -> dedup; keep the estimate
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard_x100", alias_name="est_jaccard_x100")
+    )
+    return uniq.map_batches(
+        _rfn("threshold_filter", col="est_jaccard_x100", lo=threshold_x100),
+        batch_format="pyarrow",
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """64-bit SimHash over unigram token hashes + 16-bit band keys."""
+    rows = {"doc_id": [], "simhash": [], "band_id": [], "band_key": []}
+    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        toks = text.split()
+        if toks:
+            hs = np.array([_hash64(t) for t in toks], dtype=np.uint64)
+            bits = ((hs.reshape(-1, 1) >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            v = (2 * bits - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for i in np.nonzero(v > 0)[0]:
+                sh |= np.uint64(1) << np.uint64(i)
+        else:
+            sh = np.uint64(0)
+        for b in range(SIMHASH_BANDS):
+            rows["doc_id"].append(doc_id)
+            rows["simhash"].append(np.int64(int(sh) - (1 << 63)))  # shift to int64 range
+            rows["band_id"].append(b)
+            rows["band_key"].append(int((int(sh) >> (16 * b)) & 0xFFFF))
+    return pd.DataFrame(rows).astype(
+        {"doc_id": "int64", "simhash": "int64", "band_id": "int64", "band_key": "int64"}
+    )
+
+
+def simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+    )
+    if len(g) < 2:
+        return empty
+    g = g.sort_values("doc_id").head(BUCKET_CAP)
+    ids = g["doc_id"].to_numpy()
+    sh = (g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
+    out_a, out_b, out_h = [], [], []
+    for i in range(len(ids)):
+        x = sh[i + 1 :] ^ sh[i]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for off in np.nonzero(ham <= HAMMING_MAX)[0]:
+            if ids[i] != ids[i + 1 + off]:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + off])
+                out_h.append(int(ham[off]))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+    )
+
+
+def simhash_dedup(docs):
+    """documents Dataset -> pairs with Hamming(simhash) <= HAMMING_MAX."""
+    from ray.data.aggregate import Min
+
+    bands = docs.map_batches(_rfn("simhash_batch"), batch_format="pandas", batch_size=512)
+    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
+        _rfn("simhash_bucket_pairs"), batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --- exact n-gram Jaccard via inverted index --------------------------------
+def shingle_explode_batch(df: pd.DataFrame) -> pd.DataFrame:
+    rows = {"shingle": [], "doc_id": []}
+    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for h in _shingles(text):
+            rows["shingle"].append(np.int64(int(h) % (1 << 62)))
+            rows["doc_id"].append(doc_id)
+    return pd.DataFrame(rows).astype({"shingle": "int64", "doc_id": "int64"})
+
+
+def shingle_doc_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Co-occurrence pairs for one shingle; hot shingles dropped entirely
+    (deterministic frequency cap — logged sizes, no silent skew)."""
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "common": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "common": "int64"}
+    )
+    if len(g) < 2 or len(g) > SHINGLE_DOC_FREQ_CAP:
+        return empty
+    ids = np.sort(g["doc_id"].unique())
+    if len(ids) < 2:
+        return empty
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame(
+        {"doc_a": ids[ia], "doc_b": ids[ib], "common": np.ones(len(ia), dtype=np.int64)}
+    )
+
+
+def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
+    """Exact shingle-Jaccard pairs >= threshold.
+
+    inverted index -> per-shingle pairs -> pair co-count -> J with exact
+    per-doc shingle counts (collected driver-side and broadcast; at scale
+    this small side is a join instead)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    shingles = docs.map_batches(
+        _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
+    )
+    pair_counts = (
+        shingles.groupby("shingle")
+        .map_groups(_rfn("shingle_doc_pairs"), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("common", alias_name="common"))
+    )
+    # per-doc shingle counts: tiny (one int per doc) -> broadcast
+    counts_df = (
+        shingles.map_batches(_rfn("shingle_count_partial"), batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_shingles"))
+        .to_pandas()
+    )
+    n_map = dict(zip(counts_df["doc_id"], counts_df["n_shingles"]))
+    ref = ray.put(n_map)
+    return pair_counts.map_batches(
+        _rfn("jaccard_finalize", threshold_x100=threshold_x100, n_map_ref=ref),
+        batch_format="pandas",
+    )
+
+
+def shingle_count_partial(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.groupby("doc_id", as_index=False).agg(n=("shingle", "size"))
+    return out.astype({"doc_id": "int64", "n": "int64"})
+
+
+def jaccard_finalize(df: pd.DataFrame, threshold_x100: int, n_map_ref) -> pd.DataFrame:
+    import ray
+
+    n_map = ray.get(n_map_ref) if not isinstance(n_map_ref, dict) else n_map_ref
+    if df.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_x100": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard_x100": "int64"}
+        )
+    na = df["doc_a"].map(n_map).to_numpy()
+    nb = df["doc_b"].map(n_map).to_numpy()
+    common = df["common"].to_numpy()
+    j = (100 * common) // np.maximum(na + nb - common, 1)
+    out = pd.DataFrame(
+        {"doc_a": df["doc_a"], "doc_b": df["doc_b"], "jaccard_x100": j.astype("int64")}
+    )
+    return out[out["jaccard_x100"] >= threshold_x100]
+
+
+def _rfn(attr: str, **kw):
+    from ..remote import remote_fn
+
+    return remote_fn("khl_pdf_ocr_ray.stages.dedup", attr, **kw)
+
+
+# --- variant corpus for near-dup demos/tests --------------------------------
+VARIANT_OFFSET = 1_000_000
+
+
+def docs_with_variants(sf_dir: str):
+    """documents plus a deterministic near-duplicate of every 3rd doc
+    (doc_id + VARIANT_OFFSET, one appended token) — planted ground truth
+    for the near-dup operators."""
+    import os
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    variants = docs.map_batches(
+        _rfn("mod3_filter"), batch_format="pyarrow"
+    ).map_batches(_rfn("make_variant_batch"), batch_format="pyarrow")
+    return docs.union(variants)
+
+
+def make_variant_batch(batch: pa.Table) -> pa.Table:
+    # arrow in / arrow out: union requires homogeneous block types with the
+    # arrow blocks coming from read_parquet
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "doc_id": pc.add(batch["doc_id"], VARIANT_OFFSET),
+            "text": pc.binary_join_element_wise(
+                pc.fill_null(batch["text"], ""), " near duplicate variant", ""
+            ),
+        }
+    )
+
+
+def threshold_filter(batch: pa.Table, col: str, lo: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.greater_equal(batch[col], lo))
+
+
+def mod3_filter(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    keep = pc.equal(pc.subtract(batch["doc_id"], pc.multiply(pc.divide(batch["doc_id"], 3), 3)), 0)
+    return batch.filter(keep)

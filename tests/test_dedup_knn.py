@@ -1,0 +1,116 @@
+"""Near-dup + similarity-search operator tests (planted ground truth)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf(sf_smoke_dir):
+    return sf_smoke_dir
+
+
+def test_minhash_recovers_planted_variants(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_minhash_dups
+    from khl_pdf_ocr_ray.stages.dedup import VARIANT_OFFSET
+
+    pairs = q_minhash_dups(sf).to_pandas()
+    assert len(pairs) > 0
+    planted = pairs[pairs["doc_b"] == pairs["doc_a"] + VARIANT_OFFSET]
+    # every planted variant pair whose doc is long enough should surface;
+    # expect a large fraction of the ~n/3 planted pairs
+    import pyarrow.parquet as pq
+
+    n_planted = (
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"]
+        .map(lambda d: d % 3 == 0)
+        .sum()
+    )
+    assert len(planted) >= 0.8 * n_planted
+    assert (planted["est_jaccard_x100"] >= 70).all()
+
+
+def test_minhash_deterministic(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_minhash_dups
+
+    a = q_minhash_dups(sf).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = q_minhash_dups(sf).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_finds_variants(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_simhash_dups
+    from khl_pdf_ocr_ray.stages.dedup import VARIANT_OFFSET
+
+    pairs = q_simhash_dups(sf).to_pandas()
+    assert len(pairs) > 0
+    planted = pairs[pairs["doc_b"] == pairs["doc_a"] + VARIANT_OFFSET]
+    assert len(planted) > 0
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_ngram_jaccard_exact_pairs(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_ngram_jaccard_dups
+    from khl_pdf_ocr_ray.stages.dedup import VARIANT_OFFSET, _shingles
+
+    pairs = q_ngram_jaccard_dups(sf).to_pandas()
+    assert len(pairs) > 0
+    # verify a few pairs against direct shingle-set Jaccard
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    texts.update(
+        {
+            d + VARIANT_OFFSET: (t or "") + " near duplicate variant"
+            for d, t in list(texts.items())
+            if d % 3 == 0
+        }
+    )
+    for rec in pairs.head(5).itertuples():
+        sa = set(_shingles(texts[rec.doc_a]).tolist())
+        sb = set(_shingles(texts[rec.doc_b]).tolist())
+        j = 100 * len(sa & sb) // max(len(sa | sb), 1)
+        assert j == rec.jaccard_x100
+
+
+def test_knn_bruteforce_matches_numpy(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_knn_bruteforce
+
+    got = q_knn_bruteforce(sf)
+    assert {"query_id", "neighbor_id", "rank"} <= set(got.columns)
+    # independent numpy reference
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    for qi in range(8):
+        sims = X[qi] @ X.T
+        mask = ids != ids[qi]
+        idx = np.nonzero(mask)[0]
+        order = idx[np.lexsort((ids[idx], -sims[idx]))][:5]
+        sub = got[got["query_id"] == ids[qi]].sort_values("rank")
+        assert list(sub["neighbor_id"]) == list(ids[order])
+
+
+def test_ann_lsh_recall(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_ann_lsh, q_knn_bruteforce
+
+    exact = q_knn_bruteforce(sf)
+    approx = q_ann_lsh(sf)
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_set & approx_set) / max(len(exact_set), 1)
+    assert recall >= 0.3  # approximate by design; sanity floor
+    assert len(approx) > 0
+
+
+def test_embedding_dups_nonempty_and_symmetric_free(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_embedding_dups
+
+    pairs = q_embedding_dups(sf).to_pandas()
+    assert (pairs["vec_a"] < pairs["vec_b"]).all()
+    assert pairs.duplicated(["vec_a", "vec_b"]).sum() == 0
