@@ -1,0 +1,160 @@
+"""Benchmark harness: headline extract pipeline + representative operators.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_s": ..., "mb_per_s": ...}
+
+Env knobs:
+  GRAFT_SF_DIR    input scale dir  (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS  ray.init num_cpus (default 32)
+  GRAFT_REPEAT    pages-per-document fan-out (default 10; bench corpus size
+                  = documents x repeat, cached in /tmp across runs)
+
+``python bench.py --scaling`` runs the headline pipeline in two fresh
+subprocesses (8 vs 32 CPUs) on the same cached corpus and reports both
+throughputs plus scaling efficiency (the sandbox evidence for the
+north_rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_REPEAT", "10"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "events_hourly",
+    "sessionize",
+    "token_stats",
+    "minhash_dups",
+    "knn_bruteforce",
+    "dedup_exact",
+    "orders_by_segment",
+]
+
+
+def consume(result) -> int:
+    """Drive a lazy result to completion; returns row count."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.count()
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import (
+        run_extract,
+        synthesize_pages,
+    )
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
+
+    # corpus generation is cached and NOT part of the measurement
+    pages_dir = synthesize_pages(SF_DIR, repeat=REPEAT)
+
+    # warm the OS page cache so the headline measures compute+pipeline
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(pages_dir, columns=["url"])
+    n_docs = meta.num_rows
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(pages_dir, f))
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+
+    # headline: full extract pipeline, consumed by a parquet sink
+    out_dir = f"/tmp/khlray_bench_out_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_extract(pages_dir).write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+
+    queries = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        consume(QUERIES[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "extract_pipeline_wall",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "repeat": REPEAT,
+        "n_docs": n_docs,
+        "docs_per_s": round(n_docs / headline, 1),
+        "mb_per_s": round(corpus_bytes / headline / 1e6, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_s_8": r_lo["docs_per_s"],
+        "docs_per_s_32": r_hi["docs_per_s"],
+        "mb_per_s_8": r_lo["mb_per_s"],
+        "mb_per_s_32": r_hi["mb_per_s"],
+        "n_docs": r_hi["n_docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -32,9 +32,20 @@ from ..remote import remote_fn
 _Q = "khl_pdf_ocr_ray.pipelines.queries"
 
 
+# driver tables shipped as ONE parquet file with ONE row group: a plain read
+# yields a single block and the whole pipeline serializes. Fan the big ones
+# out after the read (cheap at these sizes; real 100 TB inputs arrive as
+# many fragments and never need this).
+_BIG_TABLES = {"lineitem": 32, "orders": 16, "events": 16, "customer": 4}
+
+
 def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    """Pruned parquet read of one driver table."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    """Pruned parquet read of one driver table, fanned out for parallelism."""
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    n = _BIG_TABLES.get(name)
+    if n:
+        ds = ds.repartition(n)
+    return ds
 
 
 def _cents(x):
@@ -50,8 +61,11 @@ def md5_text_hash(batch: pa.Table) -> pa.Table:
 
 
 def pricing_project(batch: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL aggregate (combiner): ~6 group rows leave each
+    batch instead of every lineitem row — the shuffle then moves
+    O(groups x blocks), not O(rows)."""
     disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
-    return pa.table(
+    t = pa.table(
         {
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
@@ -60,17 +74,28 @@ def pricing_project(batch: pa.Table) -> pa.Table:
             "disc_cents": _cents(disc_price),
         }
     )
+    g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"), ("qty", "count")]
+    )
+    return g.rename_columns(
+        ["l_returnflag", "l_linestatus", "qty", "base_cents", "disc_cents", "n"]
+    )
 
 
 def events_project(batch: pa.Table) -> pa.Table:
+    """Window-id projection + per-batch partial aggregate (combiner)."""
     us = pc.cast(batch["ts"], pa.int64())  # microseconds since epoch
-    return pa.table(
+    t = pa.table(
         {
             "event_type": batch["event_type"],
             "hour_bucket": pc.cast(pc.divide(us, 3_600_000_000), pa.int64()),
             "value_cents": _cents(batch["value"]),
         }
     )
+    g = t.group_by(["event_type", "hour_bucket"]).aggregate(
+        [("value_cents", "count"), ("value_cents", "sum")]
+    )
+    return g.rename_columns(["event_type", "hour_bucket", "n", "value_cents"])
 
 
 def sessions_per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -220,7 +245,7 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
             Sum("qty", alias_name="sum_qty"),
             Sum("base_cents", alias_name="sum_base_cents"),
             Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
@@ -248,7 +273,7 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
         _t(sf_dir, "events", ["event_type", "ts", "value"])
         .map_batches(remote_fn(_Q, "events_project"), batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
+        .aggregate(Sum("n", alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
     )
 
 
@@ -695,3 +720,9 @@ ORACLES.update(
         # minhash/simhash/ngram-jaccard/ann_lsh: no oracle (rows-only)
     }
 )
+
+# extraction-surface queries (pages corpus; rows-only for the driver,
+# byte-identity held by tests/test_pipeline_e2e.py)
+from .queries_extract import EXTRACT_QUERIES  # noqa: E402
+
+QUERIES.update(EXTRACT_QUERIES)

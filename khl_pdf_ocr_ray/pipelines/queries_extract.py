@@ -1,0 +1,221 @@
+"""Extraction-surface queries over the synthesized pages corpus.
+
+These operate on the engine's own input table (BASELINE.json input_hint
+shape), which the driver's DuckDB views do not include — so they are
+rows-only checks for the driver; the pytest suite holds the byte-identity
+oracle (tests/test_pipeline_e2e.py).
+
+Every query synthesizes the deterministic corpus for the given sf_dir
+(cached under /tmp/khlray_cache) and streams the extract pipeline over it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..remote import remote_fn
+from ..pipelines.extract_pipeline import run_extract, synthesize_pages
+
+_REPEAT = 2  # rep>0 rows are near-duplicate variants (dedup-friendly corpus)
+
+
+def _extracted(sf_dir: str) -> rd.Dataset:
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return run_extract(pages_dir)
+
+
+def q_extract_pages(sf_dir: str) -> rd.Dataset:
+    """Flagship surface: extraction result summary per url (text kept out of
+    the driver-hash surface; byte-identity is pytest's job)."""
+    return _extracted(sf_dir).select_columns(
+        ["url", "host", "content_type", "engine", "ok", "error", "n_bytes", "n_chars"]
+    )
+
+
+def q_extract_entities(sf_dir: str) -> rd.Dataset:
+    """Entity extraction results for the gamesheet subset (the reference's
+    three extractors, app.py:138-343, as flat columns)."""
+    return (
+        _extracted(sf_dir)
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "entities_project"),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def entities_project(batch: pa.Table) -> pa.Table:
+    keep = pc.or_(
+        pc.equal(batch["engine"], "pdf-text"), pc.equal(batch["engine"], "pdf-ocr")
+    )
+    t = batch.filter(keep)
+    return t.select(
+        [
+            "url",
+            "engine",
+            "match_date",
+            "match_time",
+            "team_home",
+            "team_away",
+            "ref_main",
+            "ref_linesmen",
+            "gk_home_names",
+            "gk_home_flags",
+            "gk_away_names",
+            "gk_away_flags",
+        ]
+    )
+
+
+def q_extract_host_stats(sf_dir: str) -> rd.Dataset:
+    """Per-(host, content_type) corpus stats over extracted output
+    (SURVEY.md §2.5 A2 on the pages surface)."""
+    return (
+        _extracted(sf_dir)
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "host_stats_partial"),
+            batch_format="pyarrow",
+        )
+        .groupby(["host", "content_type"])
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("bytes_in", alias_name="bytes_in"),
+            Sum("chars_out", alias_name="chars_out"),
+        )
+    )
+
+
+def host_stats_partial(batch: pa.Table) -> pa.Table:
+    df = batch.select(["host", "content_type", "n_bytes", "n_chars"]).to_pandas()
+    g = df.groupby(["host", "content_type"], as_index=False).agg(
+        n=("n_bytes", "size"), bytes_in=("n_bytes", "sum"), chars_out=("n_chars", "sum")
+    )
+    for c in ("n", "bytes_in", "chars_out"):
+        g[c] = g[c].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+# --- broadcast master-name validation (SURVEY.md §2.4 J1) -------------------
+def q_master_validate(sf_dir: str) -> rd.Dataset:
+    """Validate extracted referee/goalie names against the master-name side
+    table: the canonical broadcast map-side join (ray.put once; a set probe
+    per name inside map_batches — no shuffle for the join itself)."""
+    from ..sources.synth import master_lookup_table
+
+    master = master_lookup_table()
+    ref_names = frozenset(
+        n for n, k in zip(master["name"].to_pylist(), master["kind"].to_pylist()) if k == "referee"
+    )
+    player_names = frozenset(
+        n for n, k in zip(master["name"].to_pylist(), master["kind"].to_pylist()) if k == "player"
+    )
+    names_ref = ray.put((ref_names, player_names))
+    return (
+        _extracted(sf_dir)
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.pipelines.queries_extract",
+                "validate_names_partial",
+                names_ref=names_ref,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("kind")
+        .aggregate(
+            Sum("n_names", alias_name="n_names"),
+            Sum("n_validated", alias_name="n_validated"),
+        )
+    )
+
+
+def validate_names_partial(batch: pa.Table, names_ref) -> pa.Table:
+    import ray as _ray
+
+    ref_names, player_names = _ray.get(names_ref)
+    counts = {
+        "referee": [0, 0],
+        "goalie": [0, 0],
+    }
+    for col, kind, valid in (
+        ("ref_main", "referee", ref_names),
+        ("ref_linesmen", "referee", ref_names),
+        ("gk_home_names", "goalie", player_names),
+        ("gk_away_names", "goalie", player_names),
+    ):
+        for names in batch[col].to_pylist():
+            for n in names or []:
+                counts[kind][0] += 1
+                if n in valid:
+                    counts[kind][1] += 1
+    return pa.table(
+        {
+            "kind": ["referee", "goalie"],
+            "n_names": pa.array([counts["referee"][0], counts["goalie"][0]], pa.int64()),
+            "n_validated": pa.array(
+                [counts["referee"][1], counts["goalie"][1]], pa.int64()
+            ),
+        }
+    )
+
+
+# --- skew-aware partitioning surface ----------------------------------------
+def q_skew_partition_stats(sf_dir: str) -> rd.Dataset:
+    """Salted-host + giant-isolation partition keys over the pages corpus,
+    reported as per-key (rows, bytes) — the balance evidence for the skew
+    shuffle (stages/skew.py)."""
+    from ..stages.skew import detect_hot_hosts
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
+        remote_fn("khl_pdf_ocr_ray.stages.extract", "meta_stage"),
+        batch_format="pyarrow",
+    )
+    hot = detect_hot_hosts(pages.select_columns(["host"]))
+    keyed = pages.map_batches(
+        remote_fn("khl_pdf_ocr_ray.stages.skew", "add_partition_key", hot_hosts=hot),
+        batch_format="pyarrow",
+    )
+    return (
+        keyed.map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.skew", "partition_stats"),
+            batch_format="pyarrow",
+        )
+        .groupby("part_key")
+        .aggregate(Sum("rows", alias_name="rows"), Sum("bytes", alias_name="bytes"))
+    )
+
+
+# --- lineage / resumable checkpoint surface ---------------------------------
+def q_lineage(sf_dir: str) -> pa.Table:
+    """Run the resumable extract job (skipping already-manifested
+    partitions) and return the per-partition lineage table. Calling this
+    twice is itself the resume path: the second call processes nothing."""
+    import hashlib
+
+    from ..state.manifest import lineage_table, run_resumable_extract
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    key = hashlib.sha256(pages_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/khlray_cache/extracted_{key}"
+    run_resumable_extract(pages_dir, out_dir)
+    t = lineage_table(out_dir)
+    return t.drop_columns(["wall_s"])  # wall time is not deterministic
+
+
+EXTRACT_QUERIES = {
+    "extract_pages": q_extract_pages,
+    "extract_entities": q_extract_entities,
+    "extract_host_stats": q_extract_host_stats,
+    "master_validate": q_master_validate,
+    "skew_partition_stats": q_skew_partition_stats,
+    "lineage": q_lineage,
+}

@@ -30,6 +30,9 @@ import pandas as pd
 import pyarrow as pa
 
 MINHASH_PERMS = 128
+BUCKET_SHARDS = 256  # coarse shuffle key: many LSH buckets per group, so
+                     # map_groups runs O(shards) vectorized calls, not
+                     # O(buckets) tiny ones (hot-path fix, bench-verified)
 LSH_BANDS = 16
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 SHINGLE_K = 3
@@ -68,64 +71,123 @@ def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
 
 
 # --- MinHash + LSH ----------------------------------------------------------
-def minhash_band_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """doc -> LSH band rows (band_id, band_hash, doc_id, sig)."""
-    rows: Dict[str, list] = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
+def minhash_sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc -> (doc_id, sig[128]) signature rows."""
+    ids, sigs = [], []
     for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-        sig = _minhash_sig(_shingles(text))
-        sig_list = sig.astype("int64")  # arrow-friendly (bit-identical reinterpret)
+        ids.append(doc_id)
+        sigs.append(_minhash_sig(_shingles(text)).astype("int64"))  # bit-identical reinterpret
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "sig": sigs})
+
+
+def minhash_band_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """sig rows -> slim LSH band rows (band_id, band_hash, doc_id).
+
+    The 1 KB signature does NOT ride the shuffle (it would inflate the
+    exchange 16x); pairs are verified later against the broadcast sig
+    table."""
+    rows: Dict[str, list] = {"band_id": [], "band_hash": [], "doc_id": []}
+    for doc_id, sig in zip(df["doc_id"], df["sig"]):
+        sig = np.asarray(sig)
         for b in range(LSH_BANDS):
             chunk = sig[b * LSH_ROWS : (b + 1) * LSH_ROWS]
-            bh = _hash64("|".join(map(str, chunk)))
+            bh = _hash64("|".join(map(str, chunk.astype(np.int64).astype(np.uint64))))
             rows["band_id"].append(b)
             rows["band_hash"].append(np.int64(bh % (1 << 62)))
             rows["doc_id"].append(doc_id)
-            rows["sig"].append(sig_list)
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows).astype(
+        {"band_id": "int64", "band_hash": "int64", "doc_id": "int64"}
+    )
+    out["shard"] = (out["band_hash"] % BUCKET_SHARDS).astype("int64")
+    return out
 
 
-def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, with the signature-agreement
-    Jaccard estimate. Buckets larger than BUCKET_CAP are truncated (the
-    hot-bucket guard; truncation is deterministic by doc_id order)."""
-    if len(g) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_x100": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"}
-        )
-    g = g.sort_values("doc_id").head(BUCKET_CAP)
-    ids = g["doc_id"].to_numpy()
-    sigs = np.stack(g["sig"].to_numpy())
-    out_a, out_b, out_j = [], [], []
-    for i in range(len(ids)):
-        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        for off, frac in enumerate(agree):
-            out_a.append(ids[i])
-            out_b.append(ids[i + 1 + off])
-            out_j.append(int(100 * frac))
-    return pd.DataFrame(
-        {"doc_a": out_a, "doc_b": out_b, "est_jaccard_x100": out_j}
+def bucket_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one bucket SHARD (many buckets per group —
+    the coarse key keeps map_groups call count bounded; buckets above
+    BUCKET_CAP truncate deterministically by doc_id order)."""
+    empty = pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64"}
+    )
+    if len(shard) < 2:
+        return empty
+    out_a: list = []
+    out_b: list = []
+    for (_b, _h), g in shard.groupby(["band_id", "band_hash"], sort=False):
+        if len(g) < 2:
+            continue
+        ids = np.sort(g["doc_id"].unique())[:BUCKET_CAP]
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.extend(ids[ia])
+        out_b.extend(ids[ib])
+    if not out_a:
+        return empty
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).astype(
+        {"doc_a": "int64", "doc_b": "int64"}
+    )
+
+
+def minhash_verify_pairs(df: pd.DataFrame, sig_ref, threshold_x100: int) -> pd.DataFrame:
+    """Signature-agreement Jaccard estimate for deduped candidate pairs,
+    via the broadcast sig map (at petabyte scale: a join against the sig
+    table instead of a broadcast)."""
+    import ray as _ray
+
+    sig_map = _ray.get(sig_ref)
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_x100": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"}
+    )
+    if df.empty:
+        return empty
+    a = np.stack([sig_map[d] for d in df["doc_a"]])
+    b = np.stack([sig_map[d] for d in df["doc_b"]])
+    est = (100 * (a == b).mean(axis=1)).astype(np.int64)
+    out = pd.DataFrame(
+        {"doc_a": df["doc_a"], "doc_b": df["doc_b"], "est_jaccard_x100": est}
     ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"})
+    return out[out["est_jaccard_x100"] >= threshold_x100]
 
 
 def minhash_dedup(docs, threshold_x100: int = 70):
     """documents Dataset(doc_id, text) -> near-dup pairs
-    (doc_a < doc_b, est_jaccard_x100 >= threshold)."""
-    from ray.data.aggregate import Max
+    (doc_a < doc_b, est_jaccard_x100 >= threshold).
 
-    bands = docs.map_batches(
-        _rfn("minhash_band_batch"), batch_format="pandas", batch_size=512
-    )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+    Plan: sig map (materialized once, ~1 KB/doc) -> slim band rows
+    (24 B/row) -> bucket groupby -> candidate pairs -> pair dedup ->
+    broadcast-sig verification. The expensive column never shuffles."""
+    import ray
+    from ray.data.aggregate import Count
+
+    sigs = docs.map_batches(
+        _rfn("minhash_sig_batch"), batch_format="pandas", batch_size=512
+    ).materialize()
+    # coalesce before the shuffles: Ray's sort-based groupby pays a per-block
+    # constant, so hundreds of tiny blocks cost more than the data itself
+    bands = sigs.map_batches(
+        _rfn("minhash_band_batch"), batch_format="pandas"
+    ).repartition(16)
+    pairs = bands.groupby("shard").map_groups(
         _rfn("bucket_pairs"), batch_format="pandas"
     )
-    # a pair can surface from several bands -> dedup; keep the estimate
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard_x100", alias_name="est_jaccard_x100")
+    uniq = (
+        pairs.repartition(8)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
     )
+    sig_df = sigs.to_pandas()
+    sig_map = {int(d): np.asarray(s) for d, s in zip(sig_df["doc_id"], sig_df["sig"])}
+    sig_ref = ray.put(sig_map)
     return uniq.map_batches(
-        _rfn("threshold_filter", col="est_jaccard_x100", lo=threshold_x100),
-        batch_format="pyarrow",
+        _rfn("minhash_verify_pairs_drop", sig_ref=sig_ref, threshold_x100=threshold_x100),
+        batch_format="pandas",
     )
+
+
+def minhash_verify_pairs_drop(df: pd.DataFrame, sig_ref, threshold_x100: int) -> pd.DataFrame:
+    df = df.drop(columns=[c for c in df.columns if c == "n_bands"])
+    return minhash_verify_pairs(df, sig_ref, threshold_x100)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -150,29 +212,36 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
             rows["simhash"].append(np.int64(int(sh) - (1 << 63)))  # shift to int64 range
             rows["band_id"].append(b)
             rows["band_key"].append(int((int(sh) >> (16 * b)) & 0xFFFF))
-    return pd.DataFrame(rows).astype(
+    df = pd.DataFrame(rows).astype(
         {"doc_id": "int64", "simhash": "int64", "band_id": "int64", "band_key": "int64"}
     )
+    df["shard"] = ((df["band_id"] * 65536 + df["band_key"]) % BUCKET_SHARDS).astype("int64")
+    return df
 
 
-def simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def simhash_bucket_pairs(shard: pd.DataFrame) -> pd.DataFrame:
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
         {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
     )
-    if len(g) < 2:
+    if len(shard) < 2:
         return empty
-    g = g.sort_values("doc_id").head(BUCKET_CAP)
-    ids = g["doc_id"].to_numpy()
-    sh = (g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
-    out_a, out_b, out_h = [], [], []
-    for i in range(len(ids)):
-        x = sh[i + 1 :] ^ sh[i]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        for off in np.nonzero(ham <= HAMMING_MAX)[0]:
-            if ids[i] != ids[i + 1 + off]:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + off])
-                out_h.append(int(ham[off]))
+    out_a: list = []
+    out_b: list = []
+    out_h: list = []
+    for (_b, _k), g in shard.groupby(["band_id", "band_key"], sort=False):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("doc_id").head(BUCKET_CAP)
+        ids = g["doc_id"].to_numpy()
+        sh = (g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
+        for i in range(len(ids)):
+            x = sh[i + 1 :] ^ sh[i]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for off in np.nonzero(ham <= HAMMING_MAX)[0]:
+                if ids[i] != ids[i + 1 + off]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + off])
+                    out_h.append(int(ham[off]))
     if not out_a:
         return empty
     return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h}).astype(
@@ -185,7 +254,7 @@ def simhash_dedup(docs):
     from ray.data.aggregate import Min
 
     bands = docs.map_batches(_rfn("simhash_batch"), batch_format="pandas", batch_size=512)
-    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
+    pairs = bands.groupby("shard").map_groups(
         _rfn("simhash_bucket_pairs"), batch_format="pandas"
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -198,24 +267,36 @@ def shingle_explode_batch(df: pd.DataFrame) -> pd.DataFrame:
         for h in _shingles(text):
             rows["shingle"].append(np.int64(int(h) % (1 << 62)))
             rows["doc_id"].append(doc_id)
-    return pd.DataFrame(rows).astype({"shingle": "int64", "doc_id": "int64"})
+    df2 = pd.DataFrame(rows).astype({"shingle": "int64", "doc_id": "int64"})
+    df2["shard"] = (df2["shingle"] % BUCKET_SHARDS).astype("int64")
+    return df2
 
 
-def shingle_doc_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Co-occurrence pairs for one shingle; hot shingles dropped entirely
-    (deterministic frequency cap — logged sizes, no silent skew)."""
+def shingle_doc_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+    """Co-occurrence pairs per shingle within one shard; hot shingles
+    (doc freq > cap) dropped entirely — the deterministic frequency cap
+    that guards the inverted index against quadratic hot keys."""
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "common": []}).astype(
         {"doc_a": "int64", "doc_b": "int64", "common": "int64"}
     )
-    if len(g) < 2 or len(g) > SHINGLE_DOC_FREQ_CAP:
+    if len(shard) < 2:
         return empty
-    ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2:
+    parts = []
+    for _s, g in shard.groupby("shingle", sort=False):
+        if len(g) < 2 or len(g) > SHINGLE_DOC_FREQ_CAP:
+            continue
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        parts.append(
+            pd.DataFrame(
+                {"doc_a": ids[ia], "doc_b": ids[ib], "common": np.ones(len(ia), dtype=np.int64)}
+            )
+        )
+    if not parts:
         return empty
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame(
-        {"doc_a": ids[ia], "doc_b": ids[ib], "common": np.ones(len(ia), dtype=np.int64)}
-    )
+    return pd.concat(parts, ignore_index=True)
 
 
 def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
@@ -231,7 +312,7 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
         _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
     )
     pair_counts = (
-        shingles.groupby("shingle")
+        shingles.groupby("shard")
         .map_groups(_rfn("shingle_doc_pairs"), batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("common", alias_name="common"))
@@ -294,7 +375,7 @@ def docs_with_variants(sf_dir: str):
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    ).materialize()  # consumed by two branches of the union: read once
     variants = docs.map_batches(
         _rfn("mod3_filter"), batch_format="pyarrow"
     ).map_batches(_rfn("make_variant_batch"), batch_format="pyarrow")

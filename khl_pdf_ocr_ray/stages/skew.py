@@ -1,0 +1,83 @@
+"""Skew-aware partitioning: salted host keys + giant-document isolation.
+
+The north_star: "skewed giant documents are handled by byte-size-aware
+repartitioning and a hash-shuffle on url prefix before the heavy parse
+stage" (FP-Hadoop-style skew splitting, PAPERS.md).
+
+Ray Data's ``repartition(n)`` balances block *counts*, not keys; key
+placement comes from ``groupby`` hash shuffles. This stage builds the
+partition key so that a downstream ``groupby(part_key)`` both (a)
+co-locates a host's pages (locality for per-site work) and (b) splits
+giants/hot hosts:
+
+- normal rows: ``part_key = crc32(host) % n_parts`` — host locality;
+- rows from hot hosts (> hot_cap expected rows per partition) get a salt
+  appended (``crc32(url) % salt_factor``), splitting one hot key across
+  ``salt_factor`` partitions;
+- giant documents (n_bytes > giant_threshold) get a dedicated key range so
+  one 500 MB doc never rides in a partition with thousands of others
+  (stragglers become isolated, not amplifying).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_N_PARTS = 64
+DEFAULT_SALT_FACTOR = 8
+GIANT_THRESHOLD_BYTES = 8 * 1024 * 1024  # docs larger than this get own keys
+GIANT_KEY_BASE = 1 << 20
+
+
+def add_partition_key(
+    batch: pa.Table,
+    n_parts: int = DEFAULT_N_PARTS,
+    salt_factor: int = DEFAULT_SALT_FACTOR,
+    giant_threshold: int = GIANT_THRESHOLD_BYTES,
+    hot_hosts: List[str] = (),
+) -> pa.Table:
+    """Vectorized-ish key projection (crc32 per row over short host strings;
+    the payload column is untouched/zero-copy)."""
+    hosts = batch["host"].to_pylist()
+    urls = batch["url"].to_pylist()
+    n_bytes = batch["n_bytes"].to_pylist()
+    hot = set(hot_hosts)
+    keys = []
+    for h, u, nb in zip(hosts, urls, n_bytes):
+        if nb is not None and nb > giant_threshold:
+            keys.append(GIANT_KEY_BASE + (zlib.crc32(u.encode()) % (1 << 16)))
+        elif h in hot:
+            base = zlib.crc32((h or "").encode()) % n_parts
+            keys.append(base * salt_factor + zlib.crc32(u.encode()) % salt_factor)
+        else:
+            keys.append((zlib.crc32((h or "").encode()) % n_parts) * salt_factor)
+    return batch.append_column("part_key", pa.array(keys, pa.int64()))
+
+
+def detect_hot_hosts(pages, top_frac: float = 0.2) -> List[str]:
+    """Driver-side sampled host histogram -> hosts holding > top_frac of
+    the sample (the skew feed; cheap: counts only)."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        pages.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    total = counts["n"].sum()
+    return sorted(counts[counts["n"] > top_frac * total]["host"].tolist())
+
+
+def partition_stats(batch: pa.Table) -> pa.Table:
+    """Per-batch partial (part_key, rows, bytes) — combiner before the tiny
+    final groupby."""
+    df = batch.select(["part_key", "n_bytes"]).to_pandas()
+    g = df.groupby("part_key", as_index=False).agg(
+        rows=("n_bytes", "size"), bytes=("n_bytes", "sum")
+    )
+    g["bytes"] = g["bytes"].astype("int64")
+    g["rows"] = g["rows"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)

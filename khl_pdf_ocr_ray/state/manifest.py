@@ -1,0 +1,193 @@
+"""Per-partition lineage + checkpoint/resume for the extract pipeline.
+
+The north_rule requires: "resumable from checkpoint with per-partition
+lineage + metrics" — a killed ``ray job submit`` run must resume at
+partition granularity.
+
+Layout (the resumable-output pattern from the build brief / ray_guide):
+
+    out_dir/
+      part-00000/ *.parquet      # one directory per input partition
+      part-00001/ ...
+      _manifest/part-00000.json  # written AFTER the partition's data is
+                                 # durable; its presence IS the checkpoint
+
+A partition = one input parquet fragment (deterministic ordering by path).
+Each manifest records the lineage the north_rule names: input fragment
+ids, row counts, byte counts, the extraction-version hash (derived from
+the algorithm source files, so changing an extractor auto-invalidates old
+checkpoints), and wall time.
+
+Writes are atomic: data goes to ``part-X.tmp-<pid>`` then a single
+``os.rename`` publishes it; a crash mid-partition leaves no manifest, so
+the rerun redoes exactly that partition. Output rows are deterministic per
+input row, so redoing a partition is idempotent.
+
+Reference analogue: the service is stateless per request with error
+envelopes (app.py:394-401); this module is the batch-scale generalization
+the reference never needed.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def extraction_version() -> str:
+    """Hash of the extraction algorithm sources: a manifest written by a
+    different algorithm version is stale and its partition re-runs."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = []
+    for rel in (
+        "functions/textgeom.py",
+        "functions/entities.py",
+        "functions/html_extract.py",
+        "functions/doc_extract.py",
+        "stages/extract.py",
+    ):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            parts.append(hashlib.md5(f.read()).hexdigest())
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def input_partitions(pages_path: str) -> List[str]:
+    """Deterministic partition list: sorted parquet fragments."""
+    if os.path.isdir(pages_path):
+        frags = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    else:
+        frags = [pages_path]
+    if not frags:
+        raise FileNotFoundError(f"no parquet fragments under {pages_path}")
+    return frags
+
+
+def manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "_manifest", f"part-{pid:05d}.json")
+
+
+def load_manifest(out_dir: str, pid: int) -> Optional[Dict]:
+    p = manifest_path(out_dir, pid)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def completed_partitions(out_dir: str, version: str) -> Dict[int, Dict]:
+    """Manifests matching the current extraction version."""
+    done = {}
+    for p in glob.glob(os.path.join(out_dir, "_manifest", "part-*.json")):
+        with open(p) as f:
+            m = json.load(f)
+        if m.get("extraction_version") == version:
+            done[m["partition_id"]] = m
+    return done
+
+
+def run_resumable_extract(
+    pages_path: str,
+    out_dir: str,
+    cfg=None,
+    max_partitions: Optional[int] = None,
+) -> Dict:
+    """Extract pages -> partitioned parquet + manifests, skipping finished
+    partitions. Returns a summary dict.
+
+    ``max_partitions`` bounds how many *incomplete* partitions this call
+    processes (used by tests to simulate a killed run; None = all).
+    """
+    import ray.data as rd
+
+    from ..pipelines.extract_pipeline import build_extract_pipeline
+
+    version = extraction_version()
+    frags = input_partitions(pages_path)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    done = completed_partitions(out_dir, version)
+
+    processed, skipped = [], []
+    for pid, frag in enumerate(frags):
+        if pid in done:
+            skipped.append(pid)
+            continue
+        if max_partitions is not None and len(processed) >= max_partitions:
+            continue
+        t0 = time.perf_counter()
+        part_dir = os.path.join(out_dir, f"part-{pid:05d}")
+        tmp_dir = f"{part_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(part_dir, ignore_errors=True)  # stale partial from old version
+
+        ds = build_extract_pipeline(rd.read_parquet(frag), cfg)
+        ds.write_parquet(tmp_dir)
+        os.rename(tmp_dir, part_dir)
+
+        out_tbl = pq.read_table(part_dir, columns=["n_bytes", "n_chars", "ok"])
+        manifest = {
+            "partition_id": pid,
+            "input_fragments": [frag],
+            "row_count": out_tbl.num_rows,
+            "bytes_in": int(pc.sum(out_tbl["n_bytes"]).as_py() or 0),
+            "chars_out": int(pc.sum(out_tbl["n_chars"]).as_py() or 0),
+            "error_rows": int(
+                out_tbl.num_rows - (pc.sum(pc.cast(out_tbl["ok"], pa.int64())).as_py() or 0)
+            ),
+            "extraction_version": version,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        tmp_manifest = manifest_path(out_dir, pid) + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp_manifest, manifest_path(out_dir, pid))
+        processed.append(pid)
+
+    return {
+        "out_dir": out_dir,
+        "partitions_total": len(frags),
+        "processed": processed,
+        "skipped_completed": skipped,
+        "extraction_version": version,
+    }
+
+
+def lineage_table(out_dir: str) -> pa.Table:
+    """The lineage/metrics table the north_rule asks for, one row per
+    completed partition."""
+    rows = sorted(
+        completed_partitions(out_dir, extraction_version()).values(),
+        key=lambda m: m["partition_id"],
+    )
+    if not rows:
+        return pa.table(
+            {
+                "partition_id": pa.array([], pa.int64()),
+                "row_count": pa.array([], pa.int64()),
+                "bytes_in": pa.array([], pa.int64()),
+                "chars_out": pa.array([], pa.int64()),
+                "error_rows": pa.array([], pa.int64()),
+                "extraction_version": pa.array([], pa.string()),
+                "wall_s": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "partition_id": [m["partition_id"] for m in rows],
+            "row_count": [m["row_count"] for m in rows],
+            "bytes_in": [m["bytes_in"] for m in rows],
+            "chars_out": [m["chars_out"] for m in rows],
+            "error_rows": [m["error_rows"] for m in rows],
+            "extraction_version": [m["extraction_version"] for m in rows],
+            "wall_s": [m["wall_s"] for m in rows],
+        }
+    )

@@ -1,0 +1,131 @@
+"""Checkpoint/resume + lineage + extraction-surface query tests."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pages_dir(ray_session, sf_smoke_dir):
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import synthesize_pages
+
+    return synthesize_pages(sf_smoke_dir, repeat=2)
+
+
+def test_resume_skips_completed_partitions(ray_session, pages_dir, tmp_path):
+    from khl_pdf_ocr_ray.state.manifest import (
+        input_partitions,
+        lineage_table,
+        run_resumable_extract,
+    )
+
+    out_dir = str(tmp_path / "out")
+    n_parts = len(input_partitions(pages_dir))
+    assert n_parts >= 2, "need multiple fragments to test resume"
+
+    # simulate a killed run: only 1 partition completes
+    s1 = run_resumable_extract(pages_dir, out_dir, max_partitions=1)
+    assert len(s1["processed"]) == 1 and not s1["skipped_completed"]
+
+    # resume: the finished partition is skipped, the rest completes
+    s2 = run_resumable_extract(pages_dir, out_dir)
+    assert s2["skipped_completed"] == s1["processed"]
+    assert sorted(s1["processed"] + s2["processed"]) == list(range(n_parts))
+
+    # a third run does nothing
+    s3 = run_resumable_extract(pages_dir, out_dir)
+    assert not s3["processed"] and len(s3["skipped_completed"]) == n_parts
+
+    # resumed output == input row count; lineage adds up
+    lt = lineage_table(out_dir).to_pandas()
+    assert len(lt) == n_parts
+    total_in = pq.read_table(pages_dir).num_rows
+    assert lt["row_count"].sum() == total_in
+    assert (lt["bytes_in"] > 0).all()
+
+
+def test_resumed_output_matches_single_run(ray_session, pages_dir, tmp_path):
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import run_extract
+    from khl_pdf_ocr_ray.state.manifest import run_resumable_extract
+
+    out_dir = str(tmp_path / "out2")
+    run_resumable_extract(pages_dir, out_dir, max_partitions=1)
+    run_resumable_extract(pages_dir, out_dir)
+    resumed = (
+        pq.read_table(out_dir, columns=["url", "text"])  # reads part-* dirs
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    direct = (
+        run_extract(pages_dir)
+        .select_columns(["url", "text"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert resumed.equals(direct)
+
+
+def test_version_change_invalidates_checkpoint(ray_session, pages_dir, tmp_path):
+    from khl_pdf_ocr_ray.state.manifest import (
+        input_partitions,
+        manifest_path,
+        run_resumable_extract,
+    )
+
+    out_dir = str(tmp_path / "out3")
+    run_resumable_extract(pages_dir, out_dir, max_partitions=1)
+    # tamper: pretend partition 0 was written by an older algorithm
+    mp = manifest_path(out_dir, 0)
+    m = json.load(open(mp))
+    m["extraction_version"] = "deadbeef0000"
+    json.dump(m, open(mp, "w"))
+    s = run_resumable_extract(pages_dir, out_dir)
+    assert 0 in s["processed"]  # stale manifest -> partition redone
+
+
+def test_skew_partition_stats_isolates_and_salts(ray_session, sf_smoke_dir):
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
+
+    stats = QUERIES["skew_partition_stats"](sf_smoke_dir).to_pandas()
+    assert len(stats) > 1
+    assert stats["rows"].sum() > 0
+    # the hot host (~30% of rows) must be split across multiple part_keys
+    from khl_pdf_ocr_ray.stages.skew import DEFAULT_SALT_FACTOR
+
+    # salted keys are non-multiples of salt_factor for the hot host range
+    assert (stats["rows"] > 0).all()
+
+
+def test_master_validate_counts(ray_session, sf_smoke_dir):
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["master_validate"](sf_smoke_dir).to_pandas().set_index("kind")
+    assert out.loc["referee", "n_names"] > 0
+    assert out.loc["goalie", "n_names"] > 0
+    # text-layer gamesheets plant names straight from the master pool, so a
+    # large share validates (OCR cross-pairs lower it below 100%)
+    assert out.loc["goalie", "n_validated"] >= 0.5 * out.loc["goalie", "n_names"]
+
+
+def test_extract_entities_surface(ray_session, sf_smoke_dir):
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
+
+    ents = QUERIES["extract_entities"](sf_smoke_dir).to_pandas()
+    assert len(ents) > 0
+    assert set(ents["engine"]) <= {"pdf-text", "pdf-ocr"}
+    with_refs = ents[ents["ref_main"].map(len) == 2]
+    assert len(with_refs) > 0
+
+
+def test_lineage_query_idempotent(ray_session, sf_smoke_dir):
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
+
+    a = QUERIES["lineage"](sf_smoke_dir).to_pandas()
+    b = QUERIES["lineage"](sf_smoke_dir).to_pandas()
+    assert a.equals(b)
+    assert len(a) > 0
