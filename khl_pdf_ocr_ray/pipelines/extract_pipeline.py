@@ -39,9 +39,25 @@ class ExtractConfig:
     """Pipeline knobs (SURVEY.md §2.1 S6 analogue of env-var config)."""
 
     extract_batch_size: int = 256       # payload-heavy rows -> modest batches
-    ocr_batch_size: int = 32            # raster work per row -> small batches
-    ocr_concurrency: tuple = (2, 8)     # actor pool (min, max)
-    ocr_num_cpus: float = 1.0           # one engine per core (app.py OCR is 1-proc-per-call)
+    # OCR batches sized like the extract batches: the stage passes most rows
+    # through untouched, and tiny batches multiply actor-task dispatch cost
+    # (3000+ RPCs per 100k rows at 32). Real raster engines with multi-second
+    # per-page cost would shrink this via OcrConfig instead.
+    ocr_batch_size: int = 256
+    # actor pool (min, max): Ray fuses the upstream task stages into this
+    # pool, so its size IS the whole pipeline's parallelism. None -> derive
+    # from the session's CPU count at build time (min high enough that
+    # autoscaler ramp-up lag doesn't dominate short runs; a slice left free
+    # for the read/write task stages)
+    ocr_concurrency: tuple | None = None
+    # logical CPUs reserved per OCR actor. The deterministic stand-in engine
+    # does light work (most rows pass through), so the pool must not starve
+    # the task stages of a small node; a real tesseract-style engine pegging
+    # one core per page would set this to 1.0
+    ocr_num_cpus: float = 0.25
+    # extractor subset, mirroring the reference's ?mode= dispatch
+    # (app.py:405-412): "all" | "words" | "refs" | "goalies"
+    mode: str = "all"
     ocr: OcrConfig = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -57,23 +73,41 @@ def read_pages(path: str, columns: Optional[list] = None) -> rd.Dataset:
 def build_extract_pipeline(pages: rd.Dataset, cfg: Optional[ExtractConfig] = None) -> rd.Dataset:
     """pages Dataset -> extracted Dataset (lazy; caller consumes)."""
     cfg = cfg or ExtractConfig()
+    concurrency = cfg.ocr_concurrency
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # small fixed pool: the OCR stage is deliberately NOT fused with the
+        # task stages (see ray_remote_args_fn below), so the heavy text-layer
+        # extraction parallelizes across all CPUs as tasks while this pool
+        # only absorbs the flagged slice + cheap pass-through filtering.
+        # A real multi-second-per-page OCR engine would size this up via
+        # ExtractConfig.ocr_concurrency.
+        width = max(2, min(8, ncpu // 2))
+        concurrency = (width, width)
     ds = pages.map_batches(
         remote_fn("khl_pdf_ocr_ray.stages.extract", "meta_stage"),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     ds = ds.map_batches(
-        remote_fn("khl_pdf_ocr_ray.stages.extract", "extract_text_layer"),
+        remote_fn("khl_pdf_ocr_ray.stages.extract", "extract_text_layer", mode=cfg.mode),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
     ds = ds.map_batches(
         remote_cls("khl_pdf_ocr_ray.stages.extract", "OcrFallbackStage"),
-        fn_constructor_kwargs={"dpi": cfg.ocr.dpi, "lang": cfg.ocr.lang},
+        fn_constructor_kwargs={"dpi": cfg.ocr.dpi, "lang": cfg.ocr.lang, "mode": cfg.mode},
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
-        concurrency=cfg.ocr_concurrency,
+        concurrency=concurrency,
         num_cpus=cfg.ocr_num_cpus,
+        # presence of a ray_remote_args_fn disables operator fusion (Ray's
+        # fusion rule refuses ops with a remote-args fn): without this, the
+        # task stages above are fused INTO the actor pool and the pool size
+        # caps the whole pipeline's parallelism
+        ray_remote_args_fn=dict,
     )
     return ds
 
@@ -118,7 +152,9 @@ def synthesize_pages(
         batch_format="pyarrow",
         batch_size=256,
     )
-    pages.write_parquet(out_dir)
+    # bounded file size so the read side gets enough parallel fragments
+    # (also the resumable-partition granularity for the extract job)
+    pages.write_parquet(out_dir, max_rows_per_file=2500)
     with open(done, "w") as f:
         f.write("ok")
     return out_dir

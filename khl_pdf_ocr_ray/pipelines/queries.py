@@ -576,6 +576,80 @@ def q_fingerprint_rolling(sf_dir: str) -> rd.Dataset:
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# A4: doc-size quantiles — exact, via a distributed value histogram
+# ---------------------------------------------------------------------------
+QUANTILE_PS = (50, 90, 99)
+
+
+def q_doc_size_quantiles(sf_dir: str) -> pa.Table:
+    """Discrete quantiles of document size (the skew-detection feed,
+    SURVEY.md §2.5 A4). Exact and scalable: the shuffle moves a value
+    HISTOGRAM (one row per distinct size per block), not the rows; the
+    driver walks the tiny cumulative histogram. Convention matches duckdb
+    quantile_disc: v[ceil(p*n)-1] of the sorted values."""
+    import math
+
+    hist = (
+        _t(sf_dir, "documents", ["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    out = {"p": [], "n_chars_q": []}
+    for p in QUANTILE_PS:
+        rank = math.ceil(p / 100 * total)  # 1-based rank of the quantile
+        val = int(hist.loc[cum >= rank, "n_chars"].iloc[0])
+        out["p"].append(p)
+        out["n_chars_q"].append(val)
+    return pa.table({"p": pa.array(out["p"], pa.int64()),
+                     "n_chars_q": pa.array(out["n_chars_q"], pa.int64())})
+
+
+SQL_DOC_SIZE_QUANTILES = """
+SELECT p, CAST(CASE p WHEN 50 THEN quantile_disc(n_chars, 0.50)
+                      WHEN 90 THEN quantile_disc(n_chars, 0.90)
+                      ELSE quantile_disc(n_chars, 0.99) END AS BIGINT) AS n_chars_q
+FROM documents, (SELECT unnest([50, 90, 99]) AS p) ps
+GROUP BY p
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic filter-sample (SURVEY.md §2.6 debug sampling, made exact)
+# ---------------------------------------------------------------------------
+def q_events_sample(sf_dir: str) -> rd.Dataset:
+    """1-in-10 deterministic sample by key residue (a seeded random_sample
+    is block-layout-dependent; the residue filter is reproducible AND
+    SQL-expressible)."""
+    return _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        remote_fn(_Q, "sample_project"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sample_project(batch: pa.Table) -> pa.Table:
+    keep = pc.equal(
+        pc.subtract(batch["event_id"], pc.multiply(pc.divide(batch["event_id"], 10), 10)),
+        3,
+    )
+    t = batch.filter(keep)
+    return pa.table(
+        {"event_id": t["event_id"], "event_type": t["event_type"], "value_cents": _cents(t["value"])}
+    )
+
+
+SQL_EVENTS_SAMPLE = """
+SELECT event_id, event_type,
+       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
+FROM events WHERE event_id % 10 = 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup dedup family (stages/dedup.py) + similarity search (stages/knn.py)
 # ---------------------------------------------------------------------------
@@ -677,6 +751,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "fingerprint_rolling": q_fingerprint_rolling,
+    "doc_size_quantiles": q_doc_size_quantiles,
+    "events_sample": q_events_sample,
     "minhash_dups": q_minhash_dups,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -716,6 +792,8 @@ ORACLES.update(
         "fingerprint": SQL_FINGERPRINT,
         # fingerprint_rolling: intentionally no oracle (rows-only check)
         "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+        "doc_size_quantiles": SQL_DOC_SIZE_QUANTILES,
+        "events_sample": SQL_EVENTS_SAMPLE,
         "embedding_dups": SQL_EMBEDDING_DUPS,
         # minhash/simhash/ngram-jaccard/ann_lsh: no oracle (rows-only)
     }

@@ -211,6 +211,94 @@ def q_lineage(sf_dir: str) -> pa.Table:
     return t.drop_columns(["wall_s"])  # wall time is not deterministic
 
 
+
+
+# --- multimodal surfaces (stages/multimodal.py) -----------------------------
+_MM = "khl_pdf_ocr_ray.stages.multimodal"
+_N_MEDIA = 200
+
+
+def _media_ds() -> rd.Dataset:
+    """Deterministic media corpus as a Dataset (binary payload column)."""
+    from ..stages.multimodal import media_table
+
+    return rd.from_arrow(media_table(_N_MEDIA)).repartition(8)
+
+
+def q_media_image_features(sf_dir: str) -> rd.Dataset:
+    """Image decode + stats + thumbnail dims via an actor-pool stage (small
+    batches: binary payloads are the wide rows of the memory rule)."""
+    from ..remote import remote_cls
+
+    return _media_ds().map_batches(
+        remote_cls(_MM, "ImageFeatureStage"),
+        fn_constructor_kwargs={"target_w": 8, "target_h": 8},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(2, 4),
+        num_cpus=0.5,
+    )
+
+
+def q_media_audio_features(sf_dir: str) -> rd.Dataset:
+    from ..remote import remote_cls
+
+    return _media_ds().map_batches(
+        remote_cls(_MM, "AudioFeatureStage"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(2, 4),
+        num_cpus=0.5,
+    )
+
+
+def q_media_frame_sample(sf_dir: str) -> rd.Dataset:
+    from ..remote import remote_cls
+
+    return _media_ds().map_batches(
+        remote_cls(_MM, "VideoFrameSampleStage"),
+        fn_constructor_kwargs={"every_k": 4},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(2, 4),
+        num_cpus=0.5,
+    )
+
+
+
+
+# --- mode dispatch + exploded words (reference M11 / M2 surfaces) -----------
+def q_extract_refs_mode(sf_dir: str) -> rd.Dataset:
+    """mode=refs pipeline: only the referee extractor (+its OCR fallback)
+    runs — the engine analogue of GET /extract?mode=refs (app.py:405-412)."""
+    from ..pipelines.extract_pipeline import ExtractConfig
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    cfg = ExtractConfig(mode="refs")
+    return run_extract(pages_dir, cfg).map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "refs_project"),
+        batch_format="pyarrow",
+    )
+
+
+def refs_project(batch: pa.Table) -> pa.Table:
+    keep = pc.or_(
+        pc.equal(batch["engine"], "pdf-text"), pc.equal(batch["engine"], "pdf-ocr")
+    )
+    return batch.filter(keep).select(["url", "engine", "ref_main", "ref_linesmen"])
+
+
+def q_pdf_words(sf_dir: str) -> rd.Dataset:
+    """The exploded words table (url, page, y, x, token) in reading order —
+    the reference's text_words intermediate (app.py:86-94) as a queryable
+    surface."""
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
+        remote_fn("khl_pdf_ocr_ray.stages.extract", "words_explode_batch"),
+        batch_format="pyarrow",
+    )
+
+
 EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
@@ -218,4 +306,9 @@ EXTRACT_QUERIES = {
     "master_validate": q_master_validate,
     "skew_partition_stats": q_skew_partition_stats,
     "lineage": q_lineage,
+    "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
+    "media_frame_sample": q_media_frame_sample,
+    "extract_refs_mode": q_extract_refs_mode,
+    "pdf_words": q_pdf_words,
 }

@@ -106,10 +106,20 @@ def _records_to_table(base: pa.Table, recs: List[Dict]) -> pa.Table:
     return pa.Table.from_arrays(out_arrays, schema=EXTRACTED_SCHEMA)
 
 
-def _extract_text_layer_one(payload: Optional[bytes], pre_text: Optional[str]) -> Dict:
+def _extract_text_layer_one(
+    payload: Optional[bytes], pre_text: Optional[str], mode: str = "all"
+) -> Dict:
     """Per-document text-layer extraction; flags rows for the OCR pool
-    instead of running fallbacks inline."""
+    instead of running fallbacks inline.
+
+    ``mode`` mirrors the reference's dispatch (app.py:405-412, M11):
+    "all" | "words" (match meta only) | "refs" | "goalies"/"gk" — only the
+    selected extractors run; unselected columns stay empty and do not
+    trigger OCR fallbacks."""
     t0 = time.perf_counter()
+    do_meta = mode in ("all", "words")
+    do_refs = mode in ("all", "refs")
+    do_gk = mode in ("all", "gk", "goalies")
     ctype = wb.sniff_content_type(payload)
     rec: Dict
     needs_ocr = False
@@ -121,30 +131,36 @@ def _extract_text_layer_one(payload: Optional[bytes], pre_text: Optional[str]) -
             page = doc.page(0)
             words = reading_order(page.words)
             lines, cols = split_columns(words)
-            meta = E.find_match_meta(lines, cols)
-            main, linesmen, _ = E.find_ref_lines(lines)
-            home = E.goalies_from_column(cols["left"])
-            away = E.goalies_from_column(cols["right"])
             rec = _empty_record()
             rec["content_type"] = ctype
             rec["engine"] = "pdf-text"
             rec["text"] = "\n".join(lines)
             rec.update(_line_spans(lines))
-            rec["match_date"] = meta["date"]
-            rec["match_time"] = meta["time_msk"]
-            rec["team_home"] = meta["teams"]["home"]
-            rec["team_away"] = meta["teams"]["away"]
-            rec["ref_main"] = list(main)
-            rec["ref_linesmen"] = list(linesmen)
-            rec["gk_home_names"] = [g["name"] for g in home]
-            rec["gk_home_flags"] = [g["flag"] for g in home]
-            rec["gk_away_names"] = [g["name"] for g in away]
-            rec["gk_away_flags"] = [g["flag"] for g in away]
-            # reference OCR-fallback trigger conditions (app.py:240, 311)
+            if do_meta:
+                meta = E.find_match_meta(lines, cols)
+                rec["match_date"] = meta["date"]
+                rec["match_time"] = meta["time_msk"]
+                rec["team_home"] = meta["teams"]["home"]
+                rec["team_away"] = meta["teams"]["away"]
+            main = linesmen = None
+            home = away = None
+            if do_refs:
+                main, linesmen, _ = E.find_ref_lines(lines)
+                rec["ref_main"] = list(main)
+                rec["ref_linesmen"] = list(linesmen)
+            if do_gk:
+                home = E.goalies_from_column(cols["left"])
+                away = E.goalies_from_column(cols["right"])
+                rec["gk_home_names"] = [g["name"] for g in home]
+                rec["gk_home_flags"] = [g["flag"] for g in home]
+                rec["gk_away_names"] = [g["name"] for g in away]
+                rec["gk_away_flags"] = [g["flag"] for g in away]
+            # reference OCR-fallback trigger conditions (app.py:240, 311),
+            # gated on the active extractors
             needs_ocr = (
                 not lines
-                or (not main or not linesmen)
-                or (not home and not away)
+                or (do_refs and (not main or not linesmen))
+                or (do_gk and not home and not away)
             )
         except wb.PayloadError as e:
             rec = _empty_record()
@@ -169,7 +185,7 @@ def _extract_text_layer_one(payload: Optional[bytes], pre_text: Optional[str]) -
     return rec
 
 
-def extract_text_layer(batch: pa.Table) -> pa.Table:
+def extract_text_layer(batch: pa.Table, mode: str = "all") -> pa.Table:
     """map_batches body (stateless tasks): text-layer extraction.
 
     The payload column is dropped for non-OCR rows conceptually, but since
@@ -178,7 +194,7 @@ def extract_text_layer(batch: pa.Table) -> pa.Table:
     """
     payloads = batch["html"].to_pylist()
     pre_texts = batch["text"].to_pylist()
-    recs = [_extract_text_layer_one(p, t) for p, t in zip(payloads, pre_texts)]
+    recs = [_extract_text_layer_one(p, t, mode) for p, t in zip(payloads, pre_texts)]
     out = _records_to_table(batch, recs)
     # carry payloads ONLY for rows that still need the raster path
     carried = [
@@ -219,11 +235,12 @@ class OcrFallbackStage:
     per actor (north_star ActorPoolStrategy requirement).
     """
 
-    def __init__(self, dpi: int = OCR_DPI, lang: str = "rus+eng"):
+    def __init__(self, dpi: int = OCR_DPI, lang: str = "rus+eng", mode: str = "all"):
         # plain-kwarg constructor: the args cross the actor boundary as
         # primitives (see remote.py — no package classes in ctor args)
         self.cfg = OcrConfig(dpi=dpi, lang=lang)
         self.engine = FakeWboxOcrEngine(self.cfg)
+        self.mode = mode
 
     def _ocr_one(self, rec: Dict, payload: bytes) -> Dict:
         """Apply the reference's three OCR fallbacks to one flagged row."""
@@ -237,7 +254,9 @@ class OcrFallbackStage:
             return rec
         used = False
         # referees (app.py:240-261)
-        if not rec["ref_main"] or not rec["ref_linesmen"]:
+        if self.mode in ("all", "refs") and (
+            not rec["ref_main"] or not rec["ref_linesmen"]
+        ):
             crop = raster.crop(
                 0, 0, raster.width, int(raster.height * REFS_CROP_FRACTION)
             )
@@ -248,7 +267,9 @@ class OcrFallbackStage:
                 rec["ref_main"], rec["ref_linesmen"] = main, linesmen
                 used = True
         # goalies (app.py:311-335)
-        if not rec["gk_home_names"] and not rec["gk_away_names"]:
+        if self.mode in ("all", "gk", "goalies") and (
+            not rec["gk_home_names"] and not rec["gk_away_names"]
+        ):
             h_cut = int(raster.height * GOALIE_CROP_FRACTION)
             left = raster.crop(0, 0, raster.width // 2, h_cut)
             right = raster.crop(raster.width // 2, 0, raster.width, h_cut)
@@ -274,22 +295,64 @@ class OcrFallbackStage:
         return rec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flags = batch["needs_ocr"].to_pylist()
-        if not any(flags):
+        mask = pc.fill_null(batch["needs_ocr"], False)
+        n_flagged = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if n_flagged == 0:
             return batch.drop_columns(["_payload"])
-        payloads = batch["_payload"].to_pylist()
-        recs = batch.to_pylist()
-        for i, (f, p) in enumerate(zip(flags, payloads)):
-            if f and p is not None:
+        # Python-object conversion ONLY for the flagged slice; the
+        # pass-through majority stays zero-copy Arrow
+        passthrough = batch.filter(pc.invert(mask)).drop_columns(["_payload"])
+        flagged = batch.filter(mask)
+        payloads = flagged["_payload"].to_pylist()
+        recs = flagged.drop_columns(["_payload"]).to_pylist()
+        for i, p in enumerate(payloads):
+            if p is not None:
                 recs[i] = self._ocr_one(recs[i], p)
-        out = pa.Table.from_pylist(
-            [{k: v for k, v in r.items() if k != "_payload"} for r in recs],
-            schema=EXTRACTED_SCHEMA,
-        )
-        return out
+        done = pa.Table.from_pylist(recs, schema=EXTRACTED_SCHEMA)
+        # within-batch row order changes (pass-through first) — the engine
+        # guarantees per-url determinism, not row order
+        return pa.concat_tables([passthrough.cast(EXTRACTED_SCHEMA), done])
 
 
 def extract_document_oracle(payload: Optional[bytes], pre_text: Optional[str]) -> Dict:
     """Sequential oracle record for tests: identical semantics to
     text-layer stage + OCR stage composed (see functions.doc_extract)."""
     return extract_document(payload, pre_text)
+
+
+# --- exploded words surface (M2: reference text_words, app.py:86-94) --------
+def words_explode_batch(batch: pa.Table) -> pa.Table:
+    """pages batch -> one row per word box (url, page, y, x, token) in
+    reading order — the engine's ``words`` intermediate table as a public
+    surface (SURVEY.md §1.2)."""
+    from ..functions.textgeom import reading_order as _ro
+
+    urls: List[str] = []
+    pages_col: List[int] = []
+    ys: List[float] = []
+    xs: List[float] = []
+    toks: List[str] = []
+    for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        ctype = wb.sniff_content_type(payload)
+        if ctype not in ("application/x-wbox", "application/pdf"):
+            continue
+        try:
+            doc = wb.parse_payload(payload)
+        except wb.PayloadError:
+            continue
+        for pno, page in enumerate(doc.pages):
+            for y, x, t in _ro(page.words):
+                urls.append(url)
+                pages_col.append(pno)
+                ys.append(y)
+                xs.append(x)
+                toks.append(t)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "page": pa.array(pages_col, pa.int32()),
+            "y": pa.array(ys, pa.float32()),
+            "x": pa.array(xs, pa.float32()),
+            "token": pa.array(toks, pa.string()),
+        }
+    )
