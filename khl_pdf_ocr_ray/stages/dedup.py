@@ -41,7 +41,10 @@ MERSENNE = (1 << 61) - 1
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 HAMMING_MAX = 3
-SHINGLE_DOC_FREQ_CAP = 200  # drop shingles present in more docs (hot-key guard)
+SHINGLE_DOC_FREQ_CAP = 50   # drop shingles present in more docs (hot-key guard:
+                            # a shingle in d docs emits d^2/2 pairs, so the cap
+                            # bounds per-shingle work; near-dup pairs share many
+                            # LOW-frequency shingles, so recall survives)
 
 _rs = np.random.RandomState(0xC0FFEE)
 _A = _rs.randint(1, MERSENNE, size=MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
@@ -308,12 +311,17 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
     import ray
     from ray.data.aggregate import Sum
 
-    shingles = docs.map_batches(
-        _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
+    shingles = (
+        docs.map_batches(
+            _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
+        )
+        .repartition(8)  # coalesce before the shard shuffle
+        .materialize()  # consumed twice (pair index + per-doc counts): run once
     )
     pair_counts = (
         shingles.groupby("shard")
         .map_groups(_rfn("shingle_doc_pairs"), batch_format="pandas")
+        .repartition(8)  # coalesce tiny per-shard blocks before the aggregate
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("common", alias_name="common"))
     )
