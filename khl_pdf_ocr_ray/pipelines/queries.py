@@ -650,6 +650,111 @@ FROM events WHERE event_id % 10 = 3
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# sliding window + semi/anti joins (SURVEY.md §2.4 J1 variants, §2.9)
+# ---------------------------------------------------------------------------
+def q_events_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding windows (2h long, advancing hourly) as a batch operator:
+    each event is EXPLODED into the two windows that contain it, then one
+    groupby — the Ray-Data-native sliding window (no event-time engine
+    needed; the window multiplicity is the projection)."""
+    return (
+        _t(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(remote_fn(_Q, "sliding_project"), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "win_start"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
+    )
+
+
+def sliding_project(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch["ts"], pa.int64())
+    hour = pc.cast(pc.divide(us, 3_600_000_000), pa.int64())
+    cents = _cents(batch["value"])
+    parts = []
+    for off in (0, 1):
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "win_start": pc.subtract(hour, off),
+                "value_cents": cents,
+            }
+        )
+        parts.append(t)
+    both = pa.concat_tables(parts)
+    g = both.group_by(["event_type", "win_start"]).aggregate(
+        [("value_cents", "count"), ("value_cents", "sum")]
+    )
+    return g.rename_columns(["event_type", "win_start", "n", "value_cents"])
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       CAST(floor(epoch(ts)/3600) - off AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents_sum
+FROM events, (SELECT unnest([0, 1]) AS off) offs
+GROUP BY 1, 2
+"""
+
+
+def q_customers_semi(sf_dir: str) -> rd.Dataset:
+    """Semi join via broadcast key set (the guide's pattern for semi/anti):
+    customers WITH orders, counted per segment. The key set (distinct
+    custkeys) is collected once and probed map-side — no shuffle join.
+    At 100 TB the set becomes a Bloom filter or a bucketed join."""
+    keys = set(_t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    return (
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            remote_fn(_Q, "semi_filter", keys=sorted(keys), keep_in=True),
+            batch_format="pyarrow",
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def q_customers_anti(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers with NO orders, per segment. Materialized to a
+    schema-stable DataFrame because a fully-empty Ray aggregate loses its
+    column schema (every customer has orders at small scale factors)."""
+    keys = set(_t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    ds = (
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            remote_fn(_Q, "semi_filter", keys=sorted(keys), keep_in=False),
+            batch_format="pyarrow",
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+    df = ds.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                           "n_customers": pd.Series(dtype="int64")})
+    return df
+
+
+def semi_filter(batch: pa.Table, keys: list, keep_in: bool) -> pa.Table:
+    member = pc.is_in(batch["c_custkey"], value_set=pa.array(keys, pa.int64()))
+    return batch.filter(member if keep_in else pc.invert(member))
+
+
+SQL_CUSTOMERS_SEMI = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+SQL_CUSTOMERS_ANTI = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup dedup family (stages/dedup.py) + similarity search (stages/knn.py)
 # ---------------------------------------------------------------------------
@@ -753,6 +858,9 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "doc_size_quantiles": q_doc_size_quantiles,
     "events_sample": q_events_sample,
+    "events_sliding": q_events_sliding,
+    "customers_semi": q_customers_semi,
+    "customers_anti": q_customers_anti,
     "minhash_dups": q_minhash_dups,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -794,6 +902,9 @@ ORACLES.update(
         "knn_bruteforce": SQL_KNN_BRUTEFORCE,
         "doc_size_quantiles": SQL_DOC_SIZE_QUANTILES,
         "events_sample": SQL_EVENTS_SAMPLE,
+        "events_sliding": SQL_EVENTS_SLIDING,
+        "customers_semi": SQL_CUSTOMERS_SEMI,
+        "customers_anti": SQL_CUSTOMERS_ANTI,
         "embedding_dups": SQL_EMBEDDING_DUPS,
         # minhash/simhash/ngram-jaccard/ann_lsh: no oracle (rows-only)
     }
