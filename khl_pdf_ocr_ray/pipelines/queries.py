@@ -805,11 +805,31 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return ann_lsh(sf_dir, n_queries=8, k=5)
 
 
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF (k-means inverted lists, nprobe=4) approximate top-5 — the
+    second ANN scale path beside LSH; recall vs brute force asserted in
+    tests."""
+    from ..stages.knn import ann_ivf
+
+    return ann_ivf(sf_dir, n_queries=8, k=5)
+
+
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:
     """Exact embedding near-dup pairs (cosine >= 0.35)."""
     from ..stages.knn import embedding_dups
 
     return embedding_dups(sf_dir, tau_e6=350_000)
+
+
+
+
+def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Dedup cluster assignment: near-dup pairs -> connected components ->
+    (doc_id, cluster_id, cluster_size, keep). The keep=true rows are the
+    corpus after near-dup removal."""
+    from ..stages.dedup import docs_with_variants, minhash_clusters
+
+    return minhash_clusters(docs_with_variants(sf_dir), threshold_x100=70)
 
 
 SQL_KNN_BRUTEFORCE = """
@@ -862,10 +882,12 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "customers_semi": q_customers_semi,
     "customers_anti": q_customers_anti,
     "minhash_dups": q_minhash_dups,
+    "minhash_clusters": q_minhash_clusters,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_dups": q_embedding_dups,
 }
 

@@ -416,3 +416,60 @@ def mod3_filter(batch: pa.Table) -> pa.Table:
 
     keep = pc.equal(pc.subtract(batch["doc_id"], pc.multiply(pc.divide(batch["doc_id"], 3), 3)), 0)
     return batch.filter(keep)
+
+
+# --- connected components over near-dup pairs -------------------------------
+def union_find_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find over the candidate-pair set.
+
+    Near-dup PAIRS are sparse relative to the corpus (the LSH output), so
+    collecting them is bounded; the ray_guide sanctions driver union-find
+    exactly when the candidate set is provably small. At petabyte scale
+    with huge pair sets, swap in a few rounds of min-label propagation
+    (groupby over (node, label) message rows) — same output contract.
+
+    Returns (doc_id, cluster_id=min member, cluster_size, keep) for every
+    doc that appears in at least one pair; ``keep`` marks the cluster
+    representative (min doc_id), i.e. the dedup survivor.
+    """
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+
+    nodes = sorted(parent)
+    roots = {n: find(n) for n in nodes}
+    sizes: Dict[int, int] = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    return pd.DataFrame(
+        {
+            "doc_id": nodes,
+            "cluster_id": [roots[n] for n in nodes],
+            "cluster_size": [sizes[roots[n]] for n in nodes],
+            "keep": [roots[n] == n for n in nodes],
+        }
+    ).astype({"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"})
+
+
+def minhash_clusters(docs, threshold_x100: int = 70) -> pd.DataFrame:
+    """Full dedup decision: MinHash+LSH pairs -> connected components ->
+    per-doc (cluster_id, keep)."""
+    pairs = minhash_dedup(docs, threshold_x100).to_pandas()
+    return union_find_clusters(pairs)

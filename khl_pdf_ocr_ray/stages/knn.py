@@ -261,3 +261,92 @@ def embedding_dups(sf_dir: str, tau_e6: int = 350_000):
         batch_format="pandas",
         batch_size=256,
     )
+
+
+# --- IVF ANN (k-means coarse quantizer; the second scale path) --------------
+IVF_CLUSTERS = 16
+IVF_KMEANS_ITERS = 10
+
+
+def _ivf_centroids(x: np.ndarray) -> np.ndarray:
+    """Deterministic k-means: seeded init, fixed iteration count (no
+    convergence-dependent randomness). Driver-side over a SAMPLE at real
+    scale; whole (small) table here."""
+    rs = np.random.RandomState(0x1Fa)
+    k = min(IVF_CLUSTERS, len(x))
+    centroids = x[rs.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(_normalize(x) @ _normalize(centroids).T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign_batch(df: pd.DataFrame, centroids_ref) -> pd.DataFrame:
+    cents = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+    x = _embed_matrix(df)
+    assign = np.argmax(_normalize(x) @ _normalize(cents).T, axis=1).astype(np.int64)
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].astype("int64"), "ivf_list": assign, "embedding": df["embedding"]}
+    )
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int = 4) -> pd.DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer, search only the
+    nprobe inverted lists nearest to each query. At 100 TB the ivf_list
+    column is the partition key; the centroid table is the broadcast
+    index."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..remote import remote_fn
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    x_all = _embed_matrix(t)
+    centroids = _ivf_centroids(x_all)
+    cents_ref = ray.put(centroids)
+
+    qids, q = load_queries(sf_dir, n_queries)
+    qsims = q @ _normalize(centroids).T
+    probe_lists = set()
+    for row in qsims:
+        for c in np.argsort(-row)[:nprobe]:
+            probe_lists.add(int(c))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    candidates = ds.map_batches(
+        remote_fn("khl_pdf_ocr_ray.stages.knn", "ivf_assign_batch", centroids_ref=cents_ref),
+        batch_format="pandas",
+    ).map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.stages.knn",
+            "ivf_list_filter",
+            wanted=sorted(probe_lists),
+        ),
+        batch_format="pandas",
+    )
+    q_ref = ray.put(q)
+    partials = candidates.map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.stages.knn",
+            "knn_partial_batch",
+            query_ids=[int(v) for v in qids],
+            q_ref=q_ref,
+            k=k,
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return knn_merge(partials, k)
+
+
+def ivf_list_filter(df: pd.DataFrame, wanted: list) -> pd.DataFrame:
+    keep = df["ivf_list"].isin(set(wanted))
+    return df.loc[keep, ["vec_id", "embedding"]]

@@ -114,3 +114,37 @@ def test_embedding_dups_nonempty_and_symmetric_free(ray_session, sf):
     pairs = q_embedding_dups(sf).to_pandas()
     assert (pairs["vec_a"] < pairs["vec_b"]).all()
     assert pairs.duplicated(["vec_a", "vec_b"]).sum() == 0
+
+
+def test_union_find_clusters_planted(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_minhash_clusters
+    from khl_pdf_ocr_ray.stages.dedup import VARIANT_OFFSET, union_find_clusters
+    import pandas as pd
+
+    cl = q_minhash_clusters(sf)
+    assert (cl.groupby("cluster_id")["keep"].sum() == 1).all()  # one survivor each
+    # planted variant pairs cluster with their source doc
+    planted = cl[cl["doc_id"] >= VARIANT_OFFSET]
+    assert len(planted) > 0
+    for rec in planted.itertuples():
+        assert rec.cluster_id == rec.doc_id - VARIANT_OFFSET or rec.cluster_size >= 2
+
+    # micro: transitive chain a-b, b-c -> one cluster of 3, min is rep
+    out = union_find_clusters(pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]}))
+    assert set(out["cluster_id"]) == {1}
+    assert out.set_index("doc_id")["keep"].to_dict() == {1: True, 2: False, 3: False}
+
+
+def test_ann_ivf_recall(ray_session, sf):
+    from khl_pdf_ocr_ray.pipelines.queries import q_ann_ivf, q_knn_bruteforce
+
+    exact = q_knn_bruteforce(sf)
+    approx = q_ann_ivf(sf)
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_set & approx_set) / max(len(exact_set), 1)
+    assert recall >= 0.3
+    assert len(approx) > 0
+    # deterministic
+    again = q_ann_ivf(sf)
+    assert approx.equals(again)
