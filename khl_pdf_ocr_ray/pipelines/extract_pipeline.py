@@ -117,17 +117,23 @@ def run_extract(pages_path: str, cfg: Optional[ExtractConfig] = None) -> rd.Data
 
 
 # --- synthetic corpus materialization (cached) ------------------------------
-def pages_cache_dir(sf_dir: str, repeat: int = 1, seed: int = SEED) -> str:
+def pages_cache_dir(
+    sf_dir: str, repeat: int = 1, seed: int = SEED, giants_per_mille: int = 0
+) -> str:
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
     key = hashlib.sha256(
-        f"{doc_path}:{st.st_size}:{repeat}:{seed}:v3".encode()
+        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}:v4".encode()
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, f"pages_{key}")
 
 
 def synthesize_pages(
-    sf_dir: str, repeat: int = 1, seed: int = SEED, num_blocks: Optional[int] = None
+    sf_dir: str,
+    repeat: int = 1,
+    seed: int = SEED,
+    num_blocks: Optional[int] = None,
+    giants_per_mille: int = 0,
 ) -> str:
     """Generate (once, cached) the deterministic pages corpus for an sf dir.
 
@@ -135,7 +141,7 @@ def synthesize_pages(
     read documents -> map_batches(fan-out rows) -> write_parquet shards.
     Returns the parquet directory path.
     """
-    out_dir = pages_cache_dir(sf_dir, repeat, seed)
+    out_dir = pages_cache_dir(sf_dir, repeat, seed, giants_per_mille)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
@@ -148,6 +154,7 @@ def synthesize_pages(
             "pages_from_documents_batch",
             repeat=repeat,
             seed=seed,
+            giants_per_mille=giants_per_mille,
         ),
         batch_format="pyarrow",
         batch_size=256,

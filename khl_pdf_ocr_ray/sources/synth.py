@@ -235,9 +235,22 @@ def make_gamesheet(rng: random.Random, uid: str) -> Dict:
 HOT_HOST = "hot.example.com"
 
 
-def page_row(doc_id: int, rep: int, doc_text: str, doc_lang: str, seed: int = SEED) -> Dict:
-    """One deterministic page row for (doc_id, rep)."""
+def page_row(
+    doc_id: int,
+    rep: int,
+    doc_text: str,
+    doc_lang: str,
+    seed: int = SEED,
+    giants_per_mille: int = 0,
+) -> Dict:
+    """One deterministic page row for (doc_id, rep).
+
+    ``giants_per_mille`` > 0 turns ~that fraction of rows into giant
+    documents (content repeated ~100x -> p99 size ~100x median; the
+    FIXTURES.md size-skew variant for repartition/straggler tests)."""
     rng = _rng("page", seed, doc_id, rep)
+    if giants_per_mille and _stable_hash("giant", seed, doc_id, rep) % 1000 < giants_per_mille:
+        doc_text = " ".join([doc_text] * 100)
     h = _stable_hash("mix", seed, doc_id, rep) % 100
     hot = _stable_hash("host", seed, doc_id, rep) % 100 < 30
     host = HOT_HOST if hot else f"site{_stable_hash('site', seed, doc_id) % 40}.example.org"
@@ -284,7 +297,11 @@ PAGES_SCHEMA = pa.schema(
 
 
 def pages_from_documents_batch(
-    batch: pa.Table, repeat: int = 1, seed: int = SEED, keep_kind: bool = False
+    batch: pa.Table,
+    repeat: int = 1,
+    seed: int = SEED,
+    keep_kind: bool = False,
+    giants_per_mille: int = 0,
 ) -> pa.Table:
     """map_batches body: documents rows -> pages rows (repeat x fan-out)."""
     rows: List[Dict] = []
@@ -293,7 +310,9 @@ def pages_from_documents_batch(
     langs = batch["lang"].to_pylist()
     for doc_id, text, lang in zip(doc_ids, texts, langs):
         for rep in range(repeat):
-            rows.append(page_row(int(doc_id), rep, text or "", lang or "und", seed))
+            rows.append(
+                page_row(int(doc_id), rep, text or "", lang or "und", seed, giants_per_mille)
+            )
     cols: Dict[str, list] = {name: [r[name] for r in rows] for name in
                              ("url", "warc_ts", "html", "text", "lang")}
     arrays = [

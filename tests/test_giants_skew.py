@@ -1,0 +1,62 @@
+"""Giant-document skew: generation, isolation keys, byte-identity on giants."""
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skewed_dir(ray_session, sf_smoke_dir):
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import synthesize_pages
+
+    # ~5% giants: content repeated 100x (FIXTURES.md size-skew variant)
+    return synthesize_pages(sf_smoke_dir, repeat=1, giants_per_mille=50)
+
+
+def test_skew_corpus_has_giants(skewed_dir):
+    import numpy as np
+
+    t = pq.read_table(skewed_dir, columns=["html"])
+    sizes = np.array([len(b) for b in t["html"].to_pylist() if b])
+    p50, p99 = np.percentile(sizes, [50, 99])
+    assert p99 > 20 * p50, (p50, p99)  # heavy tail present
+
+
+def test_giant_isolation_keys(ray_session, skewed_dir):
+    import ray.data as rd
+
+    from khl_pdf_ocr_ray.remote import remote_fn
+    from khl_pdf_ocr_ray.stages.skew import GIANT_KEY_BASE
+
+    pages = rd.read_parquet(skewed_dir, columns=["url", "html"]).map_batches(
+        remote_fn("khl_pdf_ocr_ray.stages.extract", "meta_stage"),
+        batch_format="pyarrow",
+    )
+    keyed = pages.map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.stages.skew",
+            "add_partition_key",
+            giant_threshold=20_000,  # giants in this corpus are ~30-60KB
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    giants = keyed[keyed["n_bytes"] > 20_000]
+    assert len(giants) > 0
+    # every giant landed in the dedicated key range, one key per document
+    assert (giants["part_key"] >= GIANT_KEY_BASE).all()
+    assert giants["part_key"].nunique() == len(giants)
+    normal = keyed[keyed["n_bytes"] <= 20_000]
+    assert (normal["part_key"] < GIANT_KEY_BASE).all()
+
+
+def test_giants_extract_byte_identical(ray_session, skewed_dir):
+    from khl_pdf_ocr_ray.functions.doc_extract import extract_document
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    out = run_extract(skewed_dir).to_pandas()
+    src = pq.read_table(skewed_dir).to_pandas()
+    big = src[src["html"].map(lambda b: b is not None and len(b) > 20_000)]
+    assert len(big) > 0
+    texts = dict(zip(out["url"], out["text"]))
+    for rec in big.itertuples():
+        oracle = extract_document(rec.html, rec.text)
+        assert texts[rec.url] == oracle["text"], rec.url

@@ -64,3 +64,39 @@ def test_bytes_and_str_equivalent():
 
 def test_deterministic():
     assert extract_main_content(PAGE) == extract_main_content(PAGE)
+
+
+def test_nested_anchor_inside_paragraph_counts_links_only():
+    html = (
+        b"<p>Some leading text that is long enough to keep around "
+        b'<a href="/x">short link</a> trailing text here</p>'
+    )
+    out = extract_main_content(html)
+    assert "short link" in out["text"]  # low link density -> kept whole
+
+
+def test_table_cells_are_blocks():
+    html = (
+        b"<table><tr><td>first cell with plenty of text content here</td>"
+        b"<td>second cell also has plenty of text content here</td></tr></table>"
+    )
+    out = extract_main_content(html)
+    assert "first cell" in out["text"] and "second cell" in out["text"]
+    assert [s["kind"] for s in out["spans"]] == ["td", "td"]
+
+
+def test_no_body_blocks_yields_empty():
+    out = extract_main_content(b"<html><head><title>t</title></head><body>stray bare text</body></html>")
+    assert out["text"] == ""  # bare text outside any block element
+    assert out["title"] == "t"
+
+
+def test_unclosed_nav_swallows_rest_deterministically():
+    html = b"<nav><ul><li>menu</li></ul><p>trapped paragraph that is long enough text</p>"
+    out = extract_main_content(html)
+    assert out["text"] == ""  # unclosed chrome subtree drops the rest; stable
+
+
+def test_empty_and_whitespace_inputs():
+    assert extract_main_content(b"")["text"] == ""
+    assert extract_main_content(b"   \n\t  ")["text"] == ""
