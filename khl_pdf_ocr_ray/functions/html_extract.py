@@ -134,9 +134,13 @@ class _ContentParser(HTMLParser):
             self._open.append(blk)
 
     def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            # void tags never incremented the skip depth in handle_starttag
+            # (and handle_startendtag fires both events for <img/> etc.), so
+            # decrementing here would leak chrome content into the output
+            return
         if self._skip_depth:
-            if tag in CHROME_TAGS or self._skip_depth > 0:
-                self._skip_depth -= 1
+            self._skip_depth -= 1
             return
         if tag == "title":
             self._in_title = False

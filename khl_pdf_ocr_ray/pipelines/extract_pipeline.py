@@ -159,9 +159,17 @@ def synthesize_pages(
         batch_format="pyarrow",
         batch_size=256,
     )
+    # crash-safe publish: write to a tmp dir, single rename, then _DONE —
+    # a killed generation never leaves a half-corpus under the cache key
+    import shutil
+
+    tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
     # bounded file size so the read side gets enough parallel fragments
     # (also the resumable-partition granularity for the extract job)
-    pages.write_parquet(out_dir, max_rows_per_file=2500)
+    pages.write_parquet(tmp_dir, max_rows_per_file=2500)
+    os.rename(tmp_dir, out_dir)
     with open(done, "w") as f:
         f.write("ok")
     return out_dir

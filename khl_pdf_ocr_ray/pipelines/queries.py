@@ -36,7 +36,14 @@ _Q = "khl_pdf_ocr_ray.pipelines.queries"
 # yields a single block and the whole pipeline serializes. Fan the big ones
 # out after the read (cheap at these sizes; real 100 TB inputs arrive as
 # many fragments and never need this).
-_BIG_TABLES = {"lineitem": 32, "orders": 16, "events": 16, "customer": 4}
+_BIG_TABLES = {
+    "lineitem": 32,
+    "orders": 16,
+    "events": 16,
+    "customer": 4,
+    "documents": 8,   # per-doc kernels (shingling, minhash) are the heavy maps
+    "embeddings": 4,
+}
 
 
 def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:

@@ -96,9 +96,10 @@ def q_extract_host_stats(sf_dir: str) -> rd.Dataset:
 
 def host_stats_partial(batch: pa.Table) -> pa.Table:
     df = batch.select(["host", "content_type", "n_bytes", "n_chars"]).to_pandas()
-    g = df.groupby(["host", "content_type"], as_index=False).agg(
+    g = df.groupby(["host", "content_type"], as_index=False, dropna=False).agg(
         n=("n_bytes", "size"), bytes_in=("n_bytes", "sum"), chars_out=("n_chars", "sum")
     )
+    g["host"] = g["host"].fillna("")  # non-matching urls keep their rows
     for c in ("n", "bytes_in", "chars_out"):
         g[c] = g[c].astype("int64")
     return pa.Table.from_pandas(g, preserve_index=False)
@@ -175,9 +176,13 @@ def q_skew_partition_stats(sf_dir: str) -> rd.Dataset:
     from ..stages.skew import detect_hot_hosts
 
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
-    pages = rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
-        remote_fn("khl_pdf_ocr_ray.stages.extract", "meta_stage"),
-        batch_format="pyarrow",
+    pages = (
+        rd.read_parquet(pages_dir, columns=["url", "html"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.extract", "meta_stage"),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice (hot-host sample + keying): run once
     )
     hot = detect_hot_hosts(pages.select_columns(["host"]))
     keyed = pages.map_batches(

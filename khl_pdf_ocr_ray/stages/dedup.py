@@ -381,9 +381,13 @@ def docs_with_variants(sf_dir: str):
 
     import ray.data as rd
 
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).materialize()  # consumed by two branches of the union: read once
+    docs = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .repartition(8)  # single-row-group file -> fan out the heavy maps
+        .materialize()  # consumed by two branches of the union: read once
+    )
     variants = docs.map_batches(
         _rfn("mod3_filter"), batch_format="pyarrow"
     ).map_batches(_rfn("make_variant_batch"), batch_format="pyarrow")

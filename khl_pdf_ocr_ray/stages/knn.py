@@ -59,7 +59,7 @@ def knn_partial_batch(
     x = _normalize(_embed_matrix(df))
     sims = q @ x.T  # (nq, batch)
     qids = np.asarray(query_ids, dtype=np.int64)
-    out: Dict[str, list] = {"query_id": [], "neighbor_id": [], "sim_e6": []}
+    out: Dict[str, list] = {"query_id": [], "neighbor_id": [], "sim": []}
     for qi, qid in enumerate(qids):
         s = sims[qi]
         mask = ids != qid
@@ -69,9 +69,10 @@ def knn_partial_batch(
         order = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))][:k]
         out["query_id"].extend([qid] * len(order))
         out["neighbor_id"].extend(ids[order])
-        out["sim_e6"].extend(np.floor(s[order] * 1e6 + 0.5).astype(np.int64))
+        out["sim"].extend(s[order])  # full precision: the merge must rank
+        # exactly as the oracle's ORDER BY sim DESC, not on rounded values
     return pd.DataFrame(out).astype(
-        {"query_id": "int64", "neighbor_id": "int64", "sim_e6": "int64"}
+        {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
     )
 
 
@@ -81,15 +82,22 @@ def knn_merge(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     for qid, g in partials.groupby("query_id"):
         # a neighbor can arrive from several batches/buckets (LSH tables)
         g = g.drop_duplicates(["neighbor_id"])
-        g = g.sort_values(["sim_e6", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         out.append(g)
     if not out:
         return pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "sim_e6": [], "rank": []}
-        ).astype("int64")
-    return pd.concat(out, ignore_index=True)
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "sim_e6": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    df = pd.concat(out, ignore_index=True)
+    df["sim_e6"] = np.floor(df["sim"] * 1e6 + 0.5).astype(np.int64)
+    return df.drop(columns=["sim"])
 
 
 def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:

@@ -217,6 +217,8 @@ class AudioFeatureStage:
             "zero_crossings": [],
             "n_windows": [],
         }
+        ok: List[bool] = []
+        err: List[str] = []
         for mid, mtype, payload in zip(
             batch["media_id"].to_pylist(),
             batch["media_type"].to_pylist(),
@@ -224,14 +226,30 @@ class AudioFeatureStage:
         ):
             if mtype != "audio":
                 continue
-            rate, samples = decode_audio(payload)
             rows["media_id"].append(mid)
-            rows["sample_rate"].append(rate)
-            rows["n_samples"].append(len(samples))
-            rows["rms_x100"].append(int(100 * np.sqrt(np.mean(samples.astype(np.float64) ** 2))))
-            rows["zero_crossings"].append(int(np.sum(np.abs(np.diff(np.sign(samples))) > 0)))
-            rows["n_windows"].append(len(samples) // self.window)
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+            try:
+                rate, samples = decode_audio(payload)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["rms_x100"].append(
+                    int(100 * np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                    if len(samples)
+                    else 0
+                )
+                rows["zero_crossings"].append(int(np.sum(np.abs(np.diff(np.sign(samples))) > 0)))
+                rows["n_windows"].append(len(samples) // self.window)
+                ok.append(True)
+                err.append("")
+            except (MediaDecodeError, NotImplementedError, ValueError) as e:
+                # in-band error rows (same contract as ImageFeatureStage)
+                for k in ("sample_rate", "n_samples", "rms_x100", "zero_crossings", "n_windows"):
+                    rows[k].append(0)
+                ok.append(False)
+                err.append(str(e)[:120])
+        t = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+        return t.append_column("ok", pa.array(ok, pa.bool_())).append_column(
+            "error", pa.array(err, pa.string())
+        )
 
 
 class VideoFrameSampleStage:
@@ -249,7 +267,14 @@ class VideoFrameSampleStage:
         ):
             if mtype != "video":
                 continue
-            frames = decode_video(payload)
+            try:
+                frames = decode_video(payload)
+            except (MediaDecodeError, NotImplementedError, ValueError):
+                # undecodable video -> frame_idx -1 marker row (in-band)
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(-1)
+                rows["frame_mean_x100"].append(0)
+                continue
             for idx in range(0, frames.shape[0], self.every_k):
                 rows["media_id"].append(mid)
                 rows["frame_idx"].append(idx)

@@ -96,5 +96,10 @@ def build_stage(name: str, **static_kwargs):
 
     spec = REGISTRY[name]
     if spec.kind == "actor":
+        if static_kwargs:
+            raise ValueError(
+                f"stage {name!r} is an actor stage: pass construction args "
+                "via map_batches(fn_constructor_kwargs=...), not build_stage()"
+            )
         return remote_cls(spec.module, spec.attr)
     return remote_fn(spec.module, spec.attr, **static_kwargs)

@@ -44,9 +44,10 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def extraction_version() -> str:
-    """Hash of the extraction algorithm sources: a manifest written by a
-    different algorithm version is stale and its partition re-runs."""
+def extraction_version(cfg=None) -> str:
+    """Hash of the extraction algorithm sources AND the effective config:
+    a manifest written by a different algorithm version OR different
+    pipeline config (mode, OCR params) is stale and its partition re-runs."""
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     parts = []
     for rel in (
@@ -58,6 +59,10 @@ def extraction_version() -> str:
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
+    if cfg is not None:
+        parts.append(f"mode={cfg.mode}|dpi={cfg.ocr.dpi}|lang={cfg.ocr.lang}")
+    else:
+        parts.append("mode=all|dpi=300|lang=rus+eng")  # ExtractConfig defaults
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
@@ -111,7 +116,7 @@ def run_resumable_extract(
 
     from ..pipelines.extract_pipeline import build_extract_pipeline
 
-    version = extraction_version()
+    version = extraction_version(cfg)
     frags = input_partitions(pages_path)
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     done = completed_partitions(out_dir, version)
@@ -161,11 +166,11 @@ def run_resumable_extract(
     }
 
 
-def lineage_table(out_dir: str) -> pa.Table:
+def lineage_table(out_dir: str, cfg=None) -> pa.Table:
     """The lineage/metrics table the north_rule asks for, one row per
     completed partition."""
     rows = sorted(
-        completed_partitions(out_dir, extraction_version()).values(),
+        completed_partitions(out_dir, extraction_version(cfg)).values(),
         key=lambda m: m["partition_id"],
     )
     if not rows:

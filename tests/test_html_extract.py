@@ -100,3 +100,24 @@ def test_unclosed_nav_swallows_rest_deterministically():
 def test_empty_and_whitespace_inputs():
     assert extract_main_content(b"")["text"] == ""
     assert extract_main_content(b"   \n\t  ")["text"] == ""
+
+
+def test_void_tag_inside_chrome_does_not_leak_boilerplate():
+    # regression: handle_startendtag fires start+end for <img/>; the end
+    # event must not decrement the chrome skip depth
+    html = (
+        b'<nav><img src="logo.png" /><p>subscribe to our newsletter and win prizes</p></nav>'
+        b"<article><p>real content paragraph long enough to keep</p></article>"
+    )
+    out = extract_main_content(html)
+    assert out["text"] == "real content paragraph long enough to keep"
+    assert "newsletter" not in out["text"]
+
+
+def test_self_closing_br_hr_inside_footer_no_leak():
+    html = (
+        b"<footer><hr/><br/><p>copyright footer junk that is long enough text</p></footer>"
+        b"<p>kept paragraph with enough characters to pass the filter</p>"
+    )
+    out = extract_main_content(html)
+    assert out["text"] == "kept paragraph with enough characters to pass the filter"

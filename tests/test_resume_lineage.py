@@ -129,3 +129,19 @@ def test_lineage_query_idempotent(ray_session, sf_smoke_dir):
     b = QUERIES["lineage"](sf_smoke_dir).to_pandas()
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_config_change_invalidates_checkpoint(ray_session, pages_dir, tmp_path):
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import ExtractConfig
+    from khl_pdf_ocr_ray.state.manifest import run_resumable_extract
+
+    out_dir = str(tmp_path / "outcfg")
+    s1 = run_resumable_extract(pages_dir, out_dir)  # default config, all partitions
+    assert s1["processed"]
+    # same config -> everything skipped
+    s2 = run_resumable_extract(pages_dir, out_dir)
+    assert not s2["processed"]
+    # different mode -> old manifests are stale, partitions re-run
+    s3 = run_resumable_extract(pages_dir, out_dir, cfg=ExtractConfig(mode="refs"))
+    assert sorted(s3["processed"]) == sorted(s1["processed"])
+    assert s3["extraction_version"] != s1["extraction_version"]
