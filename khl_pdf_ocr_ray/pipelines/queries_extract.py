@@ -304,6 +304,56 @@ def q_pdf_words(sf_dir: str) -> rd.Dataset:
     )
 
 
+
+
+def q_extract_blocks(sf_dir: str) -> rd.Dataset:
+    """The scored block table (SURVEY.md §1.2 ``blocks``): every candidate
+    HTML block with its text/link-density scores and the keep decision —
+    the explainability surface of the boilerplate stripper."""
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "blocks_explode"),
+        batch_format="pyarrow",
+    )
+
+
+def blocks_explode(batch: pa.Table) -> pa.Table:
+    from ..functions.html_extract import extract_main_content
+    from ..sources.wordbox import sniff_content_type
+
+    rows = {
+        "url": [],
+        "block_id": [],
+        "kind": [],
+        "text_len": [],
+        "link_density_x1e6": [],
+        "text_density_x100": [],
+        "kept": [],
+    }
+    for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        if sniff_content_type(payload) != "text/html":
+            continue
+        for i, b in enumerate(extract_main_content(payload)["blocks"]):
+            rows["url"].append(url)
+            rows["block_id"].append(i)
+            rows["kind"].append(b["kind"])
+            rows["text_len"].append(len(b["text"]))
+            rows["link_density_x1e6"].append(int(b["link_density"] * 1e6))
+            rows["text_density_x100"].append(int(b["text_density"] * 100))
+            rows["kept"].append(b["kept"])
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "block_id": pa.array(rows["block_id"], pa.int64()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "text_len": pa.array(rows["text_len"], pa.int64()),
+            "link_density_x1e6": pa.array(rows["link_density_x1e6"], pa.int64()),
+            "text_density_x100": pa.array(rows["text_density_x100"], pa.int64()),
+            "kept": pa.array(rows["kept"], pa.bool_()),
+        }
+    )
+
+
 EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
@@ -316,4 +366,5 @@ EXTRACT_QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "extract_refs_mode": q_extract_refs_mode,
     "pdf_words": q_pdf_words,
+    "extract_blocks": q_extract_blocks,
 }

@@ -53,3 +53,15 @@ def test_pdf_words_tokens_roundtrip(ray_session, sf_smoke_dir, pages_dir):
         # scanned docs have empty text layer -> no word rows for them at all
         text_toks = sorted(t for t in texts[url].split() if t)
         assert toks == text_toks, url
+
+
+def test_extract_blocks_surface(ray_session, sf_smoke_dir):
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
+
+    blocks = QUERIES["extract_blocks"](sf_smoke_dir).to_pandas()
+    assert len(blocks) > 0
+    assert blocks["kept"].any() and (~blocks["kept"]).any()
+    # dropped blocks are short or link-heavy; kept ones are neither
+    kept = blocks[blocks["kept"]]
+    assert (kept["text_len"] >= 25).all()
+    assert (kept["link_density_x1e6"] <= 330_000).all()
