@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Production job entrypoint: pages parquet -> extracted parquet, resumable.
+
+The ``ray job submit`` lifecycle (SURVEY.md §3 target lifecycle): on a
+cluster this script is the job driver — it owns the Ray session, runs
+preflight, streams the extract pipeline partition-by-partition with
+manifests, and prints the lineage summary. Killed and re-submitted, it
+resumes where it stopped.
+
+    python scripts/run_extract_job.py --input /path/pages --output /tmp/out
+    python scripts/run_extract_job.py --input ... --output ... --mode refs
+    # re-run the same command after a kill: completed partitions skip
+
+Exit codes: 0 done, 2 preflight failed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages parquet file or directory")
+    ap.add_argument("--output", required=True, help="output directory (partitioned parquet + manifests)")
+    ap.add_argument("--mode", default="all", choices=["all", "words", "refs", "goalies"])
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--max-partitions", type=int, default=None, help="bound partitions this invocation (testing)")
+    ap.add_argument("--skip-preflight", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=args.num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import ExtractConfig
+    from khl_pdf_ocr_ray.pipelines.preflight import preflight
+    from khl_pdf_ocr_ray.state.manifest import lineage_table, run_resumable_extract
+
+    try:
+        if not args.skip_preflight:
+            status = preflight(args.input)
+            print(json.dumps({"preflight": status}), flush=True)
+            if not status["ok"]:
+                return 2
+
+        cfg = ExtractConfig(mode=args.mode)
+        summary = run_resumable_extract(
+            args.input, args.output, cfg=cfg, max_partitions=args.max_partitions
+        )
+        lt = lineage_table(args.output, cfg=cfg)
+        totals = {
+            "rows": int(sum(lt["row_count"].to_pylist())),
+            "bytes_in": int(sum(lt["bytes_in"].to_pylist())),
+            "chars_out": int(sum(lt["chars_out"].to_pylist())),
+            "error_rows": int(sum(lt["error_rows"].to_pylist())),
+        }
+        print(json.dumps({"job": summary, "lineage_totals": totals}), flush=True)
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
