@@ -50,17 +50,28 @@ def cluster_rows(
 
     This is intentionally order-dependent (a drifting chain of y's collapses
     into the first member's cluster) to match app.py:97-109 exactly.
+
+    The reference scans every key per word (O(n*k)); here a bisect index
+    finds the in-tolerance key range and the earliest-INSERTED key in that
+    range wins — identical output (the in-range candidate set is the same,
+    and "first in insertion-order scan" == "minimum insertion index"),
+    O(n log k). Equivalence to the naive scan is property-tested.
     """
+    import bisect
+
     clusters: Dict[float, List[Tuple[float, str]]] = {}
+    order: Dict[float, int] = {}
+    sorted_keys: List[float] = []
     for y, x, tok in words:
-        target = None
-        for ky in clusters:
-            if abs(ky - y) <= tolerance:
-                target = ky
-                break
-        if target is None:
+        lo = bisect.bisect_left(sorted_keys, y - tolerance)
+        hi = bisect.bisect_right(sorted_keys, y + tolerance)
+        if hi > lo:
+            target = min(sorted_keys[lo:hi], key=order.__getitem__)
+        else:
             target = y
             clusters[target] = []
+            order[target] = len(order)
+            bisect.insort(sorted_keys, target)
         clusters[target].append((x, tok))
     return sorted(clusters.items())
 

@@ -53,3 +53,36 @@ def test_lines_sorted_by_cluster_key(words):
     lines1 = lines_from_words(words)
     lines2 = lines_from_words(list(words))
     assert lines1 == lines2
+
+
+def _cluster_rows_naive(words, tolerance=3.0):
+    """The reference's literal greedy scan (app.py:97-109) — the equivalence
+    oracle for the bisect-indexed implementation."""
+    clusters = {}
+    for y, x, tok in words:
+        target = None
+        for ky in clusters:
+            if abs(ky - y) <= tolerance:
+                target = ky
+                break
+        if target is None:
+            target = y
+            clusters[target] = []
+        clusters[target].append((x, tok))
+    return sorted(clusters.items())
+
+
+@settings(max_examples=300, deadline=None)
+@given(words_strategy)
+def test_bisect_clustering_equals_naive_scan(words):
+    from khl_pdf_ocr_ray.functions.textgeom import cluster_rows
+
+    assert cluster_rows(words, 3.0) == _cluster_rows_naive(words, 3.0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(words_strategy, st.floats(min_value=0.1, max_value=50, allow_nan=False))
+def test_bisect_clustering_equals_naive_any_tolerance(words, tol):
+    from khl_pdf_ocr_ray.functions.textgeom import cluster_rows
+
+    assert cluster_rows(words, tol) == _cluster_rows_naive(words, tol)
