@@ -762,6 +762,106 @@ GROUP BY c_mktsegment
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# as-of join + running window (temporal operators the brief names)
+# ---------------------------------------------------------------------------
+def q_events_asof(sf_dir: str) -> rd.Dataset:
+    """As-of join: every purchase matched to the user's most recent view at
+    or before it. Ray-native: hash-shuffle on user_id, then pd.merge_asof
+    inside each sorted group (the guide's per-bucket as-of pattern); ties
+    on ts take the latest view, unmatched -> -1. At 100 TB the group is a
+    (user, day) bucket so a single user's history never exceeds one task."""
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_Q, "asof_per_user"), batch_format="pandas")
+    )
+
+
+def asof_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    left = g[g["event_type"] == "purchase"][["event_id", "ts"]].sort_values(
+        ["ts", "event_id"]
+    )
+    right = g[g["event_type"] == "view"][["event_id", "ts"]].sort_values(
+        ["ts", "event_id"]
+    )
+    if left.empty:
+        return pd.DataFrame(
+            {
+                "purchase_id": pd.Series(dtype="int64"),
+                "view_id": pd.Series(dtype="int64"),
+            }
+        )
+    if right.empty:
+        return pd.DataFrame(
+            {
+                "purchase_id": left["event_id"].astype("int64"),
+                "view_id": pd.Series([-1] * len(left), dtype="int64"),
+            }
+        )
+    # among equal-ts views keep the max event_id so backward-asof picks the
+    # deterministic "latest" row (mirrors the SQL tie-break below)
+    right = right.groupby("ts", as_index=False).agg(event_id=("event_id", "max"))
+    m = pd.merge_asof(
+        left,
+        right.rename(columns={"event_id": "view_id"}),
+        on="ts",
+        direction="backward",
+    )
+    return pd.DataFrame(
+        {
+            "purchase_id": m["event_id"].astype("int64"),
+            "view_id": m["view_id"].fillna(-1).astype("int64"),
+        }
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT max(event_id) AS event_id, user_id, ts
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT p.event_id AS purchase_id,
+       CAST(coalesce(v.event_id, -1) AS BIGINT) AS view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_events_running(sf_dir: str) -> rd.Dataset:
+    """Running (cumulative) per-user aggregate ordered by event time — the
+    windowed-aggregate operator: shuffle on user_id, sorted cumsum per
+    group. Deterministic tie-break on event_id within equal timestamps."""
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_Q, "running_per_user"), batch_format="pandas")
+    )
+
+
+def running_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"])
+    cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "running_cents": np.cumsum(cents),
+            "running_n": np.arange(1, len(g) + 1, dtype="int64"),
+        }
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_n
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup dedup family (stages/dedup.py) + similarity search (stages/knn.py)
 # ---------------------------------------------------------------------------
@@ -888,6 +988,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "events_sliding": q_events_sliding,
     "customers_semi": q_customers_semi,
     "customers_anti": q_customers_anti,
+    "events_asof": q_events_asof,
+    "events_running": q_events_running,
     "minhash_dups": q_minhash_dups,
     "minhash_clusters": q_minhash_clusters,
     "simhash_dups": q_simhash_dups,
@@ -934,6 +1036,8 @@ ORACLES.update(
         "events_sliding": SQL_EVENTS_SLIDING,
         "customers_semi": SQL_CUSTOMERS_SEMI,
         "customers_anti": SQL_CUSTOMERS_ANTI,
+        "events_asof": SQL_EVENTS_ASOF,
+        "events_running": SQL_EVENTS_RUNNING,
         "embedding_dups": SQL_EMBEDDING_DUPS,
         # minhash/simhash/ngram-jaccard/ann_lsh: no oracle (rows-only)
     }
