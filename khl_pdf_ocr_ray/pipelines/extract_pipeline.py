@@ -141,35 +141,28 @@ def synthesize_pages(
     read documents -> map_batches(fan-out rows) -> write_parquet shards.
     Returns the parquet directory path.
     """
-    out_dir = pages_cache_dir(sf_dir, repeat, seed, giants_per_mille)
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
-        return out_dir
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    if num_blocks is None:
-        num_blocks = max(4, min(64, docs.count() // 125))
-    pages = docs.repartition(num_blocks).map_batches(
-        remote_fn(
-            "khl_pdf_ocr_ray.sources.synth",
-            "pages_from_documents_batch",
-            repeat=repeat,
-            seed=seed,
-            giants_per_mille=giants_per_mille,
-        ),
-        batch_format="pyarrow",
-        batch_size=256,
-    )
-    # crash-safe publish: write to a tmp dir, single rename, then _DONE —
-    # a killed generation never leaves a half-corpus under the cache key
-    import shutil
+    from ..state.atomic import ensure_published
 
-    tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    # bounded file size so the read side gets enough parallel fragments
-    # (also the resumable-partition granularity for the extract job)
-    pages.write_parquet(tmp_dir, max_rows_per_file=2500)
-    os.rename(tmp_dir, out_dir)
-    with open(done, "w") as f:
-        f.write("ok")
-    return out_dir
+    out_dir = pages_cache_dir(sf_dir, repeat, seed, giants_per_mille)
+
+    def _build(tmp_dir: str) -> None:
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        n = num_blocks if num_blocks is not None else max(4, min(64, docs.count() // 125))
+        pages = docs.repartition(n).map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.sources.synth",
+                "pages_from_documents_batch",
+                repeat=repeat,
+                seed=seed,
+                giants_per_mille=giants_per_mille,
+            ),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+        # bounded file size so the read side gets enough parallel fragments
+        # (also the resumable-partition granularity for the extract job)
+        pages.write_parquet(tmp_dir, max_rows_per_file=2500)
+
+    # crash- and concurrency-safe publish (tmp dir + rename + _DONE under
+    # an exclusive lock): see state/atomic.py
+    return ensure_published(out_dir, _build)

@@ -46,13 +46,24 @@ _BIG_TABLES = {
 }
 
 
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    return batch
+
+
 def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    """Pruned parquet read of one driver table, fanned out for parallelism."""
+    """Pruned parquet read of one driver table, fanned out for parallelism.
+
+    The metadata-strip map (a zero-copy no-op body; remote_fn's block
+    normalizer drops the files' embedded b'pandas' schema metadata) keeps
+    downstream shuffle schemas hashable — without it every sort/hash
+    exchange logs "Failed to hash the schemas" and loses schema dedup."""
     ds = rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
     n = _BIG_TABLES.get(name)
     if n:
         ds = ds.repartition(n)
-    return ds
+    return ds.map_batches(
+        remote_fn(_Q, "strip_schema_metadata"), batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _cents(x):

@@ -23,6 +23,34 @@ import os
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _normalize_block(out):
+    """DataFrame outputs become metadata-free Arrow tables.
+
+    Two reasons: (a) pandas-derived Arrow schemas carry a b'pandas'
+    metadata dict that is unhashable, so every downstream hash-shuffle
+    logs "Failed to hash the schemas" and loses schema dedup; (b) uniform
+    Arrow blocks keep groupby/join/union exchanges zero-copy instead of
+    converting per-block at shuffle time."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(out, pd.DataFrame):
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+    if isinstance(out, pa.Table) and out.schema.metadata:
+        # parquet files written via pandas embed a b'pandas' metadata dict
+        # that survives projections/filters and makes the schema unhashable
+        return out.replace_schema_metadata(None)
+    return out
+
+
+def identity_batch(batch):
+    """No-op body: exists so ``remote_fn(..., "identity_batch")`` applies
+    the block normalizer (schema-metadata strip) to raw read outputs."""
+    return batch
+
+
 def remote_fn(module: str, attr: str, **static_kwargs):
     """A by-value-pickled wrapper calling ``module.attr(batch, **kwargs)``."""
     root = REPO_ROOT
@@ -34,7 +62,8 @@ def remote_fn(module: str, attr: str, **static_kwargs):
         if root not in sys.path:
             sys.path.insert(0, root)
         target = getattr(importlib.import_module(module), attr)
-        return target(batch, **static_kwargs)
+        norm = importlib.import_module("khl_pdf_ocr_ray.remote")._normalize_block
+        return norm(target(batch, **static_kwargs))
 
     _fn.__name__ = f"{attr}"
     return _fn
@@ -58,7 +87,10 @@ def remote_cls(module: str, attr: str):
             self.inner = cls(**kwargs)
 
         def __call__(self, batch):
-            return self.inner(batch)
+            import importlib
+
+            norm = importlib.import_module("khl_pdf_ocr_ray.remote")._normalize_block
+            return norm(self.inner(batch))
 
     _ActorWrapper.__name__ = attr
     return _ActorWrapper

@@ -132,20 +132,31 @@ def bucket_pairs(shard: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def minhash_verify_pairs(df: pd.DataFrame, sig_ref, threshold_x100: int) -> pd.DataFrame:
-    """Signature-agreement Jaccard estimate for deduped candidate pairs,
-    via the broadcast sig map (at petabyte scale: a join against the sig
-    table instead of a broadcast)."""
-    import ray as _ray
+def sig_pack_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, sig list) -> (doc_id, sig_bin) with the 128 hashes packed
+    little-endian into one 1024-byte value. Acero hash joins cannot carry
+    list/tensor payload columns, so the signature rides the join as plain
+    binary — unpacked with ``np.frombuffer`` on the far side."""
+    packed = [
+        np.asarray(s, dtype=np.int64).astype("<i8").tobytes() for s in df["sig"]
+    ]
+    return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "sig_bin": packed})
 
-    sig_map = _ray.get(sig_ref)
+
+def _unpack_sigs(col: pd.Series) -> np.ndarray:
+    return np.stack([np.frombuffer(b, dtype="<i8") for b in col])
+
+
+def pair_sig_agreement(df: pd.DataFrame, threshold_x100: int) -> pd.DataFrame:
+    """Join output (doc_a, doc_b, sig_a, sig_b packed) -> per-permutation
+    agreement estimate, thresholded."""
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_x100": []}).astype(
         {"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"}
     )
     if df.empty:
         return empty
-    a = np.stack([sig_map[d] for d in df["doc_a"]])
-    b = np.stack([sig_map[d] for d in df["doc_b"]])
+    a = _unpack_sigs(df["sig_a"])
+    b = _unpack_sigs(df["sig_b"])
     est = (100 * (a == b).mean(axis=1)).astype(np.int64)
     out = pd.DataFrame(
         {"doc_a": df["doc_a"], "doc_b": df["doc_b"], "est_jaccard_x100": est}
@@ -153,14 +164,22 @@ def minhash_verify_pairs(df: pd.DataFrame, sig_ref, threshold_x100: int) -> pd.D
     return out[out["est_jaccard_x100"] >= threshold_x100]
 
 
+def rename_cols(df: pd.DataFrame, mapping: dict) -> pd.DataFrame:
+    return df.rename(columns=mapping)
+
+
 def minhash_dedup(docs, threshold_x100: int = 70):
     """documents Dataset(doc_id, text) -> near-dup pairs
     (doc_a < doc_b, est_jaccard_x100 >= threshold).
 
-    Plan: sig map (materialized once, ~1 KB/doc) -> slim band rows
+    Plan: sig table (materialized once, ~1 KB/doc) -> slim band rows
     (24 B/row) -> bucket groupby -> candidate pairs -> pair dedup ->
-    broadcast-sig verification. The expensive column never shuffles."""
-    import ray
+    DISTRIBUTED verification: the candidate pairs (sparse) are hash-joined
+    against the packed signature table on doc_a then doc_b, and the
+    per-permutation agreement is computed inside map_batches. No per-doc
+    state ever lands on the driver, so the plan survives a corpus whose
+    signature table exceeds driver memory (the round-1 design broadcast a
+    ~1 KB/doc dict via ray.put)."""
     from ray.data.aggregate import Count
 
     sigs = docs.map_batches(
@@ -178,19 +197,46 @@ def minhash_dedup(docs, threshold_x100: int = 70):
         pairs.repartition(8)
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
+        .map_batches(_rfn("drop_n_bands"), batch_format="pandas")
     )
-    sig_df = sigs.to_pandas()
-    sig_map = {int(d): np.asarray(s) for d, s in zip(sig_df["doc_id"], sig_df["sig"])}
-    sig_ref = ray.put(sig_map)
-    return uniq.map_batches(
-        _rfn("minhash_verify_pairs_drop", sig_ref=sig_ref, threshold_x100=threshold_x100),
+    sig_bin = sigs.map_batches(_rfn("sig_pack_batch"), batch_format="pandas")
+    from ..joins import safe_join
+
+    with_a = safe_join(uniq, sig_bin, on=("doc_a",), right_on=("doc_id",))
+    if with_a is None:
+        return _empty_pairs_ds("est_jaccard_x100")
+    with_a = with_a.map_batches(
+        _rfn("rename_cols", mapping={"sig_bin": "sig_a"}), batch_format="pandas"
+    )
+    with_ab = safe_join(with_a, sig_bin, on=("doc_b",), right_on=("doc_id",))
+    if with_ab is None:
+        return _empty_pairs_ds("est_jaccard_x100")
+    with_ab = with_ab.map_batches(
+        _rfn("rename_cols", mapping={"sig_bin": "sig_b"}), batch_format="pandas"
+    )
+    return with_ab.map_batches(
+        _rfn("pair_sig_agreement", threshold_x100=threshold_x100),
         batch_format="pandas",
     )
 
 
-def minhash_verify_pairs_drop(df: pd.DataFrame, sig_ref, threshold_x100: int) -> pd.DataFrame:
-    df = df.drop(columns=[c for c in df.columns if c == "n_bands"])
-    return minhash_verify_pairs(df, sig_ref, threshold_x100)
+def _empty_pairs_ds(score_col: str):
+    import pyarrow as _pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        _pa.table(
+            {
+                "doc_a": _pa.array([], _pa.int64()),
+                "doc_b": _pa.array([], _pa.int64()),
+                score_col: _pa.array([], _pa.int64()),
+            }
+        )
+    )
+
+
+def drop_n_bands(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop(columns=[c for c in df.columns if c == "n_bands"])
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -305,10 +351,12 @@ def shingle_doc_pairs(shard: pd.DataFrame) -> pd.DataFrame:
 def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
     """Exact shingle-Jaccard pairs >= threshold.
 
-    inverted index -> per-shingle pairs -> pair co-count -> J with exact
-    per-doc shingle counts (collected driver-side and broadcast; at scale
-    this small side is a join instead)."""
-    import ray
+    inverted index -> per-shingle pairs -> pair co-count -> exact J via a
+    DISTRIBUTED join of the per-doc shingle-count table onto both pair
+    sides (the round-1 design collected the counts driver-side and
+    broadcast a dict; the join keeps driver memory O(1) at any corpus
+    size — the count table is one int per doc and the pair table is the
+    sparse LSH/co-occurrence output, so both join sides stay slim)."""
     from ray.data.aggregate import Sum
 
     shingles = (
@@ -325,17 +373,27 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("common", alias_name="common"))
     )
-    # per-doc shingle counts: tiny (one int per doc) -> broadcast
-    counts_df = (
+    counts = (
         shingles.map_batches(_rfn("shingle_count_partial"), batch_format="pandas")
         .groupby("doc_id")
         .aggregate(Sum("n", alias_name="n_shingles"))
-        .to_pandas()
     )
-    n_map = dict(zip(counts_df["doc_id"], counts_df["n_shingles"]))
-    ref = ray.put(n_map)
-    return pair_counts.map_batches(
-        _rfn("jaccard_finalize", threshold_x100=threshold_x100, n_map_ref=ref),
+    from ..joins import safe_join
+
+    with_a = safe_join(pair_counts, counts, on=("doc_a",), right_on=("doc_id",))
+    if with_a is None:
+        return _empty_pairs_ds("jaccard_x100")
+    with_a = with_a.map_batches(
+        _rfn("rename_cols", mapping={"n_shingles": "n_a"}), batch_format="pandas"
+    )
+    with_ab = safe_join(with_a, counts, on=("doc_b",), right_on=("doc_id",))
+    if with_ab is None:
+        return _empty_pairs_ds("jaccard_x100")
+    with_ab = with_ab.map_batches(
+        _rfn("rename_cols", mapping={"n_shingles": "n_b"}), batch_format="pandas"
+    )
+    return with_ab.map_batches(
+        _rfn("jaccard_finalize", threshold_x100=threshold_x100),
         batch_format="pandas",
     )
 
@@ -345,16 +403,13 @@ def shingle_count_partial(df: pd.DataFrame) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "n": "int64"})
 
 
-def jaccard_finalize(df: pd.DataFrame, threshold_x100: int, n_map_ref) -> pd.DataFrame:
-    import ray
-
-    n_map = ray.get(n_map_ref) if not isinstance(n_map_ref, dict) else n_map_ref
+def jaccard_finalize(df: pd.DataFrame, threshold_x100: int) -> pd.DataFrame:
     if df.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_x100": []}).astype(
             {"doc_a": "int64", "doc_b": "int64", "jaccard_x100": "int64"}
         )
-    na = df["doc_a"].map(n_map).to_numpy()
-    nb = df["doc_b"].map(n_map).to_numpy()
+    na = df["n_a"].to_numpy()
+    nb = df["n_b"].to_numpy()
     common = df["common"].to_numpy()
     j = (100 * common) // np.maximum(na + nb - common, 1)
     out = pd.DataFrame(
@@ -369,6 +424,12 @@ def _rfn(attr: str, **kw):
     return remote_fn("khl_pdf_ocr_ray.stages.dedup", attr, **kw)
 
 
+def _ident():
+    from ..remote import remote_fn
+
+    return remote_fn("khl_pdf_ocr_ray.remote", "identity_batch")
+
+
 # --- variant corpus for near-dup demos/tests --------------------------------
 VARIANT_OFFSET = 1_000_000
 
@@ -381,9 +442,16 @@ def docs_with_variants(sf_dir: str):
 
     import ray.data as rd
 
+    from ..remote import remote_fn as _remote_fn
+
     docs = (
         rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(  # strip file schema metadata -> hashable shuffle schemas
+            _remote_fn("khl_pdf_ocr_ray.remote", "identity_batch"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         .repartition(8)  # single-row-group file -> fan out the heavy maps
         .materialize()  # consumed by two branches of the union: read once
@@ -424,13 +492,9 @@ def mod3_filter(batch: pa.Table) -> pa.Table:
 
 # --- connected components over near-dup pairs -------------------------------
 def union_find_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
-    """Driver-side union-find over the candidate-pair set.
-
-    Near-dup PAIRS are sparse relative to the corpus (the LSH output), so
-    collecting them is bounded; the ray_guide sanctions driver union-find
-    exactly when the candidate set is provably small. At petabyte scale
-    with huge pair sets, swap in a few rounds of min-label propagation
-    (groupby over (node, label) message rows) — same output contract.
+    """Driver-side union-find over a pair DataFrame — kept as the sequential
+    oracle for ``label_propagation_clusters`` (tests assert identical
+    output); the production path is the distributed propagation below.
 
     Returns (doc_id, cluster_id=min member, cluster_size, keep) for every
     doc that appears in at least one pair; ``keep`` marks the cluster
@@ -472,8 +536,117 @@ def union_find_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
     ).astype({"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"})
 
 
+def edges_undirected(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_a, doc_b) pairs -> both-direction (src, dst) message edges."""
+    src = np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()])
+    dst = np.concatenate([df["doc_b"].to_numpy(), df["doc_a"].to_numpy()])
+    return pd.DataFrame({"src": src, "dst": dst}).astype({"src": "int64", "dst": "int64"})
+
+
+def edge_self_labels(df: pd.DataFrame) -> pd.DataFrame:
+    """Initial labels: every node that appears in an edge, label = itself."""
+    nodes = np.unique(
+        np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()])
+    ).astype(np.int64)
+    return pd.DataFrame({"node": nodes, "label": nodes})
+
+
+def messages_project(df: pd.DataFrame) -> pd.DataFrame:
+    """Join output (src, dst, label) -> (node=dst, label) message rows."""
+    return pd.DataFrame({"node": df["dst"], "label": df["label"]}).astype(
+        {"node": "int64", "label": "int64"}
+    )
+
+
+def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
+    """Distributed connected components: min-label propagation over the
+    pair table (no driver-side union-find — the round-1 design collected
+    every pair on the driver, which breaks on a duplication-heavy crawl).
+
+    Per round: edges ⋈ labels on src  ->  (dst, label) messages  ->
+    union with current labels  ->  groupby node min(label). Labels only
+    decrease, so the sum of labels is a monotone convergence witness; the
+    fixed point is exactly each node's component minimum (what union-find
+    computes). Rounds needed = graph diameter (near-dup clusters are
+    shallow; max_rounds is a runaway guard).
+
+    Returns a Dataset (doc_id, cluster_id, cluster_size, keep) matching
+    ``union_find_clusters`` row-for-row.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    edges = pairs_ds.map_batches(
+        _rfn("edges_undirected"), batch_format="pandas"
+    ).materialize()
+    # the identity maps normalize the aggregates' pandas blocks to Arrow:
+    # union requires homogeneous block types across its inputs
+    labels = (
+        pairs_ds.map_batches(_rfn("edge_self_labels"), batch_format="pandas")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .map_batches(_ident(), batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    from ..joins import safe_join
+
+    if labels.count() == 0:
+        import pyarrow as _pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([], _pa.int64()),
+                    "cluster_id": _pa.array([], _pa.int64()),
+                    "cluster_size": _pa.array([], _pa.int64()),
+                    "keep": _pa.array([], _pa.bool_()),
+                }
+            )
+        )
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = safe_join(edges, labels, on=("src",), right_on=("node",)).map_batches(
+            _rfn("messages_project"), batch_format="pandas"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_ident(), batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+        cur = labels.sum("label")  # tiny driver scalar, monotone non-increasing
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    # attach cluster sizes with one more shuffle: groups of (node,label) rows
+    # keyed by label (a cluster fits one task; a pathological giant cluster
+    # would be handled by counting via aggregate + safe_join instead)
+    return (
+        labels.groupby("label")
+        .map_groups(_rfn("cluster_group_project"), batch_format="pandas")
+    )
+
+
+def cluster_group_project(g: pd.DataFrame) -> pd.DataFrame:
+    """One cluster's (node, label) rows -> the per-doc cluster table rows."""
+    nodes = g["node"].to_numpy()
+    label = int(g["label"].iloc[0])
+    out = pd.DataFrame(
+        {
+            "doc_id": nodes,
+            "cluster_id": label,
+            "cluster_size": len(g),
+            "keep": nodes == label,
+        }
+    ).astype({"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"})
+    return out.sort_values("doc_id")
+
+
 def minhash_clusters(docs, threshold_x100: int = 70) -> pd.DataFrame:
-    """Full dedup decision: MinHash+LSH pairs -> connected components ->
-    per-doc (cluster_id, keep)."""
-    pairs = minhash_dedup(docs, threshold_x100).to_pandas()
-    return union_find_clusters(pairs)
+    """Full dedup decision: MinHash+LSH pairs -> distributed connected
+    components -> per-doc (cluster_id, keep). Sorted by doc_id for a
+    deterministic surface."""
+    pairs = minhash_dedup(docs, threshold_x100)
+    out = label_propagation_clusters(pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

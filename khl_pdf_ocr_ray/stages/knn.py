@@ -159,19 +159,74 @@ def lsh_bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5, probes: int = 4) -> pd.DataFrame:
-    """Approximate top-k: search only buckets near the query's sign key.
+def _index_dir(sf_dir: str, kind: str, params: str) -> str:
+    """Deterministic cache location for a persisted ANN index."""
+    import hashlib
+    import os
 
-    probes = how many 1-bit-flip neighbor buckets to visit besides the
-    query's own. Recall vs brute force is asserted in tests (~0.6+ at these
-    sizes); at 100 TB the bucket column becomes the partition key so a
-    query touches a handful of partitions instead of the full corpus."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(path)
+    key = hashlib.sha256(f"{path}:{st.st_size}:{params}:v1".encode()).hexdigest()[:16]
+    return os.path.join("/tmp/khlray_cache", f"annidx_{kind}_{key}")
+
+
+def ensure_lsh_index(sf_dir: str) -> str:
+    """Build (once, cached) the persisted LSH index: the embeddings table
+    exploded into its LSH_TABLES bucket rows and written as parquet
+    HASH-PARTITIONED BY BUCKET (hive layout, one directory per bucket).
+
+    This is the 100 TB shape the round-1 version only described in prose:
+    the expensive full-corpus bucketing pass runs once at index-build
+    time; every query afterwards reads ONLY its probed bucket partitions
+    (a pruned ``read_parquet`` over a handful of directories) instead of
+    re-scanning and re-bucketing the corpus per call."""
     import os
 
     import ray.data as rd
 
     from ..remote import remote_fn
+    from ..state.atomic import ensure_published
 
+    out_dir = _index_dir(sf_dir, "lsh", f"t{LSH_TABLES}p{LSH_PLANES}")
+
+    def _build(tmp_dir: str) -> None:
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        ).repartition(8)
+        ds.map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch"),
+            batch_format="pandas",
+        ).write_parquet(tmp_dir, partition_cols=["bucket"])
+
+    return ensure_published(out_dir, _build)
+
+
+def _probe_partitions(index_dir: str, col: str, wanted: set) -> list:
+    """Parquet files of the probed hive partitions (only those that exist
+    — empty buckets have no directory). Ray's read_parquet wants concrete
+    file paths when given a list."""
+    import glob
+    import os
+
+    files: list = []
+    for key in sorted(wanted):
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"{col}={key}", "*.parquet")))
+        )
+    return files
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5, probes: int = 4) -> pd.DataFrame:
+    """Approximate top-k over the PERSISTED LSH index: compute the query's
+    bucket keys (+1-bit-flip probes), then read only those bucket
+    partitions and rank in-bucket candidates. Recall vs brute force is
+    asserted in tests; at 100 TB the partition pruning means a query batch
+    touches probes×tables directories, not the corpus."""
+    import ray.data as rd
+
+    from ..remote import remote_fn
+
+    index_dir = ensure_lsh_index(sf_dir)
     qids, q = load_queries(sf_dir, n_queries)
     qkeys = _bucket_keys(q)  # (nq, tables)
     wanted = set()
@@ -181,93 +236,142 @@ def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5, probes: int = 4) -> pd.
             for b in range(probes):  # 1-bit-flip probes within the table
                 wanted.add(int(key) ^ (1 << b))
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    bucketed = ds.map_batches(
-        remote_fn("khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch"),
-        batch_format="pandas",
-    ).map_batches(
-        remote_fn(
-            "khl_pdf_ocr_ray.stages.knn",
-            "bucket_member_filter",
-            wanted=sorted(wanted),
-        ),
-        batch_format="pandas",
-    )
+    paths = _probe_partitions(index_dir, "bucket", wanted)
+    if not paths:
+        return knn_merge(pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []}), k)
     q_ref = ray.put(q)
-    partials = bucketed.map_batches(
-        remote_fn(
-            "khl_pdf_ocr_ray.stages.knn",
-            "knn_partial_batch",
-            query_ids=[int(v) for v in qids],
-            q_ref=q_ref,
-            k=k,
-        ),
-        batch_format="pandas",
-    ).to_pandas()
+    partials = (
+        rd.read_parquet(paths, columns=["vec_id", "embedding"])
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.stages.knn",
+                "knn_partial_batch",
+                query_ids=[int(v) for v in qids],
+                q_ref=q_ref,
+                k=k,
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     return knn_merge(partials, k)
 
 
-def bucket_member_filter(df: pd.DataFrame, wanted: list) -> pd.DataFrame:
-    keep = df["bucket"].isin(set(wanted))
-    return df.loc[keep, ["vec_id", "embedding"]]
-
-
 # --- exact embedding near-dup (SQL-checkable) --------------------------------
-def embedding_pairs_batch(df: pd.DataFrame, all_ref, tau_e6: int) -> pd.DataFrame:
-    """One batch x full normalized matrix; emit pairs a<b with cos >= tau."""
-    ids_all, x_all = ray.get(all_ref)
+TRIANGLE_BLOCKS = 8  # B: replication factor of the all-pairs triangle join
+
+
+def triangle_replicate_batch(df: pd.DataFrame, n_blocks: int) -> pd.DataFrame:
+    """All-pairs triangle partitioning (the exact distributed form of a
+    self cross-join): every vector in block g = vec_id % B is replicated to
+    the B unordered block-pair keys {(min(g,o), max(g,o)) : o in 0..B-1},
+    so each unordered vector pair meets in EXACTLY one group task. Work
+    stays O(n^2) (the semantics are all-pairs) but memory per task is
+    2 blocks and nothing is broadcast or driver-materialized — the
+    round-1 design shipped the full normalized matrix via ray.put."""
     ids = df["vec_id"].to_numpy().astype(np.int64)
-    x = _normalize(_embed_matrix(df))
-    sims = x @ x_all.T
+    g = ids % n_blocks
+    out = {"pair_key": [], "grp": [], "vec_id": [], "embedding": []}
+    emb = df["embedding"].to_numpy()
+    for i in range(len(ids)):
+        gi = int(g[i])
+        for other in range(n_blocks):
+            g1, g2 = (gi, other) if gi <= other else (other, gi)
+            out["pair_key"].append(g1 * n_blocks + g2)
+            out["grp"].append(gi)
+            out["vec_id"].append(int(ids[i]))
+            out["embedding"].append(emb[i])
+    return pd.DataFrame(out).astype(
+        {"pair_key": "int64", "grp": "int64", "vec_id": "int64"}
+    )
+
+
+def triangle_block_pairs(group: pd.DataFrame, tau_e6: int, n_blocks: int) -> pd.DataFrame:
+    """One block-pair task: exact cosine over members of blocks (g1, g2);
+    emits vec_a < vec_b with cos >= tau. Same float64 math as the oracle
+    (per-vector normalize, float64 dot), so the threshold boundary agrees
+    bit-for-bit with the broadcast formulation."""
+    empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64"}
+    )
+    if group.empty:
+        return empty
+    key = int(group["pair_key"].iloc[0])
+    g1, g2 = key // n_blocks, key % n_blocks
+    tau = tau_e6 / 1e6
     out_a: List[int] = []
     out_b: List[int] = []
-    tau = tau_e6 / 1e6
-    for i in range(len(ids)):
-        hits = np.nonzero(sims[i] >= tau)[0]
-        for j in hits:
-            a, b = int(ids[i]), int(ids_all[j])
-            if a < b:
-                out_a.append(a)
-                out_b.append(b)
+    if g1 == g2:
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        x = _normalize(_embed_matrix(group))
+        sims = x @ x.T
+        ia, ib = np.nonzero(sims >= tau)
+        for i, j in zip(ia, ib):
+            if ids[i] < ids[j]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+    else:
+        left = group[group["grp"] == g1]
+        right = group[group["grp"] == g2]
+        if left.empty or right.empty:
+            return empty
+        ids_l = left["vec_id"].to_numpy().astype(np.int64)
+        ids_r = right["vec_id"].to_numpy().astype(np.int64)
+        sims = _normalize(_embed_matrix(left)) @ _normalize(_embed_matrix(right)).T
+        ia, ib = np.nonzero(sims >= tau)
+        for i, j in zip(ia, ib):
+            a, b = int(ids_l[i]), int(ids_r[j])
+            if a > b:
+                a, b = b, a
+            out_a.append(a)
+            out_b.append(b)
     return pd.DataFrame({"vec_a": out_a, "vec_b": out_b}).astype(
         {"vec_a": "int64", "vec_b": "int64"}
     )
 
 
 def embedding_dups(sf_dir: str, tau_e6: int = 350_000):
-    """All pairs with cosine similarity >= tau (exact; broadcast matrix).
-    100 TB path: replace the broadcast with LSH buckets (ann_lsh's keys) and
-    compare only within buckets."""
+    """All pairs with cosine similarity >= tau — EXACT (matches the
+    all-pairs SQL oracle) and fully distributed: a triangle-partitioned
+    self-join (B-fold replication, B(B+1)/2 block-pair tasks) instead of
+    broadcasting the full matrix. At 100 TB exact all-pairs is inherently
+    O(n^2) compute, but this plan bounds every task to 2/B of the corpus
+    and keeps the driver at O(1); the sub-quadratic APPROXIMATE path is
+    the LSH/IVF bucket family (ann_lsh / ann_ivf)."""
     import os
 
     import ray.data as rd
 
     from ..remote import remote_fn
 
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ds = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(  # strip file schema metadata before the repartition
+            remote_fn("khl_pdf_ocr_ray.remote", "identity_batch"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(8)
     )
-    df_all = t.to_pandas()
-    ids_all = df_all["vec_id"].to_numpy().astype(np.int64)
-    x_all = _normalize(_embed_matrix(df_all))
-    all_ref = ray.put((ids_all, x_all))
-
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    return ds.map_batches(
+    replicated = ds.map_batches(
         remote_fn(
             "khl_pdf_ocr_ray.stages.knn",
-            "embedding_pairs_batch",
-            all_ref=all_ref,
-            tau_e6=tau_e6,
+            "triangle_replicate_batch",
+            n_blocks=TRIANGLE_BLOCKS,
         ),
         batch_format="pandas",
         batch_size=256,
+    )
+    return replicated.groupby("pair_key").map_groups(
+        remote_fn(
+            "khl_pdf_ocr_ray.stages.knn",
+            "triangle_block_pairs",
+            tau_e6=tau_e6,
+            n_blocks=TRIANGLE_BLOCKS,
+        ),
+        batch_format="pandas",
     )
 
 
@@ -301,24 +405,76 @@ def ivf_assign_batch(df: pd.DataFrame, centroids_ref) -> pd.DataFrame:
     )
 
 
-def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int = 4) -> pd.DataFrame:
-    """IVF approximate top-k: coarse k-means quantizer, search only the
-    nprobe inverted lists nearest to each query. At 100 TB the ivf_list
-    column is the partition key; the centroid table is the broadcast
-    index."""
+IVF_TRAIN_SAMPLE = 65_536  # k-means trains on the first N vec_ids (at real
+                           # scale the quantizer never sees the full corpus)
+
+
+def ensure_ivf_index(sf_dir: str) -> str:
+    """Build (once, cached) the persisted IVF index:
+
+    - ``centroids.parquet`` — the coarse k-means quantizer, trained on a
+      bounded deterministic sample (first IVF_TRAIN_SAMPLE vec_ids);
+    - data parquet HASH-PARTITIONED BY ``ivf_list`` — every embedding
+      assigned to its nearest centroid by a distributed map, written
+      hive-style so queries prune to their nprobe lists.
+
+    The round-1 version re-ran k-means AND full-corpus assignment on
+    every call; here both are one-time index-build costs and the
+    ``ivf_list`` directory IS the partition key the docstring promised."""
     import os
 
-    import pyarrow.parquet as pq
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..remote import remote_fn
+    from ..state.atomic import ensure_published
+
+    out_dir = _index_dir(sf_dir, "ivf", f"k{IVF_CLUSTERS}i{IVF_KMEANS_ITERS}s{IVF_TRAIN_SAMPLE}")
+
+    def _build(tmp_dir: str) -> None:
+        sample = (
+            _pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .head(IVF_TRAIN_SAMPLE)
+        )
+        centroids = _ivf_centroids(_embed_matrix(sample))
+        cents_ref = ray.put(centroids)
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        ).repartition(8)
+        os.makedirs(tmp_dir, exist_ok=True)
+        ds.map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.knn", "ivf_assign_batch", centroids_ref=cents_ref),
+            batch_format="pandas",
+        ).write_parquet(os.path.join(tmp_dir, "lists"), partition_cols=["ivf_list"])
+        _pq.write_table(
+            pa.table({"centroid": [c.tolist() for c in centroids]}),
+            os.path.join(tmp_dir, "centroids.parquet"),
+        )
+
+    return ensure_published(out_dir, _build)
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int = 4) -> pd.DataFrame:
+    """IVF approximate top-k over the PERSISTED index: load the (tiny)
+    centroid table, pick each query's nprobe nearest lists, read only
+    those list partitions and rank candidates."""
+    import os
+
+    import pyarrow.parquet as _pq
     import ray.data as rd
 
     from ..remote import remote_fn
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).to_pandas()
-    x_all = _embed_matrix(t)
-    centroids = _ivf_centroids(x_all)
-    cents_ref = ray.put(centroids)
+    index_dir = ensure_ivf_index(sf_dir)
+    centroids = np.stack(
+        _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+        .to_pandas()["centroid"]
+        .to_numpy()
+    ).astype(np.float64)
 
     qids, q = load_queries(sf_dir, n_queries)
     qsims = q @ _normalize(centroids).T
@@ -327,34 +483,22 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int = 4) -> pd.
         for c in np.argsort(-row)[:nprobe]:
             probe_lists.add(int(c))
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    candidates = ds.map_batches(
-        remote_fn("khl_pdf_ocr_ray.stages.knn", "ivf_assign_batch", centroids_ref=cents_ref),
-        batch_format="pandas",
-    ).map_batches(
-        remote_fn(
-            "khl_pdf_ocr_ray.stages.knn",
-            "ivf_list_filter",
-            wanted=sorted(probe_lists),
-        ),
-        batch_format="pandas",
-    )
+    paths = _probe_partitions(os.path.join(index_dir, "lists"), "ivf_list", probe_lists)
+    if not paths:
+        return knn_merge(pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []}), k)
     q_ref = ray.put(q)
-    partials = candidates.map_batches(
-        remote_fn(
-            "khl_pdf_ocr_ray.stages.knn",
-            "knn_partial_batch",
-            query_ids=[int(v) for v in qids],
-            q_ref=q_ref,
-            k=k,
-        ),
-        batch_format="pandas",
-    ).to_pandas()
+    partials = (
+        rd.read_parquet(paths, columns=["vec_id", "embedding"])
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.stages.knn",
+                "knn_partial_batch",
+                query_ids=[int(v) for v in qids],
+                q_ref=q_ref,
+                k=k,
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     return knn_merge(partials, k)
-
-
-def ivf_list_filter(df: pd.DataFrame, wanted: list) -> pd.DataFrame:
-    keep = df["ivf_list"].isin(set(wanted))
-    return df.loc[keep, ["vec_id", "embedding"]]

@@ -89,6 +89,12 @@ def load_manifest(out_dir: str, pid: int) -> Optional[Dict]:
         return json.load(f)
 
 
+def fragment_fingerprint(frag: str) -> str:
+    """Cheap content identity for resume validation: size + mtime_ns."""
+    st = os.stat(frag)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def completed_partitions(out_dir: str, version: str) -> Dict[int, Dict]:
     """Manifests matching the current extraction version."""
     done = {}
@@ -100,6 +106,96 @@ def completed_partitions(out_dir: str, version: str) -> Dict[int, Dict]:
     return done
 
 
+def _manifest_valid(m: Dict, frag: str) -> bool:
+    """A manifest only covers its partition if it was written for the SAME
+    input fragment (path + size/mtime fingerprint): an input directory that
+    gained/lost/changed fragments between runs must not silently map old
+    manifests onto new partition ids."""
+    if m.get("input_fragments") != [frag]:
+        return False
+    fp = m.get("fragment_fingerprint")
+    return fp is None or fp == fragment_fingerprint(frag)
+
+
+class FragmentExtractWorker:
+    """Actor-pool worker: one *input fragment* per task → one output
+    partition directory + its manifest, written atomically inside the task.
+
+    This is the parallel resumable layout: the driver submits ONE Ray Data
+    pipeline whose rows are (pid, fragment-path) work items, so a
+    multi-node cluster processes every incomplete partition concurrently
+    (the round-1 design looped fragments serially on the driver, paying
+    per-fragment pipeline fixed costs and idling the cluster). Each task
+    owns its partition end-to-end — extract, durable write, then manifest
+    — so a killed run keeps every finished partition and a rerun redoes
+    only unfinished ones. The OCR engine is built once per actor
+    (``__init__``), amortized across fragments (north_star actor-pool
+    requirement); per-fragment work is chunked so payload-heavy rows never
+    build one giant in-memory table.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        version: str,
+        mode: str = "all",
+        dpi: int = 300,
+        lang: str = "rus+eng",
+        chunk_rows: int = 256,
+    ):
+        from ..stages.extract import OcrFallbackStage
+
+        self.out_dir = out_dir
+        self.version = version
+        self.mode = mode
+        self.chunk_rows = chunk_rows
+        self.ocr = OcrFallbackStage(dpi=dpi, lang=lang, mode=mode)
+
+    def _extract_fragment(self, frag: str) -> pa.Table:
+        from ..stages.extract import extract_text_layer, meta_stage
+
+        tbl = pq.read_table(frag, columns=["url", "warc_ts", "html", "text", "lang"])
+        parts = []
+        for start in range(0, tbl.num_rows, self.chunk_rows):
+            chunk = tbl.slice(start, self.chunk_rows)
+            out = self.ocr(extract_text_layer(meta_stage(chunk), mode=self.mode))
+            parts.append(out)
+        return pa.concat_tables(parts) if parts else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for pid, frag in zip(batch["pid"].to_pylist(), batch["frag"].to_pylist()):
+            t0 = time.perf_counter()
+            part_dir = os.path.join(self.out_dir, f"part-{pid:05d}")
+            tmp_dir = f"{part_dir}.tmp-{os.getpid()}"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.rmtree(part_dir, ignore_errors=True)  # stale partial
+            out_tbl = self._extract_fragment(frag)
+            os.makedirs(tmp_dir, exist_ok=True)
+            pq.write_table(out_tbl, os.path.join(tmp_dir, "data-00000.parquet"))
+            os.rename(tmp_dir, part_dir)
+            manifest = {
+                "partition_id": pid,
+                "input_fragments": [frag],
+                "fragment_fingerprint": fragment_fingerprint(frag),
+                "row_count": out_tbl.num_rows,
+                "bytes_in": int(pc.sum(out_tbl["n_bytes"]).as_py() or 0),
+                "chars_out": int(pc.sum(out_tbl["n_chars"]).as_py() or 0),
+                "error_rows": int(
+                    out_tbl.num_rows
+                    - (pc.sum(pc.cast(out_tbl["ok"], pa.int64())).as_py() or 0)
+                ),
+                "extraction_version": self.version,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+            tmp_manifest = manifest_path(self.out_dir, pid) + f".tmp-{os.getpid()}"
+            with open(tmp_manifest, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp_manifest, manifest_path(self.out_dir, pid))
+            rows.append(pid)
+        return pa.table({"partition_id": pa.array(rows, pa.int64())})
+
+
 def run_resumable_extract(
     pages_path: str,
     out_dir: str,
@@ -107,55 +203,65 @@ def run_resumable_extract(
     max_partitions: Optional[int] = None,
 ) -> Dict:
     """Extract pages -> partitioned parquet + manifests, skipping finished
-    partitions. Returns a summary dict.
+    partitions, processing all incomplete partitions IN PARALLEL through
+    one streaming pipeline of fragment work items. Returns a summary dict.
 
     ``max_partitions`` bounds how many *incomplete* partitions this call
     processes (used by tests to simulate a killed run; None = all).
     """
+    import ray
     import ray.data as rd
 
-    from ..pipelines.extract_pipeline import build_extract_pipeline
+    from ..remote import remote_cls
 
     version = extraction_version(cfg)
     frags = input_partitions(pages_path)
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     done = completed_partitions(out_dir, version)
 
-    processed, skipped = [], []
+    todo, skipped = [], []
     for pid, frag in enumerate(frags):
-        if pid in done:
+        if pid in done and _manifest_valid(done[pid], frag):
             skipped.append(pid)
-            continue
-        if max_partitions is not None and len(processed) >= max_partitions:
-            continue
-        t0 = time.perf_counter()
-        part_dir = os.path.join(out_dir, f"part-{pid:05d}")
-        tmp_dir = f"{part_dir}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(part_dir, ignore_errors=True)  # stale partial from old version
+        else:
+            todo.append((pid, frag))
+    if max_partitions is not None:
+        todo = todo[:max_partitions]
 
-        ds = build_extract_pipeline(rd.read_parquet(frag), cfg)
-        ds.write_parquet(tmp_dir)
-        os.rename(tmp_dir, part_dir)
+    processed: List[int] = []
+    if todo:
+        work = pa.table(
+            {
+                "pid": pa.array([p for p, _ in todo], pa.int64()),
+                "frag": pa.array([f for _, f in todo], pa.string()),
+            }
+        )
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        pool = max(1, min(len(todo), ncpu))
+        from ..pipelines.extract_pipeline import ExtractConfig
 
-        out_tbl = pq.read_table(part_dir, columns=["n_bytes", "n_chars", "ok"])
-        manifest = {
-            "partition_id": pid,
-            "input_fragments": [frag],
-            "row_count": out_tbl.num_rows,
-            "bytes_in": int(pc.sum(out_tbl["n_bytes"]).as_py() or 0),
-            "chars_out": int(pc.sum(out_tbl["n_chars"]).as_py() or 0),
-            "error_rows": int(
-                out_tbl.num_rows - (pc.sum(pc.cast(out_tbl["ok"], pa.int64())).as_py() or 0)
-            ),
-            "extraction_version": version,
-            "wall_s": round(time.perf_counter() - t0, 3),
-        }
-        tmp_manifest = manifest_path(out_dir, pid) + ".tmp"
-        with open(tmp_manifest, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp_manifest, manifest_path(out_dir, pid))
-        processed.append(pid)
+        cfg = cfg or ExtractConfig()
+        result = (
+            rd.from_arrow(work)
+            .repartition(len(todo))  # one fragment per task call
+            .map_batches(
+                remote_cls("khl_pdf_ocr_ray.state.manifest", "FragmentExtractWorker"),
+                fn_constructor_kwargs={
+                    "out_dir": out_dir,
+                    "version": version,
+                    "mode": cfg.mode,
+                    "dpi": cfg.ocr.dpi,
+                    "lang": cfg.ocr.lang,
+                    "chunk_rows": cfg.extract_batch_size,
+                },
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=(1, pool),
+                num_cpus=1,
+            )
+            .take_all()
+        )
+        processed = sorted(r["partition_id"] for r in result)
 
     return {
         "out_dir": out_dir,

@@ -135,6 +135,48 @@ def test_union_find_clusters_planted(ray_session, sf):
     assert out.set_index("doc_id")["keep"].to_dict() == {1: True, 2: False, 3: False}
 
 
+def test_label_propagation_matches_union_find(ray_session, sf):
+    """The distributed min-label propagation must reproduce the sequential
+    union-find oracle row-for-row (same cluster ids, sizes, keep flags)."""
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries import q_minhash_dups
+    from khl_pdf_ocr_ray.stages.dedup import (
+        label_propagation_clusters,
+        union_find_clusters,
+    )
+
+    pairs = q_minhash_dups(sf)
+    lp = (
+        label_propagation_clusters(pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    uf = (
+        union_find_clusters(pairs.to_pandas())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(lp, uf)
+
+
+def test_label_propagation_deep_chain(ray_session):
+    """A long path graph (diameter >> 1) converges to one component —
+    exercises the multi-round propagation loop, not just 1-hop spread."""
+    import pandas as pd
+    import ray.data as rd
+
+    n = 24
+    chain = pd.DataFrame({"doc_a": range(n), "doc_b": range(1, n + 1)}).astype("int64")
+    from khl_pdf_ocr_ray.stages.dedup import label_propagation_clusters
+
+    out = label_propagation_clusters(rd.from_pandas(chain)).to_pandas()
+    assert set(out["cluster_id"]) == {0}
+    assert (out["cluster_size"] == n + 1).all()
+    assert out.loc[out["doc_id"] == 0, "keep"].item() is True
+
+
 def test_ann_ivf_recall(ray_session, sf):
     from khl_pdf_ocr_ray.pipelines.queries import q_ann_ivf, q_knn_bruteforce
 

@@ -121,3 +121,72 @@ def test_self_closing_br_hr_inside_footer_no_leak():
     )
     out = extract_main_content(html)
     assert out["text"] == "kept paragraph with enough characters to pass the filter"
+
+
+def test_fast_tokenizer_matches_html_parser_oracle(sf_smoke_dir, ray_session):
+    """The regex tokenizer must reproduce the html.parser-based collector
+    exactly (blocks, densities, title) over the synthesized corpus."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.functions.html_extract import (
+        extract_blocks,
+        extract_blocks_reference,
+    )
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import synthesize_pages
+    from khl_pdf_ocr_ray.sources.wordbox import sniff_content_type
+
+    pages_dir = synthesize_pages(sf_smoke_dir, repeat=2)
+    n = 0
+    for f in sorted(glob.glob(pages_dir + "/*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        for payload in t["html"].to_pylist():
+            if sniff_content_type(payload) != "text/html":
+                continue
+            html = payload.decode("utf-8", errors="replace")
+            fb, ft = extract_blocks(html)
+            rb, rt = extract_blocks_reference(html)
+            assert ft == rt
+            assert len(fb) == len(rb)
+            for a, b in zip(fb, rb):
+                assert (a.kind, a.text, a.link_chars, a.total_chars, a.inner_tags) == (
+                    b.kind, b.text, b.link_chars, b.total_chars, b.inner_tags
+                )
+            n += 1
+    assert n > 100
+
+
+def test_fast_tokenizer_edge_cases_match_oracle():
+    """Hand-picked tricky inputs: rawtext, comments, self-closing, entities,
+    misnesting, bare angle brackets inside well-formed tags."""
+    from khl_pdf_ocr_ray.functions.html_extract import (
+        extract_blocks,
+        extract_blocks_reference,
+    )
+
+    cases = [
+        "<p>a &amp; b &lt;tag&gt; &#65;</p>",
+        "<script>if (a<b && c>d) { x('</div>'); }</script><p>after script body here</p>",
+        "<style>p>a{color:red}</style><p>styled paragraph content text</p>",
+        "<!-- <p>commented out</p> --><p>real paragraph text here</p>",
+        "<div/><p>self closing div above</p>",
+        "<p>outer <div>inner misnested</p> tail</div>",
+        "<title>t1</title><title>t2</title><p>two titles</p>",
+        "<nav><script>var x=1;</script><p>menu</p></nav><p>content paragraph here</p>",
+        "<p>unclosed paragraph at end of document",
+        "<P>UPPER CASE TAGS</P><DIV>more</DIV>",
+        "<p da-ta='x>y'>attr with gt</p>",
+        "<img src='x'/><p>void self closing</p>",
+        "<?xml version='1.0'?><p>after pi</p>",
+        "<![CDATA[ <p>not a block</p> ]]><p>after cdata</p>",
+    ]
+    for html in cases:
+        fb, ft = extract_blocks(html)
+        rb, rt = extract_blocks_reference(html)
+        assert ft == rt, html
+        assert [
+            (a.kind, a.text, a.link_chars, a.total_chars, a.inner_tags) for a in fb
+        ] == [
+            (b.kind, b.text, b.link_chars, b.total_chars, b.inner_tags) for b in rb
+        ], html
