@@ -91,7 +91,9 @@ def extract_html_doc(payload: bytes) -> Dict:
     return rec
 
 
-def extract_doc_layout(doc: wb.ParsedDoc, run_ocr_fallback: bool = True) -> Dict:
+def extract_doc_layout(
+    doc: wb.ParsedDoc, run_ocr_fallback: bool = True, debug: bool = False
+) -> Dict:
     """PDF/WBOX document -> extracted record.
 
     Text-layer path: reading-order words -> lines -> columns -> entities
@@ -99,6 +101,8 @@ def extract_doc_layout(doc: wb.ParsedDoc, run_ocr_fallback: bool = True) -> Dict
     conditions: referees when main or linesmen missing (app.py:240), goalies
     when both columns empty (app.py:311); a document with an empty text
     layer additionally gets its full text from a whole-page OCR pass.
+    ``debug`` surfaces the reference's debug=1 intermediates
+    (raw_ref_line app.py:203, ocr_ref_line app.py:261, fallback app.py:336).
     """
     rec = _empty_record()
     rec["content_type"] = "application/x-wbox"
@@ -106,19 +110,27 @@ def extract_doc_layout(doc: wb.ParsedDoc, run_ocr_fallback: bool = True) -> Dict
     words = reading_order(page.words)
     lines, cols = split_columns(words)
     used_ocr = False
+    if debug:
+        rec["raw_ref_line"] = ""
+        rec["ocr_ref_line"] = ""
+        rec["ocr_fallback"] = ""
 
     # match metadata (no OCR fallback in the reference, app.py:182-186)
     meta = E.find_match_meta(lines, cols)
 
     # referees (app.py:234-263)
-    main, linesmen, _dbg = E.find_ref_lines(lines)
+    main, linesmen, dbg = E.find_ref_lines(lines)
+    if debug:
+        rec["raw_ref_line"] = dbg.get("raw_ref_line", "")
     if (not main or not linesmen) and run_ocr_fallback:
         raster = wb.rasterize(page, dpi=OCR_DPI)
         crop = raster.crop(0, 0, raster.width, int(raster.height * REFS_CROP_FRACTION))
-        o_main, o_linesmen, _line = E.refs_from_ocr_lines(crop.ocr_lines())
+        o_main, o_linesmen, o_line = E.refs_from_ocr_lines(crop.ocr_lines())
         if o_main and o_linesmen:
             main, linesmen = o_main, o_linesmen
             used_ocr = True
+            if debug:
+                rec["ocr_ref_line"] = o_line
 
     # goalies (app.py:303-338)
     home = E.goalies_from_column(cols["left"])
@@ -130,6 +142,8 @@ def extract_doc_layout(doc: wb.ParsedDoc, run_ocr_fallback: bool = True) -> Dict
         right = raster.crop(raster.width // 2, 0, raster.width, h_cut)
         home = E.goalies_from_ocr_lines(left.ocr_lines())
         away = E.goalies_from_ocr_lines(right.ocr_lines())
+        if debug:
+            rec["ocr_fallback"] = "ocr"  # set on attempt (app.py:336)
         if home or away:
             used_ocr = True
 
@@ -158,21 +172,31 @@ def extract_doc_layout(doc: wb.ParsedDoc, run_ocr_fallback: bool = True) -> Dict
     return rec
 
 
-def extract_document(payload: Optional[bytes], pre_text: Optional[str] = None) -> Dict:
+def extract_document(
+    payload: Optional[bytes], pre_text: Optional[str] = None, debug: bool = False
+) -> Dict:
     """Full per-document dispatch (the oracle): sniff -> route -> extract.
 
     ``pre_text`` is the crawler's pre-extracted text column; it is used only
     when the payload itself is missing/unknown (engine="crawler-text").
     Errors come back as ``ok=false`` records (app.py:394-401 analogue).
     """
+
+    def _with_debug_defaults(rec: Dict) -> Dict:
+        if debug:
+            rec.setdefault("raw_ref_line", "")
+            rec.setdefault("ocr_ref_line", "")
+            rec.setdefault("ocr_fallback", "")
+        return rec
+
     ctype = wb.sniff_content_type(payload)
     try:
         if ctype == "text/html":
-            return extract_html_doc(payload)  # type: ignore[arg-type]
+            return _with_debug_defaults(extract_html_doc(payload))  # type: ignore[arg-type]
         if ctype in ("application/x-wbox", "application/pdf"):
-            rec = extract_doc_layout(wb.parse_payload(payload))  # type: ignore[arg-type]
+            rec = extract_doc_layout(wb.parse_payload(payload), debug=debug)  # type: ignore[arg-type]
             rec["content_type"] = ctype
-            return rec
+            return _with_debug_defaults(rec)
         # unknown payload: fall back to the crawler text column if present
         rec = _empty_record()
         if pre_text:
@@ -180,15 +204,15 @@ def extract_document(payload: Optional[bytes], pre_text: Optional[str] = None) -
             rec["engine"] = "crawler-text"
             rec["text"] = pre_text
             rec.update(_line_spans([pre_text]) if pre_text else {})
-            return rec
+            return _with_debug_defaults(rec)
         rec["ok"] = False
         rec["engine"] = "none"
         rec["error"] = f"unsupported payload ({ctype})"
-        return rec
+        return _with_debug_defaults(rec)
     except wb.PayloadError as e:
         rec = _empty_record()
         rec["content_type"] = ctype
         rec["engine"] = "none"
         rec["ok"] = False
         rec["error"] = str(e)
-        return rec
+        return _with_debug_defaults(rec)

@@ -52,10 +52,14 @@ def cluster_rows(
     into the first member's cluster) to match app.py:97-109 exactly.
 
     The reference scans every key per word (O(n*k)); here a bisect index
-    finds the in-tolerance key range and the earliest-INSERTED key in that
-    range wins — identical output (the in-range candidate set is the same,
-    and "first in insertion-order scan" == "minimum insertion index"),
-    O(n log k). Equivalence to the naive scan is property-tested.
+    narrows to the candidate key range and the earliest-INSERTED key wins —
+    identical output ("first in insertion-order scan" == "minimum insertion
+    index"), O(n log k). The bisect bounds use the ROUNDED values
+    fl(y±tolerance), which can disagree with the reference predicate
+    ``abs(ky - y) <= tolerance`` exactly at the boundary, so the range is
+    widened by one key on each side and re-filtered with the exact
+    predicate — bit-identical to the naive scan even at the float boundary.
+    Equivalence to the naive scan is property-tested.
     """
     import bisect
 
@@ -63,10 +67,11 @@ def cluster_rows(
     order: Dict[float, int] = {}
     sorted_keys: List[float] = []
     for y, x, tok in words:
-        lo = bisect.bisect_left(sorted_keys, y - tolerance)
-        hi = bisect.bisect_right(sorted_keys, y + tolerance)
-        if hi > lo:
-            target = min(sorted_keys[lo:hi], key=order.__getitem__)
+        lo = max(bisect.bisect_left(sorted_keys, y - tolerance) - 1, 0)
+        hi = min(bisect.bisect_right(sorted_keys, y + tolerance) + 1, len(sorted_keys))
+        candidates = [k for k in sorted_keys[lo:hi] if abs(k - y) <= tolerance]
+        if candidates:
+            target = min(candidates, key=order.__getitem__)
         else:
             target = y
             clusters[target] = []

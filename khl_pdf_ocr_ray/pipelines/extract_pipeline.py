@@ -58,6 +58,9 @@ class ExtractConfig:
     # extractor subset, mirroring the reference's ?mode= dispatch
     # (app.py:405-412): "all" | "words" | "refs" | "goalies"
     mode: str = "all"
+    # reference debug=1: surface raw_ref_line / ocr_ref_line / ocr_fallback
+    # as extra output columns (app.py:203, 261, 336)
+    debug: bool = False
     ocr: OcrConfig = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -92,13 +95,26 @@ def build_extract_pipeline(pages: rd.Dataset, cfg: Optional[ExtractConfig] = Non
         zero_copy_batch=True,
     )
     ds = ds.map_batches(
-        remote_fn("khl_pdf_ocr_ray.stages.extract", "extract_text_layer", mode=cfg.mode),
+        remote_fn(
+            "khl_pdf_ocr_ray.stages.extract",
+            "extract_text_layer",
+            mode=cfg.mode,
+            debug=cfg.debug,
+        ),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
     ds = ds.map_batches(
         remote_cls("khl_pdf_ocr_ray.stages.extract", "OcrFallbackStage"),
-        fn_constructor_kwargs={"dpi": cfg.ocr.dpi, "lang": cfg.ocr.lang, "mode": cfg.mode},
+        fn_constructor_kwargs={
+            "dpi": cfg.ocr.dpi,
+            "lang": cfg.ocr.lang,
+            "mode": cfg.mode,
+            "contrast": cfg.ocr.contrast,
+            "sharpen": cfg.ocr.sharpen,
+            "psm": cfg.ocr.psm,
+            "debug": cfg.debug,
+        },
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
         concurrency=concurrency,
@@ -123,7 +139,7 @@ def pages_cache_dir(
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
     key = hashlib.sha256(
-        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}:v4".encode()
+        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}:v5".encode()
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, f"pages_{key}")
 

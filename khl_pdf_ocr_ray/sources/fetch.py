@@ -70,6 +70,9 @@ class FetcherStage:
                     {
                         "User-Agent": self.UA,
                         "Accept": "application/pdf,*/*;q=0.9",
+                        # the reference pins a khl.ru Referer (app.py:38);
+                        # the CDN may reject referer-less requests
+                        "Referer": "https://www.khl.ru/",
                     }
                 )
                 self._session = session

@@ -254,7 +254,13 @@ def page_row(
     h = _stable_hash("mix", seed, doc_id, rep) % 100
     hot = _stable_hash("host", seed, doc_id, rep) % 100 < 30
     host = HOT_HOST if hot else f"site{_stable_hash('site', seed, doc_id) % 40}.example.org"
-    url = f"https://{host}/p/{doc_id}-{rep}"
+    if 70 <= h < 95:
+        # gamesheet rows carry the reference's URL shape (app.py:49-58) so
+        # the season/uid envelope columns are exercised end-to-end
+        season = 2023 + doc_id % 3
+        url = f"https://{host}/{season}/{doc_id}{rep}/game-{doc_id}{rep}-start-ru.pdf"
+    else:
+        url = f"https://{host}/p/{doc_id}-{rep}"
     ts = EPOCH_US + (doc_id * 7919 + rep * 131) * 1_000_000
     # rep > 0 rows perturb the text slightly -> realistic near-duplicates
     text = doc_text if rep == 0 else f"{doc_text} variant {rep}"

@@ -49,6 +49,8 @@ EXTRACTED_FIELDS = [
     ("warc_ts", pa.timestamp("us")),
     ("lang", pa.string()),
     ("host", pa.string()),
+    ("season", pa.string()),  # gamesheet envelope fields parsed from the
+    ("uid", pa.string()),     # URL (reference carries them per request, app.py:359)
     ("n_bytes", pa.int64()),
     ("content_type", pa.string()),
     ("engine", pa.string()),
@@ -75,39 +77,62 @@ EXTRACTED_FIELDS = [
 ]
 EXTRACTED_SCHEMA = pa.schema(EXTRACTED_FIELDS)
 
+# reference debug=1 intermediates (app.py:203, 261, 336), opt-in columns
+DEBUG_FIELDS = [
+    ("raw_ref_line", pa.string()),
+    ("ocr_ref_line", pa.string()),
+    ("ocr_fallback", pa.string()),
+]
+
+
+def extracted_schema(debug: bool = False) -> pa.Schema:
+    return pa.schema(EXTRACTED_FIELDS + (DEBUG_FIELDS if debug else []))
+
+
 _RE_HOST = r"^[a-z]+://(?P<host>[^/]+)"
+# {base}/{season}/{uid}/game-{uid}-start-ru.pdf (app.py:49-58 inverted)
+_RE_GAMESHEET = r"/(?P<season>\d{4})/(?P<uid>[^/]+)/game-[^/]+-start-ru\.pdf$"
 
 
 def meta_stage(batch: pa.Table) -> pa.Table:
-    """Vectorized projection: n_bytes + host columns (pure Arrow kernels)."""
+    """Vectorized projection: n_bytes, host, season/uid envelope columns
+    (pure Arrow kernels)."""
     n_bytes = pc.binary_length(batch["html"]).cast(pa.int64())
     host = pc.struct_field(pc.extract_regex(batch["url"], _RE_HOST), "host")
-    return batch.append_column("n_bytes", pc.fill_null(n_bytes, 0)).append_column(
-        "host", host
+    sheet = pc.extract_regex(batch["url"], _RE_GAMESHEET)
+    season = pc.fill_null(pc.struct_field(sheet, "season"), "")
+    uid = pc.fill_null(pc.struct_field(sheet, "uid"), "")
+    return (
+        batch.append_column("n_bytes", pc.fill_null(n_bytes, 0))
+        .append_column("host", host)
+        .append_column("season", season)
+        .append_column("uid", uid)
     )
 
 
-def _records_to_table(base: pa.Table, recs: List[Dict]) -> pa.Table:
+_CARRIED = ("url", "warc_ts", "lang", "n_bytes", "host", "season", "uid")
+
+
+def _records_to_table(base: pa.Table, recs: List[Dict], debug: bool = False) -> pa.Table:
     """Assemble the extracted table: carried-through input columns + per-doc
     record columns, with the declared Arrow schema."""
-    cols: Dict[str, pa.Array] = {
-        "url": base["url"],
-        "warc_ts": base["warc_ts"],
-        "lang": base["lang"],
-        "n_bytes": base["n_bytes"],
-        "host": base["host"],
-    }
+    schema = extracted_schema(debug)
     out_arrays = []
-    for name, typ in EXTRACTED_FIELDS:
-        if name in cols:
-            out_arrays.append(cols[name].combine_chunks() if isinstance(cols[name], pa.ChunkedArray) else cols[name])
+    for field in schema:
+        name = field.name
+        if name in _CARRIED:
+            col = base[name]
+            out_arrays.append(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
         else:
-            out_arrays.append(pa.array([r[name] for r in recs], typ))
-    return pa.Table.from_arrays(out_arrays, schema=EXTRACTED_SCHEMA)
+            out_arrays.append(pa.array([r[name] for r in recs], field.type))
+    return pa.Table.from_arrays(out_arrays, schema=schema)
 
 
 def _extract_text_layer_one(
-    payload: Optional[bytes], pre_text: Optional[str], mode: str = "all"
+    payload: Optional[bytes], pre_text: Optional[str], mode: str = "all",
+    debug: bool = False,
 ) -> Dict:
     """Per-document text-layer extraction; flags rows for the OCR pool
     instead of running fallbacks inline.
@@ -115,7 +140,9 @@ def _extract_text_layer_one(
     ``mode`` mirrors the reference's dispatch (app.py:405-412, M11):
     "all" | "words" (match meta only) | "refs" | "goalies"/"gk" — only the
     selected extractors run; unselected columns stay empty and do not
-    trigger OCR fallbacks."""
+    trigger OCR fallbacks. ``debug`` adds the reference's debug=1
+    intermediates (raw_ref_line app.py:203; the OCR stage fills
+    ocr_ref_line / ocr_fallback)."""
     t0 = time.perf_counter()
     do_meta = mode in ("all", "words")
     do_refs = mode in ("all", "refs")
@@ -145,9 +172,11 @@ def _extract_text_layer_one(
             main = linesmen = None
             home = away = None
             if do_refs:
-                main, linesmen, _ = E.find_ref_lines(lines)
+                main, linesmen, dbg = E.find_ref_lines(lines)
                 rec["ref_main"] = list(main)
                 rec["ref_linesmen"] = list(linesmen)
+                if debug:
+                    rec["raw_ref_line"] = dbg.get("raw_ref_line", "")
             if do_gk:
                 home = E.goalies_from_column(cols["left"])
                 away = E.goalies_from_column(cols["right"])
@@ -182,10 +211,14 @@ def _extract_text_layer_one(
     rec["needs_ocr"] = needs_ocr
     rec["n_chars"] = len(rec["text"])
     rec["duration_s"] = round(time.perf_counter() - t0, 6)
+    if debug:
+        rec.setdefault("raw_ref_line", "")
+        rec.setdefault("ocr_ref_line", "")
+        rec.setdefault("ocr_fallback", "")
     return rec
 
 
-def extract_text_layer(batch: pa.Table, mode: str = "all") -> pa.Table:
+def extract_text_layer(batch: pa.Table, mode: str = "all", debug: bool = False) -> pa.Table:
     """map_batches body (stateless tasks): text-layer extraction.
 
     The payload column is dropped for non-OCR rows conceptually, but since
@@ -194,8 +227,10 @@ def extract_text_layer(batch: pa.Table, mode: str = "all") -> pa.Table:
     """
     payloads = batch["html"].to_pylist()
     pre_texts = batch["text"].to_pylist()
-    recs = [_extract_text_layer_one(p, t, mode) for p, t in zip(payloads, pre_texts)]
-    out = _records_to_table(batch, recs)
+    recs = [
+        _extract_text_layer_one(p, t, mode, debug) for p, t in zip(payloads, pre_texts)
+    ]
+    out = _records_to_table(batch, recs, debug)
     # carry payloads ONLY for rows that still need the raster path
     carried = [
         p if r["needs_ocr"] else None for p, r in zip(payloads, recs)
@@ -206,14 +241,29 @@ def extract_text_layer(batch: pa.Table, mode: str = "all") -> pa.Table:
 @dataclass
 class OcrConfig:
     dpi: int = OCR_DPI
-    lang: str = "rus+eng"  # reference TESS_LANG (app.py:44); config surface only
+    lang: str = "rus+eng"     # reference TESS_LANG (app.py:44)
+    # image preprocessing chain + engine mode (app.py:78-81): grayscale ->
+    # contrast enhance -> SHARPEN -> tesseract --psm N. The stand-in engine
+    # has no pixels to transform, but the knobs are config-complete so a
+    # real tesseract drop-in reproduces reference output, and they are part
+    # of the extraction-version hash (changing them invalidates checkpoints).
+    contrast: float = 1.4
+    sharpen: bool = True
+    psm: int = 6
 
 
 class FakeWboxOcrEngine:
     """Deterministic stand-in for a Tesseract/RapidOCR engine (the container
     has no image libs). Holds the 'model' state an actor amortizes; the
-    ``image_to_lines`` call is where ``pytesseract.image_to_string``
-    (app.py:81) would plug in for real rasters."""
+    ``image_to_lines`` call is where the reference's preprocessing + OCR
+    chain plugs in for real rasters (app.py:78-81):
+
+        gray = img.convert("L")
+        gray = ImageEnhance.Contrast(gray).enhance(cfg.contrast)
+        if cfg.sharpen: gray = gray.filter(ImageFilter.SHARPEN)
+        pytesseract.image_to_string(gray, lang=cfg.lang,
+                                    config=f"--psm {cfg.psm}")
+    """
 
     def __init__(self, cfg: OcrConfig):
         self.cfg = cfg
@@ -222,8 +272,9 @@ class FakeWboxOcrEngine:
         doc = wb.parse_payload(payload)
         return wb.rasterize(doc.page(0), dpi=self.cfg.dpi)
 
-    @staticmethod
-    def image_to_lines(raster: wb.FakeRaster) -> List[str]:
+    def image_to_lines(self, raster: wb.FakeRaster) -> List[str]:
+        # real engine: preprocessing per the docstring, then tesseract with
+        # self.cfg.lang / self.cfg.psm; the stand-in reads planted lines
         return raster.ocr_lines()
 
 
@@ -235,12 +286,22 @@ class OcrFallbackStage:
     per actor (north_star ActorPoolStrategy requirement).
     """
 
-    def __init__(self, dpi: int = OCR_DPI, lang: str = "rus+eng", mode: str = "all"):
+    def __init__(
+        self,
+        dpi: int = OCR_DPI,
+        lang: str = "rus+eng",
+        mode: str = "all",
+        contrast: float = 1.4,
+        sharpen: bool = True,
+        psm: int = 6,
+        debug: bool = False,
+    ):
         # plain-kwarg constructor: the args cross the actor boundary as
         # primitives (see remote.py — no package classes in ctor args)
-        self.cfg = OcrConfig(dpi=dpi, lang=lang)
+        self.cfg = OcrConfig(dpi=dpi, lang=lang, contrast=contrast, sharpen=sharpen, psm=psm)
         self.engine = FakeWboxOcrEngine(self.cfg)
         self.mode = mode
+        self.debug = debug
 
     def _ocr_one(self, rec: Dict, payload: bytes) -> Dict:
         """Apply the reference's three OCR fallbacks to one flagged row."""
@@ -260,12 +321,14 @@ class OcrFallbackStage:
             crop = raster.crop(
                 0, 0, raster.width, int(raster.height * REFS_CROP_FRACTION)
             )
-            main, linesmen, _ln = E.refs_from_ocr_lines(
+            main, linesmen, ln = E.refs_from_ocr_lines(
                 self.engine.image_to_lines(crop)
             )
             if main and linesmen:
                 rec["ref_main"], rec["ref_linesmen"] = main, linesmen
                 used = True
+                if self.debug:
+                    rec["ocr_ref_line"] = ln  # app.py:261
         # goalies (app.py:311-335)
         if self.mode in ("all", "gk", "goalies") and (
             not rec["gk_home_names"] and not rec["gk_away_names"]
@@ -275,6 +338,8 @@ class OcrFallbackStage:
             right = raster.crop(raster.width // 2, 0, raster.width, h_cut)
             home = E.goalies_from_ocr_lines(self.engine.image_to_lines(left))
             away = E.goalies_from_ocr_lines(self.engine.image_to_lines(right))
+            if self.debug:
+                rec["ocr_fallback"] = "ocr"  # set on attempt (app.py:336)
             if home or away:
                 rec["gk_home_names"] = [g["name"] for g in home]
                 rec["gk_home_flags"] = [g["flag"] for g in home]
@@ -308,10 +373,11 @@ class OcrFallbackStage:
         for i, p in enumerate(payloads):
             if p is not None:
                 recs[i] = self._ocr_one(recs[i], p)
-        done = pa.Table.from_pylist(recs, schema=EXTRACTED_SCHEMA)
+        schema = extracted_schema(self.debug)
+        done = pa.Table.from_pylist(recs, schema=schema)
         # within-batch row order changes (pass-through first) — the engine
         # guarantees per-url determinism, not row order
-        return pa.concat_tables([passthrough.cast(EXTRACTED_SCHEMA), done])
+        return pa.concat_tables([passthrough.cast(schema), done])
 
 
 def extract_document_oracle(payload: Optional[bytes], pre_text: Optional[str]) -> Dict:

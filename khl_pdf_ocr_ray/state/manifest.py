@@ -60,9 +60,16 @@ def extraction_version(cfg=None) -> str:
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
     if cfg is not None:
-        parts.append(f"mode={cfg.mode}|dpi={cfg.ocr.dpi}|lang={cfg.ocr.lang}")
-    else:
-        parts.append("mode=all|dpi=300|lang=rus+eng")  # ExtractConfig defaults
+        o = cfg.ocr
+        parts.append(
+            f"mode={cfg.mode}|debug={cfg.debug}|dpi={o.dpi}|lang={o.lang}"
+            f"|contrast={o.contrast}|sharpen={o.sharpen}|psm={o.psm}"
+        )
+    else:  # ExtractConfig defaults
+        parts.append(
+            "mode=all|debug=False|dpi=300|lang=rus+eng"
+            "|contrast=1.4|sharpen=True|psm=6"
+        )
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
@@ -141,6 +148,10 @@ class FragmentExtractWorker:
         mode: str = "all",
         dpi: int = 300,
         lang: str = "rus+eng",
+        contrast: float = 1.4,
+        sharpen: bool = True,
+        psm: int = 6,
+        debug: bool = False,
         chunk_rows: int = 256,
     ):
         from ..stages.extract import OcrFallbackStage
@@ -148,8 +159,12 @@ class FragmentExtractWorker:
         self.out_dir = out_dir
         self.version = version
         self.mode = mode
+        self.debug = debug
         self.chunk_rows = chunk_rows
-        self.ocr = OcrFallbackStage(dpi=dpi, lang=lang, mode=mode)
+        self.ocr = OcrFallbackStage(
+            dpi=dpi, lang=lang, mode=mode, contrast=contrast, sharpen=sharpen,
+            psm=psm, debug=debug,
+        )
 
     def _extract_fragment(self, frag: str) -> pa.Table:
         from ..stages.extract import extract_text_layer, meta_stage
@@ -158,7 +173,9 @@ class FragmentExtractWorker:
         parts = []
         for start in range(0, tbl.num_rows, self.chunk_rows):
             chunk = tbl.slice(start, self.chunk_rows)
-            out = self.ocr(extract_text_layer(meta_stage(chunk), mode=self.mode))
+            out = self.ocr(
+                extract_text_layer(meta_stage(chunk), mode=self.mode, debug=self.debug)
+            )
             parts.append(out)
         return pa.concat_tables(parts) if parts else None
 
@@ -252,6 +269,10 @@ def run_resumable_extract(
                     "mode": cfg.mode,
                     "dpi": cfg.ocr.dpi,
                     "lang": cfg.ocr.lang,
+                    "contrast": cfg.ocr.contrast,
+                    "sharpen": cfg.ocr.sharpen,
+                    "psm": cfg.ocr.psm,
+                    "debug": cfg.debug,
                     "chunk_rows": cfg.extract_batch_size,
                 },
                 batch_format="pyarrow",

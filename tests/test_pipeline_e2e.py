@@ -97,3 +97,49 @@ def test_extracted_writes_partitioned_parquet(ray_session, pages_dir, tmp_path):
     back = pq.read_table(out_dir)
     assert back.num_rows > 0
     assert "text" in back.schema.names
+
+
+def test_debug_mode_surfaces_reference_intermediates(ray_session, pages_dir):
+    """ExtractConfig(debug=True) adds raw_ref_line / ocr_ref_line /
+    ocr_fallback columns (app.py:203, 261, 336), byte-equal to the
+    sequential oracle's debug output; debug=False omits them."""
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import ExtractConfig, run_extract
+
+    plain = run_extract(pages_dir)
+    assert "raw_ref_line" not in plain.schema().names
+
+    out = run_extract(pages_dir, ExtractConfig(debug=True)).to_pandas()
+    for col in ("raw_ref_line", "ocr_ref_line", "ocr_fallback"):
+        assert col in out.columns
+
+    src = pq.read_table(pages_dir)
+    oracle = {
+        row["url"]: extract_document(row["html"], row["text"], debug=True)
+        for row in src.to_pylist()
+    }
+    for rec in out.to_dict("records"):
+        exp = oracle[rec["url"]]
+        assert rec["raw_ref_line"] == exp["raw_ref_line"], rec["url"]
+        assert rec["ocr_ref_line"] == exp["ocr_ref_line"], rec["url"]
+        assert rec["ocr_fallback"] == exp["ocr_fallback"], rec["url"]
+    # the intermediates actually fire on this corpus
+    assert (out["raw_ref_line"] != "").any()
+    assert (out["ocr_fallback"] == "ocr").any()
+
+
+def test_season_uid_envelope_columns(ray_session, pages_dir):
+    """Gamesheet rows carry season/uid parsed from the reference URL shape
+    (app.py:49-58, 359); non-gamesheet rows carry empty strings."""
+    import re
+
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    out = run_extract(pages_dir).to_pandas()
+    sheet = out[out["url"].str.contains("-start-ru.pdf")]
+    assert len(sheet) > 0
+    for rec in sheet.to_dict("records"):
+        m = re.search(r"/(\d{4})/([^/]+)/game-", rec["url"])
+        assert rec["season"] == m.group(1)
+        assert rec["uid"] == m.group(2)
+    other = out[~out["url"].str.contains("-start-ru.pdf")]
+    assert (other["season"] == "").all() and (other["uid"] == "").all()

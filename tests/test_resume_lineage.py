@@ -145,3 +145,25 @@ def test_config_change_invalidates_checkpoint(ray_session, pages_dir, tmp_path):
     s3 = run_resumable_extract(pages_dir, out_dir, cfg=ExtractConfig(mode="refs"))
     assert sorted(s3["processed"]) == sorted(s1["processed"])
     assert s3["extraction_version"] != s1["extraction_version"]
+
+
+def test_ocr_knobs_change_extraction_version():
+    """Every OCR preprocessing knob (contrast / sharpen / psm, app.py:78-81)
+    and the debug flag are part of the version hash, so changing them
+    invalidates checkpoints."""
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import ExtractConfig
+    from khl_pdf_ocr_ray.stages.extract import OcrConfig
+    from khl_pdf_ocr_ray.state.manifest import extraction_version
+
+    base = extraction_version(ExtractConfig())
+    assert base == extraction_version(None)  # defaults match the None path
+    variants = [
+        ExtractConfig(ocr=OcrConfig(contrast=2.0)),
+        ExtractConfig(ocr=OcrConfig(sharpen=False)),
+        ExtractConfig(ocr=OcrConfig(psm=4)),
+        ExtractConfig(ocr=OcrConfig(dpi=150)),
+        ExtractConfig(debug=True),
+    ]
+    versions = {extraction_version(v) for v in variants}
+    assert base not in versions
+    assert len(versions) == len(variants)
