@@ -42,6 +42,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from khl_pdf_ocr_ray.pipelines.queries import ORACLES
+    """Static oracles over the driver's views, plus dump-backed oracles for
+    the extraction/media/fingerprint surfaces: a SEQUENTIAL (non-Ray)
+    reimplementation processes the sf0.01 pages corpus once into parquet
+    dumps under /tmp/khlray_cache, and the SQL reads those dumps — so the
+    driver's gate covers the distributed pipeline end-to-end."""
+    from khl_pdf_ocr_ray.pipelines.queries import oracles
 
-    return dict(ORACLES)
+    return oracles()

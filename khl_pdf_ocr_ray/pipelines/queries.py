@@ -1054,8 +1054,20 @@ ORACLES.update(
     }
 )
 
-# extraction-surface queries (pages corpus; rows-only for the driver,
-# byte-identity held by tests/test_pipeline_e2e.py)
+# extraction-surface queries (pages corpus; byte-identity held by
+# tests/test_pipeline_e2e.py, driver-checked via sequential-oracle dumps)
 from .queries_extract import EXTRACT_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRACT_QUERIES)
+
+
+def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
+    """The full oracle dict: static SQL over the driver's views plus the
+    dump-backed extraction/media/fingerprint oracles (sequential-oracle
+    parquet dumps generated on demand — see state/oracle_dump.py). The
+    driver runs its gate at sf=0.01, so that is the default dump target."""
+    from ..state.oracle_dump import ORACLE_SF, extract_oracle_sqls
+
+    out = dict(ORACLES)
+    out.update(extract_oracle_sqls(sf_dir or ORACLE_SF))
+    return out

@@ -53,12 +53,32 @@ def q_extract_entities(sf_dir: str) -> rd.Dataset:
     )
 
 
+_LIST_COLS = (
+    "ref_main",
+    "ref_linesmen",
+    "gk_home_names",
+    "gk_home_flags",
+    "gk_away_names",
+    "gk_away_flags",
+)
+
+
+def _join_list_cols(t: pa.Table, cols) -> pa.Table:
+    """list<string> -> '|'-joined string columns (hash-comparable against
+    the DuckDB oracle dump, which stores the same joined form)."""
+    for c in cols:
+        joined = pa.array(
+            ["|".join(v) for v in t[c].to_pylist()], pa.string()
+        )
+        t = t.set_column(t.schema.get_field_index(c), c, joined)
+    return t
+
+
 def entities_project(batch: pa.Table) -> pa.Table:
     keep = pc.or_(
         pc.equal(batch["engine"], "pdf-text"), pc.equal(batch["engine"], "pdf-ocr")
     )
-    t = batch.filter(keep)
-    return t.select(
+    t = batch.filter(keep).select(
         [
             "url",
             "engine",
@@ -74,6 +94,7 @@ def entities_project(batch: pa.Table) -> pa.Table:
             "gk_away_flags",
         ]
     )
+    return _join_list_cols(t, _LIST_COLS)
 
 
 def q_extract_host_stats(sf_dir: str) -> rd.Dataset:
@@ -290,7 +311,8 @@ def refs_project(batch: pa.Table) -> pa.Table:
     keep = pc.or_(
         pc.equal(batch["engine"], "pdf-text"), pc.equal(batch["engine"], "pdf-ocr")
     )
-    return batch.filter(keep).select(["url", "engine", "ref_main", "ref_linesmen"])
+    t = batch.filter(keep).select(["url", "engine", "ref_main", "ref_linesmen"])
+    return _join_list_cols(t, ("ref_main", "ref_linesmen"))
 
 
 def q_pdf_words(sf_dir: str) -> rd.Dataset:

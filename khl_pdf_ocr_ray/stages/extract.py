@@ -388,15 +388,17 @@ def extract_document_oracle(payload: Optional[bytes], pre_text: Optional[str]) -
 
 # --- exploded words surface (M2: reference text_words, app.py:86-94) --------
 def words_explode_batch(batch: pa.Table) -> pa.Table:
-    """pages batch -> one row per word box (url, page, y, x, token) in
-    reading order — the engine's ``words`` intermediate table as a public
-    surface (SURVEY.md §1.2)."""
+    """pages batch -> one row per word box (url, page, y_x10, x_x10, token)
+    in reading order — the engine's ``words`` intermediate table as a public
+    surface (SURVEY.md §1.2). Coordinates are exported as fixed-point
+    tenths (integers) so the surface is hash-comparable against the DuckDB
+    oracle dump (floats hash unreliably across engines)."""
     from ..functions.textgeom import reading_order as _ro
 
     urls: List[str] = []
     pages_col: List[int] = []
-    ys: List[float] = []
-    xs: List[float] = []
+    ys: List[int] = []
+    xs: List[int] = []
     toks: List[str] = []
     for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
         ctype = wb.sniff_content_type(payload)
@@ -410,15 +412,15 @@ def words_explode_batch(batch: pa.Table) -> pa.Table:
             for y, x, t in _ro(page.words):
                 urls.append(url)
                 pages_col.append(pno)
-                ys.append(y)
-                xs.append(x)
+                ys.append(int(y * 10 + 0.5))
+                xs.append(int(x * 10 + 0.5))
                 toks.append(t)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
-            "page": pa.array(pages_col, pa.int32()),
-            "y": pa.array(ys, pa.float32()),
-            "x": pa.array(xs, pa.float32()),
+            "page": pa.array(pages_col, pa.int64()),
+            "y_x10": pa.array(ys, pa.int64()),
+            "x_x10": pa.array(xs, pa.int64()),
             "token": pa.array(toks, pa.string()),
         }
     )

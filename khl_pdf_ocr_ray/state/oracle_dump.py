@@ -1,0 +1,301 @@
+"""Sequential-oracle dumps: DuckDB-checkable twins for the extraction-,
+media- and fingerprint-surface queries.
+
+The driver's correctness gate runs each Ray query next to its
+``oracle_sql()`` string in DuckDB. The extraction surface operates on the
+engine's own synthesized pages corpus, which the driver's pre-registered
+views don't include — round 1 left those queries as weaker rows-only
+checks. This module closes that gap: a plain, SEQUENTIAL Python loop (no
+Ray — the same independent oracle path the byte-identity e2e test trusts,
+``functions/doc_extract.extract_document``) processes the corpus once and
+writes small parquet dumps under /tmp/khlray_cache; the oracle SQL then
+reads those dumps with ``read_parquet()`` and performs the relational part
+(selection, grouping, validation joins) in DuckDB. The driver therefore
+certifies that the DISTRIBUTED pipeline (task fan-out, actor-pool OCR,
+shuffles, assembly) reproduces the sequential semantics — the per-document
+kernels themselves are held by the golden unit tests and the e2e oracle.
+
+The rolling fingerprint dump is computed with an independent power-sum
+formulation (not the kernel's Horner loop), so that oracle is independent
+end-to-end.
+
+Dumps are cached per pages-corpus directory and rebuilt whenever the
+extraction algorithm version changes (the cache key includes
+``extraction_version()``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import Dict, List
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .atomic import ensure_published
+
+_RE_HOST = re.compile(r"^[a-z]+://([^/]+)")
+_RE_SHEET = re.compile(r"/(\d{4})/([^/]+)/game-[^/]+-start-ru\.pdf$")
+
+ORACLE_SF = "/root/testdata/sf0.01"  # the driver runs the gate at sf=0.01
+N_MEDIA = 200  # matches pipelines.queries_extract._N_MEDIA
+
+
+def dumps_dir(sf_dir: str) -> str:
+    from ..pipelines.extract_pipeline import synthesize_pages
+    from .manifest import extraction_version
+
+    pages_dir = synthesize_pages(sf_dir, repeat=2)
+    key = hashlib.sha256(
+        f"{pages_dir}:{extraction_version(None)}:v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp/khlray_cache", f"oracle_dumps_{key}")
+
+
+def _join(names: List[str]) -> str:
+    return "|".join(names)
+
+
+def _build_dumps(sf_dir: str, out_dir: str) -> None:
+    import glob
+
+    from ..functions.doc_extract import extract_document
+    from ..functions.textgeom import reading_order
+    from ..pipelines.extract_pipeline import synthesize_pages
+    from ..sources import wordbox as wb
+    from ..sources.synth import master_lookup_table
+    from ..stages.multimodal import (
+        AudioFeatureStage,
+        ImageFeatureStage,
+        VideoFrameSampleStage,
+        media_table,
+    )
+    from ..stages.textqc import ROLL_BASE, ROLL_MOD
+
+    pages_dir = synthesize_pages(sf_dir, repeat=2)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ext: Dict[str, list] = {
+        k: []
+        for k in (
+            "url hos season uid content_type engine ok error n_bytes n_chars "
+            "match_date match_time team_home team_away ref_main ref_linesmen "
+            "gk_home_names gk_home_flags gk_away_names gk_away_flags "
+            "raw_ref_line ocr_ref_line ocr_fallback".split()
+        )
+    }
+    ext["host"] = ext.pop("hos")
+    names_rows: Dict[str, list] = {"url": [], "kind": [], "name": []}
+    words_rows: Dict[str, list] = {
+        "url": [], "page": [], "y_x10": [], "x_x10": [], "token": []
+    }
+    blocks_rows: Dict[str, list] = {
+        "url": [], "block_id": [], "kind": [], "text_len": [],
+        "link_density_x1e6": [], "text_density_x100": [], "kept": [],
+    }
+
+    for frag in sorted(glob.glob(os.path.join(pages_dir, "*.parquet"))):
+        tbl = pq.read_table(frag, columns=["url", "html", "text"])
+        for url, payload, pre_text in zip(
+            tbl["url"].to_pylist(), tbl["html"].to_pylist(), tbl["text"].to_pylist()
+        ):
+            rec = extract_document(payload, pre_text, debug=True)
+            mh = _RE_HOST.match(url)
+            ms = _RE_SHEET.search(url)
+            ext["url"].append(url)
+            ext["host"].append(mh.group(1) if mh else "")
+            ext["season"].append(ms.group(1) if ms else "")
+            ext["uid"].append(ms.group(2) if ms else "")
+            ext["n_bytes"].append(len(payload) if payload is not None else 0)
+            ext["n_chars"].append(len(rec["text"]))
+            for k in (
+                "content_type engine ok error match_date match_time team_home "
+                "team_away raw_ref_line ocr_ref_line ocr_fallback".split()
+            ):
+                ext[k].append(rec[k])
+            for k in (
+                "ref_main ref_linesmen gk_home_names gk_home_flags "
+                "gk_away_names gk_away_flags".split()
+            ):
+                ext[k].append(_join(rec[k]))
+            for col, kind in (
+                ("ref_main", "referee"),
+                ("ref_linesmen", "referee"),
+                ("gk_home_names", "goalie"),
+                ("gk_away_names", "goalie"),
+            ):
+                for n in rec[col]:
+                    names_rows["url"].append(url)
+                    names_rows["kind"].append(kind)
+                    names_rows["name"].append(n)
+            ctype = wb.sniff_content_type(payload)
+            if ctype in ("application/x-wbox", "application/pdf"):
+                try:
+                    doc = wb.parse_payload(payload)
+                except wb.PayloadError:
+                    doc = None
+                if doc is not None:
+                    for pno, page in enumerate(doc.pages):
+                        for y, x, tok in reading_order(page.words):
+                            words_rows["url"].append(url)
+                            words_rows["page"].append(pno)
+                            words_rows["y_x10"].append(int(y * 10 + 0.5))
+                            words_rows["x_x10"].append(int(x * 10 + 0.5))
+                            words_rows["token"].append(tok)
+            elif ctype == "text/html":
+                from ..functions.html_extract import extract_main_content
+
+                for i, b in enumerate(extract_main_content(payload)["blocks"]):
+                    blocks_rows["url"].append(url)
+                    blocks_rows["block_id"].append(i)
+                    blocks_rows["kind"].append(b["kind"])
+                    blocks_rows["text_len"].append(len(b["text"]))
+                    blocks_rows["link_density_x1e6"].append(int(b["link_density"] * 1e6))
+                    blocks_rows["text_density_x100"].append(int(b["text_density"] * 100))
+                    blocks_rows["kept"].append(b["kept"])
+
+    def _write(name: str, cols: Dict[str, list], types: Dict[str, pa.DataType]) -> None:
+        arrays = {
+            k: pa.array(v, types.get(k, pa.string())) for k, v in cols.items()
+        }
+        pq.write_table(pa.table(arrays), os.path.join(out_dir, name))
+
+    _write(
+        "extracted_seq.parquet",
+        ext,
+        {"ok": pa.bool_(), "n_bytes": pa.int64(), "n_chars": pa.int64()},
+    )
+    _write("names_seq.parquet", names_rows, {})
+    _write(
+        "words_seq.parquet",
+        words_rows,
+        {"page": pa.int64(), "y_x10": pa.int64(), "x_x10": pa.int64()},
+    )
+    _write(
+        "blocks_seq.parquet",
+        blocks_rows,
+        {
+            "block_id": pa.int64(),
+            "text_len": pa.int64(),
+            "link_density_x1e6": pa.int64(),
+            "text_density_x100": pa.int64(),
+            "kept": pa.bool_(),
+        },
+    )
+
+    master = master_lookup_table()
+    pq.write_table(master, os.path.join(out_dir, "master.parquet"))
+
+    # media features: the deterministic media corpus through the stage
+    # kernels sequentially (driver-side, no actors)
+    media = media_table(N_MEDIA)
+    pq.write_table(
+        ImageFeatureStage(target_w=8, target_h=8)(media),
+        os.path.join(out_dir, "media_image_seq.parquet"),
+    )
+    pq.write_table(
+        AudioFeatureStage()(media), os.path.join(out_dir, "media_audio_seq.parquet")
+    )
+    pq.write_table(
+        VideoFrameSampleStage(every_k=4)(media),
+        os.path.join(out_dir, "media_frames_seq.parquet"),
+    )
+
+    # rolling fingerprint via an INDEPENDENT power-sum formulation:
+    # h = sum(b_i * BASE^(n-1-i)) mod M, computed with precomputed powers —
+    # algebraically equal to the kernel's Horner loop but separate code
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ws = re.compile(r"\s+")
+    roll_ids, roll_vals = [], []
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        norm = ws.sub(" ", (text or "").lower()).strip()
+        data = norm.encode("utf-8")
+        n = len(data)
+        h = 0
+        p = 1
+        for b in reversed(data):
+            h = (h + b * p) % ROLL_MOD
+            p = (p * ROLL_BASE) % ROLL_MOD
+        roll_ids.append(doc_id)
+        roll_vals.append(h)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(roll_ids, pa.int64()),
+                "fp_roll": pa.array(roll_vals, pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "fp_roll_seq.parquet"),
+    )
+
+
+def ensure_dumps(sf_dir: str) -> str:
+    out_dir = dumps_dir(sf_dir)
+    return ensure_published(out_dir, lambda tmp: _build_dumps(sf_dir, tmp))
+
+
+def extract_oracle_sqls(sf_dir: str) -> Dict[str, str]:
+    """Oracle SQL strings for the dump-backed queries (generating the
+    dumps first). Paths are embedded literally; the driver runs these at
+    ``ORACLE_SF`` via ``__ray_entry__.oracle_sql()``."""
+    d = ensure_dumps(sf_dir)
+
+    def p(name: str) -> str:
+        return os.path.join(d, name)
+
+    return {
+        "extract_pages": f"""
+SELECT url, host, content_type, engine, ok, error, n_bytes, n_chars
+FROM read_parquet('{p("extracted_seq.parquet")}')
+""",
+        "extract_entities": f"""
+SELECT url, engine, match_date, match_time, team_home, team_away,
+       ref_main, ref_linesmen, gk_home_names, gk_home_flags,
+       gk_away_names, gk_away_flags
+FROM read_parquet('{p("extracted_seq.parquet")}')
+WHERE engine IN ('pdf-text', 'pdf-ocr')
+""",
+        "extract_refs_mode": f"""
+SELECT url, engine, ref_main, ref_linesmen
+FROM read_parquet('{p("extracted_seq.parquet")}')
+WHERE engine IN ('pdf-text', 'pdf-ocr')
+""",
+        "extract_host_stats": f"""
+SELECT host, content_type, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS bytes_in,
+       CAST(sum(n_chars) AS BIGINT) AS chars_out
+FROM read_parquet('{p("extracted_seq.parquet")}')
+GROUP BY host, content_type
+""",
+        "master_validate": f"""
+SELECT kind, CAST(count(*) AS BIGINT) AS n_names,
+       CAST(sum(CASE WHEN (kind = 'referee' AND name IN
+                 (SELECT name FROM read_parquet('{p("master.parquet")}')
+                  WHERE kind = 'referee'))
+             OR (kind = 'goalie' AND name IN
+                 (SELECT name FROM read_parquet('{p("master.parquet")}')
+                  WHERE kind = 'player'))
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_validated
+FROM read_parquet('{p("names_seq.parquet")}')
+GROUP BY kind
+""",
+        "pdf_words": f"""
+SELECT url, page, y_x10, x_x10, token
+FROM read_parquet('{p("words_seq.parquet")}')
+""",
+        "extract_blocks": f"""
+SELECT url, block_id, kind, text_len, link_density_x1e6,
+       text_density_x100, kept
+FROM read_parquet('{p("blocks_seq.parquet")}')
+""",
+        "fingerprint_rolling": f"""
+SELECT doc_id, fp_roll FROM read_parquet('{p("fp_roll_seq.parquet")}')
+""",
+        "media_image_features": f"SELECT * FROM read_parquet('{p('media_image_seq.parquet')}')",
+        "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",
+        "media_frame_sample": f"SELECT * FROM read_parquet('{p('media_frames_seq.parquet')}')",
+    }

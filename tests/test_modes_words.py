@@ -42,7 +42,7 @@ def test_pdf_words_tokens_roundtrip(ray_session, sf_smoke_dir, pages_dir):
     from khl_pdf_ocr_ray.pipelines.extract_pipeline import ExtractConfig, run_extract
 
     words = QUERIES["pdf_words"](sf_smoke_dir).to_pandas()
-    assert set(words.columns) == {"url", "page", "y", "x", "token"}
+    assert set(words.columns) == {"url", "page", "y_x10", "x_x10", "token"}
     assert len(words) > 0
     # token multiset per url matches the reconstructed text of that url
     text_df = run_extract(pages_dir, ExtractConfig(mode="words")).to_pandas()

@@ -1,0 +1,46 @@
+"""Sequential-oracle dump parity: the dump-backed DuckDB oracles must match
+the Ray queries exactly (the driver runs this same comparison at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+DUMP_QUERIES = [
+    "extract_pages",
+    "extract_entities",
+    "extract_refs_mode",
+    "extract_host_stats",
+    "master_validate",
+    "pdf_words",
+    "extract_blocks",
+    "fingerprint_rolling",
+    "media_image_features",
+    "media_audio_features",
+    "media_frame_sample",
+]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("qname", DUMP_QUERIES)
+def test_dump_oracle_matches_ray_query(ray_session, sf_smoke_dir, qname):
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES, oracles
+
+    sqls = oracles(sf_smoke_dir)
+    res = QUERIES[qname](sf_smoke_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_smoke_dir}/documents.parquet')"
+    )
+    odf = con.execute(sqls[qname]).df()
+    a, b = _norm(df), _norm(odf)
+    assert len(a) == len(b)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c

@@ -118,7 +118,8 @@ def test_extract_entities_surface(ray_session, sf_smoke_dir):
     ents = QUERIES["extract_entities"](sf_smoke_dir).to_pandas()
     assert len(ents) > 0
     assert set(ents["engine"]) <= {"pdf-text", "pdf-ocr"}
-    with_refs = ents[ents["ref_main"].map(len) == 2]
+    # ref_main is a "|"-joined string surface (oracle-comparable)
+    with_refs = ents[ents["ref_main"].str.split("|").map(len) == 2]
     assert len(with_refs) > 0
 
 
