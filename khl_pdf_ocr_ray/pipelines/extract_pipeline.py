@@ -139,7 +139,7 @@ def pages_cache_dir(
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
     key = hashlib.sha256(
-        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}:v5".encode()
+        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}:v6".encode()
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, f"pages_{key}")
 

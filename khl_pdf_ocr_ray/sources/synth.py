@@ -271,6 +271,16 @@ def page_row(
         sheet = make_gamesheet(rng, f"{doc_id}{rep}")
         payload = encode_wbox([{"width": PAGE_W, "height": PAGE_H, "words": sheet["words"]}])
         lang, kind = "ru", "wbox"
+    elif h < 88:
+        # REAL %PDF- bytes (sources/minipdf.build_pdf): the pipeline's
+        # application/pdf branch runs end-to-end on these rows
+        from .minipdf import build_pdf
+
+        sheet = make_gamesheet(rng, f"{doc_id}{rep}")
+        payload = build_pdf(
+            [sheet["words"]], width=PAGE_W, height=PAGE_H, compress=(doc_id % 2 == 0)
+        )
+        lang, kind = "ru", "pdf"
     elif h < 95:
         sheet = make_gamesheet(rng, f"{doc_id}{rep}")
         payload = encode_wbox(

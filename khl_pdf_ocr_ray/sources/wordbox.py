@@ -131,18 +131,29 @@ def parse_payload(payload: bytes) -> ParsedDoc:
         except Exception as e:
             raise PayloadError(f"wbox_parse_error: {e}") from e
     if ctype == "application/pdf":
-        if not HAS_PYMUPDF:
-            raise PayloadError("pdf_open_error: PyMuPDF not installed in this environment")
+        if HAS_PYMUPDF:  # reference-identical path when the wheel exists
+            try:
+                fdoc = fitz.open(stream=payload, filetype="pdf")  # pragma: no cover
+                pages = []
+                for pno in range(fdoc.page_count):
+                    page = fdoc.load_page(pno)
+                    raw = page.get_text("words")  # x0,y0,x1,y1,text,block,line,word
+                    words = [(w[1], w[0], w[4]) for w in raw]
+                    pages.append(DocPage(page.rect.width, page.rect.height, words, words))
+                return ParsedDoc(pages)
+            except Exception as e:  # pragma: no cover
+                raise PayloadError(f"pdf_open_error: {e}") from e
+        # no PyMuPDF: the built-in mini reader handles the simple-text-PDF
+        # subset (sources/minipdf.py) so real %PDF- bytes still extract
         try:
-            fdoc = fitz.open(stream=payload, filetype="pdf")  # pragma: no cover
-            pages = []
-            for pno in range(fdoc.page_count):
-                page = fdoc.load_page(pno)
-                raw = page.get_text("words")  # x0,y0,x1,y1,text,block,line,word
-                words = [(w[1], w[0], w[4]) for w in raw]
-                pages.append(DocPage(page.rect.width, page.rect.height, words, words))
+            from .minipdf import extract_pdf_pages
+
+            pages = [
+                DocPage(p["width"], p["height"], p["words"], p["words"])
+                for p in extract_pdf_pages(payload)
+            ]
             return ParsedDoc(pages)
-        except Exception as e:  # pragma: no cover
+        except Exception as e:
             raise PayloadError(f"pdf_open_error: {e}") from e
     raise PayloadError(f"unsupported payload ({ctype})")
 

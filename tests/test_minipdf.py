@@ -1,0 +1,90 @@
+"""Real-%PDF- path tests: mini reader/writer round-trip, the committed PDF
+fixture through the per-doc oracle, and PDF rows through the pipeline.
+
+When PyMuPDF is importable, parse_payload prefers it (reference-identical,
+app.py:399); assertions that depend on the mini reader's exact coordinates
+are gated on its absence.
+"""
+
+import os
+
+import pytest
+
+from khl_pdf_ocr_ray.sources import wordbox as wb
+from khl_pdf_ocr_ray.sources.minipdf import build_pdf, extract_pdf_pages
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "gamesheet.pdf")
+
+WORDS = [
+    (100.0, 72.0, "Hello"),
+    (100.0, 120.0, "world"),
+    (115.0, 72.0, "Второй"),
+    (115.0, 130.0, "ряд"),
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_build_extract_roundtrip(compress):
+    pdf = build_pdf([WORDS], compress=compress)
+    assert pdf.startswith(b"%PDF-")
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 1
+    assert pages[0]["words"] == WORDS
+
+
+def test_multipage_and_escapes():
+    tricky = [(50.0, 72.0, "a(b)c\\d")]
+    pdf = build_pdf([WORDS, tricky])
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 2
+    assert pages[1]["words"] == tricky
+
+
+def test_parse_payload_routes_pdf():
+    pdf = build_pdf([WORDS])
+    assert wb.sniff_content_type(pdf) == "application/pdf"
+    doc = wb.parse_payload(pdf)
+    if not wb.HAS_PYMUPDF:
+        assert doc.page(0).words == WORDS
+
+
+def test_unsupported_pdf_is_error_row():
+    from khl_pdf_ocr_ray.functions.doc_extract import extract_document
+
+    rec = extract_document(b"%PDF-1.4\ngarbage, no streams")
+    assert rec["ok"] is False
+    assert "pdf_open_error" in rec["error"]
+
+
+def test_committed_fixture_extracts_entities():
+    """The committed real-PDF gamesheet runs the full extraction chain:
+    sniff -> %PDF- parse -> lines/columns -> Cyrillic entity extractors."""
+    from khl_pdf_ocr_ray.functions.doc_extract import extract_document
+
+    payload = open(FIXTURE, "rb").read()
+    assert payload.startswith(b"%PDF-")
+    rec = extract_document(payload)
+    assert rec["ok"] and rec["content_type"] == "application/pdf"
+    if wb.HAS_PYMUPDF:  # pragma: no cover - wheel absent here
+        pytest.skip("PyMuPDF decodes simple-font Cyrillic differently")
+    assert rec["engine"] == "pdf-text"
+    assert len(rec["ref_main"]) == 2 and len(rec["ref_linesmen"]) == 2
+    assert rec["gk_home_names"] and rec["gk_away_names"]
+    assert rec["match_date"] and rec["match_time"]
+    assert rec["team_home"].startswith("ХК")
+
+
+def test_pipeline_extracts_pdf_rows(ray_session, sf_smoke_dir):
+    """The synthetic corpus now carries real %PDF- rows; the distributed
+    pipeline must extract them (engine pdf-text, entities present)."""
+    from khl_pdf_ocr_ray.pipelines.extract_pipeline import run_extract, synthesize_pages
+
+    pages_dir = synthesize_pages(sf_smoke_dir, repeat=2)
+    out = run_extract(pages_dir).to_pandas()
+    pdf_rows = out[out["content_type"] == "application/pdf"]
+    assert len(pdf_rows) > 0
+    assert (pdf_rows["ok"]).all()
+    assert (pdf_rows["engine"] == "pdf-text").all()
+    assert (pdf_rows["n_chars"] > 0).all()
+    with_refs = pdf_rows[pdf_rows["ref_main"].map(len) == 2]
+    assert len(with_refs) > 0

@@ -76,6 +76,8 @@ def test_pipeline_covers_all_payload_kinds(ray_session, pages_dir):
     assert "html" in engines
     assert "pdf-text" in engines
     assert "pdf-ocr" in engines  # scanned docs exercised the actor pool
+    # real %PDF- rows flow through the application/pdf branch
+    assert "application/pdf" in set(out["content_type"])
     assert (~out["ok"]).sum() > 0  # corrupt rows became in-band error rows
     assert not out["needs_ocr"].any()  # every flag consumed
 
