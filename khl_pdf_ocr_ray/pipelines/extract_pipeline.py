@@ -69,8 +69,13 @@ class ExtractConfig:
 
 
 def read_pages(path: str, columns: Optional[list] = None) -> rd.Dataset:
-    """Prune at the read: only the columns the pipeline consumes."""
-    return rd.read_parquet(path, columns=columns or ["url", "warc_ts", "html", "text", "lang"])
+    """Prune at the read: only the columns the pipeline consumes
+    (metadata-clean schema — see io.read_parquet_clean)."""
+    from ..io import read_parquet_clean
+
+    return read_parquet_clean(
+        path, columns=columns or ["url", "warc_ts", "html", "text", "lang"]
+    )
 
 
 def build_extract_pipeline(pages: rd.Dataset, cfg: Optional[ExtractConfig] = None) -> rd.Dataset:

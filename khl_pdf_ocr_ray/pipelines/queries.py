@@ -46,24 +46,17 @@ _BIG_TABLES = {
 }
 
 
-def strip_schema_metadata(batch: pa.Table) -> pa.Table:
-    return batch
-
-
 def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    """Pruned parquet read of one driver table, fanned out for parallelism.
+    """Pruned, metadata-clean parquet read of one driver table, fanned out
+    for parallelism (see io.read_parquet_clean: an explicit schema keeps
+    every downstream shuffle's block schemas hashable)."""
+    from ..io import read_parquet_clean
 
-    The metadata-strip map (a zero-copy no-op body; remote_fn's block
-    normalizer drops the files' embedded b'pandas' schema metadata) keeps
-    downstream shuffle schemas hashable — without it every sort/hash
-    exchange logs "Failed to hash the schemas" and loses schema dedup."""
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    ds = read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
     n = _BIG_TABLES.get(name)
     if n:
         ds = ds.repartition(n)
-    return ds.map_batches(
-        remote_fn(_Q, "strip_schema_metadata"), batch_format="pyarrow", zero_copy_batch=True
-    )
+    return ds
 
 
 def _cents(x):
@@ -242,8 +235,10 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     then a tiny groupby (4-6 groups)."""
     import datetime
 
+    from ..io import read_parquet_clean
+
     cutoff = datetime.datetime(1998, 9, 2)
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_returnflag",
@@ -258,6 +253,7 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
 
     return (
         ds.map_batches(remote_fn(_Q, "pricing_project"), batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty", alias_name="sum_qty"),
@@ -395,9 +391,25 @@ def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="revenue_cents")
+    # combiner after the join: one row per (segment, block) enters the final
+    # shuffle, and the coalesce keeps every reduce partition non-empty (an
+    # empty partition emits a schema-less block -> executor schema warnings)
+    return (
+        joined.map_batches(remote_fn(_Q, "segment_partial"), batch_format="pyarrow")
+        .repartition(2)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
     )
+
+
+def segment_partial(batch: pa.Table) -> pa.Table:
+    g = batch.group_by("c_mktsegment").aggregate(
+        [("price_cents", "count"), ("price_cents", "sum")]
+    )
+    return g.rename_columns(["c_mktsegment", "n_orders", "revenue_cents"])
 
 
 SQL_ORDERS_BY_SEGMENT = """
@@ -564,6 +576,7 @@ def q_token_stats(sf_dir: str) -> rd.Dataset:
     return (
         _t(sf_dir, "documents", ["doc_id", "text", "lang"])
         .map_batches(remote_fn(_TQC, "token_stats_batch"), batch_format="pandas")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
         .groupby("lang")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
@@ -729,6 +742,7 @@ def q_customers_semi(sf_dir: str) -> rd.Dataset:
             remote_fn(_Q, "semi_filter", keys=sorted(keys), keep_in=True),
             batch_format="pyarrow",
         )
+        .repartition(2)  # few groups; non-empty reduce partitions
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_customers"))
     )
@@ -745,6 +759,7 @@ def q_customers_anti(sf_dir: str) -> pd.DataFrame:
             remote_fn(_Q, "semi_filter", keys=sorted(keys), keep_in=False),
             batch_format="pyarrow",
         )
+        .repartition(2)  # few groups; non-empty reduce partitions
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_customers"))
     )

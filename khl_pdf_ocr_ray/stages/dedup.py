@@ -442,16 +442,11 @@ def docs_with_variants(sf_dir: str):
 
     import ray.data as rd
 
-    from ..remote import remote_fn as _remote_fn
+    from ..io import read_parquet_clean
 
     docs = (
-        rd.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        .map_batches(  # strip file schema metadata -> hashable shuffle schemas
-            _remote_fn("khl_pdf_ocr_ray.remote", "identity_batch"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
         )
         .repartition(8)  # single-row-group file -> fan out the heavy maps
         .materialize()  # consumed by two branches of the union: read once

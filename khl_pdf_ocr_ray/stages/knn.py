@@ -110,7 +110,9 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
 
     qids, q = load_queries(sf_dir, n_queries)
     q_ref = ray.put(q)
-    ds = rd.read_parquet(
+    from ..io import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     partials = ds.map_batches(
@@ -190,7 +192,9 @@ def ensure_lsh_index(sf_dir: str) -> str:
     out_dir = _index_dir(sf_dir, "lsh", f"t{LSH_TABLES}p{LSH_PLANES}")
 
     def _build(tmp_dir: str) -> None:
-        ds = rd.read_parquet(
+        from ..io import read_parquet_clean
+
+        ds = read_parquet_clean(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
         ).repartition(8)
         ds.map_batches(
@@ -344,17 +348,11 @@ def embedding_dups(sf_dir: str, tau_e6: int = 350_000):
 
     from ..remote import remote_fn
 
-    ds = (
-        rd.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        )
-        .map_batches(  # strip file schema metadata before the repartition
-            remote_fn("khl_pdf_ocr_ray.remote", "identity_batch"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .repartition(8)
-    )
+    from ..io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).repartition(8)
     replicated = ds.map_batches(
         remote_fn(
             "khl_pdf_ocr_ray.stages.knn",
@@ -442,7 +440,9 @@ def ensure_ivf_index(sf_dir: str) -> str:
         )
         centroids = _ivf_centroids(_embed_matrix(sample))
         cents_ref = ray.put(centroids)
-        ds = rd.read_parquet(
+        from ..io import read_parquet_clean
+
+        ds = read_parquet_clean(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
         ).repartition(8)
         os.makedirs(tmp_dir, exist_ok=True)

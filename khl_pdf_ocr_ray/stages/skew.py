@@ -60,8 +60,12 @@ def add_partition_key(
 
 
 def detect_hot_hosts(pages, top_frac: float = 0.2) -> List[str]:
-    """Driver-side sampled host histogram -> hosts holding > top_frac of
-    the sample (the skew feed; cheap: counts only)."""
+    """Exact host histogram -> hosts holding > top_frac of the rows.
+
+    Exact, not sampled: per-batch partial counts mean the shuffle moves
+    one row per (host, block), so the full pass is cheap at any scale; a
+    deployment wanting an even cheaper feed would run this over a
+    key-residue sample of the pages first."""
     from ray.data.aggregate import Count
 
     counts = (
