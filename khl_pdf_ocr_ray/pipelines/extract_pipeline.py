@@ -69,13 +69,13 @@ class ExtractConfig:
 
 
 def read_pages(path: str, columns: Optional[list] = None) -> rd.Dataset:
-    """Prune at the read: only the columns the pipeline consumes
-    (metadata-clean schema — see io.read_parquet_clean)."""
-    from ..io import read_parquet_clean
+    """Prune at the read: only the columns the pipeline consumes.
 
-    return read_parquet_clean(
-        path, columns=columns or ["url", "warc_ts", "html", "text", "lang"]
-    )
+    Plain read_parquet, NOT io.read_parquet_clean: the pages corpus is
+    Ray-written (schemas already metadata-free), and an explicit schema=
+    suppresses the read's automatic block splitting — which caps the
+    pipeline's parallelism at the file count."""
+    return rd.read_parquet(path, columns=columns or ["url", "warc_ts", "html", "text", "lang"])
 
 
 def build_extract_pipeline(pages: rd.Dataset, cfg: Optional[ExtractConfig] = None) -> rd.Dataset:

@@ -254,7 +254,9 @@ def run_resumable_extract(
             }
         )
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        pool = max(1, min(len(todo), ncpu))
+        # leave CPU headroom for the work-item repartition tasks: a pool
+        # reserving every CPU starves the upstream operator and deadlocks
+        pool = max(1, min(len(todo), ncpu - 2))
         from ..pipelines.extract_pipeline import ExtractConfig
 
         cfg = cfg or ExtractConfig()
@@ -277,7 +279,9 @@ def run_resumable_extract(
                 },
                 batch_format="pyarrow",
                 batch_size=1,
-                concurrency=(1, pool),
+                # fixed-size pool: autoscaling from 1 actor makes ramp-up
+                # dominate wall time when fragments ≈ cores
+                concurrency=(pool, pool),
                 num_cpus=1,
             )
             .take_all()

@@ -148,6 +148,34 @@ def test_config_change_invalidates_checkpoint(ray_session, pages_dir, tmp_path):
     assert s3["extraction_version"] != s1["extraction_version"]
 
 
+def test_changed_fragment_invalidates_manifest(ray_session, pages_dir, tmp_path):
+    """A manifest whose recorded input fragment no longer matches the
+    current fragment list (path or size/mtime fingerprint) must not be
+    skipped — the partition is reprocessed (ADVICE round 1)."""
+    import json as _json
+
+    from khl_pdf_ocr_ray.state.manifest import manifest_path, run_resumable_extract
+
+    out_dir = str(tmp_path / "outfrag")
+    run_resumable_extract(pages_dir, out_dir, max_partitions=1)
+    mp = manifest_path(out_dir, 0)
+    m = _json.load(open(mp))
+    # tamper 1: same version, different recorded fragment path
+    m2 = dict(m, input_fragments=["/nonexistent/other.parquet"])
+    _json.dump(m2, open(mp, "w"))
+    s = run_resumable_extract(pages_dir, out_dir, max_partitions=1)
+    assert 0 in s["processed"]
+    # tamper 2: same path, stale fingerprint
+    m3 = _json.load(open(mp))
+    m3["fragment_fingerprint"] = "1:1"
+    _json.dump(m3, open(mp, "w"))
+    s = run_resumable_extract(pages_dir, out_dir, max_partitions=1)
+    assert 0 in s["processed"]
+    # untampered: skipped
+    s = run_resumable_extract(pages_dir, out_dir, max_partitions=1)
+    assert 0 in s["skipped_completed"]
+
+
 def test_ocr_knobs_change_extraction_version():
     """Every OCR preprocessing knob (contrast / sharpen / psm, app.py:78-81)
     and the debug flag are part of the version hash, so changing them
