@@ -954,6 +954,15 @@ def q_embedding_dups(sf_dir: str) -> rd.Dataset:
     return embedding_dups(sf_dir, tau_e6=350_000)
 
 
+def q_embedding_dups_lsh(sf_dir: str) -> rd.Dataset:
+    """Approximate (sub-quadratic) embedding near-dup pairs over the
+    persisted LSH bucket index — the 100 TB path; recall vs the exact
+    operator asserted in tests."""
+    from ..stages.knn import embedding_dups_lsh
+
+    return embedding_dups_lsh(sf_dir, tau_e6=350_000)
+
+
 
 
 def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
@@ -1024,6 +1033,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_dups": q_embedding_dups,
+    "embedding_dups_lsh": q_embedding_dups_lsh,
 }
 
 ORACLES: Dict[str, str] = {

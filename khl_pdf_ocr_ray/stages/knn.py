@@ -373,6 +373,65 @@ def embedding_dups(sf_dir: str, tau_e6: int = 350_000):
     )
 
 
+def bucket_group_pairs(group: pd.DataFrame, tau_e6: int) -> pd.DataFrame:
+    """All-pairs cosine within one LSH bucket; emits vec_a < vec_b with
+    cos >= tau."""
+    empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64"}
+    )
+    if len(group) < 2:
+        return empty
+    g = group.drop_duplicates("vec_id")
+    ids = g["vec_id"].to_numpy().astype(np.int64)
+    x = _normalize(_embed_matrix(g))
+    sims = x @ x.T
+    ia, ib = np.nonzero(sims >= tau_e6 / 1e6)
+    out_a: List[int] = []
+    out_b: List[int] = []
+    for i, j in zip(ia, ib):
+        if ids[i] < ids[j]:
+            out_a.append(int(ids[i]))
+            out_b.append(int(ids[j]))
+    return pd.DataFrame({"vec_a": out_a, "vec_b": out_b}).astype(
+        {"vec_a": "int64", "vec_b": "int64"}
+    )
+
+
+def embedding_dups_lsh(sf_dir: str, tau_e6: int = 350_000):
+    """APPROXIMATE embedding near-dup — the sub-quadratic 100 TB path:
+    read the persisted LSH index (parquet partitioned by bucket), compare
+    only WITHIN buckets, dedup pairs found in several tables. Work is
+    sum(bucket_size^2) instead of n^2; recall vs the exact
+    ``embedding_dups`` is asserted in tests (multi-table LSH catches most
+    >= tau pairs; the exact operator remains the oracle-checked one)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..remote import remote_fn
+
+    index_dir = ensure_lsh_index(sf_dir)
+    # plain read: index files are Ray-written (metadata-clean) and the
+    # hive `bucket` partition column must be reconstructed from dir names
+    ds = rd.read_parquet(index_dir)
+    pairs = ds.groupby("bucket").map_groups(
+        remote_fn("khl_pdf_ocr_ray.stages.knn", "bucket_group_pairs", tau_e6=tau_e6),
+        batch_format="pandas",
+    )
+    return (
+        pairs.repartition(4)
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.knn", "drop_n_buckets"),
+            batch_format="pandas",
+        )
+    )
+
+
+def drop_n_buckets(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop(columns=[c for c in df.columns if c == "n_buckets"])
+
+
 # --- IVF ANN (k-means coarse quantizer; the second scale path) --------------
 IVF_CLUSTERS = 16
 IVF_KMEANS_ITERS = 10

@@ -80,6 +80,22 @@ REGISTRY: Dict[str, StageSpec] = {
         "khl_pdf_ocr_ray.sources.fetch", "FetcherStage", "actor", "pyarrow",
         "HTTP fetch with per-actor session (transport-injectable)",
     ),
+    "shingle_explode": StageSpec(
+        "khl_pdf_ocr_ray.stages.dedup", "shingle_explode_batch", "task", "pandas",
+        "doc -> (shingle, doc_id) inverted-index rows",
+    ),
+    "lsh_bucket": StageSpec(
+        "khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch", "task", "pandas",
+        "embedding -> LSH bucket rows (the persisted-index build map)",
+    ),
+    "triangle_replicate": StageSpec(
+        "khl_pdf_ocr_ray.stages.knn", "triangle_replicate_batch", "task", "pandas",
+        "all-pairs triangle replication for the distributed exact self-join",
+    ),
+    "fragment_extract": StageSpec(
+        "khl_pdf_ocr_ray.state.manifest", "FragmentExtractWorker", "actor", "pyarrow",
+        "resumable fragment-per-task extract: partition write + manifest per call",
+    ),
 }
 
 

@@ -135,6 +135,25 @@ def test_union_find_clusters_planted(ray_session, sf):
     assert out.set_index("doc_id")["keep"].to_dict() == {1: True, 2: False, 3: False}
 
 
+def test_embedding_dups_lsh_recall(ray_session, sf):
+    """The sub-quadratic LSH variant must recover a solid fraction of the
+    exact >= tau pair set, emit only true pairs from its buckets (within-
+    bucket comparison is exact cosine), and stay deterministic."""
+    from khl_pdf_ocr_ray.pipelines.queries import q_embedding_dups, q_embedding_dups_lsh
+
+    exact = q_embedding_dups(sf).to_pandas()
+    approx = q_embedding_dups_lsh(sf).to_pandas()
+    exact_set = set(zip(exact["vec_a"], exact["vec_b"]))
+    approx_set = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert approx_set <= exact_set  # no false positives: in-bucket cos is exact
+    recall = len(approx_set & exact_set) / max(len(exact_set), 1)
+    assert recall >= 0.3  # approximate by design; sanity floor
+    again = q_embedding_dups_lsh(sf).to_pandas()
+    assert sorted(map(tuple, approx.to_numpy().tolist())) == sorted(
+        map(tuple, again.to_numpy().tolist())
+    )
+
+
 def test_label_propagation_matches_union_find(ray_session, sf):
     """The distributed min-label propagation must reproduce the sequential
     union-find oracle row-for-row (same cluster ids, sizes, keep flags)."""
