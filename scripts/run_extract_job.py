@@ -29,6 +29,8 @@ def main() -> int:
     ap.add_argument("--input", required=True, help="pages parquet file or directory")
     ap.add_argument("--output", required=True, help="output directory (partitioned parquet + manifests)")
     ap.add_argument("--mode", default="all", choices=["all", "words", "refs", "goalies"])
+    ap.add_argument("--debug", action="store_true",
+                    help="surface the reference's debug=1 intermediate columns")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--max-partitions", type=int, default=None, help="bound partitions this invocation (testing)")
     ap.add_argument("--skip-preflight", action="store_true")
@@ -58,7 +60,7 @@ def main() -> int:
             if not status["ok"]:
                 return 2
 
-        cfg = ExtractConfig(mode=args.mode)
+        cfg = ExtractConfig(mode=args.mode, debug=args.debug)
         summary = run_resumable_extract(
             args.input, args.output, cfg=cfg, max_partitions=args.max_partitions
         )
