@@ -194,12 +194,12 @@ def minhash_dedup(docs, threshold_x100: int = 70):
         _rfn("bucket_pairs"), batch_format="pandas"
     )
     uniq = (
-        pairs.repartition(8)
-        .groupby(["doc_a", "doc_b"])
+        pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .map_batches(_rfn("drop_n_bands"), batch_format="pandas")
     )
-    sig_bin = sigs.map_batches(_rfn("sig_pack_batch"), batch_format="pandas")
+    # materialized once: both pair-side joins probe the same packed table
+    sig_bin = sigs.map_batches(_rfn("sig_pack_batch"), batch_format="pandas").materialize()
     from ..joins import safe_join
 
     with_a = safe_join(uniq, sig_bin, on=("doc_a",), right_on=("doc_id",))

@@ -88,3 +88,42 @@ def test_pipeline_extracts_pdf_rows(ray_session, sf_smoke_dir):
     assert (pdf_rows["n_chars"] > 0).all()
     with_refs = pdf_rows[pdf_rows["ref_main"].map(len) == 2]
     assert len(with_refs) > 0
+
+
+def test_roundtrip_property_random_words():
+    """Property: any word grid (ASCII/Cyrillic tokens, arbitrary float
+    coords, parens/backslashes) survives build_pdf -> extract_pdf_pages
+    bit-exactly, compressed or not."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ0123456789абвГДЕжз()\\-.,:;") 
+        ),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda s: s.strip() == s and s)
+    coord = st.floats(min_value=0.0, max_value=800.0).map(lambda v: round(v, 2))
+    word = st.tuples(coord, coord, token)
+    page = st.lists(word, min_size=0, max_size=40)
+
+    @settings(max_examples=25, deadline=None)
+    @given(pages=st.lists(page, min_size=1, max_size=3), compress=st.booleans())
+    def check(pages, compress):
+        pdf = build_pdf(pages, compress=compress)
+        if all(len(p) == 0 for p in pages):
+            return  # no text streams -> unsupported-subset error is correct
+        got = extract_pdf_pages(pdf)
+        got_pages = [g["words"] for g in got]
+        # zero-word pages emit BT-less streams, which the reader skips
+        want = [[(y, x, t) for y, x, t in p] for p in pages if p]
+        assert len(got_pages) == len(want)
+        for gp, wp in zip(got_pages, want):
+            assert len(gp) == len(wp)
+            for (gy, gx, gt), (wy, wx, wt) in zip(gp, wp):
+                assert gt == wt
+                # y rides as %.2f of (height - y): exact to writer precision
+                assert abs(gy - wy) < 0.006 and abs(gx - wx) < 0.006
+
+    check()
