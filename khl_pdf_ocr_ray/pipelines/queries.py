@@ -731,35 +731,42 @@ GROUP BY 1, 2
 
 
 def q_customers_semi(sf_dir: str) -> rd.Dataset:
-    """Semi join via broadcast key set (the guide's pattern for semi/anti):
-    customers WITH orders, counted per segment. The key set (distinct
-    custkeys) is collected once and probed map-side — no shuffle join.
-    At 100 TB the set becomes a Bloom filter or a bucketed join."""
-    keys = set(_t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    """Semi join — customers WITH orders, counted per segment — via Ray's
+    native hash-partitioned ``left_semi`` join: both sides shuffle only
+    their key/segment columns, nothing is collected driver-side (the
+    round-1 design broadcast the distinct-key set, which grows with the
+    big side at 100 TB; a Bloom-filter prefilter would be the next
+    refinement, not a replacement)."""
+    from ..joins import safe_join
+
+    customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders_keys = _t(sf_dir, "orders", ["o_custkey"])
+    semi = safe_join(
+        customer, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
+        join_type="left_semi",
+    )
     return (
-        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .map_batches(
-            remote_fn(_Q, "semi_filter", keys=sorted(keys), keep_in=True),
-            batch_format="pyarrow",
-        )
-        .repartition(2)  # few groups; non-empty reduce partitions
+        semi.repartition(2)  # few groups; non-empty reduce partitions
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_customers"))
     )
 
 
 def q_customers_anti(sf_dir: str) -> pd.DataFrame:
-    """Anti join: customers with NO orders, per segment. Materialized to a
-    schema-stable DataFrame because a fully-empty Ray aggregate loses its
-    column schema (every customer has orders at small scale factors)."""
-    keys = set(_t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    """Anti join — customers with NO orders, per segment — via the native
+    ``left_anti`` join. Materialized to a schema-stable DataFrame because
+    a fully-empty Ray aggregate loses its column schema (every customer
+    has orders at small scale factors)."""
+    from ..joins import safe_join
+
+    customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders_keys = _t(sf_dir, "orders", ["o_custkey"])
+    anti = safe_join(
+        customer, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
+        join_type="left_anti",
+    )
     ds = (
-        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .map_batches(
-            remote_fn(_Q, "semi_filter", keys=sorted(keys), keep_in=False),
-            batch_format="pyarrow",
-        )
-        .repartition(2)  # few groups; non-empty reduce partitions
+        anti.repartition(2)
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_customers"))
     )
@@ -768,11 +775,6 @@ def q_customers_anti(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
                            "n_customers": pd.Series(dtype="int64")})
     return df
-
-
-def semi_filter(batch: pa.Table, keys: list, keep_in: bool) -> pa.Table:
-    member = pc.is_in(batch["c_custkey"], value_set=pa.array(keys, pa.int64()))
-    return batch.filter(member if keep_in else pc.invert(member))
 
 
 SQL_CUSTOMERS_SEMI = """

@@ -35,7 +35,8 @@ Word = Tuple[float, float, str]  # (y, x, token) — y top-down, like fitz words
 _RE_MEDIABOX = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
-_RE_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+_RE_STREAM_HEAD = re.compile(rb"<<((?:[^<>]|<<[^>]*>>)*?)>>\s*stream\r?\n", re.S)
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)")
 _RE_TOK = re.compile(
     rb"\((?:\\.|[^\\()])*\)"      # literal string (with escapes)
     rb"|<[0-9A-Fa-f\s]*>"          # hex string
@@ -186,11 +187,20 @@ def extract_pdf_pages(payload: bytes) -> List[Dict]:
     else:
         width, height = 595.0, 842.0  # A4 default
     pages = []
-    for m in _RE_STREAM.finditer(payload):
-        head, body = m.group(1), m.group(2)
+    for m in _RE_STREAM_HEAD.finditer(payload):
+        head = m.group(1)
+        start = m.end()
+        ml = _RE_LENGTH.search(head)
+        if ml:
+            # the declared /Length bounds the body exactly — binary stream
+            # data may legally contain the bytes "endstream"
+            body = payload[start : start + int(ml.group(1))]
+        else:
+            end = payload.find(b"endstream", start)
+            body = payload[start : end if end >= 0 else len(payload)]
         if b"/FlateDecode" in head:
             try:
-                body = zlib.decompress(body.strip(b"\r\n"))
+                body = zlib.decompress(body)
             except Exception as e:
                 raise ValueError(f"flate_error: {e}") from e
         if b"BT" not in body:
