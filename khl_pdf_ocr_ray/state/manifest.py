@@ -56,6 +56,8 @@ def extraction_version(cfg=None) -> str:
         "functions/html_extract.py",
         "functions/doc_extract.py",
         "stages/extract.py",
+        "sources/wordbox.py",   # payload codec: parse changes alter output
+        "sources/minipdf.py",   # real-PDF reader: ditto
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
