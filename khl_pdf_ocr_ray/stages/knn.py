@@ -39,13 +39,34 @@ def _normalize(x: np.ndarray) -> np.ndarray:
 
 
 def load_queries(sf_dir: str, n_queries: int):
-    """Driver-side: the (tiny) query set = lowest n vec_ids."""
+    """The (tiny) query set = lowest n vec_ids.
+
+    Scale shape: a distributed sort+limit over the SLIM vec_id column
+    picks the ids, then a filter-pushdown read fetches just those
+    embeddings — the driver never materializes the corpus (in a real
+    deployment the query set is user input and this helper disappears)."""
     import os
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    from ..io import read_parquet_clean
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids = (
+        read_parquet_clean(path, columns=["vec_id"])
+        .sort("vec_id")
+        .limit(n_queries)
+        .to_pandas()["vec_id"]
+        .astype("int64")
+        .tolist()
+    )
+    t = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=pc.field("vec_id").isin(ids),
+    )
+    df = t.to_pandas().sort_values("vec_id")
     q = _normalize(_embed_matrix(df))
     return df["vec_id"].to_numpy().astype(np.int64), q
 
@@ -489,13 +510,29 @@ def ensure_ivf_index(sf_dir: str) -> str:
     out_dir = _index_dir(sf_dir, "ivf", f"k{IVF_CLUSTERS}i{IVF_KMEANS_ITERS}s{IVF_TRAIN_SAMPLE}")
 
     def _build(tmp_dir: str) -> None:
+        # bounded training sample fetched WITHOUT materializing the corpus
+        # driver-side: distributed slim sort for the ids, pushdown read
+        import pyarrow.compute as _pc
+
+        from ..io import read_parquet_clean
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        sample_ids = (
+            read_parquet_clean(path, columns=["vec_id"])
+            .sort("vec_id")
+            .limit(IVF_TRAIN_SAMPLE)
+            .to_pandas()["vec_id"]
+            .astype("int64")
+            .tolist()
+        )
         sample = (
             _pq.read_table(
-                os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+                path,
+                columns=["vec_id", "embedding"],
+                filters=_pc.field("vec_id").isin(sample_ids),
             )
             .to_pandas()
             .sort_values("vec_id")
-            .head(IVF_TRAIN_SAMPLE)
         )
         centroids = _ivf_centroids(_embed_matrix(sample))
         cents_ref = ray.put(centroids)
