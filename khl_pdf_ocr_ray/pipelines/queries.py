@@ -967,7 +967,7 @@ def q_embedding_dups_lsh(sf_dir: str) -> rd.Dataset:
 
 
 
-def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+def q_minhash_clusters(sf_dir: str) -> rd.Dataset:
     """Dedup cluster assignment: near-dup pairs -> connected components ->
     (doc_id, cluster_id, cluster_size, keep). The keep=true rows are the
     corpus after near-dup removal."""

@@ -638,10 +638,10 @@ def cluster_group_project(g: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values("doc_id")
 
 
-def minhash_clusters(docs, threshold_x100: int = 70) -> pd.DataFrame:
+def minhash_clusters(docs, threshold_x100: int = 70):
     """Full dedup decision: MinHash+LSH pairs -> distributed connected
-    components -> per-doc (cluster_id, keep). Sorted by doc_id for a
-    deterministic surface."""
+    components -> per-doc (cluster_id, keep) Dataset, sorted by doc_id
+    for a deterministic surface (never collected driver-side — at corpus
+    scale the cluster table is big)."""
     pairs = minhash_dedup(docs, threshold_x100)
-    out = label_propagation_clusters(pairs).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return label_propagation_clusters(pairs).sort("doc_id")

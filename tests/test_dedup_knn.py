@@ -121,7 +121,7 @@ def test_union_find_clusters_planted(ray_session, sf):
     from khl_pdf_ocr_ray.stages.dedup import VARIANT_OFFSET, union_find_clusters
     import pandas as pd
 
-    cl = q_minhash_clusters(sf)
+    cl = q_minhash_clusters(sf).to_pandas()
     assert (cl.groupby("cluster_id")["keep"].sum() == 1).all()  # one survivor each
     # planted variant pairs cluster with their source doc
     planted = cl[cl["doc_id"] >= VARIANT_OFFSET]
