@@ -777,6 +777,45 @@ def q_customers_anti(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_customers_semi_bloom(sf_dir: str) -> rd.Dataset:
+    """Semi join with a BLOOM PREFILTER — the 100 TB refinement of
+    ``customers_semi``: a fixed-size Bloom bitmap over the probe side's
+    keys (distributed partial bitmaps, O(m_bits) driver merge) is
+    broadcast once and prunes non-matching rows map-side BEFORE the exact
+    left_semi join, so the join shuffle carries ~matches + fp_rate *
+    non-matches. Bloom false positives are removed by the exact join
+    (never false negatives), so the result is identical — same oracle."""
+    import ray as _ray
+
+    from ..functions.bloom import DEFAULT_K, DEFAULT_M_BITS, build_bloom
+    from ..joins import safe_join
+
+    orders_keys = _t(sf_dir, "orders", ["o_custkey"]).materialize()
+    bloom = build_bloom(orders_keys, "o_custkey")
+    bloom_ref = _ray.put(bloom)
+    prefiltered = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.functions.bloom",
+            "bloom_probe_batch",
+            col="c_custkey",
+            bloom_ref=bloom_ref,
+            m_bits=DEFAULT_M_BITS,
+            k=DEFAULT_K,
+            keep_hits=True,
+        ),
+        batch_format="pandas",
+    )
+    semi = safe_join(
+        prefiltered, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
+        join_type="left_semi",
+    )
+    return (
+        semi.repartition(2)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
 SQL_CUSTOMERS_SEMI = """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
@@ -1024,6 +1063,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "events_sample": q_events_sample,
     "events_sliding": q_events_sliding,
     "customers_semi": q_customers_semi,
+    "customers_semi_bloom": q_customers_semi_bloom,
     "customers_anti": q_customers_anti,
     "events_asof": q_events_asof,
     "events_running": q_events_running,
@@ -1073,6 +1113,7 @@ ORACLES.update(
         "events_sample": SQL_EVENTS_SAMPLE,
         "events_sliding": SQL_EVENTS_SLIDING,
         "customers_semi": SQL_CUSTOMERS_SEMI,
+        "customers_semi_bloom": SQL_CUSTOMERS_SEMI,
         "customers_anti": SQL_CUSTOMERS_ANTI,
         "events_asof": SQL_EVENTS_ASOF,
         "events_running": SQL_EVENTS_RUNNING,

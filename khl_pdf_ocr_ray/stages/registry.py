@@ -96,6 +96,14 @@ REGISTRY: Dict[str, StageSpec] = {
         "khl_pdf_ocr_ray.state.manifest", "FragmentExtractWorker", "actor", "pyarrow",
         "resumable fragment-per-task extract: partition write + manifest per call",
     ),
+    "bloom_partial": StageSpec(
+        "khl_pdf_ocr_ray.functions.bloom", "bloom_partial_batch", "task", "pandas",
+        "per-batch Bloom bitmap partial (semi-join prefilter build)",
+    ),
+    "bloom_probe": StageSpec(
+        "khl_pdf_ocr_ray.functions.bloom", "bloom_probe_batch", "task", "pandas",
+        "map-side Bloom membership prefilter before an exact join",
+    ),
 }
 
 
