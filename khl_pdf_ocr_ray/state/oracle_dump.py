@@ -49,7 +49,7 @@ def dumps_dir(sf_dir: str) -> str:
 
     pages_dir = synthesize_pages(sf_dir, repeat=2)
     key = hashlib.sha256(
-        f"{pages_dir}:{extraction_version(None)}:v1".encode()
+        f"{pages_dir}:{extraction_version(None)}:v2".encode()
     ).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_{key}")
 
@@ -203,6 +203,48 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "media_frames_seq.parquet"),
     )
 
+    # skew partition keys, recomputed sequentially: exact host histogram ->
+    # hot hosts (> 20% of rows) -> salted/giant-isolated part_key per row
+    # (the crc32 formulas restated inline — they ARE the partitioning spec)
+    import zlib
+
+    host_counts: Dict[str, int] = {}
+    page_rows: List[tuple] = []  # (host, url, n_bytes)
+    for frag in sorted(glob.glob(os.path.join(pages_dir, "*.parquet"))):
+        tbl = pq.read_table(frag, columns=["url", "html"])
+        for url, payload in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+            mh = _RE_HOST.match(url)
+            host = mh.group(1) if mh else ""
+            n_bytes = len(payload) if payload is not None else 0
+            host_counts[host] = host_counts.get(host, 0) + 1
+            page_rows.append((host, url, n_bytes))
+    total = sum(host_counts.values())
+    hot = {h for h, n in host_counts.items() if n > 0.2 * total}
+    n_parts, salt_factor = 64, 8
+    giant_threshold, giant_base = 8 * 1024 * 1024, 1 << 20
+    agg: Dict[int, List[int]] = {}
+    for host, url, n_bytes in page_rows:
+        if n_bytes > giant_threshold:
+            key = giant_base + (zlib.crc32(url.encode()) % (1 << 16))
+        elif host in hot:
+            base = zlib.crc32(host.encode()) % n_parts
+            key = base * salt_factor + zlib.crc32(url.encode()) % salt_factor
+        else:
+            key = (zlib.crc32(host.encode()) % n_parts) * salt_factor
+        a = agg.setdefault(key, [0, 0])
+        a[0] += 1
+        a[1] += n_bytes
+    pq.write_table(
+        pa.table(
+            {
+                "part_key": pa.array(sorted(agg), pa.int64()),
+                "rows": pa.array([agg[k][0] for k in sorted(agg)], pa.int64()),
+                "bytes": pa.array([agg[k][1] for k in sorted(agg)], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "skew_seq.parquet"),
+    )
+
     # rolling fingerprint via an INDEPENDENT power-sum formulation:
     # h = sum(b_i * BASE^(n-1-i)) mod M, computed with precomputed powers —
     # algebraically equal to the kernel's Horner loop but separate code
@@ -294,6 +336,9 @@ FROM read_parquet('{p("blocks_seq.parquet")}')
 """,
         "fingerprint_rolling": f"""
 SELECT doc_id, fp_roll FROM read_parquet('{p("fp_roll_seq.parquet")}')
+""",
+        "skew_partition_stats": f"""
+SELECT part_key, rows, bytes FROM read_parquet('{p("skew_seq.parquet")}')
 """,
         "media_image_features": f"SELECT * FROM read_parquet('{p('media_image_seq.parquet')}')",
         "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",

@@ -14,6 +14,7 @@ DUMP_QUERIES = [
     "pdf_words",
     "extract_blocks",
     "fingerprint_rolling",
+    "skew_partition_stats",
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
