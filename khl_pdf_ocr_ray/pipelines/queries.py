@@ -895,6 +895,103 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+SPLIT_TRAIN_PCT = 90
+
+
+def q_train_test_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-based train/test split of the document corpus —
+    the assignment every training-data pipeline needs. Vectorized residue
+    of a multiplicative hash (stable across runs, engines, and partition
+    layouts — unlike seeded random_sample, which is block-layout
+    dependent); reported as per-split doc/char totals via per-batch
+    combiners."""
+    return (
+        _t(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(remote_fn(_Q, "split_partial"), batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(2)  # two groups; non-empty reduce partitions
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+
+def split_partial(batch: pa.Table) -> pa.Table:
+    residue = pc.subtract(
+        pc.multiply(batch["doc_id"], SPLIT_MULT),
+        pc.multiply(pc.divide(pc.multiply(batch["doc_id"], SPLIT_MULT), 100), 100),
+    )
+    split = pc.if_else(
+        pc.less(residue, SPLIT_TRAIN_PCT), pa.scalar("train"), pa.scalar("test")
+    )
+    t = pa.table({"split": split, "n_chars": batch["n_chars"]})
+    g = t.group_by(["split"]).aggregate([("n_chars", "count"), ("n_chars", "sum")])
+    return g.rename_columns(["split", "n_docs", "total_chars"])
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT CASE WHEN (doc_id * {SPLIT_MULT}) % 100 < {SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+RANGE_WINDOW_S = 3600
+
+
+def q_events_range_join(sf_dir: str) -> rd.Dataset:
+    """Range (interval) join: for every purchase, the number of the SAME
+    user's views with ts in [purchase_ts - 1h, purchase_ts] — the custom
+    range-join operator the brief names. Ray-native: hash-shuffle on
+    user_id, then a sorted two-pointer sweep per group (O(n log n) per
+    user, no per-pair work). At 100 TB the group key becomes (user, day)
+    with a 1h overlap replicated across day boundaries so one user's
+    history never exceeds a task."""
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_Q, "range_join_per_user"), batch_format="pandas")
+    )
+
+
+def range_join_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np_
+
+    p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+    v = g[g["event_type"] == "view"].sort_values("ts")
+    if p.empty:
+        return pd.DataFrame(
+            {"purchase_id": pd.Series(dtype="int64"), "n_views_1h": pd.Series(dtype="int64")}
+        )
+    vts = v["ts"].to_numpy()
+    pts = p["ts"].to_numpy()
+    lo = np_.searchsorted(vts, pts - np_.timedelta64(RANGE_WINDOW_S, "s"), side="left")
+    hi = np_.searchsorted(vts, pts, side="right")
+    return pd.DataFrame(
+        {
+            "purchase_id": p["event_id"].astype("int64"),
+            "n_views_1h": (hi - lo).astype("int64"),
+        }
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id,
+       CAST(count(v.ts) AS BIGINT) AS n_views_1h
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL {RANGE_WINDOW_S} SECOND
+ AND v.ts <= p.ts
+GROUP BY p.event_id
+"""
+
+
 def q_events_running(sf_dir: str) -> rd.Dataset:
     """Running (cumulative) per-user aggregate ordered by event time — the
     windowed-aggregate operator: shuffle on user_id, sorted cumsum per
@@ -1066,6 +1163,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "customers_semi_bloom": q_customers_semi_bloom,
     "customers_anti": q_customers_anti,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+    "train_test_split": q_train_test_split,
     "events_running": q_events_running,
     "minhash_dups": q_minhash_dups,
     "minhash_clusters": q_minhash_clusters,
@@ -1116,6 +1215,8 @@ ORACLES.update(
         "customers_semi_bloom": SQL_CUSTOMERS_SEMI,
         "customers_anti": SQL_CUSTOMERS_ANTI,
         "events_asof": SQL_EVENTS_ASOF,
+        "events_range_join": SQL_EVENTS_RANGE_JOIN,
+        "train_test_split": SQL_TRAIN_TEST_SPLIT,
         "events_running": SQL_EVENTS_RUNNING,
         "embedding_dups": SQL_EMBEDDING_DUPS,
         # minhash/simhash/ngram-jaccard/ann_lsh: no oracle (rows-only)
