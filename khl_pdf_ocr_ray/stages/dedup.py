@@ -359,13 +359,14 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
     sparse LSH/co-occurrence output, so both join sides stay slim)."""
     from ray.data.aggregate import Sum
 
-    shingles = (
-        docs.map_batches(
-            _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
-        )
-        .repartition(8)  # coalesce before the shard shuffle
-        .materialize()  # consumed twice (pair index + per-doc counts): run once
-    )
+    # the EXPLODED inverted index (one row per shingle occurrence — the
+    # biggest intermediate at corpus scale) streams straight into the
+    # shard groupby, never materialized; per-doc shingle counts come from
+    # a separate cheap map over the docs (re-shingling once more is far
+    # cheaper than pinning the exploded table in the object store)
+    shingles = docs.map_batches(
+        _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
+    ).repartition(8)  # coalesce before the shard shuffle
     pair_counts = (
         shingles.groupby("shard")
         .map_groups(_rfn("shingle_doc_pairs"), batch_format="pandas")
@@ -373,10 +374,8 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("common", alias_name="common"))
     )
-    counts = (
-        shingles.map_batches(_rfn("shingle_count_partial"), batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n_shingles"))
+    counts = docs.map_batches(
+        _rfn("shingle_count_batch"), batch_format="pandas", batch_size=512
     )
     from ..joins import safe_join
 
@@ -398,9 +397,12 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
     )
 
 
-def shingle_count_partial(df: pd.DataFrame) -> pd.DataFrame:
-    out = df.groupby("doc_id", as_index=False).agg(n=("shingle", "size"))
-    return out.astype({"doc_id": "int64", "n": "int64"})
+def shingle_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> (doc_id, n_shingles): per-doc distinct-shingle
+    counts computed directly from the text (no exploded index needed)."""
+    ids = df["doc_id"].astype("int64")
+    ns = [int(_shingles(t).size) for t in df["text"].fillna("")]
+    return pd.DataFrame({"doc_id": ids, "n_shingles": pd.Series(ns, dtype="int64")})
 
 
 def jaccard_finalize(df: pd.DataFrame, threshold_x100: int) -> pd.DataFrame:
