@@ -29,8 +29,28 @@ _REPEAT = 2  # rep>0 rows are near-duplicate variants (dedup-friendly corpus)
 
 
 def _extracted(sf_dir: str) -> rd.Dataset:
+    """The extracted corpus as a Dataset — computed by the streaming
+    pipeline ONCE per (corpus, extraction-version) and cached as parquet:
+    six query surfaces consume it, and re-running the full extraction per
+    query would multiply the gate's wall time for no extra coverage (the
+    first builder IS the real distributed pipeline; materialize-shared-
+    intermediate pattern)."""
+    import hashlib
+
+    from ..state.atomic import ensure_published
+    from ..state.manifest import extraction_version
+
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
-    return run_extract(pages_dir)
+    key = hashlib.sha256(
+        f"{pages_dir}:{extraction_version(None)}:q1".encode()
+    ).hexdigest()[:16]
+    out_dir = f"/tmp/khlray_cache/extractedq_{key}"
+
+    def _build(tmp_dir: str) -> None:
+        run_extract(pages_dir).write_parquet(tmp_dir)
+
+    ensure_published(out_dir, _build)
+    return rd.read_parquet(out_dir)
 
 
 def q_extract_pages(sf_dir: str) -> rd.Dataset:
