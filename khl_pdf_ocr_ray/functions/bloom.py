@@ -71,13 +71,14 @@ def build_bloom(ds, col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K) 
 
 
 def bloom_probe_batch(
-    df: pd.DataFrame, col: str, bloom_ref, m_bits: int, k: int, keep_hits: bool
+    df: pd.DataFrame, col: str, bloom_ref, m_bits: int, k: int
 ) -> pd.DataFrame:
-    """Map-side prefilter: keep rows whose key is (possibly) in the set
-    (``keep_hits=True``) or definitely NOT in it (``False`` — exact for
-    anti-join prefiltering of guaranteed negatives is NOT possible with a
-    Bloom filter alone, so keep_hits=False only drops definite positives'
-    complement safely when followed by an exact join)."""
+    """Map-side prefilter: keep rows whose key is POSSIBLY in the set (the
+    only sound Bloom prefilter direction — false positives are removed by
+    the exact join that follows, false negatives never occur). A
+    keep-misses variant is deliberately NOT offered: dropping Bloom hits
+    before an anti join would silently lose the false-positive rows, which
+    are legitimate anti-join results no downstream join can restore."""
     import ray
 
     bloom = ray.get(bloom_ref) if not isinstance(bloom_ref, np.ndarray) else bloom_ref
@@ -86,5 +87,4 @@ def bloom_probe_batch(
         return df
     pos = _bit_positions(keys, m_bits, k)
     bits = (bloom[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
-    hit = bits.all(axis=1)
-    return df[hit] if keep_hits else df[~hit]
+    return df[bits.all(axis=1)]

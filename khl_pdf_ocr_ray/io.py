@@ -38,3 +38,33 @@ def read_parquet_clean(
     full = _footer_schema(probe)
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
     return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
+def input_nbytes(path) -> int:
+    """On-disk byte size of a parquet file/directory (cheap stat walk)."""
+    if isinstance(path, (list, tuple)):
+        return sum(input_nbytes(p) for p in path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return os.path.getsize(path)
+
+
+def blocks_for_bytes(
+    nbytes: int, target_block_bytes: int = 32 << 20, lo: int = 8
+) -> int:
+    """Block count sized from DATA bytes, not a constant: ``nbytes /
+    target_block_bytes`` with a floor for parallelism at toy scale and NO
+    ceiling — a fixed ``repartition(8)`` on a growing intermediate becomes
+    an all-to-all into 8 giant blocks at 100 TB, while byte-derived counts
+    keep blocks at the object-store-friendly target size at any scale.
+    Pass an ``expand`` factor via pre-multiplied nbytes when sizing an
+    exploded intermediate (e.g. an inverted index ~10x its source text)."""
+    return max(lo, int(nbytes) // target_block_bytes)
+
+
+def blocks_for_rows(nrows: int, rows_per_block: int = 200_000, lo: int = 2) -> int:
+    """Block count sized from row count (for slim fixed-width intermediates
+    whose byte size is rows x ~24 B): no ceiling, floor for toy scale."""
+    return max(lo, int(nrows) // rows_per_block)

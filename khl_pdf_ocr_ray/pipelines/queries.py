@@ -745,10 +745,23 @@ def q_customers_semi(sf_dir: str) -> rd.Dataset:
         customer, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
         join_type="left_semi",
     )
+    if semi is None:  # either side empty -> no customer has an order
+        return _empty_segment_counts()
     return (
         semi.repartition(2)  # few groups; non-empty reduce partitions
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def _empty_segment_counts() -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_mktsegment": pa.array([], pa.string()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
     )
 
 
@@ -761,10 +774,16 @@ def q_customers_anti(sf_dir: str) -> pd.DataFrame:
 
     customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders_keys = _t(sf_dir, "orders", ["o_custkey"])
+    # safe_join returns the LEFT side unchanged when orders is empty (an
+    # anti join against nothing keeps every customer), and None only when
+    # customer itself is empty
     anti = safe_join(
         customer, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
         join_type="left_anti",
     )
+    if anti is None:
+        return pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                             "n_customers": pd.Series(dtype="int64")})
     ds = (
         anti.repartition(2)
         .groupby("c_mktsegment")
@@ -801,7 +820,6 @@ def q_customers_semi_bloom(sf_dir: str) -> rd.Dataset:
             bloom_ref=bloom_ref,
             m_bits=DEFAULT_M_BITS,
             k=DEFAULT_K,
-            keep_hits=True,
         ),
         batch_format="pandas",
     )
@@ -809,6 +827,8 @@ def q_customers_semi_bloom(sf_dir: str) -> rd.Dataset:
         prefiltered, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
         join_type="left_semi",
     )
+    if semi is None:
+        return _empty_segment_counts()
     return (
         semi.repartition(2)
         .groupby("c_mktsegment")
@@ -1047,10 +1067,15 @@ def q_simhash_dups(sf_dir: str) -> rd.Dataset:
 
 def q_ngram_jaccard_dups(sf_dir: str) -> rd.Dataset:
     """Exact 3-gram Jaccard >= 0.7 pairs via a frequency-capped inverted
-    shingle index."""
+    shingle index (coalesce block counts derived from the corpus bytes)."""
+    from ..io import input_nbytes
     from ..stages.dedup import docs_with_variants, ngram_jaccard_dedup
 
-    return ngram_jaccard_dedup(docs_with_variants(sf_dir), threshold_x100=70)
+    return ngram_jaccard_dedup(
+        docs_with_variants(sf_dir),
+        threshold_x100=70,
+        size_hint_bytes=input_nbytes(os.path.join(sf_dir, "documents.parquet")),
+    )
 
 
 def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
@@ -1070,19 +1095,22 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate top-5 via random-hyperplane LSH bucket probing (the
-    100 TB path; recall vs brute force asserted in tests)."""
+    100 TB path; recall vs brute force asserted in tests). The raw sim
+    column is dropped from the exported surface for the same 1-ulp
+    robustness reason as ``knn_bruteforce``: (query, neighbor, rank) is
+    the deterministic comparison."""
     from ..stages.knn import ann_lsh
 
-    return ann_lsh(sf_dir, n_queries=8, k=5)
+    return ann_lsh(sf_dir, n_queries=8, k=5)[["query_id", "neighbor_id", "rank"]]
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF (k-means inverted lists, nprobe=4) approximate top-5 — the
     second ANN scale path beside LSH; recall vs brute force asserted in
-    tests."""
+    tests. Exported columns mirror ``ann_lsh`` (rank, not raw sims)."""
     from ..stages.knn import ann_ivf
 
-    return ann_ivf(sf_dir, n_queries=8, k=5)
+    return ann_ivf(sf_dir, n_queries=8, k=5)[["query_id", "neighbor_id", "rank"]]
 
 
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:

@@ -182,14 +182,20 @@ def minhash_dedup(docs, threshold_x100: int = 70):
     ~1 KB/doc dict via ray.put)."""
     from ray.data.aggregate import Count
 
+    from ..io import blocks_for_rows
+
     sigs = docs.map_batches(
         _rfn("minhash_sig_batch"), batch_format="pandas", batch_size=512
     ).materialize()
     # coalesce before the shuffles: Ray's sort-based groupby pays a per-block
-    # constant, so hundreds of tiny blocks cost more than the data itself
+    # constant, so hundreds of tiny blocks cost more than the data itself.
+    # Block count derives from the band-row count (LSH_BANDS slim rows per
+    # doc, ~24 B each — free off the materialized sig metadata), not a
+    # constant: at 100 TB the band table is billions of rows and a fixed
+    # repartition(16) would funnel the all-to-all into 16 giant blocks.
     bands = sigs.map_batches(
         _rfn("minhash_band_batch"), batch_format="pandas"
-    ).repartition(16)
+    ).repartition(blocks_for_rows(sigs.count() * LSH_BANDS, lo=8))
     pairs = bands.groupby("shard").map_groups(
         _rfn("bucket_pairs"), batch_format="pandas"
     )
@@ -268,6 +274,18 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized uint64 popcount (SWAR bit-trick; numpy uint64 wrap-around
+    multiply is the intended semantics) — replaces the per-pair Python
+    ``bin(int(v)).count('1')`` loop in the O(bucket^2) verify."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_bucket_pairs(shard: pd.DataFrame) -> pd.DataFrame:
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
         {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
@@ -283,14 +301,14 @@ def simhash_bucket_pairs(shard: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").head(BUCKET_CAP)
         ids = g["doc_id"].to_numpy()
         sh = (g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
-        for i in range(len(ids)):
-            x = sh[i + 1 :] ^ sh[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.nonzero(ham <= HAMMING_MAX)[0]:
-                if ids[i] != ids[i + 1 + off]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + off])
-                    out_h.append(int(ham[off]))
+        # all unordered in-bucket pairs in one vectorized popcount (bucket
+        # is capped at BUCKET_CAP=64, so the pair matrix is <= 2016 rows)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = popcount64(sh[ia] ^ sh[ib])
+        keep = (ham <= HAMMING_MAX) & (ids[ia] != ids[ib])
+        out_a.extend(ids[ia[keep]])
+        out_b.extend(ids[ib[keep]])
+        out_h.extend(ham[keep])
     if not out_a:
         return empty
     return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h}).astype(
@@ -348,7 +366,7 @@ def shingle_doc_pairs(shard: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)
 
 
-def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
+def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0):
     """Exact shingle-Jaccard pairs >= threshold.
 
     inverted index -> per-shingle pairs -> pair co-count -> exact J via a
@@ -356,8 +374,16 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
     sides (the round-1 design collected the counts driver-side and
     broadcast a dict; the join keeps driver memory O(1) at any corpus
     size — the count table is one int per doc and the pair table is the
-    sparse LSH/co-occurrence output, so both join sides stay slim)."""
+    sparse LSH/co-occurrence output, so both join sides stay slim).
+
+    ``size_hint_bytes`` = on-disk bytes of the source corpus (callers stat
+    the input; 0 falls back to the parallelism floor): the exploded
+    inverted index is ~4x the source text (one 24 B row per ~6 source
+    bytes), so its coalesce block count is byte-derived, never a constant.
+    """
     from ray.data.aggregate import Sum
+
+    from ..io import blocks_for_bytes
 
     # the EXPLODED inverted index (one row per shingle occurrence — the
     # biggest intermediate at corpus scale) streams straight into the
@@ -366,11 +392,14 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70):
     # cheaper than pinning the exploded table in the object store)
     shingles = docs.map_batches(
         _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
-    ).repartition(8)  # coalesce before the shard shuffle
+    ).repartition(blocks_for_bytes(size_hint_bytes * 4))
     pair_counts = (
         shingles.groupby("shard")
         .map_groups(_rfn("shingle_doc_pairs"), batch_format="pandas")
-        .repartition(8)  # coalesce tiny per-shard blocks before the aggregate
+        # coalesce tiny per-shard blocks before the aggregate; the pair
+        # stream is sparse (co-occurring low-freq shingles only), ~source
+        # bytes at the default cap
+        .repartition(blocks_for_bytes(size_hint_bytes))
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("common", alias_name="common"))
     )
@@ -444,13 +473,14 @@ def docs_with_variants(sf_dir: str):
 
     import ray.data as rd
 
-    from ..io import read_parquet_clean
+    from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
 
+    path = os.path.join(sf_dir, "documents.parquet")
     docs = (
-        read_parquet_clean(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        .repartition(8)  # single-row-group file -> fan out the heavy maps
+        read_parquet_clean(path, columns=["doc_id", "text"])
+        # single-row-group driver file -> fan out the heavy per-doc maps,
+        # block count derived from the file bytes
+        .repartition(blocks_for_bytes(input_nbytes(path)))
         .materialize()  # consumed by two branches of the union: read once
     )
     variants = docs.map_batches(
@@ -601,6 +631,7 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
             )
         )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         msgs = safe_join(edges, labels, on=("src",), right_on=("node",)).map_batches(
             _rfn("messages_project"), batch_format="pandas"
@@ -614,30 +645,46 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
         )
         cur = labels.sum("label")  # tiny driver scalar, monotone non-increasing
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
-    # attach cluster sizes with one more shuffle: groups of (node,label) rows
-    # keyed by label (a cluster fits one task; a pathological giant cluster
-    # would be handled by counting via aggregate + safe_join instead)
-    return (
+    if not converged:
+        # exhaustion is NOT convergence: unconverged labels silently split
+        # clusters (a dup-chain with diameter > max_rounds would diverge
+        # from the union-find oracle) — fail loudly instead
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds; raise max_rounds)"
+        )
+    # attach cluster sizes GIANT-CLUSTER-SAFE: a per-label aggregate Count
+    # (combiner-backed, no task ever holds a whole cluster) joined back to
+    # the label table — the previous groupby(label).map_groups placed one
+    # entire cluster in one task, a memory wall for a pathological
+    # all-duplicates crawl where one cluster is ~the corpus
+    counts = (
         labels.groupby("label")
-        .map_groups(_rfn("cluster_group_project"), batch_format="pandas")
+        .aggregate(Count(alias_name="cluster_size"))
+        .map_batches(
+            _rfn("rename_cols", mapping={"label": "cluster_label"}),
+            batch_format="pandas",
+        )
     )
+    joined = safe_join(labels, counts, on=("label",), right_on=("cluster_label",))
+    return joined.map_batches(_rfn("cluster_rows_project"), batch_format="pandas")
 
 
-def cluster_group_project(g: pd.DataFrame) -> pd.DataFrame:
-    """One cluster's (node, label) rows -> the per-doc cluster table rows."""
-    nodes = g["node"].to_numpy()
-    label = int(g["label"].iloc[0])
-    out = pd.DataFrame(
+def cluster_rows_project(df: pd.DataFrame) -> pd.DataFrame:
+    """Join output (node, label, cluster_size) -> per-doc cluster table."""
+    nodes = df["node"].to_numpy()
+    labs = df["label"].to_numpy()
+    return pd.DataFrame(
         {
             "doc_id": nodes,
-            "cluster_id": label,
-            "cluster_size": len(g),
-            "keep": nodes == label,
+            "cluster_id": labs,
+            "cluster_size": df["cluster_size"].to_numpy(),
+            "keep": nodes == labs,
         }
     ).astype({"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"})
-    return out.sort_values("doc_id")
 
 
 def minhash_clusters(docs, threshold_x100: int = 70):

@@ -74,8 +74,15 @@ def load_queries(sf_dir: str, n_queries: int):
 def knn_partial_batch(
     df: pd.DataFrame, query_ids: list, q_ref, k: int
 ) -> pd.DataFrame:
-    """Local top-k of one batch against the broadcast query matrix."""
+    """Local top-k of one batch against the broadcast query matrix.
+
+    The batch is deduped by vec_id first: LSH probe reads deliver a vector
+    once per probed bucket, and duplicate rows (identical sim, adjacent in
+    the sort) could otherwise crowd a genuine top-k candidate out of this
+    batch's local top-k — the union of per-batch top-k over DISTINCT
+    candidates is guaranteed to contain the global top-k."""
     q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+    df = df.drop_duplicates(subset=["vec_id"])
     ids = df["vec_id"].to_numpy().astype(np.int64)
     x = _normalize(_embed_matrix(df))
     sims = q @ x.T  # (nq, batch)
@@ -189,7 +196,12 @@ def _index_dir(sf_dir: str, kind: str, params: str) -> str:
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(path)
-    key = hashlib.sha256(f"{path}:{st.st_size}:{params}:v1".encode()).hexdigest()[:16]
+    # size+mtime_ns content fingerprint (same convention as
+    # state/manifest.fragment_fingerprint): a regenerated file with equal
+    # byte size must not serve a stale index
+    key = hashlib.sha256(
+        f"{path}:{st.st_size}:{st.st_mtime_ns}:{params}:v1".encode()
+    ).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"annidx_{kind}_{key}")
 
 
@@ -213,11 +225,13 @@ def ensure_lsh_index(sf_dir: str) -> str:
     out_dir = _index_dir(sf_dir, "lsh", f"t{LSH_TABLES}p{LSH_PLANES}")
 
     def _build(tmp_dir: str) -> None:
-        from ..io import read_parquet_clean
+        from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
 
-        ds = read_parquet_clean(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        ).repartition(8)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        # fan-out sized from the input bytes (single-row-group driver file)
+        ds = read_parquet_clean(path, columns=["vec_id", "embedding"]).repartition(
+            blocks_for_bytes(input_nbytes(path))
+        )
         ds.map_batches(
             remote_fn("khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch"),
             batch_format="pandas",
@@ -369,11 +383,12 @@ def embedding_dups(sf_dir: str, tau_e6: int = 350_000):
 
     from ..remote import remote_fn
 
-    from ..io import read_parquet_clean
+    from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
 
-    ds = read_parquet_clean(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).repartition(8)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"]).repartition(
+        blocks_for_bytes(input_nbytes(path))
+    )
     replicated = ds.map_batches(
         remote_fn(
             "khl_pdf_ocr_ray.stages.knn",
@@ -430,6 +445,10 @@ def embedding_dups_lsh(sf_dir: str, tau_e6: int = 350_000):
 
     from ..remote import remote_fn
 
+    import os
+
+    from ..io import blocks_for_bytes, input_nbytes
+
     index_dir = ensure_lsh_index(sf_dir)
     # plain read: index files are Ray-written (metadata-clean) and the
     # hive `bucket` partition column must be reconstructed from dir names
@@ -438,8 +457,13 @@ def embedding_dups_lsh(sf_dir: str, tau_e6: int = 350_000):
         remote_fn("khl_pdf_ocr_ray.stages.knn", "bucket_group_pairs", tau_e6=tau_e6),
         batch_format="pandas",
     )
+    # coalesce the tiny per-bucket pair blocks; sized from the (slim) pair
+    # volume ~ input vector bytes, never a constant
+    n_coalesce = blocks_for_bytes(
+        input_nbytes(os.path.join(sf_dir, "embeddings.parquet")), lo=4
+    )
     return (
-        pairs.repartition(4)
+        pairs.repartition(n_coalesce)
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="n_buckets"))
         .map_batches(
@@ -536,11 +560,11 @@ def ensure_ivf_index(sf_dir: str) -> str:
         )
         centroids = _ivf_centroids(_embed_matrix(sample))
         cents_ref = ray.put(centroids)
-        from ..io import read_parquet_clean
+        from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
 
-        ds = read_parquet_clean(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        ).repartition(8)
+        ds = read_parquet_clean(path, columns=["vec_id", "embedding"]).repartition(
+            blocks_for_bytes(input_nbytes(path))
+        )
         os.makedirs(tmp_dir, exist_ok=True)
         ds.map_batches(
             remote_fn("khl_pdf_ocr_ray.stages.knn", "ivf_assign_batch", centroids_ref=cents_ref),

@@ -236,6 +236,17 @@ def run_resumable_extract(
     version = extraction_version(cfg)
     frags = input_partitions(pages_path)
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    # a SIGKILLed run can leave another pid's ``part-X.tmp-<pid>`` dirs (and
+    # manifest tmp files) behind; each worker only removes its OWN tmp, and
+    # a non-underscore tmp dir with a truncated parquet file would be picked
+    # up by dataset discovery over out_dir — sweep them all before resuming
+    for stale in glob.glob(os.path.join(out_dir, "part-*.tmp-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    for stale in glob.glob(os.path.join(out_dir, "_manifest", "*.tmp-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     done = completed_partitions(out_dir, version)
 
     todo, skipped = [], []
