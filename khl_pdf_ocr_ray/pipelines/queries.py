@@ -306,16 +306,17 @@ SESSION_GAP_S = 1800
 
 
 def q_sessionize(sf_dir: str) -> rd.Dataset:
-    """Session windows (gap > 30 min splits) per user. Shuffle on user_id;
-    each group is sorted and scanned with vectorized pandas. 100 TB: same
-    plan — state is per-key and bounded by a user's events; skewed users
-    would be range-split by day first."""
+    """Session windows (gap > 30 min splits) per user — the (user, day)
+    BUCKETED plan (stages/temporal.py): shuffle on (user_id, day) so a
+    task holds at most one day of one user (a bot account with billions
+    of events no longer fits one task's memory), then cross-midnight
+    sessions are merged over the per-day summary table (rows ~ active
+    user-days, never events). ``sessions_per_user`` below remains the
+    single-group-per-user twin the planted hot-user test compares
+    against."""
+    from ..stages.temporal import sessionize_bucketed
 
-    return (
-        _t(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(remote_fn(_Q, "sessions_per_user"), batch_format="pandas")
-    )
+    return sessionize_bucketed(_t(sf_dir, "events", ["user_id", "ts"]))
 
 
 SQL_SESSIONIZE = f"""
@@ -856,14 +857,16 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 def q_events_asof(sf_dir: str) -> rd.Dataset:
     """As-of join: every purchase matched to the user's most recent view at
-    or before it. Ray-native: hash-shuffle on user_id, then pd.merge_asof
-    inside each sorted group (the guide's per-bucket as-of pattern); ties
-    on ts take the latest view, unmatched -> -1. At 100 TB the group is a
-    (user, day) bucket so a single user's history never exceeds one task."""
-    return (
+    or before it (ties on ts take the latest view, unmatched -> -1) — the
+    (user, day) BUCKETED plan (stages/temporal.py): same-day matches via
+    pd.merge_asof per bucket; cross-day matches resolved by a per-user
+    prefix scan over per-day last-view summaries joined back on
+    (user, day). ``asof_per_user`` below remains the per-user twin for
+    the planted hot-user test."""
+    from ..stages.temporal import events_asof_bucketed
+
+    return events_asof_bucketed(
         _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-        .groupby("user_id")
-        .map_groups(remote_fn(_Q, "asof_per_user"), batch_format="pandas")
     )
 
 
@@ -965,16 +968,16 @@ RANGE_WINDOW_S = 3600
 
 def q_events_range_join(sf_dir: str) -> rd.Dataset:
     """Range (interval) join: for every purchase, the number of the SAME
-    user's views with ts in [purchase_ts - 1h, purchase_ts] — the custom
-    range-join operator the brief names. Ray-native: hash-shuffle on
-    user_id, then a sorted two-pointer sweep per group (O(n log n) per
-    user, no per-pair work). At 100 TB the group key becomes (user, day)
-    with a 1h overlap replicated across day boundaries so one user's
-    history never exceeds a task."""
-    return (
+    user's views with ts in [purchase_ts - 1h, purchase_ts] — the
+    (user, day) BUCKETED plan (stages/temporal.py): views in the last 1h
+    of a day are replicated into the next day's bucket (boundary-overlap
+    replication), then a sorted two-pointer sweep per bucket; exact, and
+    one user's history never exceeds a task. ``range_join_per_user``
+    below remains the per-user twin for the planted hot-user test."""
+    from ..stages.temporal import range_join_bucketed
+
+    return range_join_bucketed(
         _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-        .groupby("user_id")
-        .map_groups(remote_fn(_Q, "range_join_per_user"), batch_format="pandas")
     )
 
 
@@ -1234,7 +1237,7 @@ ORACLES.update(
         "text_quality": SQL_TEXT_QUALITY,
         "token_stats": SQL_TOKEN_STATS,
         "fingerprint": SQL_FINGERPRINT,
-        # fingerprint_rolling: intentionally no oracle (rows-only check)
+        # fingerprint_rolling: dump-backed oracle (state/oracle_dump.py)
         "knn_bruteforce": SQL_KNN_BRUTEFORCE,
         "doc_size_quantiles": SQL_DOC_SIZE_QUANTILES,
         "events_sample": SQL_EVENTS_SAMPLE,
@@ -1247,7 +1250,8 @@ ORACLES.update(
         "train_test_split": SQL_TRAIN_TEST_SPLIT,
         "events_running": SQL_EVENTS_RUNNING,
         "embedding_dups": SQL_EMBEDDING_DUPS,
-        # minhash/simhash/ngram-jaccard/ann_lsh: no oracle (rows-only)
+        # minhash/simhash/ngram-jaccard/ann_lsh/ann_ivf/embedding_dups_lsh:
+        # dump-backed oracles (state/oracle_dump_near.py), added by oracles()
     }
 )
 
@@ -1260,11 +1264,15 @@ QUERIES.update(EXTRACT_QUERIES)
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
-    dump-backed extraction/media/fingerprint oracles (sequential-oracle
-    parquet dumps generated on demand — see state/oracle_dump.py). The
-    driver runs its gate at sf=0.01, so that is the default dump target."""
+    dump-backed oracles (sequential-oracle parquet dumps generated on
+    demand — see state/oracle_dump.py for the extraction/media/lineage
+    surfaces and state/oracle_dump_near.py for the near-dup/ANN family).
+    The driver runs its gate at sf=0.01, so that is the default dump
+    target."""
     from ..state.oracle_dump import ORACLE_SF, extract_oracle_sqls
+    from ..state.oracle_dump_near import near_oracle_sqls
 
     out = dict(ORACLES)
     out.update(extract_oracle_sqls(sf_dir or ORACLE_SF))
+    out.update(near_oracle_sqls(sf_dir or ORACLE_SF))
     return out

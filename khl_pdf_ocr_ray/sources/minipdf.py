@@ -16,9 +16,13 @@ Scope (documented, asserted by tests):
 - FlateDecode streams (zlib) and uncompressed streams;
 - literal-string bytes >= 0x80 are decoded as cp1251 (the common simple-
   font encoding for Russian gamesheets); ASCII passes through;
-- word x positions inside a multi-word string are approximated by a fixed
-  per-character advance (the writer below emits one word per ``Td`` so
-  fixtures round-trip exactly).
+- per-font ``/Widths`` arrays (with ``/FirstChar``/``/MissingWidth``) are
+  honored for x-advance, so multi-word strings and ``TJ`` kerning arrays
+  place each word at its true x — the upper-median column split
+  (app.py:120-133 semantics) stays correct on wild PDFs; fonts without
+  ``/Widths`` fall back to a fixed per-character advance (the writer
+  below emits one word per ``Td`` so fixtures round-trip exactly either
+  way).
 
 The writer produces small, valid, xref-correct PDFs used as committed
 fixtures and synthetic-corpus rows.
@@ -89,12 +93,68 @@ def _decode_hex(raw: bytes) -> str:
     return bytes.fromhex(h.decode("ascii")).decode("cp1251")
 
 
-CHAR_ADVANCE = 0.5  # crude per-char width in font-size units for multi-word strings
+CHAR_ADVANCE = 0.5  # fallback per-char width (font-size units) when the
+                    # font carries no /Widths array
+
+_RE_OBJ = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_RE_WIDTHS = re.compile(rb"/Widths\s*\[([\s\d.+-]*)\]")
+_RE_FIRSTCHAR = re.compile(rb"/FirstChar\s+(\d+)")
+_RE_MISSINGW = re.compile(rb"/MissingWidth\s+([\d.+-]+)")
+_RE_FONT_DICT = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_RE_FONT_REF = re.compile(rb"/([^\s/\[\]()<>{}]+)\s+(\d+)\s+0\s+R")
+
+DEFAULT_GLYPH_W = 500.0  # 1/1000 text-space units when a code is unmapped
+
+
+def parse_font_widths(payload: bytes) -> Dict[str, Dict[int, float]]:
+    """Resource font name (e.g. "F1") -> {char code: glyph width/1000}.
+
+    Only fonts that declare ``/Widths`` appear in the map; fonts without
+    one use the CHAR_ADVANCE fallback. Resource names are assumed
+    consistent across pages (true for the single-resource-dict PDFs this
+    subset targets; a wild PDF with per-page conflicting names would need
+    per-page resource resolution)."""
+    by_obj: Dict[int, Dict[int, float]] = {}
+    for m in _RE_OBJ.finditer(payload):
+        body = m.group(2)
+        if b"/Font" not in body and b"/Widths" not in body:
+            continue
+        mw = _RE_WIDTHS.search(body)
+        if not mw:
+            continue
+        vals = [float(v) for v in mw.group(1).split()]
+        mf = _RE_FIRSTCHAR.search(body)
+        first = int(mf.group(1)) if mf else 0
+        table = {first + i: w for i, w in enumerate(vals)}
+        mm = _RE_MISSINGW.search(body)
+        if mm:
+            table[-1] = float(mm.group(1))
+        by_obj[int(m.group(1))] = table
+    fonts: Dict[str, Dict[int, float]] = {}
+    for m in _RE_FONT_DICT.finditer(payload):
+        for name, obj_id in _RE_FONT_REF.findall(m.group(1)):
+            table = by_obj.get(int(obj_id))
+            if table is not None:
+                fonts[name.decode("latin-1")] = table
+    return fonts
+
+
+def _text_width(
+    s: str, widths: Optional[Dict[int, float]], font_size: float
+) -> float:
+    """Advance of a shown string in text space: per-glyph /Widths when the
+    font declares them, else the fixed fallback."""
+    if widths is None:
+        return len(s) * CHAR_ADVANCE * font_size
+    raw = s.encode("cp1251", errors="replace")
+    default = widths.get(-1, DEFAULT_GLYPH_W)
+    return sum(widths.get(b, default) for b in raw) / 1000.0 * font_size
 
 
 def _emit_words(
     words: List[Word], text: str, tx: float, ty: float,
     font_size: float, page_h: float,
+    widths: Optional[Dict[int, float]] = None,
 ) -> None:
     y = page_h - ty
     parts = text.split(" ")
@@ -102,10 +162,13 @@ def _emit_words(
     for p in parts:
         if p:
             words.append((y, x, p))
-        x += (len(p) + 1) * CHAR_ADVANCE * font_size
+        x += _text_width(p, widths, font_size) + _text_width(" ", widths, font_size)
 
 
-def _page_words(content: bytes, page_h: float) -> List[Word]:
+def _page_words(
+    content: bytes, page_h: float,
+    fonts: Optional[Dict[str, Dict[int, float]]] = None,
+) -> List[Word]:
     words: List[Word] = []
     stack: List[object] = []
     in_array: Optional[List[object]] = None
@@ -113,6 +176,7 @@ def _page_words(content: bytes, page_h: float) -> List[Word]:
     line_tx = line_ty = 0.0  # Td/TD/T* operate relative to the LINE start
     leading = 0.0
     font_size = 12.0
+    widths: Optional[Dict[int, float]] = None  # current font's /Widths
     for m in _RE_TOK.finditer(content):
         tok = m.group(0)
         if tok == b"[":
@@ -138,6 +202,8 @@ def _page_words(content: bytes, page_h: float) -> List[Word]:
         op = tok
         if op == b"Tf" and len(stack) >= 1 and stack[-1][0] == "num":
             font_size = float(stack[-1][1])
+            if len(stack) >= 2 and stack[-2][0] == "name":
+                widths = (fonts or {}).get(stack[-2][1])
         elif op in (b"Td", b"TD") and len(stack) >= 2:
             dx, dy = float(stack[-2][1]), float(stack[-1][1])
             line_tx += dx
@@ -154,20 +220,20 @@ def _page_words(content: bytes, page_h: float) -> List[Word]:
         elif op == b"TL" and stack:
             leading = float(stack[-1][1])
         elif op == b"Tj" and stack and stack[-1][0] == "str":
-            _emit_words(words, stack[-1][1], tx, ty, font_size, page_h)
+            _emit_words(words, stack[-1][1], tx, ty, font_size, page_h, widths)
         elif op in (b"'", b'"') and stack and stack[-1][0] == "str":
             line_ty -= leading
             tx, ty = line_tx, line_ty
-            _emit_words(words, stack[-1][1], tx, ty, font_size, page_h)
+            _emit_words(words, stack[-1][1], tx, ty, font_size, page_h, widths)
         elif op == b"TJ" and stack and isinstance(stack[-1], list):
             x = tx
             for kind, val in stack[-1]:
                 if kind == "str":
-                    before = len(words)
-                    _emit_words(words, val, x, ty, font_size, page_h)
-                    x += len(val) * CHAR_ADVANCE * font_size
-                    del before
+                    _emit_words(words, val, x, ty, font_size, page_h, widths)
+                    x += _text_width(val, widths, font_size)
                 elif kind == "num":
+                    # kerning adjustment: thousandths of text space,
+                    # subtracted from the advance (ISO 32000 9.4.3)
                     x -= val / 1000.0 * font_size
         elif op == b"BT":
             tx = ty = line_tx = line_ty = 0.0
@@ -186,6 +252,7 @@ def extract_pdf_pages(payload: bytes) -> List[Dict]:
         width, height = x1 - x0, y1 - y0
     else:
         width, height = 595.0, 842.0  # A4 default
+    fonts = parse_font_widths(payload)
     pages = []
     for m in _RE_STREAM_HEAD.finditer(payload):
         head = m.group(1)
@@ -206,7 +273,7 @@ def extract_pdf_pages(payload: bytes) -> List[Dict]:
         if b"BT" not in body:
             continue  # not a text content stream (image/xobject/etc.)
         pages.append(
-            {"width": width, "height": height, "words": _page_words(body, height)}
+            {"width": width, "height": height, "words": _page_words(body, height, fonts)}
         )
     if not pages:
         raise ValueError("no text content streams found (unsupported PDF subset)")

@@ -49,7 +49,7 @@ def dumps_dir(sf_dir: str) -> str:
 
     pages_dir = synthesize_pages(sf_dir, repeat=2)
     key = hashlib.sha256(
-        f"{pages_dir}:{extraction_version(None)}:v2".encode()
+        f"{pages_dir}:{extraction_version(None)}:v3".encode()
     ).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_{key}")
 
@@ -73,6 +73,7 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         media_table,
     )
     from ..stages.textqc import ROLL_BASE, ROLL_MOD
+    from .manifest import extraction_version
 
     pages_dir = synthesize_pages(sf_dir, repeat=2)
     os.makedirs(out_dir, exist_ok=True)
@@ -96,12 +97,28 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         "link_density_x1e6": [], "text_density_x100": [], "kept": [],
     }
 
-    for frag in sorted(glob.glob(os.path.join(pages_dir, "*.parquet"))):
+    # lineage twin: per-fragment (partition) aggregates accumulated in the
+    # same sequential pass — partition_id = index in the sorted fragment
+    # list, the identical convention manifest.input_partitions uses
+    lineage_rows: Dict[str, list] = {
+        k: [] for k in (
+            "partition_id", "row_count", "bytes_in", "chars_out", "error_rows",
+            "extraction_version",
+        )
+    }
+    version = extraction_version(None)
+
+    for pid, frag in enumerate(sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))):
         tbl = pq.read_table(frag, columns=["url", "html", "text"])
+        frag_rows = frag_bytes = frag_chars = frag_errors = 0
         for url, payload, pre_text in zip(
             tbl["url"].to_pylist(), tbl["html"].to_pylist(), tbl["text"].to_pylist()
         ):
             rec = extract_document(payload, pre_text, debug=True)
+            frag_rows += 1
+            frag_bytes += len(payload) if payload is not None else 0
+            frag_chars += len(rec["text"])
+            frag_errors += 0 if rec["ok"] else 1
             mh = _RE_HOST.match(url)
             ms = _RE_SHEET.search(url)
             ext["url"].append(url)
@@ -155,6 +172,12 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
                     blocks_rows["link_density_x1e6"].append(int(b["link_density"] * 1e6))
                     blocks_rows["text_density_x100"].append(int(b["text_density"] * 100))
                     blocks_rows["kept"].append(b["kept"])
+        lineage_rows["partition_id"].append(pid)
+        lineage_rows["row_count"].append(frag_rows)
+        lineage_rows["bytes_in"].append(frag_bytes)
+        lineage_rows["chars_out"].append(frag_chars)
+        lineage_rows["error_rows"].append(frag_errors)
+        lineage_rows["extraction_version"].append(version)
 
     def _write(name: str, cols: Dict[str, list], types: Dict[str, pa.DataType]) -> None:
         arrays = {
@@ -182,6 +205,18 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
             "link_density_x1e6": pa.int64(),
             "text_density_x100": pa.int64(),
             "kept": pa.bool_(),
+        },
+    )
+
+    _write(
+        "lineage_seq.parquet",
+        lineage_rows,
+        {
+            "partition_id": pa.int64(),
+            "row_count": pa.int64(),
+            "bytes_in": pa.int64(),
+            "chars_out": pa.int64(),
+            "error_rows": pa.int64(),
         },
     )
 
@@ -339,6 +374,11 @@ SELECT doc_id, fp_roll FROM read_parquet('{p("fp_roll_seq.parquet")}')
 """,
         "skew_partition_stats": f"""
 SELECT part_key, rows, bytes FROM read_parquet('{p("skew_seq.parquet")}')
+""",
+        "lineage": f"""
+SELECT partition_id, row_count, bytes_in, chars_out, error_rows,
+       extraction_version
+FROM read_parquet('{p("lineage_seq.parquet")}')
 """,
         "media_image_features": f"SELECT * FROM read_parquet('{p('media_image_seq.parquet')}')",
         "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",

@@ -1,0 +1,264 @@
+"""Sequential-oracle dumps for the near-dup / similarity-search family.
+
+Round-2 closed the extraction surface's oracle gap with sequential dumps
+(state/oracle_dump.py); this module does the same for the remaining
+rows-only queries: ``minhash_dups``, ``minhash_clusters``,
+``simhash_dups``, ``ngram_jaccard_dups``, ``ann_lsh``, ``ann_ivf`` and
+``embedding_dups_lsh``.
+
+Method: a plain SINGLE-PROCESS, SINGLE-BATCH execution — the same
+per-record kernels (held independently by the pytest planted-pair /
+recall / union-find-parity tests) applied to the whole corpus as ONE
+pandas DataFrame, with the relational plumbing done by in-memory pandas
+groupbys instead of Ray shuffles. The driver's DuckDB gate then certifies
+that the DISTRIBUTED plan — band/bucket shuffles, signature hash-joins,
+label-propagation rounds, partitioned-index probe reads — reproduces the
+sequential semantics exactly. Grouping keys are global functions of the
+row (band hash, shingle, bucket id), so per-shard grouping in the
+distributed plan partitions the same groups the sequential groupby sees;
+bucket truncation (sorted doc_id, BUCKET_CAP) is inside the shared
+kernels and therefore identical on both sides.
+
+For the union-find side of ``minhash_clusters`` the sequential
+implementation is genuinely independent of the production path
+(driver-side union-find vs distributed min-label propagation).
+
+Dumps are cached on the content fingerprints (size + mtime_ns) of the
+source tables plus an md5 of the kernel modules (stages/dedup.py,
+stages/knn.py) — editing a kernel rebuilds the dumps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .atomic import ensure_published
+
+THRESHOLD_X100 = 70  # matches q_minhash_dups / q_ngram_jaccard_dups
+TAU_E6 = 350_000     # matches q_embedding_dups_lsh
+N_QUERIES, TOP_K, LSH_PROBES, IVF_NPROBE = 8, 5, 4, 4  # match queries.py
+
+
+def _fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def dumps_dir(sf_dir: str) -> str:
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = []
+    for rel in ("stages/dedup.py", "stages/knn.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            parts.append(hashlib.md5(f.read()).hexdigest())
+    for name in ("documents.parquet", "embeddings.parquet"):
+        parts.append(_fingerprint(os.path.join(sf_dir, name)))
+    key = hashlib.sha256(("|".join(parts) + "|v1").encode()).hexdigest()[:16]
+    return os.path.join("/tmp/khlray_cache", f"oracle_dumps_near_{key}")
+
+
+def _docs_with_variants_df(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of stages.dedup.docs_with_variants: documents plus
+    a near-duplicate of every 3rd doc (same offset/suffix rules)."""
+    from ..stages.dedup import VARIANT_OFFSET
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    var = docs[docs["doc_id"] % 3 == 0].copy()
+    var["doc_id"] = var["doc_id"] + VARIANT_OFFSET
+    var["text"] = var["text"].fillna("") + " near duplicate variant"
+    return pd.concat([docs, var], ignore_index=True)
+
+
+def _minhash_pairs(docs: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.dedup import bucket_pairs, minhash_band_batch, minhash_sig_batch
+
+    sigs = minhash_sig_batch(docs)
+    bands = minhash_band_batch(sigs)
+    uniq = bucket_pairs(bands).drop_duplicates(["doc_a", "doc_b"])
+    sig_map = {int(d): np.asarray(s) for d, s in zip(sigs["doc_id"], sigs["sig"])}
+    if uniq.empty:
+        return pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "est_jaccard_x100": []}
+        ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"})
+    a = np.stack([sig_map[int(d)] for d in uniq["doc_a"]])
+    b = np.stack([sig_map[int(d)] for d in uniq["doc_b"]])
+    est = (100 * (a == b).mean(axis=1)).astype(np.int64)  # same expr as the
+    # distributed pair_sig_agreement, so the floor at the threshold agrees
+    out = pd.DataFrame(
+        {"doc_a": uniq["doc_a"], "doc_b": uniq["doc_b"], "est_jaccard_x100": est}
+    ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"})
+    return out[out["est_jaccard_x100"] >= THRESHOLD_X100].reset_index(drop=True)
+
+
+def _simhash_pairs(docs: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.dedup import simhash_batch, simhash_bucket_pairs
+
+    bands = simhash_batch(docs)
+    pairs = simhash_bucket_pairs(bands)
+    if pairs.empty:
+        return pairs
+    return (
+        pairs.groupby(["doc_a", "doc_b"], as_index=False)["hamming"]
+        .min()
+        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+    )
+
+
+def _ngram_pairs(docs: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.dedup import (
+        jaccard_finalize,
+        shingle_count_batch,
+        shingle_doc_pairs,
+        shingle_explode_batch,
+    )
+
+    exploded = shingle_explode_batch(docs)
+    raw = shingle_doc_pairs(exploded)
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_x100": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard_x100": "int64"}
+    )
+    if raw.empty:
+        return empty
+    common = raw.groupby(["doc_a", "doc_b"], as_index=False)["common"].sum()
+    counts = shingle_count_batch(docs)
+    m = common.merge(
+        counts.rename(columns={"doc_id": "doc_a", "n_shingles": "n_a"}), on="doc_a"
+    ).merge(counts.rename(columns={"doc_id": "doc_b", "n_shingles": "n_b"}), on="doc_b")
+    return jaccard_finalize(m, THRESHOLD_X100).reset_index(drop=True)
+
+
+def _load_embeddings(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+
+
+def _queries(emb: pd.DataFrame):
+    """Twin of stages.knn.load_queries (no Ray): lowest N vec_ids."""
+    from ..stages.knn import _embed_matrix, _normalize
+
+    q = emb.sort_values("vec_id").head(N_QUERIES)
+    return q["vec_id"].to_numpy().astype(np.int64), _normalize(_embed_matrix(q))
+
+
+def _ann_lsh_seq(emb: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.knn import (
+        _bucket_keys,
+        knn_merge,
+        knn_partial_batch,
+        lsh_bucket_batch,
+    )
+
+    qids, q = _queries(emb)
+    wanted = set()
+    for row in _bucket_keys(q):
+        for key in row:
+            wanted.add(int(key))
+            for b in range(LSH_PROBES):
+                wanted.add(int(key) ^ (1 << b))
+    exploded = lsh_bucket_batch(emb)
+    cands = exploded[exploded["bucket"].isin(wanted)][["vec_id", "embedding"]]
+    partials = knn_partial_batch(cands, [int(v) for v in qids], q, TOP_K)
+    return knn_merge(partials, TOP_K)[["query_id", "neighbor_id", "rank"]]
+
+
+def _ann_ivf_seq(emb: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.knn import (
+        IVF_TRAIN_SAMPLE,
+        _embed_matrix,
+        _ivf_centroids,
+        _normalize,
+        knn_merge,
+        knn_partial_batch,
+    )
+
+    sample = emb.sort_values("vec_id").head(IVF_TRAIN_SAMPLE)
+    centroids = _ivf_centroids(_embed_matrix(sample))
+    x = _embed_matrix(emb)
+    assign = np.argmax(_normalize(x) @ _normalize(centroids).T, axis=1).astype(np.int64)
+    qids, q = _queries(emb)
+    probe = set()
+    for row in q @ _normalize(centroids).T:
+        for c in np.argsort(-row)[:IVF_NPROBE]:
+            probe.add(int(c))
+    cands = emb[np.isin(assign, sorted(probe))][["vec_id", "embedding"]]
+    partials = knn_partial_batch(cands, [int(v) for v in qids], q, TOP_K)
+    return knn_merge(partials, TOP_K)[["query_id", "neighbor_id", "rank"]]
+
+
+def _emb_lsh_pairs(emb: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.knn import bucket_group_pairs, lsh_bucket_batch
+
+    exploded = lsh_bucket_batch(emb)
+    parts = [
+        bucket_group_pairs(g, TAU_E6) for _, g in exploded.groupby("bucket", sort=False)
+    ]
+    pairs = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {"vec_a": [], "vec_b": []}
+    )
+    return (
+        pairs.drop_duplicates(["vec_a", "vec_b"])
+        .astype({"vec_a": "int64", "vec_b": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+def _build_dumps(sf_dir: str, out_dir: str) -> None:
+    from ..stages.dedup import union_find_clusters
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(name: str, df: pd.DataFrame) -> None:
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(out_dir, name),
+        )
+
+    docs = _docs_with_variants_df(sf_dir)
+    mh = _minhash_pairs(docs)
+    _write("minhash_pairs_seq.parquet", mh)
+    # clusters: the INDEPENDENT sequential algorithm (union-find) over the
+    # sequential pairs — double-checks both the pair set and the
+    # distributed label propagation
+    _write(
+        "minhash_clusters_seq.parquet",
+        union_find_clusters(mh).sort_values("doc_id").reset_index(drop=True),
+    )
+    _write("simhash_pairs_seq.parquet", _simhash_pairs(docs))
+    _write("ngram_pairs_seq.parquet", _ngram_pairs(docs))
+
+    emb = _load_embeddings(sf_dir)
+    _write("ann_lsh_seq.parquet", _ann_lsh_seq(emb))
+    _write("ann_ivf_seq.parquet", _ann_ivf_seq(emb))
+    _write("emb_lsh_pairs_seq.parquet", _emb_lsh_pairs(emb))
+
+
+def ensure_dumps(sf_dir: str) -> str:
+    out_dir = dumps_dir(sf_dir)
+    return ensure_published(out_dir, lambda tmp: _build_dumps(sf_dir, tmp))
+
+
+def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
+    """Oracle SQL for the near-dup/ANN family (dumps built on demand)."""
+    d = ensure_dumps(sf_dir)
+
+    def p(name: str) -> str:
+        return os.path.join(d, name)
+
+    return {
+        "minhash_dups": f"SELECT doc_a, doc_b, est_jaccard_x100 FROM read_parquet('{p('minhash_pairs_seq.parquet')}')",
+        "minhash_clusters": f"SELECT doc_id, cluster_id, cluster_size, keep FROM read_parquet('{p('minhash_clusters_seq.parquet')}')",
+        "simhash_dups": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p('simhash_pairs_seq.parquet')}')",
+        "ngram_jaccard_dups": f"SELECT doc_a, doc_b, jaccard_x100 FROM read_parquet('{p('ngram_pairs_seq.parquet')}')",
+        "ann_lsh": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
+        "ann_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
+        "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
+    }

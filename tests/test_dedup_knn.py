@@ -196,6 +196,46 @@ def test_label_propagation_deep_chain(ray_session):
     assert out.loc[out["doc_id"] == 0, "keep"].item() is True
 
 
+def test_label_propagation_giant_cluster(ray_session):
+    """A planted giant cluster (one label, 10^4 nodes as a star graph):
+    the cluster-size attachment is aggregate-Count + join, so no single
+    task ever holds the whole cluster — and the output still matches the
+    sequential union-find oracle."""
+    import pandas as pd
+    import ray.data as rd
+
+    n = 10_000
+    star = pd.DataFrame({"doc_a": [0] * (n - 1), "doc_b": range(1, n)}).astype("int64")
+    from khl_pdf_ocr_ray.stages.dedup import (
+        label_propagation_clusters,
+        union_find_clusters,
+    )
+
+    out = (
+        label_propagation_clusters(rd.from_pandas(star).repartition(8))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    uf = union_find_clusters(star).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, uf)
+    assert (out["cluster_size"] == n).all() and set(out["cluster_id"]) == {0}
+
+
+def test_label_propagation_exhaustion_raises(ray_session):
+    """max_rounds below the graph diameter must raise, never silently
+    return split clusters."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    chain = pd.DataFrame({"doc_a": range(6), "doc_b": range(1, 7)}).astype("int64")
+    from khl_pdf_ocr_ray.stages.dedup import label_propagation_clusters
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_clusters(rd.from_pandas(chain), max_rounds=2)
+
+
 def test_ann_ivf_recall(ray_session, sf):
     from khl_pdf_ocr_ray.pipelines.queries import q_ann_ivf, q_knn_bruteforce
 

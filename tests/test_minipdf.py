@@ -127,3 +127,49 @@ def test_roundtrip_property_random_words():
                 assert abs(gy - wy) < 0.006 and abs(gx - wx) < 0.006
 
     check()
+
+
+def test_tj_kerned_fixture_widths_column_split():
+    """Committed TJ-kerned fixture (tests/fixtures/gen_tj_fixture.py): word
+    x positions come from the font's /Widths array plus TJ kerning, and the
+    upper-median column split matches the hand-computed expectation in the
+    generator docstring. A reader ignoring /Widths (fixed CHAR_ADVANCE)
+    would compute a different median and a different split."""
+    import os
+
+    from khl_pdf_ocr_ray.functions.textgeom import split_columns, upper_median_x
+    from khl_pdf_ocr_ray.sources.minipdf import extract_pdf_pages
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "tj_kerned.pdf")
+    with open(path, "rb") as f:
+        pages = extract_pdf_pages(f.read())
+    words = pages[0]["words"]
+    assert words == [
+        (50.0, 50.0, "AB"),
+        (50.0, 80.0, "CD"),
+        (50.0, 150.0, "EF"),
+        (70.0, 50.0, "GH"),
+        (70.0, 140.0, "IJ"),
+        (70.0, 170.0, "KL"),
+    ]
+    assert upper_median_x(words) == 140.0
+    _lines, cols = split_columns(words)
+    assert sorted(t for _, _, t in cols["left"]) == ["AB", "CD", "GH", "IJ"]
+    assert sorted(t for _, _, t in cols["right"]) == ["EF", "KL"]
+
+
+def test_widths_fallback_without_widths_array_unchanged():
+    """PDFs whose fonts declare no /Widths keep the documented fixed
+    CHAR_ADVANCE fallback — existing fixtures parse byte-identically."""
+    from khl_pdf_ocr_ray.sources.minipdf import (
+        CHAR_ADVANCE,
+        build_pdf,
+        extract_pdf_pages,
+        parse_font_widths,
+    )
+
+    pdf = build_pdf([[(100.0, 50.0, "hello"), (100.0, 120.0, "world")]])
+    assert parse_font_widths(pdf) == {}  # writer emits no /Widths
+    pages = extract_pdf_pages(pdf)
+    assert pages[0]["words"] == [(100.0, 50.0, "hello"), (100.0, 120.0, "world")]
+    assert CHAR_ADVANCE == 0.5

@@ -18,6 +18,15 @@ DUMP_QUERIES = [
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
+    "lineage",
+    # near-dup / ANN family (state/oracle_dump_near.py sequential twins)
+    "minhash_dups",
+    "minhash_clusters",
+    "simhash_dups",
+    "ngram_jaccard_dups",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_dups_lsh",
 ]
 
 
