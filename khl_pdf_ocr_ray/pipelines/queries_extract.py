@@ -351,7 +351,9 @@ def q_pdf_words(sf_dir: str) -> rd.Dataset:
 def q_extract_blocks(sf_dir: str) -> rd.Dataset:
     """The scored block table (SURVEY.md §1.2 ``blocks``): every candidate
     HTML block with its text/link-density scores and the keep decision —
-    the explainability surface of the boilerplate stripper."""
+    the explainability surface of the boilerplate stripper — plus TABLE
+    REGIONS detected on WBOX/PDF pages (functions/tables.py: aligned
+    multi-column word grids, kind='table:pPrRcC')."""
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     return rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
         remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "blocks_explode"),
@@ -361,6 +363,7 @@ def q_extract_blocks(sf_dir: str) -> rd.Dataset:
 
 def blocks_explode(batch: pa.Table) -> pa.Table:
     from ..functions.html_extract import extract_main_content
+    from ..functions.tables import table_block_rows
     from ..sources.wordbox import sniff_content_type
 
     rows = {
@@ -373,7 +376,13 @@ def blocks_explode(batch: pa.Table) -> pa.Table:
         "kept": [],
     }
     for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-        if sniff_content_type(payload) != "text/html":
+        ctype = sniff_content_type(payload)
+        if ctype in ("application/x-wbox", "application/pdf"):
+            for r in table_block_rows(url, payload):
+                for k in rows:
+                    rows[k].append(r[k])
+            continue
+        if ctype != "text/html":
             continue
         for i, b in enumerate(extract_main_content(payload)["blocks"]):
             rows["url"].append(url)

@@ -48,8 +48,14 @@ def dumps_dir(sf_dir: str) -> str:
     from .manifest import extraction_version
 
     pages_dir = synthesize_pages(sf_dir, repeat=2)
+    # tables.py feeds the blocks surface but not extraction_version (table
+    # detection never changes extracted text) — hash it into THIS key so
+    # detector edits rebuild the dumps without invalidating checkpoints
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(pkg, "functions/tables.py"), "rb") as f:
+        tables_md5 = hashlib.md5(f.read()).hexdigest()
     key = hashlib.sha256(
-        f"{pages_dir}:{extraction_version(None)}:v3".encode()
+        f"{pages_dir}:{extraction_version(None)}:{tables_md5}:v3".encode()
     ).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_{key}")
 
@@ -161,6 +167,11 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
                             words_rows["y_x10"].append(int(y * 10 + 0.5))
                             words_rows["x_x10"].append(int(x * 10 + 0.5))
                             words_rows["token"].append(tok)
+                    from ..functions.tables import table_block_rows
+
+                    for r in table_block_rows(url, payload):
+                        for k in blocks_rows:
+                            blocks_rows[k].append(r[k])
             elif ctype == "text/html":
                 from ..functions.html_extract import extract_main_content
 
