@@ -225,7 +225,7 @@ def q_skew_partition_stats(sf_dir: str) -> rd.Dataset:
         )
         .materialize()  # consumed twice (hot-host sample + keying): run once
     )
-    hot = detect_hot_hosts(pages.select_columns(["host"]))
+    hot = detect_hot_hosts(pages.select_columns(["host", "url"]))
     keyed = pages.map_batches(
         remote_fn("khl_pdf_ocr_ray.stages.skew", "add_partition_key", hot_hosts=hot),
         batch_format="pyarrow",

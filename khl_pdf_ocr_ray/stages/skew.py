@@ -59,15 +59,47 @@ def add_partition_key(
     return batch.append_column("part_key", pa.array(keys, pa.int64()))
 
 
-def detect_hot_hosts(pages, top_frac: float = 0.2) -> List[str]:
-    """Exact host histogram -> hosts holding > top_frac of the rows.
+HOT_SAMPLE_THRESHOLD_ROWS = 1_000_000
+HOT_SAMPLE_PCT = 1  # 1-in-100 url-residue sample above the threshold
 
-    Exact, not sampled: per-batch partial counts mean the shuffle moves
-    one row per (host, block), so the full pass is cheap at any scale; a
-    deployment wanting an even cheaper feed would run this over a
-    key-residue sample of the pages first."""
+
+def sample_rows_by_url(batch: pa.Table, pct: int = HOT_SAMPLE_PCT) -> pa.Table:
+    """Deterministic, layout-independent row sample: crc32(url) % 100 < pct.
+    Unbiased per host (urls hash independently of their host), unlike a
+    host-residue sample which would keep/drop whole hosts."""
+    urls = batch["url"].to_pylist()
+    mask = pa.array([zlib.crc32(u.encode()) % 100 < pct for u in urls], pa.bool_())
+    return batch.filter(mask)
+
+
+def detect_hot_hosts(
+    pages,
+    top_frac: float = 0.2,
+    sample_threshold: int = HOT_SAMPLE_THRESHOLD_ROWS,
+) -> List[str]:
+    """Host histogram -> hosts holding > top_frac of the rows.
+
+    Below ``sample_threshold`` rows the histogram is EXACT (per-batch
+    partial counts mean the shuffle moves one row per (host, block), so
+    the full pass is cheap — and the skew oracle at sf0.01 sees the exact
+    path). Above it, the default feed is a deterministic 1-in-100
+    url-residue sample (layout-independent, so still reproducible
+    run-to-run): hot-host detection is a PERFORMANCE hint feeding the
+    salt decision — a borderline host flipping in or out of the hot set
+    changes partition balance, never results — so the sampled estimate of
+    per-host row shares is the right cost/accuracy trade at corpus scale.
+    ``pages`` must carry host and url columns."""
     from ray.data.aggregate import Count
 
+    from ..remote import remote_fn
+
+    n = pages.count()
+    if n > sample_threshold:
+        pages = pages.map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.skew", "sample_rows_by_url"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     counts = (
         pages.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
     )

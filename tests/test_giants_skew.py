@@ -60,3 +60,24 @@ def test_giants_extract_byte_identical(ray_session, skewed_dir):
     for rec in big.itertuples():
         oracle = extract_document(rec.html, rec.text)
         assert texts[rec.url] == oracle["text"], rec.url
+
+
+def test_detect_hot_hosts_sampled_feed(ray_session):
+    """Forcing the sampled path (threshold 0): the deterministic 1-in-100
+    url-residue sample still finds the planted hot host on a skewed
+    corpus, and the estimate is reproducible run-to-run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from khl_pdf_ocr_ray.stages.skew import detect_hot_hosts
+
+    hosts = ["hot.example.com"] * 6000 + [f"site{i}.example.org" for i in range(4000)]
+    urls = [f"https://{h}/p/{i}" for i, h in enumerate(hosts)]
+    pages = rd.from_arrow(
+        pa.table({"host": pa.array(hosts), "url": pa.array(urls)})
+    ).repartition(8)
+    sampled = detect_hot_hosts(pages, sample_threshold=0)
+    assert sampled == ["hot.example.com"]
+    assert detect_hot_hosts(pages, sample_threshold=0) == sampled  # deterministic
+    exact = detect_hot_hosts(pages)  # below the default threshold -> exact
+    assert exact == ["hot.example.com"]
