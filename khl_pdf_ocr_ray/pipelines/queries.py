@@ -316,7 +316,21 @@ def q_sessionize(sf_dir: str) -> rd.Dataset:
     against."""
     from ..stages.temporal import sessionize_bucketed
 
-    return sessionize_bucketed(_t(sf_dir, "events", ["user_id", "ts"]))
+    return sessionize_bucketed(
+        _t(sf_dir, "events", ["user_id", "ts"]), num_shards=_event_shards(sf_dir)
+    )
+
+
+def _event_shards(sf_dir: str) -> int:
+    """Shard count for the (user, day)-bucketed temporal ops: byte-derived
+    (32 MB of events per shard task), floored for toy-scale parallelism."""
+    from ..io import blocks_for_bytes, input_nbytes
+
+    return blocks_for_bytes(
+        input_nbytes(os.path.join(sf_dir, "events.parquet")),
+        target_block_bytes=32 << 20,
+        lo=64,
+    )
 
 
 SQL_SESSIONIZE = f"""
@@ -866,7 +880,8 @@ def q_events_asof(sf_dir: str) -> rd.Dataset:
     from ..stages.temporal import events_asof_bucketed
 
     return events_asof_bucketed(
-        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        num_shards=_event_shards(sf_dir),
     )
 
 
@@ -977,7 +992,8 @@ def q_events_range_join(sf_dir: str) -> rd.Dataset:
     from ..stages.temporal import range_join_bucketed
 
     return range_join_bucketed(
-        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        num_shards=_event_shards(sf_dir),
     )
 
 
