@@ -251,7 +251,7 @@ def extract_blocks(html: str) -> Tuple[List[Block], str]:
         if m.start() > pos:
             data_event(html[pos : m.start()])
         pos = m.end()
-        close, opened, attrs = m.group(1), m.group(2), m.group(3)
+        close, opened, attrs = m.group(1, 2, 3)
         if opened is not None:
             tag = opened.lower()
             self_closing = attrs.rstrip().endswith("/")

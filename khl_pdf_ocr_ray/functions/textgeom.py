@@ -20,11 +20,19 @@ distributed sort/shuffle.
 from __future__ import annotations
 
 import re
+from operator import itemgetter
 from typing import Dict, List, Sequence, Tuple
 
 Word = Tuple[float, float, str]  # (y, x, token)
 
+_X_KEY = itemgetter(0)  # C-level sort key for (x, token) members
+
 _WS = re.compile(r"\s+")
+# "needs normalizing" probe: a run of 2+ whitespace chars, or any whitespace
+# that is not a plain space. A space-joined token line that fails this probe
+# is already in normal form, so the (much costlier) per-match _WS.sub can be
+# skipped — identical output either way.
+_WS_BAD = re.compile(r"\s{2,}|[^\S ]")
 
 DEFAULT_Y_TOL = 3.0
 
@@ -61,22 +69,37 @@ def cluster_rows(
     predicate — bit-identical to the naive scan even at the float boundary.
     Equivalence to the naive scan is property-tested.
     """
-    import bisect
+    from bisect import bisect_left, bisect_right, insort
 
     clusters: Dict[float, List[Tuple[float, str]]] = {}
     order: Dict[float, int] = {}
     sorted_keys: List[float] = []
+    n_keys = 0
     for y, x, tok in words:
-        lo = max(bisect.bisect_left(sorted_keys, y - tolerance) - 1, 0)
-        hi = min(bisect.bisect_right(sorted_keys, y + tolerance) + 1, len(sorted_keys))
-        candidates = [k for k in sorted_keys[lo:hi] if abs(k - y) <= tolerance]
-        if candidates:
-            target = min(candidates, key=order.__getitem__)
-        else:
+        # allocation-free candidate scan over the (tiny) bisect window,
+        # tracking the minimum insertion index directly
+        lo = bisect_left(sorted_keys, y - tolerance)
+        if lo:
+            lo -= 1
+        hi = bisect_right(sorted_keys, y + tolerance, lo)
+        if hi < n_keys:
+            hi += 1
+        target = None
+        best_ord = -1
+        while lo < hi:
+            k = sorted_keys[lo]
+            if -tolerance <= k - y <= tolerance:
+                o = order[k]
+                if target is None or o < best_ord:
+                    target = k
+                    best_ord = o
+            lo += 1
+        if target is None:
             target = y
             clusters[target] = []
-            order[target] = len(order)
-            bisect.insort(sorted_keys, target)
+            order[target] = n_keys
+            insort(sorted_keys, target)
+            n_keys += 1
         clusters[target].append((x, tok))
     return sorted(clusters.items())
 
@@ -89,9 +112,10 @@ def lines_from_words(words: Sequence[Word], tolerance: float = DEFAULT_Y_TOL) ->
     """
     lines: List[str] = []
     for _ky, members in cluster_rows(words, tolerance):
-        members = sorted(members, key=lambda m: m[0])
-        text = " ".join(tok for _x, tok in members).strip()
-        text = _WS.sub(" ", text)
+        members.sort(key=_X_KEY)  # in-place: cluster_rows owns the lists
+        text = " ".join([m[1] for m in members]).strip()
+        if _WS_BAD.search(text):
+            text = _WS.sub(" ", text)
         if text:
             lines.append(text)
     return lines

@@ -41,8 +41,13 @@ class ExtractConfig:
     extract_batch_size: int = 256       # payload-heavy rows -> modest batches
     # OCR batches sized like the extract batches: the stage passes most rows
     # through untouched, and tiny batches multiply actor-task dispatch cost
-    # (3000+ RPCs per 100k rows at 32). Real raster engines with multi-second
-    # per-page cost would shrink this via OcrConfig instead.
+    # (3000+ RPCs per 100k rows at 32). Batch 1024 / pool 16 were A/B-tested
+    # at 800k docs/32 CPUs (6 interleaved pairs against this config): the
+    # wider/chunkier settings lost 5 of 6 pairs despite ds.stats() showing
+    # large nominal queue wait behind the 8-actor pool — the queue is
+    # absorbed by pipelining, and the wider pool's extra logical-CPU
+    # reservation starves the extract tasks instead. Real raster engines
+    # with multi-second per-page cost would shrink this via OcrConfig.
     ocr_batch_size: int = 256
     # actor pool (min, max): Ray fuses the upstream task stages into this
     # pool, so its size IS the whole pipeline's parallelism. None -> derive
@@ -90,7 +95,9 @@ def build_extract_pipeline(pages: rd.Dataset, cfg: Optional[ExtractConfig] = Non
         # task stages (see ray_remote_args_fn below), so the heavy text-layer
         # extraction parallelizes across all CPUs as tasks while this pool
         # only absorbs the flagged slice + cheap pass-through filtering.
-        # A real multi-second-per-page OCR engine would size this up via
+        # Width 16 was A/B-tested at 800k docs/32 CPUs and lost to 8 in 5 of
+        # 6 interleaved pairs (see ocr_batch_size note). A real
+        # multi-second-per-page OCR engine would size this up via
         # ExtractConfig.ocr_concurrency.
         width = max(2, min(8, ncpu // 2))
         concurrency = (width, width)

@@ -59,6 +59,8 @@ _ESCAPES = {
 def _decode_literal(raw: bytes) -> str:
     """Bytes of a literal string (without parens) -> text; escapes per the
     spec, high bytes via cp1251."""
+    if b"\\" not in raw:  # overwhelmingly common: no escapes at all
+        return raw.decode("cp1251")
     out = bytearray()
     i = 0
     n = len(raw)
@@ -95,6 +97,8 @@ def _decode_hex(raw: bytes) -> str:
 
 CHAR_ADVANCE = 0.5  # fallback per-char width (font-size units) when the
                     # font carries no /Widths array
+
+_NUM_STARTS = frozenset(b"+-.0123456789")
 
 _RE_OBJ = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _RE_WIDTHS = re.compile(rb"/Widths\s*\[([\s\d.+-]*)\]")
@@ -159,10 +163,11 @@ def _emit_words(
     y = page_h - ty
     parts = text.split(" ")
     x = tx
+    space_w = _text_width(" ", widths, font_size)
     for p in parts:
         if p:
             words.append((y, x, p))
-        x += _text_width(p, widths, font_size) + _text_width(" ", widths, font_size)
+        x += _text_width(p, widths, font_size) + space_w
 
 
 def _page_words(
@@ -179,24 +184,28 @@ def _page_words(
     widths: Optional[Dict[int, float]] = None  # current font's /Widths
     for m in _RE_TOK.finditer(content):
         tok = m.group(0)
-        if tok == b"[":
+        # first-byte dispatch: the tokenizer's alternatives have disjoint
+        # leading bytes, so tok[0] alone routes each token class (this
+        # replaces per-token re.fullmatch probes — 170+ tokens per stream)
+        c = tok[0]
+        if c == 0x5B:  # [
             in_array = []
             continue
-        if tok == b"]":
+        if c == 0x5D:  # ]
             stack.append(in_array)
             in_array = None
             continue
         target = in_array if in_array is not None else stack
-        if tok.startswith(b"("):
+        if c == 0x28:  # (
             target.append(("str", _decode_literal(tok[1:-1])))
             continue
-        if tok.startswith(b"<"):
+        if c == 0x3C:  # <
             target.append(("str", _decode_hex(tok[1:-1])))
             continue
-        if tok.startswith(b"/"):
+        if c == 0x2F:  # /
             target.append(("name", tok[1:].decode("latin-1")))
             continue
-        if re.fullmatch(rb"[-+]?[.\d][.\d]*", tok):
+        if c in _NUM_STARTS:  # [-+.0-9] — the number alternative
             target.append(("num", float(tok)))
             continue
         op = tok
