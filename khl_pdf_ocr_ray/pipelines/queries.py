@@ -1277,6 +1277,13 @@ from .queries_extract import EXTRACT_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRACT_QUERIES)
 
+# word-level corpus operators (repetition quality, bigram top-k, group
+# top-k window rank, tf-idf-style top terms) — all DuckDB-oracle-checked
+from .queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES  # noqa: E402
+
+QUERIES.update(CORPUS_QUERIES)
+ORACLES.update(CORPUS_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -1,0 +1,238 @@
+"""Word-level corpus operators over the ``documents`` table.
+
+Four additional training-data-pipeline operators, each DuckDB-oracle-
+checked (value-hash green in the driver's gate, not rows-only):
+
+- ``word_repetition``   — per-doc repeated-word quality metric (the
+  Gopher-style repetition filter, at word granularity since the synthetic
+  corpus has no newlines);
+- ``bigram_topk``       — corpus-wide top-20 word bigrams: the classic
+  heavy n-gram count (per-batch combiner -> one slim shuffle -> top-k);
+- ``source_top_docs``   — per-(lang, source) top-3 docs by size: the
+  group-top-k / window-rank operator, computed with a per-batch partial
+  top-k so the shuffle moves at most 3 x groups rows per block;
+- ``tfidf_top_terms``   — per-doc most-distinctive term via a corpus
+  document-frequency join. The ordering is deliberately float-free
+  (tf DESC, df ASC, term ASC — "most frequent, then rarest, then
+  lexicographic") so the Ray and SQL sides can never drift on log()
+  rounding.
+
+All splitting is on a single literal space on BOTH sides (Python
+``str.split(' ')`` == DuckDB ``string_split(text, ' ')``, including the
+[''] result for an empty string), so token streams are identical.
+
+Scale notes (100 TB):
+- word_repetition is embarrassingly parallel (no shuffle);
+- bigram_topk shuffles only the per-batch combiner output — O(distinct
+  bigrams per block), not O(words); the final top-k sorts the combined
+  group table (distinct-bigram cardinality), standard for n-gram counts;
+- source_top_docs shuffles <= 3 rows per group per block;
+- tfidf_top_terms is the one true wide op: the (doc_id, term, tf) table
+  shuffles twice (term-keyed DF aggregate, then the term join). The DF
+  side is NOT broadcast by design — term cardinality is unbounded at
+  corpus scale; ``safe_join`` sizes partitions from the smaller side.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..joins import safe_join
+from ..remote import remote_fn
+
+_QC = "khl_pdf_ocr_ray.pipelines.queries_corpus"
+
+
+# --- batch bodies (top-level so remote_fn can import them) ------------------
+def word_stats_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"]
+    n_words, n_distinct, rep = [], [], []
+    for t in batch["text"].to_pylist():
+        ws = (t or "").split(" ")
+        nw = len(ws)
+        nd = len(set(ws))
+        n_words.append(nw)
+        n_distinct.append(nd)
+        # same double-precision expression as the SQL oracle:
+        # floor((1.0 - nd/nw) * 1000 + 0.5)
+        rep.append(int(math.floor((1.0 - nd / nw) * 1000 + 0.5)))
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "rep_permille": pa.array(rep, pa.int64()),
+        }
+    )
+
+
+def bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: bigram -> count. Only distinct bigrams leave
+    the batch, so the downstream groupby shuffles combiner rows, not
+    one row per word."""
+    c: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        ws = (t or "").split(" ")
+        for i in range(len(ws) - 1):
+            c[ws[i] + " " + ws[i + 1]] += 1
+    return pa.table(
+        {
+            "bigram": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def source_topk_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial top-3 per (lang, source): at most 3 x groups rows
+    survive each batch, so the final shuffle is tiny even when one group
+    dominates the corpus."""
+    df = batch.select(["lang", "source", "doc_id", "n_chars"]).to_pandas()
+    df = df.sort_values(
+        ["lang", "source", "n_chars", "doc_id"], ascending=[True, True, False, True]
+    )
+    top = df.groupby(["lang", "source"], sort=False).head(3)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def source_topk_final(g: pd.DataFrame) -> pd.DataFrame:
+    g = (
+        g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(3)
+        .reset_index(drop=True)
+    )
+    g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+    return g[["lang", "source", "doc_id", "n_chars", "rank"]]
+
+
+def tf_partial(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows — each document lives wholly in one input
+    row, so per-doc term counts are exact within the batch."""
+    ids, terms, tfs = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for w, n in Counter((t or "").split(" ")).items():
+            ids.append(d)
+            terms.append(w)
+            tfs.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+def top_term_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["tf", "df", "term"], ascending=[False, True, True]).head(1)
+    return g[["doc_id", "term", "tf", "df"]]
+
+
+# --- queries ----------------------------------------------------------------
+def _docs(sf_dir: str, columns) -> rd.Dataset:
+    from .queries import _t
+
+    return _t(sf_dir, "documents", columns)
+
+
+def q_word_repetition(sf_dir: str) -> rd.Dataset:
+    """Per-doc repeated-word ratio (quality filter input). No shuffle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QC, "word_stats_batch"), batch_format="pyarrow"
+    )
+
+
+def q_bigram_topk(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide top-20 bigrams; deterministic (count DESC, bigram ASC)."""
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(remote_fn(_QC, "bigram_partial"), batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_source_top_docs(sf_dir: str) -> rd.Dataset:
+    """Window-rank / group-top-k: top-3 docs per (lang, source)."""
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+        .map_batches(remote_fn(_QC, "source_topk_partial"), batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .map_groups(remote_fn(_QC, "source_topk_final"), batch_format="pandas")
+    )
+
+
+def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Per-doc top term by (tf DESC, df ASC, term ASC) over a corpus-wide
+    document-frequency join (df computed from the same tf table: each
+    (doc_id, term) appears exactly once, so Count == document frequency)."""
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QC, "tf_partial"), batch_format="pyarrow"
+    )
+    df = (
+        tf.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .rename_columns({"term": "term_r"})  # distinct key name for the join
+    )
+    joined = safe_join(tf, df, on=("term",), right_on=("term_r",))
+    assert joined is not None  # documents is never empty
+    return joined.groupby("doc_id").map_groups(
+        remote_fn(_QC, "top_term_per_doc"), batch_format="pandas"
+    )
+
+
+CORPUS_QUERIES: Dict[str, object] = {
+    "word_repetition": q_word_repetition,
+    "bigram_topk": q_bigram_topk,
+    "source_top_docs": q_source_top_docs,
+    "tfidf_top_terms": q_tfidf_top_terms,
+}
+
+
+CORPUS_ORACLES: Dict[str, str] = {
+    "word_repetition": """
+SELECT doc_id,
+  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+  CAST(floor((1.0 - len(list_distinct(string_split(text,' ')))*1.0
+              / len(string_split(text,' ')))*1000 + 0.5) AS BIGINT) AS rep_permille
+FROM documents
+""",
+    "bigram_topk": """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+      FROM w, UNNEST(range(1, len(ws))) AS t(i))
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+""",
+    "source_top_docs": """
+SELECT lang, source, doc_id, n_chars, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT lang, source, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) t WHERE rk <= 3
+""",
+    "tfidf_top_terms": """
+WITH tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+  FROM tf JOIN df USING(term)) t WHERE rk = 1
+""",
+}
