@@ -1278,8 +1278,18 @@ from .queries_extract import EXTRACT_QUERIES  # noqa: E402
 QUERIES.update(EXTRACT_QUERIES)
 
 # word-level corpus operators (repetition quality, bigram top-k, group
-# top-k window rank, tf-idf-style top terms) — all DuckDB-oracle-checked
-from .queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES  # noqa: E402
+# top-k window rank, tf-idf-style top terms, HLL sketch, composite prep)
+# — all DuckDB-oracle-checked (HLL via its sequential-twin dump)
+from .queries_corpus import (  # noqa: E402
+    CORPUS_ORACLES,
+    CORPUS_QUERIES,
+    PREP_SPLIT_MULT,
+    PREP_SPLIT_TRAIN_PCT,
+)
+
+# the composite prep pipeline reuses split_partial; its duplicated SQL
+# constants must track the originals
+assert PREP_SPLIT_MULT == SPLIT_MULT and PREP_SPLIT_TRAIN_PCT == SPLIT_TRAIN_PCT
 
 QUERIES.update(CORPUS_QUERIES)
 ORACLES.update(CORPUS_ORACLES)

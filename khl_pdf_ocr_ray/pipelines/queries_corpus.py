@@ -44,7 +44,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..joins import safe_join
 from ..remote import remote_fn
@@ -192,11 +192,113 @@ def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- HLL distinct-count sketch ---------------------------------------------
+def hll_users_partial(batch: pa.Table) -> pa.Table:
+    from ..stages.sketch import hll_partial_batch
+
+    return hll_partial_batch(batch, "user_id")
+
+
+def q_hll_distinct_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct user_id estimate over events (stages/sketch.py).
+
+    Per-batch sparse register partials (<= 4096 rows per batch) -> one
+    register-keyed Max groupby -> a 4096-row driver merge. The register
+    merge is order-independent, so the result is bit-identical to the
+    sequential twin the dump oracle holds — the driver hash-checks an
+    APPROXIMATE algorithm exactly."""
+    from ..stages.sketch import hll_estimate
+
+    regs = (
+        _t_events(sf_dir)
+        .map_batches(remote_fn(_QC, "hll_users_partial"), batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+    df = regs.to_pandas()  # bounded merge: at most 4096 rows
+    est = hll_estimate(df)
+    return pa.table({"distinct_users_est": pa.array([est], pa.int64())})
+
+
+def _t_events(sf_dir: str) -> rd.Dataset:
+    from .queries import _t
+
+    return _t(sf_dir, "events", ["user_id"])
+
+
+# --- composite training-data prep pipeline ----------------------------------
+# duplicated from queries.py to avoid a circular import at module load;
+# queries.py asserts equality at registration time.
+PREP_SPLIT_MULT = 2654435761
+PREP_SPLIT_TRAIN_PCT = 90
+PREP_REP_MAX_PERMILLE = 600  # drop highly repetitive docs (quality gate)
+
+
+def corpus_prep_partial(batch: pa.Table) -> pa.Table:
+    """Quality filter + content hash in one pass: keep docs whose
+    repeated-word ratio is <= PREP_REP_MAX_PERMILLE, emit
+    (text_hash, doc_id, n_chars)."""
+    import hashlib
+
+    ids, chars, hashes = [], [], []
+    for d, t, nc in zip(
+        batch["doc_id"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["n_chars"].to_pylist(),
+    ):
+        ws = (t or "").split(" ")
+        rep = int(math.floor((1.0 - len(set(ws)) / len(ws)) * 1000 + 0.5))
+        if rep <= PREP_REP_MAX_PERMILLE:
+            ids.append(d)
+            chars.append(nc)
+            hashes.append(hashlib.md5((t or "").encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "text_hash": pa.array(hashes, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(chars, pa.int64()),
+        }
+    )
+
+
+def q_corpus_prep(sf_dir: str) -> rd.Dataset:
+    """The composite flagship a training-data pipeline runs end-to-end:
+    quality filter (word repetition) -> exact dedup (min doc_id survives
+    per content hash) -> deterministic train/test assignment -> per-split
+    totals. Every stage is the already-checked operator; this query checks
+    their COMPOSITION against one SQL statement.
+
+    Scale: filter+hash are embarrassingly parallel; the dedup groupby
+    shuffles (16-byte digest, id, chars) triples only; the split summary
+    is a per-batch combiner into a 2-group aggregate."""
+    surv = (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(remote_fn(_QC, "corpus_prep_partial"), batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"), Min("n_chars", alias_name="n_chars")
+        )
+    )
+    # queries.split_partial applies the same residue rule as
+    # train_test_split (constants asserted equal at registration)
+    return (
+        surv.map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries", "split_partial"),
+            batch_format="pyarrow",
+        )
+        .repartition(2)  # two groups; non-empty reduce partitions
+        .groupby("split")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("total_chars", alias_name="total_chars"))
+    )
+
+
 CORPUS_QUERIES: Dict[str, object] = {
     "word_repetition": q_word_repetition,
     "bigram_topk": q_bigram_topk,
     "source_top_docs": q_source_top_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "hll_distinct_users": q_hll_distinct_users,  # dump-backed oracle
+    "corpus_prep": q_corpus_prep,
 }
 
 
@@ -234,5 +336,21 @@ SELECT doc_id, term, tf, df FROM (
     row_number() OVER (PARTITION BY tf.doc_id
                        ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
   FROM tf JOIN df USING(term)) t WHERE rk = 1
+""",
+    "corpus_prep": f"""
+WITH kept AS (
+  SELECT doc_id, n_chars, text FROM documents
+  WHERE CAST(floor((1.0 - len(list_distinct(string_split(text,' ')))*1.0
+        / len(string_split(text,' ')))*1000 + 0.5) AS BIGINT)
+        <= {PREP_REP_MAX_PERMILLE}
+), surv AS (
+  SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+  FROM kept GROUP BY md5(text)
+)
+SELECT CASE WHEN (doc_id * {PREP_SPLIT_MULT}) % 100 < {PREP_SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM surv GROUP BY 1
 """,
 }

@@ -54,12 +54,12 @@ def _fingerprint(path: str) -> str:
 def dumps_dir(sf_dir: str) -> str:
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     parts = []
-    for rel in ("stages/dedup.py", "stages/knn.py"):
+    for rel in ("stages/dedup.py", "stages/knn.py", "stages/sketch.py"):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
-    for name in ("documents.parquet", "embeddings.parquet"):
+    for name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         parts.append(_fingerprint(os.path.join(sf_dir, name)))
-    key = hashlib.sha256(("|".join(parts) + "|v1").encode()).hexdigest()[:16]
+    key = hashlib.sha256(("|".join(parts) + "|v2").encode()).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_near_{key}")
 
 
@@ -240,6 +240,23 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     _write("ann_ivf_seq.parquet", _ann_ivf_seq(emb))
     _write("emb_lsh_pairs_seq.parquet", _emb_lsh_pairs(emb))
 
+    # HLL sketch twin: the whole user_id column in one sequential partial
+    # (register max-merge is order-independent, so this is bit-identical
+    # to the distributed batch-partial plan)
+    from ..stages.sketch import hll_estimate, hll_sequential
+
+    users = (
+        pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+        .to_pandas()["user_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    est = hll_estimate(hll_sequential(users))
+    _write(
+        "hll_users_seq.parquet",
+        pd.DataFrame({"distinct_users_est": pd.array([est], dtype="int64")}),
+    )
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -261,4 +278,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "ann_lsh": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
         "ann_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
         "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
+        "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",
     }

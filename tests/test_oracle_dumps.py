@@ -27,6 +27,7 @@ DUMP_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "embedding_dups_lsh",
+    "hll_distinct_users",
 ]
 
 
