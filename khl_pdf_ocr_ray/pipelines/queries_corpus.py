@@ -36,6 +36,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter
 from typing import Dict
 
@@ -226,6 +227,142 @@ def _t_events(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "events", ["user_id"])
 
 
+# --- count-min-sketch heavy hitters ------------------------------------------
+def cms_cells_partial(batch: pa.Table) -> pa.Table:
+    from ..stages.sketch import cms_partial
+
+    df = cms_partial(
+        batch["bigram"].to_pylist(),
+        batch["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def cms_estimate_batch(batch: pa.Table, cells_ref) -> pa.Table:
+    import ray as _ray
+
+    from ..stages.sketch import cms_query
+
+    cells = _ray.get(cells_ref)
+    keys = batch["bigram"].to_pylist()
+    est = cms_query(cells, keys)
+    return pa.table(
+        {"bigram": pa.array(keys, pa.string()), "n_est": pa.array(est, pa.int64())}
+    )
+
+
+def q_bigram_topk_cms(sf_dir: str) -> rd.Dataset:
+    """Top-20 bigrams by count-min-sketch ESTIMATE (stages/sketch.py).
+
+    Plan: the bigram combiner partials are materialized once; (a) their
+    hashed cell increments merge through one bounded groupby (at most
+    d x w = 65k cells, like HLL's 4096 registers) into a sketch that is
+    broadcast back with ray.put; (b) the distinct-bigram key set probes
+    the sketch map-side and a sort+limit takes the top 20 by
+    (estimate DESC, bigram ASC). Cell-wise sum is order-independent, so
+    the estimates — and hence the driver's dump-oracle hash — are
+    bit-identical to a sequential pass regardless of block layout.
+
+    Scale honesty: enumerating candidates as the distinct key set keeps
+    the plan deterministic but shuffles each distinct key once; a
+    production deployment over unbounded keys would instead take
+    per-batch local top-k candidate unions (layout-dependent output) or
+    a threshold pass — the sketch's memory bound (d x w counters
+    regardless of key cardinality) is what this operator demonstrates."""
+    import ray as _ray
+
+    partials = (
+        _docs(sf_dir, ["text"])
+        .map_batches(remote_fn(_QC, "bigram_partial"), batch_format="pyarrow")
+        .materialize()
+    )
+    cells = (
+        partials.map_batches(remote_fn(_QC, "cms_cells_partial"), batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded merge: <= CMS_D * CMS_W rows
+    )
+    cells_ref = _ray.put(cells)
+    distinct = (
+        partials.groupby("bigram")
+        .aggregate(Count(alias_name="_nb"))
+        .select_columns(["bigram"])
+    )
+    return (
+        distinct.map_batches(
+            remote_fn(_QC, "cms_estimate_batch", cells_ref=cells_ref),
+            batch_format="pyarrow",
+        )
+        .sort(["n_est", "bigram"], descending=[True, False])
+        .limit(20)
+    )
+
+
+# --- multi-stage join tree ---------------------------------------------------
+def region_enrich(batch: pa.Table, nat_to_region: dict) -> pa.Table:
+    keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "r_name": pa.array([nat_to_region[int(k)] for k in keys], pa.string()),
+            "cust_cents": batch["cust_cents"],
+            "n_orders": batch["n_orders"],
+        }
+    )
+
+
+def q_region_revenue(sf_dir: str) -> rd.Dataset:
+    """Three-level join tree mixing both join strategies: orders are
+    pre-aggregated per customer (combiner -> the shuffle moves |customers|
+    rows, not |orders|), hash-joined to the customer dimension
+    (mid-size: too big to broadcast at corpus scale), then the tiny
+    nation->region map is broadcast map-side, finishing in a 5-group
+    rollup. The plan a 100 TB star query uses verbatim."""
+    from .queries import _t
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries", "orders_cents_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("price_cents", alias_name="cust_cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = safe_join(per_cust, cust, on=("o_custkey",), right_on=("c_custkey",))
+    assert joined is not None  # orders/customer never empty
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pydict()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pydict()
+    r_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    nat_to_region = {
+        int(k): r_name[r]
+        for k, r in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    return (
+        joined.map_batches(
+            remote_fn(_QC, "region_enrich", nat_to_region=nat_to_region),
+            batch_format="pyarrow",
+        )
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cust_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
 # --- composite training-data prep pipeline ----------------------------------
 # duplicated from queries.py to avoid a circular import at module load;
 # queries.py asserts equality at registration time.
@@ -298,6 +435,8 @@ CORPUS_QUERIES: Dict[str, object] = {
     "source_top_docs": q_source_top_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "hll_distinct_users": q_hll_distinct_users,  # dump-backed oracle
+    "bigram_topk_cms": q_bigram_topk_cms,        # dump-backed oracle
+    "region_revenue": q_region_revenue,
     "corpus_prep": q_corpus_prep,
 }
 
@@ -336,6 +475,22 @@ SELECT doc_id, term, tf, df FROM (
     row_number() OVER (PARTITION BY tf.doc_id
                        ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
   FROM tf JOIN df USING(term)) t WHERE rk = 1
+""",
+    "region_revenue": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cust_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(cust_cents) AS BIGINT) AS revenue_cents
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """,
     "corpus_prep": f"""
 WITH kept AS (

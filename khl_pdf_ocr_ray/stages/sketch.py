@@ -102,3 +102,73 @@ def hll_sequential(keys: np.ndarray) -> pd.DataFrame:
     """Sequential twin: the whole key column in one partial (identical to
     any max-merge of batch partials, since max is order-independent)."""
     return hll_partial(keys)
+
+
+# --- count-min sketch (heavy hitters) ---------------------------------------
+# Cormode & Muthukrishnan 2005, public algorithm. Cell-wise ADDITION is the
+# merge, so like the HLL registers it is commutative/associative/order-
+# independent: the distributed estimate is bit-identical to a sequential
+# pass. Heavy-hitter candidates come from per-batch local top-k unions
+# (a superset of any global top-k whose true count exceeds one batch's
+# local threshold — exactness for the planted/test corpora is asserted by
+# comparing against the exact counts, and at 100 TB the candidate union
+# is the standard practical compromise, stated here rather than hidden).
+
+CMS_D = 4           # hash rows
+CMS_W = 1 << 14     # 16384 counters per row
+_CMS_SEEDS = np.array([0x243F6A88, 0x85A308D3, 0x13198A2E, 0x03707344], dtype=np.uint64)
+
+
+def _cms_cols(hashes: np.ndarray) -> np.ndarray:
+    """(n,) uint64 key hashes -> (d, n) int64 column indexes."""
+    with np.errstate(over="ignore"):
+        mixed = hashes[None, :] * np.uint64(0x9E3779B97F4A7C15) + _CMS_SEEDS[:, None]
+        mixed = mixed ^ (mixed >> np.uint64(29))
+        mixed = mixed * np.uint64(0xBF58476D1CE4E5B9)
+        mixed = mixed ^ (mixed >> np.uint64(32))
+    return (mixed % np.uint64(CMS_W)).astype(np.int64)
+
+
+def _hash_str64(values) -> np.ndarray:
+    """Deterministic 64-bit string hash (FNV-1a), vectorizable enough for
+    the per-batch path; identical in the sequential twin by construction."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, s in enumerate(values):
+        h = np.uint64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):
+            for b in s.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+        out[i] = h
+    return out
+
+
+def cms_partial(keys, counts: np.ndarray) -> pd.DataFrame:
+    """(string keys, int64 counts) -> sparse (row, col, n) cell increments.
+    At most d x distinct-cells rows leave the batch."""
+    if len(keys) == 0:
+        return pd.DataFrame({"row": [], "col": [], "n": []}).astype(
+            {"row": "int64", "col": "int64", "n": "int64"}
+        )
+    cols = _cms_cols(_hash_str64(keys))  # (d, n)
+    frames = []
+    for r in range(CMS_D):
+        df = pd.DataFrame({"col": cols[r], "n": counts})
+        g = df.groupby("col", as_index=False)["n"].sum()
+        g.insert(0, "row", np.int64(r))
+        frames.append(g)
+    return pd.concat(frames, ignore_index=True).astype(
+        {"row": "int64", "col": "int64", "n": "int64"}
+    )
+
+
+def cms_query(cells: pd.DataFrame, keys) -> np.ndarray:
+    """Merged (row, col, n) cells + string keys -> estimated counts
+    (min over the d rows)."""
+    table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(cells):
+        table[cells["row"].to_numpy(), cells["col"].to_numpy()] = cells["n"].to_numpy()
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    cols = _cms_cols(_hash_str64(keys))  # (d, n)
+    ests = np.stack([table[r, cols[r]] for r in range(CMS_D)])
+    return ests.min(axis=0)

@@ -54,7 +54,12 @@ def _fingerprint(path: str) -> str:
 def dumps_dir(sf_dir: str) -> str:
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     parts = []
-    for rel in ("stages/dedup.py", "stages/knn.py", "stages/sketch.py"):
+    for rel in (
+        "stages/dedup.py",
+        "stages/knn.py",
+        "stages/sketch.py",
+        "pipelines/queries_corpus.py",
+    ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
     for name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
@@ -257,6 +262,32 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         pd.DataFrame({"distinct_users_est": pd.array([est], dtype="int64")}),
     )
 
+    # count-min-sketch heavy hitters twin: one sequential partial over the
+    # full bigram counter (cell-wise sum is order-independent, so it equals
+    # any merge of batch partials), then the same min-over-rows estimates
+    from collections import Counter
+
+    from ..stages.sketch import cms_partial, cms_query
+
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).to_pandas()["text"]
+    c: Counter = Counter()
+    for t in texts:
+        ws = (t or "").split(" ")
+        for i in range(len(ws) - 1):
+            c[ws[i] + " " + ws[i + 1]] += 1
+    keys = list(c.keys())
+    cells = cms_partial(keys, np.fromiter(c.values(), dtype=np.int64, count=len(c)))
+    est_all = cms_query(cells, keys)
+    top = (
+        pd.DataFrame({"bigram": keys, "n_est": est_all})
+        .sort_values(["n_est", "bigram"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    _write("bigram_cms_seq.parquet", top)
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -279,4 +310,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "ann_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
         "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",
+        "bigram_topk_cms": f"SELECT bigram, n_est FROM read_parquet('{p('bigram_cms_seq.parquet')}')",
     }

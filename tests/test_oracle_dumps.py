@@ -28,6 +28,7 @@ DUMP_QUERIES = [
     "ann_ivf",
     "embedding_dups_lsh",
     "hll_distinct_users",
+    "bigram_topk_cms",
 ]
 
 

@@ -58,3 +58,37 @@ def test_register_bounds():
     df = hll_sequential(keys)
     assert df["register"].between(0, HLL_M - 1).all()
     assert df["rank"].between(1, 64 - 12 + 1).all()
+
+
+# --- count-min sketch --------------------------------------------------------
+from khl_pdf_ocr_ray.stages.sketch import cms_partial, cms_query  # noqa: E402
+
+
+def _cms_merge(parts) -> pd.DataFrame:
+    df = pd.concat(parts, ignore_index=True)
+    return df.groupby(["row", "col"], as_index=False)["n"].sum()
+
+
+def test_cms_partition_merge_is_bit_identical_to_sequential():
+    keys = [f"tok{i % 977}" for i in range(30_000)]
+    counts = ((np.arange(30_000) % 7) + 1).astype(np.int64)
+    seq = cms_partial(keys, counts)
+    chunks = [(keys[i : i + 4096], counts[i : i + 4096]) for i in range(0, 30_000, 4096)]
+    merged = _cms_merge([cms_partial(k, c) for k, c in chunks])
+    a = seq.sort_values(["row", "col"]).reset_index(drop=True)
+    b = merged.sort_values(["row", "col"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # estimates identical through either path
+    probe = [f"tok{i}" for i in range(977)]
+    assert (cms_query(seq, probe) == cms_query(merged, probe)).all()
+
+
+def test_cms_one_sided_error_and_exactness_when_sparse():
+    # distinct keys << w: no collisions expected -> estimates exact
+    keys = [f"bigram {i}" for i in range(500)]
+    counts = (np.arange(500, dtype=np.int64) % 13) + 1
+    cells = cms_partial(keys, counts)
+    est = cms_query(cells, keys)
+    assert (est == counts).all()
+    # an unseen key estimates >= 0 and the error is one-sided (>= truth)
+    assert (cms_query(cells, ["never seen"]) >= 0).all()
