@@ -363,6 +363,58 @@ def q_region_revenue(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- left-outer join (customers with zero orders kept) -----------------------
+def outer_counts_partial(batch: pa.Table) -> pa.Table:
+    """Null-aware combiner after the outer join: unmatched customers carry
+    a null n_orders — count them separately and coalesce to 0 for sums."""
+    import pyarrow.compute as pc
+
+    n_orders = batch["n_orders"]
+    is_null = pc.is_null(n_orders)
+    t = pa.table(
+        {
+            "c_mktsegment": batch["c_mktsegment"],
+            "no_orders": pc.cast(is_null, pa.int64()),
+            "n_orders": pc.fill_null(n_orders, 0),
+        }
+    )
+    g = t.group_by(["c_mktsegment"]).aggregate(
+        [("no_orders", "count"), ("no_orders", "sum"), ("n_orders", "sum")]
+    )
+    return g.rename_columns(["c_mktsegment", "n_customers", "n_no_orders", "total_orders"])
+
+
+def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join: every customer keeps a row even with zero orders
+    (the join type §2.4 otherwise lacks; semi/anti/inner/broadcast are
+    covered elsewhere). Orders pre-aggregate per customer first, so the
+    outer join moves one row per customer per side; the null-aware
+    combiner then rolls up per market segment."""
+    from .queries import _t
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = safe_join(
+        cust, per_cust, on=("c_custkey",), right_on=("o_custkey",),
+        join_type="left_outer",
+    )
+    assert joined is not None  # customer is never empty
+    return (
+        joined.map_batches(remote_fn(_QC, "outer_counts_partial"), batch_format="pyarrow")
+        .repartition(2)  # few segment groups; non-empty reduce partitions
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_no_orders", alias_name="n_no_orders"),
+            Sum("total_orders", alias_name="total_orders"),
+        )
+    )
+
+
 # --- composite training-data prep pipeline ----------------------------------
 # duplicated from queries.py to avoid a circular import at module load;
 # queries.py asserts equality at registration time.
@@ -437,6 +489,7 @@ CORPUS_QUERIES: Dict[str, object] = {
     "hll_distinct_users": q_hll_distinct_users,  # dump-backed oracle
     "bigram_topk_cms": q_bigram_topk_cms,        # dump-backed oracle
     "region_revenue": q_region_revenue,
+    "customer_order_counts": q_customer_order_counts,
     "corpus_prep": q_corpus_prep,
 }
 
@@ -491,6 +544,18 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+    "customer_order_counts": """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_orders,
+       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY c_mktsegment
 """,
     "corpus_prep": f"""
 WITH kept AS (

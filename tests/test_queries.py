@@ -76,3 +76,44 @@ def oracle_query_names():
 @pytest.mark.parametrize("name", oracle_query_names())
 def test_query_matches_oracle(ray_session, sf_smoke_dir, name):
     assert_query_matches_oracle(name, sf_smoke_dir)
+
+
+def test_left_outer_join_null_path(ray_session):
+    """customer_order_counts' null-aware combiner: the driver corpus has no
+    orderless customers, so exercise the unmatched-left branch directly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from khl_pdf_ocr_ray.joins import safe_join
+    from khl_pdf_ocr_ray.pipelines.queries_corpus import outer_counts_partial
+
+    cust = rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_mktsegment": pa.array(["A", "A", "B", "B"], pa.string()),
+            }
+        )
+    )
+    per_cust = rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 3], pa.int64()),
+                "n_orders": pa.array([5, 7], pa.int64()),
+            }
+        )
+    )
+    joined = safe_join(
+        cust, per_cust, on=("c_custkey",), right_on=("o_custkey",),
+        join_type="left_outer",
+    )
+    out = (
+        joined.map_batches(outer_counts_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .sum(["n_customers", "n_no_orders", "total_orders"])
+        .to_pandas()
+        .set_index("c_mktsegment")
+        .sort_index()
+    )
+    assert out.loc["A"].tolist() == [2, 1, 5]
+    assert out.loc["B"].tolist() == [2, 1, 7]
