@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "dedup_exact",
     "orders_by_segment",
+    "corpus_prep",   # composite filter->dedup->split (round 3)
 ]
 
 

@@ -227,6 +227,59 @@ def _t_events(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "events", ["user_id"])
 
 
+def hll_by_type_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch GROUPED register partials: (event_type, register, rank)."""
+    from ..stages.sketch import hll_partial
+
+    df = batch.select(["event_type", "user_id"]).to_pandas()
+    out = []
+    for etype, g in df.groupby("event_type", sort=False):
+        part = hll_partial(g["user_id"].to_numpy().astype(np.int64))
+        part.insert(0, "event_type", etype)
+        out.append(part)
+    merged = (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({"event_type": [], "register": [], "rank": []})
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False).cast(
+        pa.schema(
+            [("event_type", pa.string()), ("register", pa.int64()), ("rank", pa.int64())]
+        )
+    )
+
+
+def hll_finalize_group(g: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.sketch import hll_estimate
+
+    est = hll_estimate(g[["register", "rank"]])
+    return pd.DataFrame(
+        {
+            "event_type": [g["event_type"].iloc[0]],
+            "distinct_users_est": pd.array([est], dtype="int64"),
+        }
+    )
+
+
+def q_hll_users_by_type(sf_dir: str) -> rd.Dataset:
+    """GROUPED HyperLogLog: distinct users per event_type — the sketch
+    composed with a groupby. Per-batch grouped register partials (at most
+    types x 4096 rows per batch), one (type, register)-keyed Max shuffle,
+    then a per-type finalize whose group never exceeds 4096 rows. Same
+    order-independence argument as hll_distinct_users -> dump-twin
+    hash-checkable."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(remote_fn(_QC, "hll_by_type_partial"), batch_format="pyarrow")
+        .groupby(["event_type", "register"])
+        .aggregate(Max("rank", alias_name="rank"))
+        .groupby("event_type")
+        .map_groups(remote_fn(_QC, "hll_finalize_group"), batch_format="pandas")
+    )
+
+
 # --- count-min-sketch heavy hitters ------------------------------------------
 def cms_cells_partial(batch: pa.Table) -> pa.Table:
     from ..stages.sketch import cms_partial
@@ -487,6 +540,7 @@ CORPUS_QUERIES: Dict[str, object] = {
     "source_top_docs": q_source_top_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "hll_distinct_users": q_hll_distinct_users,  # dump-backed oracle
+    "hll_users_by_type": q_hll_users_by_type,    # dump-backed oracle
     "bigram_topk_cms": q_bigram_topk_cms,        # dump-backed oracle
     "region_revenue": q_region_revenue,
     "customer_order_counts": q_customer_order_counts,

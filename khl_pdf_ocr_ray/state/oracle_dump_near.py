@@ -262,6 +262,22 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         pd.DataFrame({"distinct_users_est": pd.array([est], dtype="int64")}),
     )
 
+    # grouped HLL twin: one sequential per-type pass (same register
+    # max-merge argument as the global sketch)
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    ).to_pandas()
+    rows = []
+    for etype, g in ev.groupby("event_type", sort=True):
+        est_t = hll_estimate(
+            hll_sequential(g["user_id"].to_numpy().astype(np.int64))
+        )
+        rows.append({"event_type": etype, "distinct_users_est": est_t})
+    _write(
+        "hll_by_type_seq.parquet",
+        pd.DataFrame(rows).astype({"distinct_users_est": "int64"}),
+    )
+
     # count-min-sketch heavy hitters twin: one sequential partial over the
     # full bigram counter (cell-wise sum is order-independent, so it equals
     # any merge of batch partials), then the same min-over-rows estimates
@@ -311,4 +327,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",
         "bigram_topk_cms": f"SELECT bigram, n_est FROM read_parquet('{p('bigram_cms_seq.parquet')}')",
+        "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",
     }

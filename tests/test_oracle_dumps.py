@@ -28,6 +28,7 @@ DUMP_QUERIES = [
     "ann_ivf",
     "embedding_dups_lsh",
     "hll_distinct_users",
+    "hll_users_by_type",
     "bigram_topk_cms",
 ]
 
