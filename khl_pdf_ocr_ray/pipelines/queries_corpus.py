@@ -102,7 +102,18 @@ def source_topk_partial(batch: pa.Table) -> pa.Table:
         ["lang", "source", "n_chars", "doc_id"], ascending=[True, True, False, True]
     )
     top = df.groupby(["lang", "source"], sort=False).head(3)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    # explicit schema: an empty block would otherwise infer null-typed
+    # string columns through pandas and break the shuffle's schema union
+    return pa.Table.from_pandas(top, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+    )
 
 
 def source_topk_final(g: pd.DataFrame) -> pd.DataFrame:
