@@ -427,6 +427,53 @@ def q_region_revenue(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- pivot (rows -> typed count columns) -------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch pivot combiner: one row per day with per-type counts —
+    the pivot happens map-side, so the shuffle moves |days| x |types-wide|
+    rows per block instead of one row per event."""
+    import pyarrow.compute as pc
+
+    us = pc.cast(batch["ts"], pa.int64())
+    day = pc.cast(pc.divide(us, 86_400_000_000), pa.int64())
+    t = pa.table({"day": day, "event_type": batch["event_type"]})
+    g = (
+        t.group_by(["day", "event_type"])
+        .aggregate([("event_type", "count")])
+        .rename_columns(["day", "event_type", "n"])
+        .to_pandas()
+    )
+    wide = (
+        g.pivot_table(index="day", columns="event_type", values="n",
+                      aggfunc="sum", fill_value=0)
+        .reindex(columns=list(EVENT_TYPES), fill_value=0)
+        .reset_index()
+    )
+    wide.columns = ["day"] + [f"n_{t}" for t in EVENT_TYPES]
+    return pa.Table.from_pandas(wide, preserve_index=False).cast(
+        pa.schema([("day", pa.int64())] + [(f"n_{t}", pa.int64()) for t in EVENT_TYPES])
+    )
+
+
+def q_events_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot: per-day event counts spread into one column per event type
+    (rows -> typed columns, the reshape §2 otherwise lacks). Map-side
+    pivot combiner, then a |days|-row Sum groupby."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(remote_fn(_QC, "pivot_partial"), batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+        )
+    )
+
+
 # --- left-outer join (customers with zero orders kept) -----------------------
 def outer_counts_partial(batch: pa.Table) -> pa.Table:
     """Null-aware combiner after the outer join: unmatched customers carry
@@ -555,6 +602,7 @@ CORPUS_QUERIES: Dict[str, object] = {
     "bigram_topk_cms": q_bigram_topk_cms,        # dump-backed oracle
     "region_revenue": q_region_revenue,
     "customer_order_counts": q_customer_order_counts,
+    "events_pivot": q_events_pivot,
     "corpus_prep": q_corpus_prep,
 }
 
@@ -609,6 +657,15 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+    "events_pivot": """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
 """,
     "customer_order_counts": """
 WITH per_cust AS (
