@@ -1,0 +1,56 @@
+"""URL canonicalization — the web-pipeline dedup key.
+
+Common-Crawl-style corpora carry many URLs for one logical page (tracking
+params, fragments, case-variant hosts, explicit default ports). The
+canonical form here follows the widely published normalization rules
+(RFC 3986 syntax-based normalization plus the standard tracking-param
+strip):
+
+- scheme and host lowercased;
+- explicit default ports dropped (http:80, https:443);
+- fragment dropped;
+- tracking query params dropped (utm_*, fbclid, gclid, ref);
+- remaining query params sorted by (key, value) for a stable order;
+- trailing slash stripped from non-root paths; empty path -> "/".
+
+Pure function (stdlib urllib.parse only); used by the distributed
+``url_dedup`` query and its sequential oracle twin, byte-for-byte shared.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = frozenset({"fbclid", "gclid", "ref"})
+
+
+def _is_tracking(key: str) -> bool:
+    k = key.lower()
+    return k in _TRACKING_KEYS or any(k.startswith(p) for p in _TRACKING_PREFIXES)
+
+
+def normalize_url(url: str) -> str:
+    """Canonical form of ``url``; returns the input unchanged if it does
+    not parse as a scheme://host URL (never raises)."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    if not parts.scheme or not parts.netloc:
+        return url
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    query = urlencode(
+        sorted((k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
+               if not _is_tracking(k))
+    )
+    return urlunsplit((scheme, netloc, path, query, ""))

@@ -405,6 +405,62 @@ def blocks_explode(batch: pa.Table) -> pa.Table:
     )
 
 
+def url_variants_batch(batch: pa.Table) -> pa.Table:
+    """Plant deterministic messy-URL variants (same pattern as
+    stages.dedup.docs_with_variants plants near-dup texts): every url with
+    crc32 % 3 == 0 also appears as an uppercase-scheme/host copy with an
+    explicit default port, tracking params and a fragment — all of which
+    canonicalize away, so the variant normalizes to the SAME key."""
+    import zlib
+
+    urls = batch["url"].to_pylist()
+    out = list(urls)
+    for u in urls:
+        if zlib.crc32(u.encode()) % 3 == 0:
+            scheme, rest = u.split("://", 1)
+            host, _, path = rest.partition("/")
+            out.append(
+                f"{scheme.upper()}://{host.upper()}:443/{path}"
+                "?utm_source=feed&fbclid=abc123#frag"
+            )
+    return pa.table({"url": pa.array(out, pa.string())})
+
+
+def url_norm_batch(batch: pa.Table) -> pa.Table:
+    from ..functions.urlnorm import normalize_url
+
+    urls = batch["url"].to_pylist()
+    return pa.table(
+        {
+            "norm_url": pa.array([normalize_url(u) for u in urls], pa.string()),
+            "url": batch["url"],
+        }
+    )
+
+
+def q_url_dedup(sf_dir: str) -> rd.Dataset:
+    """URL-canonicalization dedup — the first dedup step of a web corpus
+    pipeline: canonicalize (functions/urlnorm.py), then one hash groupby
+    on the canonical key keeping the lexicographically-first raw url.
+    Only (norm_url, url) string pairs shuffle; payloads never move."""
+    from ray.data.aggregate import Min
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return (
+        rd.read_parquet(pages_dir, columns=["url"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "url_variants_batch"),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "url_norm_batch"),
+            batch_format="pyarrow",
+        )
+        .groupby("norm_url")
+        .aggregate(Count(alias_name="n_dups"), Min("url", alias_name="keep_url"))
+    )
+
+
 EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
@@ -418,4 +474,5 @@ EXTRACT_QUERIES = {
     "extract_refs_mode": q_extract_refs_mode,
     "pdf_words": q_pdf_words,
     "extract_blocks": q_extract_blocks,
+    "url_dedup": q_url_dedup,
 }

@@ -52,10 +52,12 @@ def dumps_dir(sf_dir: str) -> str:
     # detection never changes extracted text) — hash it into THIS key so
     # detector edits rebuild the dumps without invalidating checkpoints
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(pkg, "functions/tables.py"), "rb") as f:
-        tables_md5 = hashlib.md5(f.read()).hexdigest()
+    extra_md5 = []
+    for rel in ("functions/tables.py", "functions/urlnorm.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            extra_md5.append(hashlib.md5(f.read()).hexdigest())
     key = hashlib.sha256(
-        f"{pages_dir}:{extraction_version(None)}:{tables_md5}:v3".encode()
+        f"{pages_dir}:{extraction_version(None)}:{':'.join(extra_md5)}:v4".encode()
     ).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_{key}")
 
@@ -234,6 +236,45 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     master = master_lookup_table()
     pq.write_table(master, os.path.join(out_dir, "master.parquet"))
 
+    # url-dedup twin: the same planted messy variants + canonicalization
+    # (functions/urlnorm.py, shared kernel) in one sequential pass
+    import zlib as _zlib
+
+    import pandas as _pd
+
+    from ..functions.urlnorm import normalize_url
+
+    all_urls = (
+        pq.read_table(synthesize_pages(sf_dir, repeat=2), columns=["url"])
+        .to_pandas()["url"]
+        .tolist()
+    )
+    with_variants = list(all_urls)
+    for u in all_urls:
+        if _zlib.crc32(u.encode()) % 3 == 0:
+            scheme, rest = u.split("://", 1)
+            host, _, path = rest.partition("/")
+            with_variants.append(
+                f"{scheme.upper()}://{host.upper()}:443/{path}"
+                "?utm_source=feed&fbclid=abc123#frag"
+            )
+    udf = _pd.DataFrame(
+        {"norm_url": [normalize_url(u) for u in with_variants], "url": with_variants}
+    )
+    udedup = udf.groupby("norm_url", as_index=False).agg(
+        n_dups=("url", "size"), keep_url=("url", "min")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "norm_url": pa.array(udedup["norm_url"], pa.string()),
+                "n_dups": pa.array(udedup["n_dups"].astype("int64"), pa.int64()),
+                "keep_url": pa.array(udedup["keep_url"], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "url_dedup_seq.parquet"),
+    )
+
     # media features: the deterministic media corpus through the stage
     # kernels sequentially (driver-side, no actors)
     media = media_table(N_MEDIA)
@@ -391,6 +432,7 @@ SELECT partition_id, row_count, bytes_in, chars_out, error_rows,
        extraction_version
 FROM read_parquet('{p("lineage_seq.parquet")}')
 """,
+        "url_dedup": f"SELECT norm_url, n_dups, keep_url FROM read_parquet('{p('url_dedup_seq.parquet')}')",
         "media_image_features": f"SELECT * FROM read_parquet('{p('media_image_seq.parquet')}')",
         "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",
         "media_frame_sample": f"SELECT * FROM read_parquet('{p('media_frames_seq.parquet')}')",

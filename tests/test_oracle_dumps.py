@@ -15,6 +15,7 @@ DUMP_QUERIES = [
     "extract_blocks",
     "fingerprint_rolling",
     "skew_partition_stats",
+    "url_dedup",
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
