@@ -144,6 +144,30 @@ def tf_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def top_term_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial argmax: keep the best (tf DESC, df ASC, term ASC)
+    row per doc_id within the batch. The selection is commutative and
+    associative, so the final per-doc pick over partials equals the global
+    pick — and the groupby shuffle moves one row per (doc, block) instead
+    of one row per term."""
+    df = batch.select(["doc_id", "term", "tf", "df"]).to_pandas()
+    best = (
+        df.sort_values(["tf", "df", "term"], ascending=[False, True, True])
+        .groupby("doc_id", sort=False)
+        .head(1)
+    )
+    return pa.Table.from_pandas(best, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("term", pa.string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+            ]
+        )
+    )
+
+
 def top_term_per_doc(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values(["tf", "df", "term"], ascending=[False, True, True]).head(1)
     return g[["doc_id", "term", "tf", "df"]]
@@ -199,8 +223,10 @@ def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     )
     joined = safe_join(tf, df, on=("term",), right_on=("term_r",))
     assert joined is not None  # documents is never empty
-    return joined.groupby("doc_id").map_groups(
-        remote_fn(_QC, "top_term_per_doc"), batch_format="pandas"
+    return (
+        joined.map_batches(remote_fn(_QC, "top_term_partial"), batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(remote_fn(_QC, "top_term_per_doc"), batch_format="pandas")
     )
 
 
