@@ -187,15 +187,19 @@ def minhash_dedup(docs, threshold_x100: int = 70):
     sigs = docs.map_batches(
         _rfn("minhash_sig_batch"), batch_format="pandas", batch_size=512
     ).materialize()
-    # coalesce before the shuffles: Ray's sort-based groupby pays a per-block
-    # constant, so hundreds of tiny blocks cost more than the data itself.
-    # Block count derives from the band-row count (LSH_BANDS slim rows per
-    # doc, ~24 B each — free off the materialized sig metadata), not a
-    # constant: at 100 TB the band table is billions of rows and a fixed
-    # repartition(16) would funnel the all-to-all into 16 giant blocks.
-    bands = sigs.map_batches(
-        _rfn("minhash_band_batch"), batch_format="pandas"
-    ).repartition(blocks_for_rows(sigs.count() * LSH_BANDS, lo=8))
+    # coalesce before the shuffles ONLY when the band table arrives as many
+    # tiny blocks: Ray's sort-based groupby pays a per-block constant, so
+    # hundreds of tiny blocks cost more than the data itself — but when the
+    # block count is already near target, the repartition is a pure extra
+    # all-to-all (~1.5 s fixed at toy scale, measured). Block count derives
+    # from the band-row count (LSH_BANDS slim rows per doc, ~24 B each —
+    # free off the materialized sig metadata), not a constant: at 100 TB
+    # the band table is billions of rows and a fixed repartition(16) would
+    # funnel the all-to-all into 16 giant blocks.
+    bands = sigs.map_batches(_rfn("minhash_band_batch"), batch_format="pandas")
+    target = blocks_for_rows(sigs.count() * LSH_BANDS, lo=8)
+    if sigs.num_blocks() > 2 * target:
+        bands = bands.repartition(target)
     pairs = bands.groupby("shard").map_groups(
         _rfn("bucket_pairs"), batch_format="pandas"
     )
