@@ -1,7 +1,7 @@
-"""Word-level corpus operators over the ``documents`` table.
+"""Word-level corpus + relational operators beyond the original registry.
 
-Four additional training-data-pipeline operators, each DuckDB-oracle-
-checked (value-hash green in the driver's gate, not rows-only):
+Every query here is DuckDB-oracle-checked (value-hash green in the
+driver's gate, not rows-only):
 
 - ``word_repetition``   — per-doc repeated-word quality metric (the
   Gopher-style repetition filter, at word granularity since the synthetic
@@ -15,7 +15,15 @@ checked (value-hash green in the driver's gate, not rows-only):
   document-frequency join. The ordering is deliberately float-free
   (tf DESC, df ASC, term ASC — "most frequent, then rarest, then
   lexicographic") so the Ray and SQL sides can never drift on log()
-  rounding.
+  rounding;
+- ``hll_distinct_users`` / ``hll_users_by_type`` — HyperLogLog distinct
+  counts, global and grouped (stages/sketch.py; dump-twin oracles);
+- ``bigram_topk_cms``   — count-min-sketch heavy hitters (dump-twin);
+- ``region_revenue``    — three-level star-join tree (combiner -> hash
+  join -> broadcast join -> rollup);
+- ``customer_order_counts`` — LEFT OUTER join with a null-aware rollup;
+- ``events_pivot``      — map-side pivot into typed per-type columns;
+- ``corpus_prep``       — the composite filter -> dedup -> split pipeline.
 
 All splitting is on a single literal space on BOTH sides (Python
 ``str.split(' ')`` == DuckDB ``string_split(text, ' ')``, including the
