@@ -43,3 +43,47 @@ def test_variant_merges_to_canonical():
     base = "https://site12.example.org/p/438-0"
     variant = "HTTPS://SITE12.EXAMPLE.ORG:443/p/438-0?utm_source=feed&fbclid=abc123#frag"
     assert normalize_url(variant) == normalize_url(base) == base
+
+
+# --- property tests ----------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "Http"])
+_host = st.from_regex(r"[A-Za-z0-9]([A-Za-z0-9.-]{0,20}[A-Za-z0-9])?", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,8}){0,4}/?", fullmatch=True)
+_key = st.from_regex(r"[A-Za-z0-9_]{1,8}", fullmatch=True)
+_val = st.from_regex(r"[A-Za-z0-9_]{0,8}", fullmatch=True)
+_query = st.lists(st.tuples(_key, _val), max_size=4).map(
+    lambda kvs: "&".join(f"{k}={v}" for k, v in kvs)
+)
+_frag = st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True)
+
+
+@st.composite
+def _urls(draw):
+    u = f"{draw(_scheme)}://{draw(_host)}{draw(_path)}"
+    q = draw(_query)
+    if q:
+        u += f"?{q}"
+    f = draw(_frag)
+    if f:
+        u += f"#{f}"
+    return u
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls())
+def test_normalize_idempotent(u):
+    once = normalize_url(u)
+    assert normalize_url(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls())
+def test_normalize_drops_fragment_and_case(u):
+    n = normalize_url(u)
+    assert "#" not in n
+    scheme, _, rest = n.partition("://")
+    host = rest.split("/", 1)[0].rsplit(":", 1)[0]
+    assert scheme == scheme.lower() and host == host.lower()
