@@ -461,6 +461,67 @@ def q_region_revenue(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- rollup (GROUPING SETS: (lang, source), (lang), ()) ----------------------
+def rollup_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner emitting ALL THREE grouping levels at once (the
+    'ALL' sentinel marks rolled-up dimensions), so one shuffle carries the
+    whole rollup instead of three passes over the input."""
+    t = batch.select(["lang", "source", "n_chars"]).to_pandas()
+    levels = []
+    g2 = t.groupby(["lang", "source"], as_index=False).agg(
+        n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+    )
+    levels.append(g2.assign(level=np.int64(2)))
+    g1 = t.groupby(["lang"], as_index=False).agg(
+        n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+    )
+    levels.append(g1.assign(source="ALL", level=np.int64(1)))
+    g0 = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "source": ["ALL"],
+            "n_docs": [len(t)],
+            "total_chars": [t["n_chars"].sum()],
+            "level": [0],
+        }
+    )
+    levels.append(g0)
+    out = pd.concat(levels, ignore_index=True)[
+        ["lang", "source", "level", "n_docs", "total_chars"]
+    ]
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("level", pa.int64()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        )
+    )
+
+
+def q_corpus_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUPING SETS rollup over documents: (lang, source), (lang), ()
+    totals in ONE result, rolled-up dimensions marked 'ALL'. The combiner
+    emits every level map-side, so the single shuffle moves at most
+    (groups + langs + 1) rows per block — one pass over the input for a
+    three-level aggregate."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(remote_fn(_QC, "rollup_partial"), batch_format="pyarrow")
+        .repartition(2)  # few groups; non-empty reduce partitions
+        .groupby(["lang", "source", "level"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+
 # --- pivot (rows -> typed count columns) -------------------------------------
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -637,6 +698,7 @@ CORPUS_QUERIES: Dict[str, object] = {
     "region_revenue": q_region_revenue,
     "customer_order_counts": q_customer_order_counts,
     "events_pivot": q_events_pivot,
+    "corpus_rollup": q_corpus_rollup,
     "corpus_prep": q_corpus_prep,
 }
 
@@ -691,6 +753,15 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+    "corpus_rollup": """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(CASE WHEN lang IS NULL THEN 0
+                 WHEN source IS NULL THEN 1 ELSE 2 END AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """,
     "events_pivot": """
 SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
