@@ -48,6 +48,15 @@ def _max_partitions() -> int:
     return max(16, 4 * ncpu)
 
 
+def join_partitions(nbytes: int, per_partition_bytes: int = 32 << 20, lo: int = 8) -> int:
+    """Join partition count sized from the (larger, pre-shuffle) side's
+    input bytes — ~32 MB of shuffled input per partition, floored for toy
+    scale and capped at 4 tasks per core. For streaming joins where
+    materializing a side (as safe_join does) would add a barrier; callers
+    pass the on-disk size of the dominant input (io.input_nbytes)."""
+    return max(lo, min(_max_partitions(), int(nbytes) // per_partition_bytes))
+
+
 def safe_join(
     left,
     right,

@@ -399,10 +399,17 @@ def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
         zero_copy_batch=True,
     )
     customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    from ..io import input_nbytes
+    from ..joins import join_partitions
+
     joined = orders.join(
         customer,
         join_type="inner",
-        num_partitions=8,
+        # sized from the dominant (orders) input's bytes, not a constant:
+        # at 100 TB a fixed 8 would funnel the join into 8 giant partitions
+        num_partitions=join_partitions(
+            input_nbytes(os.path.join(sf_dir, "orders.parquet"))
+        ),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -531,10 +538,17 @@ def q_part_ship_stats(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("qty", alias_name="qty"), Count(alias_name="n_ship"))
     )
     part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+    from ..io import input_nbytes
+    from ..joins import join_partitions
+
     joined = per_part.join(
         part,
         join_type="inner",
-        num_partitions=8,
+        # both sides are ~|parts| rows (lineitem pre-aggregated per key);
+        # size from the part table's bytes instead of a constant
+        num_partitions=join_partitions(
+            input_nbytes(os.path.join(sf_dir, "part.parquet"))
+        ),
         on=("l_partkey",),
         right_on=("p_partkey",),
     )
