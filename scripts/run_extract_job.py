@@ -34,6 +34,14 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--max-partitions", type=int, default=None, help="bound partitions this invocation (testing)")
     ap.add_argument("--skip-preflight", action="store_true")
+    ap.add_argument(
+        "--export-jsonl",
+        default=None,
+        metavar="DIR",
+        help="after extraction, also stream the output as JSON-lines shards "
+        "(non-ASCII preserved verbatim — the reference service's JSON "
+        "contract, ensure_ascii=False)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -71,6 +79,17 @@ def main() -> int:
             "chars_out": int(sum(lt["chars_out"].to_pylist())),
             "error_rows": int(sum(lt["error_rows"].to_pylist())),
         }
+        if args.export_jsonl:
+            import shutil
+
+            import ray.data as rd
+
+            shutil.rmtree(args.export_jsonl, ignore_errors=True)
+            # streaming re-shard: parquet partitions in, jsonl shards out
+            rd.read_parquet(args.output).write_json(
+                args.export_jsonl, force_ascii=False
+            )
+            totals["jsonl_dir"] = args.export_jsonl
         print(json.dumps({"job": summary, "lineage_totals": totals}), flush=True)
         return 0
     finally:

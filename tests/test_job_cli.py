@@ -14,7 +14,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "scripts", "run_extract_job.py")
 
 
-def _run_job(pages_dir: str, out_dir: str):
+def _run_job(pages_dir: str, out_dir: str, *extra: str):
     proc = subprocess.run(
         [
             sys.executable,
@@ -25,6 +25,7 @@ def _run_job(pages_dir: str, out_dir: str):
             out_dir,
             "--num-cpus",
             "4",
+            *extra,
         ],
         capture_output=True,
         text=True,
@@ -53,9 +54,27 @@ def test_job_cli_runs_and_resumes(ray_session, tmp_path):
     n_rows = pq.read_table(out_dir).num_rows
     assert n_rows == totals["rows"]
 
-    # second submission: everything skips, nothing reprocessed
-    msgs2 = _run_job(pages_dir, out_dir)
+    # second submission: everything skips, nothing reprocessed — and the
+    # jsonl export (the reference's JSON contract, ensure_ascii=False)
+    # streams the same rows out as parseable lines with Cyrillic intact
+    jsonl_dir = str(tmp_path / "jsonl_out")
+    msgs2 = _run_job(pages_dir, out_dir, "--export-jsonl", jsonl_dir)
     job2 = msgs2[1]["job"]
     assert job2["processed"] == []
     assert len(job2["skipped_completed"]) == job["partitions_total"]
-    assert msgs2[1]["lineage_totals"] == totals
+    totals2 = dict(msgs2[1]["lineage_totals"])
+    assert totals2.pop("jsonl_dir") == jsonl_dir
+    assert totals2 == totals
+
+    n_lines = 0
+    saw_cyrillic = False
+    for fname in os.listdir(jsonl_dir):
+        with open(os.path.join(jsonl_dir, fname), encoding="utf-8") as f:
+            for line in f:
+                rec = json.loads(line)
+                assert "url" in rec and "text" in rec
+                if any("Ѐ" <= ch <= "ӿ" for ch in rec["text"]):
+                    saw_cyrillic = True
+                n_lines += 1
+    assert n_lines == totals["rows"]
+    assert saw_cyrillic  # ensure_ascii=False parity: raw Cyrillic in the file
