@@ -39,8 +39,8 @@ def main() -> int:
         default=None,
         metavar="DIR",
         help="after extraction, also stream the output as JSON-lines shards "
-        "(non-ASCII preserved verbatim — the reference service's JSON "
-        "contract, ensure_ascii=False)",
+        "into DIR (REPLACED if it exists; non-ASCII preserved verbatim — "
+        "the reference service's JSON contract, ensure_ascii=False)",
     )
     args = ap.parse_args()
 
