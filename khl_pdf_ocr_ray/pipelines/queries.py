@@ -1308,6 +1308,13 @@ assert PREP_SPLIT_MULT == SPLIT_MULT and PREP_SPLIT_TRAIN_PCT == SPLIT_TRAIN_PCT
 QUERIES.update(CORPUS_QUERIES)
 ORACLES.update(CORPUS_ORACLES)
 
+# training-data prep operators (decontamination, chunking, stratified
+# sampling, PII scrubbing, canonical-doc selection) — all static-SQL checked
+from .queries_prep import PREP_ORACLES, PREP_QUERIES  # noqa: E402
+
+QUERIES.update(PREP_QUERIES)
+ORACLES.update(PREP_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

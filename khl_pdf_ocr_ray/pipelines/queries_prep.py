@@ -1,0 +1,369 @@
+"""Training-data preparation operators: the LLM-corpus ops a web-scale
+pipeline runs between raw extraction and tokenization.
+
+Every query here has a STATIC DuckDB oracle (value-hash green in the
+driver's gate, not rows-only):
+
+- ``decontaminate``    — eval-set n-gram decontamination: flag training
+  docs sharing any word trigram with a held-out eval split (the GPT-3 /
+  PaLM-style 13-gram decontamination, at n=3 because the synthetic docs
+  are short). Fully distributed: both sides explode to per-doc DISTINCT
+  trigrams and meet in a hash join on the trigram — the eval side is NOT
+  broadcast (eval sets are unbounded in general; a Bloom prefilter is the
+  documented optimization when it is known-small);
+- ``chunk_docs``       — fixed-size overlapping word-window chunking
+  (size 32, stride 24): the tokenizer-feed operator. Embarrassingly
+  parallel flat-map, no shuffle;
+- ``stratified_sample``— deterministic per-language top-k sample by
+  multiplicative hash (seeded, layout-independent — the same rule family
+  as train_test_split). Per-batch partial top-k means the shuffle moves
+  at most k rows per (lang, block);
+- ``pii_scrub``        — regex redaction (email -> phone -> number, in
+  that order on the progressively redacted string) with per-pattern match
+  counts. Pure Arrow RE2 kernels (``count_substring_regex`` /
+  ``replace_substring_regex``) — vectorized, zero Python per row, and
+  engine-parity with DuckDB's RE2 by construction;
+- ``dedup_prefix_keep_best`` — canonical-doc selection: group by a cheap
+  near-dup key (first 50 chars) and keep the highest-quality member
+  (n_chars DESC, doc_id ASC) plus the group size. The commutative argmax
+  runs as a per-batch partial, so the shuffle moves <= 1 row per
+  (prefix, block) instead of one row per doc.
+
+Scale notes (100 TB):
+- decontaminate's two explodes recompute the trigram stream rather than
+  materializing it (embarrassingly parallel; re-reading beats pinning an
+  exploded corpus in the object store). The join and both groupbys key on
+  the trigram / doc_id — standard slim shuffles;
+- chunk_docs streams: output blocks are bounded by input block size x
+  (chunk/stride) overlap factor (~1.33x here);
+- pii_scrub is map-only; stratified_sample and dedup_prefix_keep_best
+  shuffle only per-batch winners (k rows resp. 1 row per key per block).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..joins import safe_join
+from ..remote import remote_fn
+
+_QP = "khl_pdf_ocr_ray.pipelines.queries_prep"
+
+# decontamination: eval split = doc_id % DECON_EVAL_MOD == 0 (~4%), word
+# trigrams (the corpus' docs are 10-100 words; 13-grams would never collide)
+DECON_EVAL_MOD = 23
+DECON_N = 3
+
+# chunking: 32-word windows advancing 24 words (8-word overlap)
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+# stratified sample: k per language, Knuth multiplicative hash mod 2^32
+SAMPLE_K = 10
+SAMPLE_MULT = 2654435761
+SAMPLE_MOD = 2**32
+
+# canonical-selection near-dup key: leading 50 characters
+PREFIX_LEN = 50
+
+# redaction patterns: RE2-compatible (pyarrow.compute and DuckDB both run
+# RE2, so Ray and oracle agree by construction); applied in this order on
+# the progressively redacted string
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+PII_NUMBER = r"[0-9]+"
+
+
+# --- batch bodies (top-level so remote_fn can import them) ------------------
+def trigram_explode(batch: pa.Table, eval_side: bool) -> pa.Table:
+    """Per-doc DISTINCT word trigrams for one side of the decontamination
+    join. The eval/train residue filter runs inside the batch (vectorized
+    mask) so no row-level ``Dataset.filter`` appears on the hot path."""
+    mod = pc.subtract(
+        batch["doc_id"],
+        pc.multiply(pc.divide(batch["doc_id"], DECON_EVAL_MOD), DECON_EVAL_MOD),
+    )
+    mask = pc.equal(mod, 0) if eval_side else pc.not_equal(mod, 0)
+    batch = batch.filter(mask)
+    ids, ngs = [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = (t or "").split(" ")
+        seen = {
+            " ".join(ws[i : i + DECON_N]) for i in range(len(ws) - (DECON_N - 1))
+        }
+        for ng in seen:
+            ids.append(d)
+            ngs.append(ng)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "ng": pa.array(ngs, pa.string())}
+    )
+
+
+def drop_count_col(batch: pa.Table) -> pa.Table:
+    return batch.select(["ng"])
+
+
+def chunk_explode(batch: pa.Table) -> pa.Table:
+    """Overlapping word-window chunks: start positions 0, STRIDE, 2*STRIDE,
+    ... while start < n_words (every word lands in >= 1 chunk)."""
+    ids, ks, lens, texts = [], [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = (t or "").split(" ")
+        n_chunks = (len(ws) - 1) // CHUNK_STRIDE + 1
+        for k in range(n_chunks):
+            piece = ws[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_SIZE]
+            ids.append(d)
+            ks.append(k)
+            lens.append(len(piece))
+            texts.append(" ".join(piece))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_id": pa.array(ks, pa.int64()),
+            "n_words": pa.array(lens, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def sample_hash_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial top-k per lang by (hash, doc_id): the winning k of
+    each batch are the only candidates that can win globally, so at most
+    k rows per (lang, block) reach the shuffle."""
+    h = pc.subtract(
+        pc.multiply(batch["doc_id"], SAMPLE_MULT),
+        pc.multiply(
+            pc.divide(pc.multiply(batch["doc_id"], SAMPLE_MULT), SAMPLE_MOD),
+            SAMPLE_MOD,
+        ),
+    )
+    df = pa.table(
+        {"lang": batch["lang"], "doc_id": batch["doc_id"], "h": h}
+    ).to_pandas()
+    top = (
+        df.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(SAMPLE_K)
+    )
+    return pa.Table.from_pandas(top, preserve_index=False).cast(
+        pa.schema([("lang", pa.string()), ("doc_id", pa.int64()), ("h", pa.int64())])
+    )
+
+
+def sample_final(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["h", "doc_id"]).head(SAMPLE_K).reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+    return g[["lang", "doc_id", "rank"]]
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Sequential redact-and-count, all Arrow RE2 kernels (no Python rows):
+    each count runs on the PREVIOUS pattern's redacted output so the SQL
+    twin can nest regexp_replace identically."""
+    s0 = batch["props"]
+    n_email = pc.count_substring_regex(s0, PII_EMAIL)
+    s1 = pc.replace_substring_regex(s0, PII_EMAIL, "<EMAIL>")
+    n_phone = pc.count_substring_regex(s1, PII_PHONE)
+    s2 = pc.replace_substring_regex(s1, PII_PHONE, "<PHONE>")
+    n_number = pc.count_substring_regex(s2, PII_NUMBER)
+    s3 = pc.replace_substring_regex(s2, PII_NUMBER, "<NUM>")
+    return pa.table(
+        {
+            "event_id": batch["event_id"],
+            "props_clean": s3,
+            "n_email": pc.cast(n_email, pa.int64()),
+            "n_phone": pc.cast(n_phone, pa.int64()),
+            "n_number": pc.cast(n_number, pa.int64()),
+        }
+    )
+
+
+def prefix_best_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (count, argmax) combiner for canonical-doc selection: one
+    surviving row per prefix per batch. Commutative+associative, so the
+    final per-prefix pick over partials equals the global pick."""
+    df = pa.table(
+        {
+            "prefix": pc.utf8_slice_codeunits(batch["text"], 0, PREFIX_LEN),
+            "keep_doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+        }
+    ).to_pandas()
+    counts = df.groupby("prefix", sort=False).size().rename("n_dups")
+    best = (
+        df.sort_values(["n_chars", "keep_doc_id"], ascending=[False, True])
+        .groupby("prefix", sort=False)
+        .head(1)
+        .set_index("prefix")
+    )
+    out = best.join(counts).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("prefix", pa.string()),
+                ("keep_doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("n_dups", pa.int64()),
+            ]
+        )
+    )
+
+
+def prefix_best_final(g: pd.DataFrame) -> pd.DataFrame:
+    n = int(g["n_dups"].sum())
+    best = g.sort_values(["n_chars", "keep_doc_id"], ascending=[False, True]).head(1)
+    best = best.copy()
+    best["n_dups"] = np.int64(n)
+    return best[["prefix", "keep_doc_id", "n_chars", "n_dups"]]
+
+
+# --- queries ----------------------------------------------------------------
+def _docs(sf_dir: str, columns) -> rd.Dataset:
+    from .queries import _t
+
+    return _t(sf_dir, "documents", columns)
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Training docs contaminated by the eval split, with shared-trigram
+    counts. Plan: explode both sides to per-doc distinct trigrams
+    (map-only), distinct the eval side (slim groupby on the trigram),
+    hash-join on the trigram, count per training doc."""
+    train = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QP, "trigram_explode", eval_side=False), batch_format="pyarrow"
+    )
+    ev = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            remote_fn(_QP, "trigram_explode", eval_side=True), batch_format="pyarrow"
+        )
+        .groupby("ng")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(remote_fn(_QP, "drop_count_col"), batch_format="pyarrow")
+        .rename_columns({"ng": "ng_r"})
+    )
+    hit = safe_join(train, ev, on=("ng",), right_on=("ng_r",))
+    if hit is None:  # empty corpus or no eval docs
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
+            )
+        )
+    return hit.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
+
+
+def q_chunk_docs(sf_dir: str) -> rd.Dataset:
+    """Tokenizer-feed chunking: 32-word windows, stride 24. Map-only."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QP, "chunk_explode"), batch_format="pyarrow"
+    )
+
+
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-language k-sample by multiplicative hash: the
+    seeded, layout-independent analogue of reservoir sampling (same row
+    set no matter how blocks split)."""
+    return (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(remote_fn(_QP, "sample_hash_partial"), batch_format="pyarrow")
+        # the partial output is <= k rows per (lang, block); coalesce below
+        # the language count so no reduce partition is empty (an empty
+        # map_groups block has no schema and poisons the stream's union)
+        .repartition(2)
+        .groupby("lang")
+        .map_groups(remote_fn(_QP, "sample_final"), batch_format="pandas")
+    )
+
+
+def q_pii_scrub(sf_dir: str) -> rd.Dataset:
+    """Redact email/phone/number patterns in event props; per-pattern match
+    counts kept for audit. Map-only, pure Arrow RE2 kernels."""
+    from .queries import _t
+
+    return _t(sf_dir, "events", ["event_id", "props"]).map_batches(
+        remote_fn(_QP, "pii_scrub_batch"), batch_format="pyarrow"
+    )
+
+
+def q_dedup_prefix_keep_best(sf_dir: str) -> rd.Dataset:
+    """Canonical-document selection over a cheap near-dup key: per leading-
+    50-char prefix keep the largest doc (ties to the smallest doc_id) and
+    report the group size."""
+    return (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(remote_fn(_QP, "prefix_best_partial"), batch_format="pyarrow")
+        .groupby("prefix")
+        .map_groups(remote_fn(_QP, "prefix_best_final"), batch_format="pandas")
+    )
+
+
+PREP_QUERIES: Dict[str, object] = {
+    "decontaminate": q_decontaminate,
+    "chunk_docs": q_chunk_docs,
+    "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
+    "dedup_prefix_keep_best": q_dedup_prefix_keep_best,
+}
+
+
+PREP_ORACLES: Dict[str, str] = {
+    "decontaminate": f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM g JOIN ev USING(ng)
+WHERE g.doc_id % {DECON_EVAL_MOD} <> 0
+GROUP BY g.doc_id
+""",
+    "chunk_docs": f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(len(ws[k*{CHUNK_STRIDE}+1 : k*{CHUNK_STRIDE}+{CHUNK_SIZE}]) AS BIGINT)
+         AS n_words,
+       array_to_string(ws[k*{CHUNK_STRIDE}+1 : k*{CHUNK_STRIDE}+{CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM w, UNNEST(range(0, (len(ws)-1)//{CHUNK_STRIDE} + 1)) AS t(k)
+""",
+    "stratified_sample": f"""
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}, doc_id) AS rk
+  FROM documents) t WHERE rk <= {SAMPLE_K}
+""",
+    "pii_scrub": f"""
+SELECT event_id,
+  regexp_replace(regexp_replace(regexp_replace(props,
+    '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_PHONE}', '<PHONE>', 'g'),
+    '{PII_NUMBER}', '<NUM>', 'g') AS props_clean,
+  CAST(len(regexp_extract_all(props, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(regexp_replace(props, '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_PHONE}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(props,
+    '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_PHONE}', '<PHONE>', 'g'),
+    '{PII_NUMBER}')) AS BIGINT) AS n_number
+FROM events
+""",
+    "dedup_prefix_keep_best": f"""
+WITH k AS (SELECT substr(text, 1, {PREFIX_LEN}) AS prefix, doc_id, n_chars
+           FROM documents),
+c AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_dups FROM k GROUP BY prefix),
+b AS (SELECT prefix, doc_id AS keep_doc_id, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY prefix
+      ORDER BY n_chars DESC, doc_id) AS rk FROM k) t WHERE rk = 1)
+SELECT b.prefix, b.keep_doc_id, b.n_chars, c.n_dups
+FROM b JOIN c USING (prefix)
+""",
+}
