@@ -27,7 +27,10 @@ driver's gate, not rows-only):
   near-dup key (first 50 chars) and keep the highest-quality member
   (n_chars DESC, doc_id ASC) plus the group size. The commutative argmax
   runs as a per-batch partial, so the shuffle moves <= 1 row per
-  (prefix, block) instead of one row per doc.
+  (prefix, block) instead of one row per doc;
+- ``lang_size_quantiles`` — per-language exact discrete quantiles via a
+  distributed (lang, size) histogram: the grouped variant of
+  doc_size_quantiles, with no driver-side walk.
 
 Scale notes (100 TB):
 - decontaminate's two explodes recompute the trigram stream rather than
@@ -226,11 +229,51 @@ def prefix_best_final(g: pd.DataFrame) -> pd.DataFrame:
     return best[["prefix", "keep_doc_id", "n_chars", "n_dups"]]
 
 
+GROUP_QUANTILE_PS = (25, 50, 90)
+
+
+def lang_quantile_final(g: pd.DataFrame) -> pd.DataFrame:
+    """Walk one language's (n_chars -> count) histogram for the discrete
+    quantiles: v[ceil(p*n)-1] of the sorted values (duckdb quantile_disc).
+    The group is a histogram (one row per distinct size), never the docs."""
+    import math
+
+    g = g.sort_values("n_chars")
+    total = int(g["n"].sum())
+    cum = g["n"].cumsum()
+    rows = []
+    for p in GROUP_QUANTILE_PS:
+        rank = math.ceil(p / 100 * total)
+        val = int(g.loc[cum >= rank, "n_chars"].iloc[0])
+        rows.append((g["lang"].iloc[0], p, val))
+    out = pd.DataFrame(rows, columns=["lang", "p", "n_chars_q"])
+    return out.astype({"p": "int64", "n_chars_q": "int64"})
+
+
 # --- queries ----------------------------------------------------------------
 def _docs(sf_dir: str, columns) -> rd.Dataset:
     from .queries import _t
 
     return _t(sf_dir, "documents", columns)
+
+
+def q_lang_size_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-language exact size quantiles — the GROUPED variant of
+    doc_size_quantiles, fully distributed (no driver histogram walk):
+    the first groupby partial-aggregates per block, so the shuffle moves
+    one (lang, size) row per distinct pair per block; the per-lang walk
+    then sees a histogram whose row count is the distinct-size cardinality,
+    never the document count."""
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="n"))
+        # tiny histogram table; coalesce below the language count so no
+        # reduce partition of the second groupby is empty/schemaless
+        .repartition(2)
+        .groupby("lang")
+        .map_groups(remote_fn(_QP, "lang_quantile_final"), batch_format="pandas")
+    )
 
 
 def q_decontaminate(sf_dir: str) -> rd.Dataset:
@@ -312,6 +355,7 @@ PREP_QUERIES: Dict[str, object] = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "dedup_prefix_keep_best": q_dedup_prefix_keep_best,
+    "lang_size_quantiles": q_lang_size_quantiles,
 }
 
 
@@ -355,6 +399,15 @@ SELECT event_id,
     '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_PHONE}', '<PHONE>', 'g'),
     '{PII_NUMBER}')) AS BIGINT) AS n_number
 FROM events
+""",
+    "lang_size_quantiles": f"""
+SELECT lang, p,
+  CAST(CASE p WHEN {GROUP_QUANTILE_PS[0]} THEN quantile_disc(n_chars, {GROUP_QUANTILE_PS[0] / 100})
+              WHEN {GROUP_QUANTILE_PS[1]} THEN quantile_disc(n_chars, {GROUP_QUANTILE_PS[1] / 100})
+              ELSE quantile_disc(n_chars, {GROUP_QUANTILE_PS[2] / 100}) END AS BIGINT)
+    AS n_chars_q
+FROM documents, (SELECT unnest([{GROUP_QUANTILE_PS[0]}, {GROUP_QUANTILE_PS[1]}, {GROUP_QUANTILE_PS[2]}]) AS p) ps
+GROUP BY lang, p
 """,
     "dedup_prefix_keep_best": f"""
 WITH k AS (SELECT substr(text, 1, {PREFIX_LEN}) AS prefix, doc_id, n_chars

@@ -195,3 +195,28 @@ def test_stratified_sample_layout_independent(ray_session, n_blocks):
     if not hasattr(test_stratified_sample_layout_independent, "_ref"):
         test_stratified_sample_layout_independent._ref = key
     assert key == test_stratified_sample_layout_independent._ref
+
+
+def test_lang_quantile_walk_matches_sorted_values():
+    """The (size -> count) histogram walk must equal quantile_disc over the
+    raw values: v[ceil(p*n)-1] of the sorted list, ties and all."""
+    import math
+
+    import numpy as np
+
+    from khl_pdf_ocr_ray.pipelines.queries_prep import (
+        GROUP_QUANTILE_PS,
+        lang_quantile_final,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        vals = rng.integers(1, 40, size=rng.integers(1, 500))
+        sizes, counts = np.unique(vals, return_counts=True)
+        hist = pd.DataFrame(
+            {"lang": "xx", "n_chars": sizes.astype("int64"), "n": counts.astype("int64")}
+        ).sample(frac=1, random_state=trial)  # unsorted input group
+        out = lang_quantile_final(hist).set_index("p")["n_chars_q"]
+        s = np.sort(vals)
+        for p in GROUP_QUANTILE_PS:
+            assert out[p] == s[math.ceil(p / 100 * len(s)) - 1], (trial, p)
