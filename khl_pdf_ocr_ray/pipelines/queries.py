@@ -1315,6 +1315,13 @@ from .queries_prep import PREP_ORACLES, PREP_QUERIES  # noqa: E402
 QUERIES.update(PREP_QUERIES)
 ORACLES.update(PREP_ORACLES)
 
+# keyword search + BM25 ranking (keyword_search static-SQL checked;
+# bm25_topk via the sequential dump twin in state/oracle_dump_near.py)
+from .queries_search import SEARCH_ORACLES, SEARCH_QUERIES  # noqa: E402
+
+QUERIES.update(SEARCH_QUERIES)
+ORACLES.update(SEARCH_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -59,6 +59,7 @@ def dumps_dir(sf_dir: str) -> str:
         "stages/knn.py",
         "stages/sketch.py",
         "pipelines/queries_corpus.py",
+        "pipelines/queries_search.py",
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
@@ -304,6 +305,55 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     )
     _write("bigram_cms_seq.parquet", top)
 
+    # BM25 twin: one sequential pass with the SAME tokenizer and float
+    # kernel as the distributed plan (pipelines/queries_search.py); the
+    # per-doc sum runs in sorted-term order on both sides, so equality is
+    # bit-exact. The plumbing under test is the distributed tf explode /
+    # df shuffle / term join / per-doc grouping / partial top-k.
+    from ..pipelines.queries_search import (
+        BM25_TOP_K,
+        bm25_doc_score,
+        doc_search_stats,
+    )
+
+    ddf = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    per_doc = []  # (doc_id, dl, {term: tf})
+    total_tokens = 0
+    for d, t in zip(ddf["doc_id"], ddf["text"]):
+        dl, counts = doc_search_stats(t)
+        total_tokens += dl
+        if counts:
+            per_doc.append((int(d), dl, counts))
+    n_docs = len(ddf)
+    avgdl = float(np.float64(total_tokens) / np.float64(n_docs))
+    dfreq: Dict[str, int] = {}
+    for _d, _dl, counts in per_doc:
+        for term in counts:
+            dfreq[term] = dfreq.get(term, 0) + 1
+    rows = [
+        {
+            "doc_id": d,
+            "n_terms": len(counts),
+            "score": bm25_doc_score(
+                [(term, tf, dfreq[term]) for term, tf in counts.items()],
+                dl,
+                n_docs,
+                avgdl,
+            ),
+        }
+        for d, dl, counts in per_doc
+    ]
+    topk = (
+        pd.DataFrame(rows)
+        .astype({"doc_id": "int64", "n_terms": "int64", "score": "float64"})
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(BM25_TOP_K)
+        .reset_index(drop=True)
+    )
+    _write("bm25_topk_seq.parquet", topk)
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -328,4 +378,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",
         "bigram_topk_cms": f"SELECT bigram, n_est FROM read_parquet('{p('bigram_cms_seq.parquet')}')",
         "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",
+        "bm25_topk": f"SELECT doc_id, n_terms, score FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
     }
