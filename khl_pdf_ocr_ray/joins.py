@@ -72,7 +72,7 @@ def safe_join(
         return None
     if n_right == 0:
         # anti/outer joins against an empty right side keep every left row
-        if join_type in ("left_anti", "left_outer"):
+        if join_type in ("left_anti", "left_outer", "full_outer"):
             return left
         return None
     n = min(n_left, n_right)

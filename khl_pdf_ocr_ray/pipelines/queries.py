@@ -1079,6 +1079,47 @@ FROM events
 """
 
 
+def q_events_lag(sf_dir: str) -> rd.Dataset:
+    """LAG window: each event's previous event type and exact microsecond
+    gap within its user's (ts, event_id)-ordered stream — the
+    previous-row-access window operator (events_running covers the
+    cumulative-frame one). First event per user: ('none', -1)."""
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_Q, "lag_per_user"), batch_format="pandas")
+    )
+
+
+def lag_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"])
+    # exact integer microseconds — float total_seconds() would round
+    us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    gap = np.empty(len(g), dtype="int64")
+    gap[0] = -1
+    gap[1:] = us[1:] - us[:-1]
+    prev = np.empty(len(g), dtype=object)
+    prev[0] = "none"
+    prev[1:] = g["event_type"].to_numpy()[:-1]
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "prev_type": pd.Series(prev, index=g.index, dtype="string"),
+            "gap_us": gap,
+        }
+    )
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       COALESCE(LAG(event_type) OVER w, 'none') AS prev_type,
+       COALESCE(date_diff('microsecond', LAG(ts) OVER w, ts), -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup dedup family (stages/dedup.py) + similarity search (stages/knn.py)
 # ---------------------------------------------------------------------------
@@ -1227,6 +1268,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "events_range_join": q_events_range_join,
     "train_test_split": q_train_test_split,
     "events_running": q_events_running,
+    "events_lag": q_events_lag,
     "minhash_dups": q_minhash_dups,
     "minhash_clusters": q_minhash_clusters,
     "simhash_dups": q_simhash_dups,
@@ -1279,6 +1321,7 @@ ORACLES.update(
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "train_test_split": SQL_TRAIN_TEST_SPLIT,
         "events_running": SQL_EVENTS_RUNNING,
+        "events_lag": SQL_EVENTS_LAG,
         "embedding_dups": SQL_EMBEDDING_DUPS,
         # minhash/simhash/ngram-jaccard/ann_lsh/ann_ivf/embedding_dups_lsh:
         # dump-backed oracles (state/oracle_dump_near.py), added by oracles()

@@ -687,7 +687,50 @@ def q_corpus_prep(sf_dir: str) -> rd.Dataset:
     )
 
 
+WATCHLIST = (("en", 1), ("ru", 2), ("xx", 3))  # 'ru'/'xx' absent from the corpus
+
+
+def watchlist_coalesce(df: pd.DataFrame) -> pd.DataFrame:
+    """Post-full-outer projection: Ray's join already unifies the key
+    into one ``lang`` column; replace the null sides with concrete
+    sentinels (0) so the output is null-free on both engines."""
+    return pd.DataFrame(
+        {
+            "lang": df["lang"].astype("string"),
+            "n_docs": df["n_docs"].fillna(0).astype("int64"),
+            "priority": df["priority"].fillna(0).astype("int64"),
+        }
+    )
+
+
+def q_lang_watchlist_full(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join: per-lang doc counts x a fixed language watchlist.
+    Exercises both unmatched sides (corpus langs off the watchlist AND
+    watchlist langs absent from the corpus). The aggregate side shrinks to
+    |langs| rows before the join, so the exchange is tiny regardless of
+    corpus size; the watchlist is a literal constant table."""
+    counts = (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    )
+    watch = rd.from_arrow(
+        pa.table(
+            {
+                "wlang": pa.array([w for w, _ in WATCHLIST], pa.string()),
+                "priority": pa.array([p for _, p in WATCHLIST], pa.int64()),
+            }
+        )
+    )
+    joined = safe_join(
+        counts, watch, on=("lang",), right_on=("wlang",), join_type="full_outer"
+    )
+    assert joined is not None  # neither side is ever empty
+    return joined.map_batches(
+        remote_fn(_QC, "watchlist_coalesce"), batch_format="pandas"
+    )
+
+
 CORPUS_QUERIES: Dict[str, object] = {
+    "lang_watchlist_full": q_lang_watchlist_full,
     "word_repetition": q_word_repetition,
     "bigram_topk": q_bigram_topk,
     "source_top_docs": q_source_top_docs,
@@ -703,7 +746,17 @@ CORPUS_QUERIES: Dict[str, object] = {
 }
 
 
+_WATCHLIST_SQL = ", ".join(f"('{w}', {p})" for w, p in WATCHLIST)
+
 CORPUS_ORACLES: Dict[str, str] = {
+    "lang_watchlist_full": f"""
+WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+     w(wlang, priority) AS (VALUES {_WATCHLIST_SQL})
+SELECT COALESCE(l.lang, w.wlang) AS lang,
+       CAST(COALESCE(l.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(w.priority, 0) AS BIGINT) AS priority
+FROM l FULL OUTER JOIN w ON l.lang = w.wlang
+""",
     "word_repetition": """
 SELECT doc_id,
   CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,

@@ -117,3 +117,49 @@ def test_left_outer_join_null_path(ray_session):
     )
     assert out.loc["A"].tolist() == [2, 1, 5]
     assert out.loc["B"].tolist() == [2, 1, 7]
+
+
+def test_lag_kernel_ties_and_first_row():
+    """lag_per_user: (ts, event_id) ordering with tied timestamps; first
+    row gets the ('none', -1) sentinels; gaps are exact microseconds."""
+    import numpy as np
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries import lag_per_user
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00.000005",
+            "2024-01-01 00:00:00.000005",  # tie -> event_id breaks it
+            "2024-01-01 00:00:01.500000",
+        ]
+    )
+    g = pd.DataFrame(
+        {
+            "event_id": [7, 3, 9],
+            "user_id": [1, 1, 1],
+            "ts": ts,
+            "event_type": ["a", "b", "c"],
+        }
+    )
+    out = lag_per_user(g).reset_index(drop=True)
+    # sorted order: event 3 (tie, lower id), 7, 9
+    assert out["event_id"].tolist() == [3, 7, 9]
+    assert out["prev_type"].tolist() == ["none", "b", "a"]
+    assert out["gap_us"].tolist() == [-1, 0, 1_499_995]
+
+
+def test_full_outer_empty_right_keeps_left(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from khl_pdf_ocr_ray.joins import safe_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([10, 20], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+    )
+    out = safe_join(left, right, on=("k",), right_on=("rk",), join_type="full_outer")
+    assert sorted(r["k"] for r in out.take_all()) == [1, 2]
