@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "orders_by_segment",
     "corpus_prep",   # composite filter->dedup->split (round 3)
+    "bm25_topk",     # text-retrieval ranking (round 3)
 ]
 
 

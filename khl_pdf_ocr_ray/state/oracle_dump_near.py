@@ -305,14 +305,17 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     )
     _write("bigram_cms_seq.parquet", top)
 
-    # BM25 twin: one sequential pass with the SAME tokenizer and float
-    # kernel as the distributed plan (pipelines/queries_search.py); the
-    # per-doc sum runs in sorted-term order on both sides, so equality is
-    # bit-exact. The plumbing under test is the distributed tf explode /
-    # df shuffle / term join / per-doc grouping / partial top-k.
+    # BM25 twin: one sequential pass with the SAME tokenizer and
+    # fixed-point scoring kernel as the distributed plan
+    # (pipelines/queries_search.py). Scores are integer (x 2^20) sums of
+    # per-term contributions whose only transcendental (idf) is a scalar
+    # per query term, so equality is bit-exact under any batching. The
+    # plumbing under test is the distributed stats combiner + in-batch
+    # scoring + partial-top-k + final sort.
     from ..pipelines.queries_search import (
         BM25_TOP_K,
-        bm25_doc_score,
+        bm25_doc_score_scaled,
+        bm25_idf,
         doc_search_stats,
     )
 
@@ -332,23 +335,19 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     for _d, _dl, counts in per_doc:
         for term in counts:
             dfreq[term] = dfreq.get(term, 0) + 1
+    idf_by_term = {t: bm25_idf(df_t, n_docs) for t, df_t in dfreq.items()}
     rows = [
         {
             "doc_id": d,
             "n_terms": len(counts),
-            "score": bm25_doc_score(
-                [(term, tf, dfreq[term]) for term, tf in counts.items()],
-                dl,
-                n_docs,
-                avgdl,
-            ),
+            "score_x1m": bm25_doc_score_scaled(counts, dl, idf_by_term, avgdl),
         }
         for d, dl, counts in per_doc
     ]
     topk = (
         pd.DataFrame(rows)
-        .astype({"doc_id": "int64", "n_terms": "int64", "score": "float64"})
-        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .astype({"doc_id": "int64", "n_terms": "int64", "score_x1m": "int64"})
+        .sort_values(["score_x1m", "doc_id"], ascending=[False, True])
         .head(BM25_TOP_K)
         .reset_index(drop=True)
     )
@@ -378,5 +377,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",
         "bigram_topk_cms": f"SELECT bigram, n_est FROM read_parquet('{p('bigram_cms_seq.parquet')}')",
         "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",
-        "bm25_topk": f"SELECT doc_id, n_terms, score FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
+        "bm25_topk": f"SELECT doc_id, n_terms, score_x1m FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
     }

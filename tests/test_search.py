@@ -12,9 +12,12 @@ import pytest
 from khl_pdf_ocr_ray.pipelines.queries_search import (
     BM25_B,
     BM25_K1,
+    BM25_SCALE,
     SEARCH_TERMS,
-    bm25_doc_score,
+    bm25_doc_score_scaled,
+    bm25_idf,
     bm25_term_score,
+    bm25_term_score_scaled,
     doc_search_stats,
 )
 
@@ -55,10 +58,23 @@ def test_term_score_matches_independent_formula():
 
 
 def test_doc_score_order_independent_input():
-    rows = [("vector", 2, 30), ("spark", 5, 80), ("stream", 1, 10)]
-    a = bm25_doc_score(rows, dl=40, n_docs=200, avgdl=35.0)
-    b = bm25_doc_score(list(reversed(rows)), dl=40, n_docs=200, avgdl=35.0)
-    assert a == b  # kernel sorts internally -> bit-identical
+    """Fixed-point sums are exact integer arithmetic — any term order
+    (i.e. any batch split) yields the same score."""
+    idf = {t: bm25_idf(50 + i, 200) for i, t in enumerate(SEARCH_TERMS)}
+    counts = {"vector": 2, "spark": 5, "stream": 1}
+    rev = dict(reversed(list(counts.items())))
+    a = bm25_doc_score_scaled(counts, 40, idf, 35.0)
+    b = bm25_doc_score_scaled(rev, 40, idf, 35.0)
+    assert isinstance(a, int) and a == b
+
+
+def test_scaled_score_tracks_float_kernel():
+    """floor(float_score * SCALE + 1/2) == the scaled kernel when idf is
+    fed the same scalar (the float kernel is the documentation reference)."""
+    for tf, df, dl, n, avgdl in [(1, 10, 50, 100, 40.0), (7, 3, 12, 500, 55.5)]:
+        f = bm25_term_score(tf, df, dl, n, avgdl)
+        s = bm25_term_score_scaled(tf, dl, bm25_idf(df, n), avgdl)
+        assert abs(s - f * BM25_SCALE) <= 1.0
 
 
 def test_ranking_semantics():
@@ -72,7 +88,8 @@ def test_ranking_semantics():
     assert bm25_term_score(2, 50, 20, n, avgdl) > bm25_term_score(2, 50, 200, n, avgdl)
 
 
-def test_scores_are_float64_deterministic():
-    v1 = bm25_term_score(3, 17, 42, 12345, 47.25)
-    v2 = bm25_term_score(3, 17, 42, 12345, 47.25)
-    assert isinstance(v1, np.float64) and v1 == v2
+def test_scores_are_deterministic():
+    v1 = bm25_term_score_scaled(3, 42, bm25_idf(17, 12345), 47.25)
+    v2 = bm25_term_score_scaled(3, 42, bm25_idf(17, 12345), 47.25)
+    assert isinstance(v1, int) and v1 == v2
+    assert v1 > 0
