@@ -1365,6 +1365,13 @@ from .queries_search import SEARCH_ORACLES, SEARCH_QUERIES  # noqa: E402
 QUERIES.update(SEARCH_QUERIES)
 ORACLES.update(SEARCH_ORACLES)
 
+# window / positional operators: grouped rank, global NTILE, sequence
+# packing (distributed prefix sum), target-mix resampling — all static-SQL
+from .queries_window import WINDOW_ORACLES, WINDOW_QUERIES  # noqa: E402
+
+QUERIES.update(WINDOW_QUERIES)
+ORACLES.update(WINDOW_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
