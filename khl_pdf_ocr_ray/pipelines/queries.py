@@ -1372,6 +1372,13 @@ from .queries_window import WINDOW_ORACLES, WINDOW_QUERIES  # noqa: E402
 QUERIES.update(WINDOW_QUERIES)
 ORACLES.update(WINDOW_ORACLES)
 
+# embedding-column operators: grouped fixed-point centroids (static SQL)
+# and full-corpus distributed k-means (sequential dump twin)
+from .queries_embed import EMBED_ORACLES, EMBED_QUERIES  # noqa: E402
+
+QUERIES.update(EMBED_QUERIES)
+ORACLES.update(EMBED_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

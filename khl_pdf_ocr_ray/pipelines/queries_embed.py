@@ -1,0 +1,268 @@
+"""Embedding-column operators: grouped centroids and full-corpus
+distributed k-means.
+
+- ``lang_embedding_centroid`` — per-language centroid of the embedding
+  column, reported as FIXED-POINT component sums (x 2^20) + counts so
+  the value hash is exact: integer sums are order-independent under any
+  batch split, and DuckDB reproduces them with
+  ``unnest``/``generate_subscripts`` over the same join. STATIC-SQL
+  checked. (The mean is sum/2^20/n — left to the caller so no float
+  division enters the hashed result.)
+- ``kmeans_clusters`` — K=8 Lloyd k-means over the WHOLE embedding
+  table, 3 fixed iterations, returning the per-vector assignment. The
+  iterative-algorithm operator: each iteration is one streaming
+  map_batches pass emitting per-(cluster, dim) int64 fixed-point sums +
+  counts (a K x D-row shuffle — never the vectors), and the driver
+  rebuilds the K x D centroid matrix in canonical order. Checked against
+  a sequential dump twin (state/oracle_dump_near.py) that runs the SAME
+  kernels single-process: equality is bit-exact because (a) assignment
+  is per-row — numpy reduces the squared distance along the 64-dim axis
+  only, so a row's argmin never depends on its batch neighbours (the
+  matmul formulation is deliberately avoided: BLAS kernel choice varies
+  with matrix shape), and (b) centroid updates are exact integer sums.
+
+Scale notes (100 TB):
+- lang_embedding_centroid joins embeddings to the doc table on id (hash
+  join, both sides big) and then shuffles only |langs| x D combiner
+  rows per block;
+- kmeans_clusters broadcasts K x D centroids into each task as plain
+  data (at real scale: ``ray.put`` once per iteration) and shuffles
+  K x D x blocks combiner rows per pass; iterations scale linearly and
+  independently of K-means' data size. Empty clusters keep their
+  previous centroid (deterministic on both twins).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..joins import safe_join
+from ..remote import remote_fn
+
+_QE = "khl_pdf_ocr_ray.pipelines.queries_embed"
+
+EMB_SCALE = 1 << 20  # fixed-point: integer sums are order-independent
+EMB_DIM = 64
+
+KM_K = 8
+KM_ITERS = 3
+
+
+# --- shared kernels (imported by the sequential dump twin) ------------------
+def emb_fixed(x: np.ndarray) -> np.ndarray:
+    """float32 embeddings -> int64 fixed-point (x 2^20, floor-rounded).
+    The *2^20 step is a power-of-two scale, exact in binary FP, so both
+    engines compute floor of the identical double."""
+    return np.floor(x.astype(np.float64) * EMB_SCALE + 0.5).astype(np.int64)
+
+
+def km_assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment, ties to the lowest cluster id.
+    Distances reduce along the dim axis per row (no cross-row BLAS), so
+    the result is bit-identical under any batching."""
+    d = np.empty((len(x), len(cents)), dtype=np.float64)
+    for c in range(len(cents)):
+        diff = x - cents[c]
+        d[:, c] = np.einsum("ij,ij->i", diff, diff)
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def km_update_from_sums(
+    sums: np.ndarray, counts: np.ndarray, prev: np.ndarray
+) -> np.ndarray:
+    """(K, D) int64 fixed sums + (K,) counts -> float64 centroids, in
+    canonical cluster/dim order; empty clusters keep their previous
+    centroid."""
+    out = prev.copy()
+    nz = counts > 0
+    out[nz] = (sums[nz].astype(np.float64) / EMB_SCALE) / counts[
+        nz, None
+    ].astype(np.float64)
+    return out
+
+
+def _matrix(df: pd.DataFrame) -> np.ndarray:
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+# --- per-batch stages -------------------------------------------------------
+def emb_pack_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """embedding list<float> -> raw float32 bytes: Arrow's hash join
+    rejects list-typed non-key payloads, and a fixed-width binary column
+    shuffles tighter anyway."""
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    return pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].astype("int64"),
+            "emb_bin": pd.Series([row.tobytes() for row in x], dtype=object),
+        }
+    )
+
+
+def _unpack(df: pd.DataFrame) -> np.ndarray:
+    return np.frombuffer(
+        b"".join(df["emb_bin"].tolist()), dtype=np.float32
+    ).reshape(len(df), -1)
+
+
+def lang_centroid_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-(lang, dim) int64 fixed sums + counts for one batch."""
+    fx = emb_fixed(_unpack(df))
+    langs, dims, sums, ns = [], [], [], []
+    for lang, idx in sorted(df.groupby("lang", sort=True).indices.items()):
+        s = fx[idx].sum(axis=0)
+        langs.extend([lang] * fx.shape[1])
+        dims.extend(range(fx.shape[1]))
+        sums.extend(s.tolist())
+        ns.extend([len(idx)] * fx.shape[1])
+    return pd.DataFrame(
+        {
+            "lang": pd.Series(langs, dtype="string"),
+            "dim": pd.Series(dims, dtype="int64"),
+            "sum_fx": pd.Series(sums, dtype="int64"),
+            "n_vecs": pd.Series(ns, dtype="int64"),
+        }
+    )
+
+
+def km_partial(df: pd.DataFrame, cents: List[List[float]]) -> pd.DataFrame:
+    """Assign one batch to centroids; emit (cluster, dim, sum_fx, n)."""
+    c = np.asarray(cents, dtype=np.float64)
+    x = _matrix(df)
+    assign = km_assign(x, c)
+    fx = emb_fixed(x)
+    rows = {"cluster": [], "dim": [], "sum_fx": [], "n": []}
+    for k in np.unique(assign):
+        s = fx[assign == k].sum(axis=0)
+        n = int((assign == k).sum())
+        rows["cluster"].extend([int(k)] * fx.shape[1])
+        rows["dim"].extend(range(fx.shape[1]))
+        rows["sum_fx"].extend(s.tolist())
+        rows["n"].extend([n] * fx.shape[1])
+    return pd.DataFrame(
+        {
+            "cluster": pd.Series(rows["cluster"], dtype="int64"),
+            "dim": pd.Series(rows["dim"], dtype="int64"),
+            "sum_fx": pd.Series(rows["sum_fx"], dtype="int64"),
+            "n": pd.Series(rows["n"], dtype="int64"),
+        }
+    )
+
+
+def km_assign_batch(df: pd.DataFrame, cents: List[List[float]]) -> pd.DataFrame:
+    c = np.asarray(cents, dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].astype("int64"),
+            "cluster": km_assign(_matrix(df), c),
+        }
+    )
+
+
+# --- plans ------------------------------------------------------------------
+def q_lang_embedding_centroid(sf_dir: str) -> rd.Dataset:
+    """Per-(lang, dim) fixed-point centroid sums over the embedding join."""
+    from .queries import _t
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        remote_fn(_QE, "emb_pack_batch"), batch_format="pandas"
+    )
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    joined = safe_join(emb, docs, on=("vec_id",), right_on=("doc_id",))
+    assert joined is not None  # both tables are non-empty driver inputs
+    return (
+        joined.map_batches(
+            remote_fn(_QE, "lang_centroid_partial"), batch_format="pandas"
+        )
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby(["lang", "dim"])
+        .aggregate(
+            Sum("sum_fx", alias_name="sum_fx"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+
+SQL_LANG_EMBEDDING_CENTROID = f"""
+WITH ex AS (
+  SELECT d.lang,
+         CAST(generate_subscripts(em.embedding, 1) - 1 AS BIGINT) AS dim,
+         unnest(em.embedding) AS e
+  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id)
+SELECT lang, dim,
+       CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * {EMB_SCALE} + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_fx,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ex GROUP BY lang, dim
+"""
+
+
+def kmeans_init(sf_dir: str) -> np.ndarray:
+    """Deterministic seeds: the embeddings of the KM_K lowest vec_ids
+    (pushdown-filtered read; never materializes the corpus)."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    import os
+
+    t = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=pc_.field("vec_id") < KM_K,
+    )
+    df = t.to_pandas().sort_values("vec_id")
+    return _matrix(df)
+
+
+def kmeans_iterate(ds: rd.Dataset, cents: np.ndarray, iters: int) -> np.ndarray:
+    """Fixed Lloyd iterations; each is one streaming pass + a K x D-row
+    groupby. Drives both the production plan and (with a pandas 'dataset')
+    nothing else — the dump twin uses the kernels directly."""
+    for _ in range(iters):
+        agg = (
+            ds.map_batches(
+                remote_fn(_QE, "km_partial", cents=cents.tolist()),
+                batch_format="pandas",
+            )
+            .repartition(2)  # tiny combiner output
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("sum_fx", alias_name="sum_fx"), Sum("n", alias_name="n"))
+            .to_pandas()  # K x D rows
+        )
+        sums = np.zeros((KM_K, EMB_DIM), dtype=np.int64)
+        counts = np.zeros(KM_K, dtype=np.int64)
+        for _, r in agg.iterrows():
+            sums[int(r["cluster"]), int(r["dim"])] = int(r["sum_fx"])
+            counts[int(r["cluster"])] = int(r["n"])
+        cents = km_update_from_sums(sums, counts, cents)
+    return cents
+
+
+def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
+    """Per-vector k-means assignment after KM_ITERS Lloyd iterations."""
+    from .queries import _t
+
+    cents = kmeans_init(sf_dir)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_iterate(ds, cents, KM_ITERS)
+    return ds.map_batches(
+        remote_fn(_QE, "km_assign_batch", cents=cents.tolist()),
+        batch_format="pandas",
+    )
+
+
+EMBED_QUERIES = {
+    "lang_embedding_centroid": q_lang_embedding_centroid,
+    "kmeans_clusters": q_kmeans_clusters,
+}
+
+EMBED_ORACLES = {
+    "lang_embedding_centroid": SQL_LANG_EMBEDDING_CENTROID,
+}

@@ -60,6 +60,7 @@ def dumps_dir(sf_dir: str) -> str:
         "stages/sketch.py",
         "pipelines/queries_corpus.py",
         "pipelines/queries_search.py",
+        "pipelines/queries_embed.py",
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
@@ -353,6 +354,45 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     )
     _write("bm25_topk_seq.parquet", topk)
 
+    # k-means twin: the SAME kernels (km_assign / emb_fixed /
+    # km_update_from_sums, pipelines/queries_embed.py) run single-process
+    # over the full matrix. Assignment reduces distances along the dim
+    # axis per row and centroid updates are exact integer sums, so the
+    # distributed plan's per-batch partials reproduce these bits exactly;
+    # the plumbing under test is the per-iteration combiner shuffle and
+    # the centroid rebuild.
+    from ..pipelines.queries_embed import (
+        KM_ITERS,
+        KM_K,
+        emb_fixed,
+        km_assign,
+        km_update_from_sums,
+    )
+
+    full = emb.sort_values("vec_id")
+    x = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    cents = x[full["vec_id"].to_numpy().astype(np.int64) < KM_K]
+    for _ in range(KM_ITERS):
+        assign = km_assign(x, cents)
+        fx = emb_fixed(x)
+        sums = np.zeros((KM_K, x.shape[1]), dtype=np.int64)
+        counts = np.zeros(KM_K, dtype=np.int64)
+        for k in range(KM_K):
+            m = assign == k
+            counts[k] = int(m.sum())
+            if counts[k]:
+                sums[k] = fx[m].sum(axis=0)
+        cents = km_update_from_sums(sums, counts, cents)
+    _write(
+        "kmeans_seq.parquet",
+        pd.DataFrame(
+            {
+                "vec_id": full["vec_id"].astype("int64"),
+                "cluster": km_assign(x, cents),
+            }
+        ),
+    )
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -378,4 +418,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "bigram_topk_cms": f"SELECT bigram, n_est FROM read_parquet('{p('bigram_cms_seq.parquet')}')",
         "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",
         "bm25_topk": f"SELECT doc_id, n_terms, score_x1m FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
+        "kmeans_clusters": f"SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')",
     }

@@ -31,6 +31,8 @@ DUMP_QUERIES = [
     "hll_distinct_users",
     "hll_users_by_type",
     "bigram_topk_cms",
+    "bm25_topk",
+    "kmeans_clusters",
 ]
 
 
