@@ -569,6 +569,67 @@ def q_events_pivot(sf_dir: str) -> rd.Dataset:
     )
 
 
+def melt_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Wide per-day counts -> long (day, event_type, n) rows, zero rows
+    dropped (the long form only has observed combinations)."""
+    long = df.melt(id_vars=["day"], var_name="event_type", value_name="n")
+    long["event_type"] = long["event_type"].str.removeprefix("n_")
+    long = long[long["n"] > 0]
+    return long.astype({"day": "int64", "n": "int64"})
+
+
+def q_events_unpivot(sf_dir: str) -> rd.Dataset:
+    """Unpivot/melt: the inverse reshape — pivot the events to typed
+    columns, then melt back to long form. Oracle is the direct long-form
+    groupby, so the gate certifies pivot->unpivot == identity. The melt
+    is map-only over the (already |days|-sized) pivot output."""
+    return q_events_pivot(sf_dir).map_batches(
+        remote_fn(_QC, "melt_batch"), batch_format="pandas"
+    )
+
+
+def moments_partial(batch: pa.Table) -> pa.Table:
+    """Per-(type, batch) exact integer moments: n, sum cents, sum cents^2.
+    Integer sums are order-independent, so the hash cannot drift; mean and
+    variance are cheap driver-side derivations ((s2 - s^2/n)/n) left to
+    the caller to keep the hashed result float-free. cents^2 sums need
+    int128/HUGEINT headroom beyond ~10^9 rows per group — noted."""
+    import pyarrow.compute as pc
+
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+    )
+    t = pa.table(
+        {
+            "event_type": batch["event_type"],
+            "cents": cents,
+            "cents_sq": pc.multiply(cents, cents),
+        }
+    )
+    g = t.group_by(["event_type"]).aggregate(
+        [("cents", "count"), ("cents", "sum"), ("cents_sq", "sum")]
+    )
+    return g.rename_columns(["event_type", "n", "sum_cents", "sum_sq_cents"])
+
+
+def q_events_value_moments(sf_dir: str) -> rd.Dataset:
+    """Grouped mean/variance feed: exact integer first and second moments
+    of the value column per event type (the std/var aggregate)."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(remote_fn(_QC, "moments_partial"), batch_format="pyarrow")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sum_sq_cents", alias_name="sum_sq_cents"),
+        )
+    )
+
+
 # --- left-outer join (customers with zero orders kept) -----------------------
 def outer_counts_partial(batch: pa.Table) -> pa.Table:
     """Null-aware combiner after the outer join: unmatched customers carry
@@ -741,6 +802,8 @@ CORPUS_QUERIES: Dict[str, object] = {
     "region_revenue": q_region_revenue,
     "customer_order_counts": q_customer_order_counts,
     "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
+    "events_value_moments": q_events_value_moments,
     "corpus_rollup": q_corpus_rollup,
     "corpus_prep": q_corpus_prep,
 }
@@ -824,6 +887,21 @@ SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
+""",
+    "events_unpivot": """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+    "events_value_moments": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_sq_cents
+FROM events GROUP BY event_type
 """,
     "customer_order_counts": """
 WITH per_cust AS (
