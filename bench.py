@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "orders_by_segment",
     "corpus_prep",   # composite filter->dedup->split (round 3)
     "bm25_topk",     # text-retrieval ranking (round 3)
+    "pack_sequences",   # distributed prefix sum (round 3)
+    "kmeans_clusters",  # iterative fixed-point k-means (round 3)
 ]
 
 
