@@ -630,6 +630,46 @@ def q_events_value_moments(sf_dir: str) -> rd.Dataset:
     )
 
 
+def seg_prio_partial(batch: pa.Table) -> pa.Table:
+    g = (
+        batch.select(["c_mktsegment", "o_orderpriority"])
+        .group_by(["c_mktsegment", "o_orderpriority"])
+        .aggregate([("o_orderpriority", "count")])
+    )
+    return g.rename_columns(["c_mktsegment", "o_orderpriority", "n_orders"])
+
+
+def q_segment_priority_matrix(sf_dir: str) -> pd.DataFrame:
+    """CROSS JOIN: the full segment x priority matrix with zero-filled
+    counts (the one join type the registry otherwise lacks). The fact
+    table flows through a distributed hash join + combiner; the cross
+    product itself is over the two DISTINCT dimension sets — bounded by
+    dimension cardinality (|segments| x |priorities|), so the matrix
+    assembly is driver-side by design, like every dimension table."""
+    from ..joins import safe_join
+    from .queries import _t
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = safe_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
+    assert joined is not None  # both driver tables are non-empty
+    obs = (
+        joined.map_batches(remote_fn(_QC, "seg_prio_partial"), batch_format="pyarrow")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()  # <= |segments| x |priorities| rows
+    )
+    segs = sorted(obs["c_mktsegment"].unique())
+    prios = sorted(obs["o_orderpriority"].unique())
+    full = pd.MultiIndex.from_product(
+        [segs, prios], names=["c_mktsegment", "o_orderpriority"]
+    ).to_frame(index=False)
+    out = full.merge(obs, how="left", on=["c_mktsegment", "o_orderpriority"])
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    return out
+
+
 # --- left-outer join (customers with zero orders kept) -----------------------
 def outer_counts_partial(batch: pa.Table) -> pa.Table:
     """Null-aware combiner after the outer join: unmatched customers carry
@@ -804,6 +844,7 @@ CORPUS_QUERIES: Dict[str, object] = {
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "events_value_moments": q_events_value_moments,
+    "segment_priority_matrix": q_segment_priority_matrix,
     "corpus_rollup": q_corpus_rollup,
     "corpus_prep": q_corpus_prep,
 }
@@ -887,6 +928,20 @@ SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
+""",
+    "segment_priority_matrix": """
+WITH j AS (
+  SELECT c_mktsegment, o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+obs AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2),
+segs AS (SELECT DISTINCT c_mktsegment FROM j),
+prios AS (SELECT DISTINCT o_orderpriority FROM j)
+SELECT s.c_mktsegment, p.o_orderpriority,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM segs s CROSS JOIN prios p
+LEFT JOIN obs o USING (c_mktsegment, o_orderpriority)
 """,
     "events_unpivot": """
 SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

@@ -82,3 +82,59 @@ def test_resample_thresholds_cap_and_cut():
     assert thr["fr"] == RESAMPLE_SCALE  # rate capped at 1
     expect_en = (RESAMPLE_TARGETS["en"] * n * RESAMPLE_SCALE) // (100 * 900)
     assert thr["en"] == expect_en < RESAMPLE_SCALE
+
+
+# --- property tests (hypothesis) -------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 12))
+def test_ntile_property_bucket_sizes(n, k):
+    """Bucket sizes differ by at most 1 and are non-increasing (the SQL
+    NTILE contract), covering every (N % k) remainder case."""
+    tiles = ntile_of_rank(np.arange(n, dtype="int64"), n, k)
+    sizes = pd.Series(tiles).value_counts().sort_index()
+    assert sizes.sum() == n
+    assert sizes.max() - sizes.min() <= 1
+    assert (np.diff(sizes.to_numpy()) <= 0).all()
+    assert tiles.min() == 1 and tiles.max() == min(k, n)
+    assert (np.diff(tiles) >= 0).all()  # monotone in rank
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    st.integers(2, 9),
+)
+def test_pack_prefix_sum_shard_invariant(dls, cut):
+    """Two-level prefix sum equals the direct cumsum no matter where the
+    shard boundary falls: offsets are a pure function of doc order."""
+    texts = [" ".join(["w"] * max(1, d)) for d in dls]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    direct = np.concatenate(
+        [[0], np.cumsum([len(t.split(" ")) for t in texts])[:-1]]
+    )
+    # emulate the two-level plan with an arbitrary shard size `cut`
+    import khl_pdf_ocr_ray.pipelines.queries_window as qw
+
+    old = qw.PACK_SHARD
+    qw.PACK_SHARD = cut
+    try:
+        sums = {}
+        for i, t in enumerate(texts):
+            s = i // cut
+            sums[s] = sums.get(s, 0) + len(t.split(" "))
+        offs, acc = {}, 0
+        for s in sorted(sums):
+            offs[s] = acc
+            acc += sums[s]
+        outs = [
+            qw.pack_assign_shard(g, shard_offsets=offs)
+            for _, g in df.groupby(df["doc_id"] // cut)
+        ]
+        got = pd.concat(outs).sort_values("doc_id")["off"].to_numpy()
+    finally:
+        qw.PACK_SHARD = old
+    assert (got == direct).all()
