@@ -250,7 +250,11 @@ def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
     from .queries import _t
 
     cents = kmeans_init(sf_dir)
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # iterative working set: materialized ONCE so the 4 passes (3 updates
+    # + final assign) don't re-read and re-partition the parquet each
+    # time — the standard cache-the-iterate pattern; at 100 TB the object
+    # store holds/spills the blocks and every pass is a pure map over them
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents = kmeans_iterate(ds, cents, KM_ITERS)
     return ds.map_batches(
         remote_fn(_QE, "km_assign_batch", cents=cents.tolist()),
