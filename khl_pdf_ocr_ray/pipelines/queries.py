@@ -1379,6 +1379,13 @@ from .queries_embed import EMBED_ORACLES, EMBED_QUERIES  # noqa: E402
 QUERIES.update(EMBED_QUERIES)
 ORACLES.update(EMBED_ORACLES)
 
+# aggregation family: bounded sliding window, ordered string_agg,
+# width-bucket histogram, DDSketch quantiles (all static SQL)
+from .queries_agg import AGG_ORACLES, AGG_QUERIES  # noqa: E402
+
+QUERIES.update(AGG_QUERIES)
+ORACLES.update(AGG_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

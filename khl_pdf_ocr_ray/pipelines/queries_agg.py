@@ -1,0 +1,303 @@
+"""Aggregation-family operators rounds the registry out with four more
+classes: a BOUNDED sliding-window frame, ordered string aggregation,
+width-bucket discretization, and a mergeable DDSketch-style quantile
+sketch. All four are STATIC-SQL checked.
+
+- ``events_sliding_window`` — per-user moving sum over the last
+  ``SLIDE_W`` events (``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW``):
+  the bounded-frame windowed aggregate (``events_running`` in
+  queries.py covers the unbounded cumulative frame, ``events_lag`` the
+  previous-row access). Difference-of-cumsums inside each user group —
+  one vectorized pass, no per-row Python.
+- ``region_nation_list`` — ``string_agg(n_name, ',' ORDER BY n_name)``
+  per region: the ORDER-SENSITIVE aggregation class (every other
+  aggregate in the registry is commutative). Grouped shuffle moves the
+  25-row nation dim; the 5-row region name map is broadcast as a static
+  kwarg — the reference's master-lookup broadcast pattern
+  (khl-pdf-ocr validates names against in-memory master lists the same
+  way).
+- ``doc_size_hist`` — fixed-width bucketing (SQL ``width_bucket`` /
+  integer-division binning) with per-bucket count + char sum: the
+  discretization operator. Pure combiner: the shuffle carries one row
+  per (bucket, block).
+- ``ddsketch_size_quantiles`` — approximate quantiles from a MERGEABLE
+  relative-error sketch (DDSketch/HDR-histogram family, integer-only):
+  bucket = (msb octave of n_chars) x 8 linear sub-buckets, guaranteeing
+  est <= q_true <= est*(1+1/8)+1. Per-batch bucket partials -> one
+  bounded groupby (<= 64*8 = 512 live buckets for int64 inputs, vs
+  unbounded distinct sizes for the exact histogram of
+  ``doc_size_quantiles``) -> driver walks the tiny cumulative table.
+  This is the sketch to reach for when distinct-value cardinality is
+  too high for the exact-histogram plan.
+
+Scale notes (100 TB):
+- sliding window shuffles on user_id like the other per-user window
+  operators (hot users: the salted user-day buckets of
+  stages/temporal.py apply unchanged because the frame is row-bounded);
+- string_agg groups are dimension-bounded here; for an unbounded
+  grouped concat the per-group payload itself is the product — cap or
+  spill per group, never concat unbounded strings into one row;
+- the histogram and sketch shuffles are bounded by bucket cardinality
+  (|sizes|/500 resp. 512 rows per block), not by row count — both are
+  safe at any corpus size;
+- the sketch's merge is a plain per-bucket integer SUM: commutative,
+  associative, and batching-invariant, so the driver-side walk sees
+  identical tables regardless of block layout (asserted in
+  tests/test_queries_agg.py).
+
+All integer arithmetic (cents, bucket ids, fixed rank formula
+``(p*total+99)//100``) so the DuckDB twins hash-match bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..remote import remote_fn
+
+_QA = "khl_pdf_ocr_ray.pipelines.queries_agg"
+
+SLIDE_W = 3  # current row + 2 preceding
+HIST_WIDTH = 500  # doc-size histogram bucket width (chars)
+DD_SUB = 8  # DDSketch linear sub-buckets per power-of-two octave
+DD_PS = (50, 90, 99)
+
+
+# --- events_sliding_window --------------------------------------------------
+def sliding_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's (ts, event_id)-ordered stream: moving sum of exact
+    cents over the trailing SLIDE_W-row frame, as cumsum differences."""
+    g = g.sort_values(["ts", "event_id"])
+    cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+    cum = np.cumsum(cents)
+    win = cum.copy()
+    win[SLIDE_W:] = cum[SLIDE_W:] - cum[:-SLIDE_W]
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "win_cents": win,
+            "win_n": np.minimum(np.arange(1, len(g) + 1), SLIDE_W).astype("int64"),
+        }
+    )
+
+
+def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
+    """Trailing 3-event moving sum per user (bounded window frame)."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_QA, "sliding_per_user"), batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SLIDING = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {SLIDE_W - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS win_cents,
+       CAST(least(row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), {SLIDE_W})
+            AS BIGINT) AS win_n
+FROM events
+"""
+
+
+# --- region_nation_list -----------------------------------------------------
+def nations_concat_group(g: pd.DataFrame, r_name: dict) -> pd.DataFrame:
+    """One region's nations: name-ordered comma concat (order-sensitive
+    aggregate — sort THEN join, so the result is layout-independent)."""
+    names = sorted(g["n_name"].astype(str).tolist())
+    key = int(g["n_regionkey"].iloc[0])
+    return pd.DataFrame(
+        {
+            "r_name": [str(r_name[key])],
+            "nations": [",".join(names)],
+            "n_nations": np.array([len(names)], dtype="int64"),
+        }
+    )
+
+
+def q_region_nation_list(sf_dir: str) -> rd.Dataset:
+    """Ordered string_agg: comma-joined sorted nation names per region."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .queries import _t
+
+    # 5-row bounded dimension -> broadcast as plain-data kwargs, exactly
+    # like region_revenue's nation->region map (queries_corpus.py).
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pydict()
+    r_name = {int(k): str(v) for k, v in zip(region["r_regionkey"], region["r_name"])}
+    return (
+        _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+        .groupby("n_regionkey")
+        .map_groups(remote_fn(_QA, "nations_concat_group", r_name=r_name),
+                    batch_format="pandas")
+    )
+
+
+SQL_REGION_NATION_LIST = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- doc_size_hist ----------------------------------------------------------
+def hist_bucket_project(batch: pa.Table) -> pa.Table:
+    """Integer-division width bucket; int64 // is exact (n_chars >= 0)."""
+    b = pc.cast(pc.divide(batch["n_chars"], HIST_WIDTH), pa.int64())
+    return pa.table({"bucket": b, "n_chars": pc.cast(batch["n_chars"], pa.int64())})
+
+
+def q_doc_size_hist(sf_dir: str) -> rd.Dataset:
+    """Fixed-width doc-size histogram: count + char mass per 500-char
+    bucket. The shuffle moves one row per (bucket, block)."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "documents", ["n_chars"])
+        .map_batches(
+            remote_fn(_QA, "hist_bucket_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+SQL_DOC_SIZE_HIST = f"""
+SELECT n_chars // {HIST_WIDTH} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- ddsketch_size_quantiles ------------------------------------------------
+def dd_bucket(x: np.ndarray) -> np.ndarray:
+    """Integer DDSketch bucket id: msb octave x DD_SUB linear sub-buckets.
+
+    np.frexp on integer-valued float64 is EXACT below 2^53 (x = m*2^e,
+    msb = e-1), so the octave needs no float log2 — the id is a pure
+    function of the integer value on every platform."""
+    x = np.maximum(x.astype("int64"), 1)
+    _, exp = np.frexp(x.astype("float64"))
+    msb = (exp - 1).astype("int64")
+    base = np.int64(1) << msb
+    sub = (x - base) * DD_SUB // base
+    return msb * DD_SUB + sub
+
+
+def dd_lower_bound(bucket: int) -> int:
+    """Inclusive lower bound of a bucket (the quantile estimate)."""
+    msb, sub = divmod(int(bucket), DD_SUB)
+    return ((1 << msb) * (DD_SUB + sub)) // DD_SUB
+
+
+def dd_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (bucket -> count) partial — the mergeable sketch rows."""
+    b = dd_bucket(batch["n_chars"].to_numpy(zero_copy_only=False))
+    ids, counts = np.unique(b, return_counts=True)
+    return pa.table(
+        {"bucket": pa.array(ids, pa.int64()),
+         "n": pa.array(counts.astype("int64"), pa.int64())}
+    )
+
+
+def q_ddsketch_size_quantiles(sf_dir: str) -> pa.Table:
+    """Approximate doc-size quantiles from the merged DDSketch: bounded
+    relative error (<= 1/DD_SUB), bounded shuffle (<= 512 bucket rows per
+    block), driver walk over <= 512 merged rows."""
+    import math  # noqa: F401  (rank formula is pure-integer, no ceil)
+
+    from .queries import _t
+
+    hist = (
+        _t(sf_dir, "documents", ["n_chars"])
+        .map_batches(
+            remote_fn(_QA, "dd_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    buckets = hist["bucket"].to_numpy()
+    ps, ests = [], []
+    for p in DD_PS:
+        rank = (p * total + 99) // 100  # integer ceil(p% * total)
+        b = int(buckets[np.searchsorted(cum, rank)])
+        ps.append(p)
+        ests.append(dd_lower_bound(b))
+    return pa.table(
+        {"p": pa.array(ps, pa.int64()), "est_n_chars": pa.array(ests, pa.int64())}
+    )
+
+
+# DuckDB twin: msb via bin() string length (integer-exact, no float log2);
+# same sub-bucket, rank and lower-bound integer formulas as the kernels.
+SQL_DDSKETCH_QUANTILES = f"""
+WITH x AS (
+  SELECT GREATEST(n_chars, 1) AS v FROM documents
+), b AS (
+  SELECT (length(bin(v)) - 1) * {DD_SUB}
+         + ((v - (1::BIGINT << (length(bin(v)) - 1))) * {DD_SUB})
+             // (1::BIGINT << (length(bin(v)) - 1)) AS bucket
+  FROM x
+), bk AS (
+  SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+), c AS (
+  SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum,
+         (SELECT sum(n) FROM bk) AS total
+  FROM bk
+), hit AS (
+  SELECT p, min(bucket) AS bucket
+  FROM c, (SELECT unnest([{", ".join(map(str, DD_PS))}]) AS p) ps
+  WHERE cum >= (p * total + 99) // 100
+  GROUP BY p
+)
+SELECT CAST(p AS BIGINT) AS p,
+       CAST(((1::BIGINT << (bucket // {DD_SUB})) * ({DD_SUB} + bucket % {DD_SUB}))
+            // {DD_SUB} AS BIGINT) AS est_n_chars
+FROM hit
+"""
+
+
+AGG_QUERIES = {
+    "events_sliding_window": q_events_sliding_window,
+    "region_nation_list": q_region_nation_list,
+    "doc_size_hist": q_doc_size_hist,
+    "ddsketch_size_quantiles": q_ddsketch_size_quantiles,
+}
+
+AGG_ORACLES = {
+    "events_sliding_window": SQL_EVENTS_SLIDING,
+    "region_nation_list": SQL_REGION_NATION_LIST,
+    "doc_size_hist": SQL_DOC_SIZE_HIST,
+    "ddsketch_size_quantiles": SQL_DDSKETCH_QUANTILES,
+}

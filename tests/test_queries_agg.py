@@ -1,0 +1,136 @@
+"""Kernel-level checks for the aggregation-family operators
+(pipelines/queries_agg.py) beyond the oracle parity gate: sliding-frame
+brute-force parity, DDSketch bucket geometry + error bound + merge
+batching-invariance, histogram mass conservation, and ordered-concat
+layout independence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from khl_pdf_ocr_ray.pipelines.queries_agg import (
+    DD_PS,
+    DD_SUB,
+    HIST_WIDTH,
+    SLIDE_W,
+    dd_bucket,
+    dd_lower_bound,
+    dd_partial,
+    hist_bucket_project,
+    nations_concat_group,
+    sliding_per_user,
+)
+
+
+def _user_frame(rng, n):
+    ts = pd.to_datetime(rng.integers(0, 10**6, n), unit="s")
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": np.full(n, 5, dtype="int64"),
+            "ts": ts,
+            "value": rng.uniform(0, 50, n),
+        }
+    )
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 17])
+def test_sliding_matches_bruteforce(n):
+    rng = np.random.default_rng(n)
+    g = _user_frame(rng, n)
+    out = sliding_per_user(g)
+    srt = g.sort_values(["ts", "event_id"])
+    cents = np.floor(srt["value"].to_numpy() * 100 + 0.5).astype("int64")
+    for i in range(n):
+        lo = max(0, i - (SLIDE_W - 1))
+        assert out["win_cents"].iloc[i] == cents[lo : i + 1].sum()
+        assert out["win_n"].iloc[i] == i + 1 - lo
+
+
+def test_sliding_is_row_order_invariant():
+    rng = np.random.default_rng(3)
+    g = _user_frame(rng, 20)
+    shuffled = g.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    a = sliding_per_user(g).reset_index(drop=True)
+    b = sliding_per_user(shuffled).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dd_bucket_geometry():
+    """Lower bound of a value's bucket never exceeds the value, and the
+    relative error of the bound is within 1/DD_SUB (+1 integer slack)."""
+    x = np.unique(np.concatenate([
+        np.arange(1, 200),
+        np.int64(1) << np.arange(0, 50),
+        (np.int64(1) << np.arange(3, 50)) - 1,
+        np.random.default_rng(0).integers(1, 2**52, 500),
+    ])).astype("int64")
+    b = dd_bucket(x)
+    lb = np.array([dd_lower_bound(v) for v in b], dtype="int64")
+    assert (lb <= x).all()
+    assert (x <= lb + lb // DD_SUB + 1).all()
+    # bucket id is monotone in the value
+    assert (np.diff(b[np.argsort(x)]) >= 0).all()
+
+
+def test_dd_merge_is_batching_invariant():
+    """Splitting the input across partial batches then summing per bucket
+    equals the single-batch sketch — the mergeability contract."""
+    rng = np.random.default_rng(1)
+    vals = rng.integers(1, 10**6, 4000).astype("int64")
+    whole = dd_partial(pa.table({"n_chars": vals}))
+    parts = [
+        dd_partial(pa.table({"n_chars": vals[i : i + 257]}))
+        for i in range(0, len(vals), 257)
+    ]
+    merged = (
+        pa.concat_tables(parts)
+        .to_pandas()
+        .groupby("bucket", as_index=False)["n"]
+        .sum()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        whole.to_pandas().sort_values("bucket").reset_index(drop=True), merged
+    )
+
+
+def test_dd_quantile_error_bound_vs_exact():
+    """Walking the merged sketch lands within the guaranteed relative
+    error of the exact quantile for every target percentile."""
+    rng = np.random.default_rng(2)
+    vals = np.sort(rng.lognormal(8, 1, 5000).astype("int64") + 1)
+    tbl = dd_partial(pa.table({"n_chars": vals}))
+    hist = tbl.to_pandas().sort_values("bucket")
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    for p in DD_PS:
+        rank = (p * total + 99) // 100
+        b = int(hist["bucket"].to_numpy()[np.searchsorted(cum, rank)])
+        est = dd_lower_bound(b)
+        exact = int(vals[rank - 1])
+        assert est <= exact <= est + est // DD_SUB + 1
+
+
+def test_hist_mass_conservation():
+    vals = np.array([0, 1, 499, 500, 501, 1250, 9999], dtype="int64")
+    t = hist_bucket_project(pa.table({"n_chars": vals}))
+    assert t["bucket"].to_pylist() == (vals // HIST_WIDTH).tolist()
+    assert sum(t["n_chars"].to_pylist()) == vals.sum()
+
+
+def test_nations_concat_sorted_and_layout_independent():
+    g = pd.DataFrame(
+        {
+            "n_nationkey": [3, 1, 2],
+            "n_name": ["CCC", "AAA", "BBB"],
+            "n_regionkey": [7, 7, 7],
+        }
+    )
+    out1 = nations_concat_group(g, {7: "EUROPE"})
+    out2 = nations_concat_group(g.iloc[::-1].reset_index(drop=True), {7: "EUROPE"})
+    assert out1["nations"].iloc[0] == "AAA,BBB,CCC"
+    assert out1["n_nations"].iloc[0] == 3
+    pd.testing.assert_frame_equal(out1, out2)
