@@ -288,11 +288,129 @@ FROM hit
 """
 
 
+# --- props_json_stats -------------------------------------------------------
+# Semi-structured extraction: pull the integer "k" field out of the JSON
+# props column with a VECTORIZED RE2 kernel (pc.extract_regex — zero
+# Python rows), then aggregate per event type. The DuckDB twin parses the
+# SAME column with its native JSON reader (json_extract_string), so the
+# gate cross-checks the regex fast-path against a real JSON parser.
+def props_k_project(batch: pa.Table) -> pa.Table:
+    ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+    k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+    return pa.table({"event_type": batch["event_type"], "k": k}).filter(
+        pc.is_valid(k)
+    )
+
+
+def q_props_json_stats(sf_dir: str) -> rd.Dataset:
+    """Per-event-type stats of the JSON props field ``k``."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_type", "props"])
+        .map_batches(
+            remote_fn(_QA, "props_k_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+        )
+    )
+
+
+SQL_PROPS_JSON_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# --- big_or_recent_users (set operation: UNION DISTINCT) --------------------
+BIG_SPEND_CENTS = 400_000
+RECENT_TS = "2024-01-30 12:00:00"
+
+
+def spend_cents_project(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+    )
+    return pa.table({"user_id": batch["user_id"], "cents": cents})
+
+
+def recent_users_project(batch: pa.Table) -> pa.Table:
+    keep = pc.greater_equal(
+        batch["ts"], pa.scalar(pd.Timestamp(RECENT_TS), pa.timestamp("us"))
+    )
+    return pa.table({"user_id": batch.filter(keep)["user_id"]})
+
+
+def big_users_filter(batch: pa.Table) -> pa.Table:
+    keep = pc.greater_equal(batch["spend"], BIG_SPEND_CENTS)
+    return pa.table({"user_id": batch.filter(keep)["user_id"]})
+
+
+def distinct_user_project(batch: pa.Table) -> pa.Table:
+    return pa.table({"user_id": batch["user_id"]})
+
+
+def q_big_or_recent_users(sf_dir: str) -> rd.Dataset:
+    """Set operation: big-spender users UNION (distinct) recently-active
+    users. Each side reduces to a slim user_id stream first (combiner /
+    filter), then ``Dataset.union`` concatenates and ONE grouped count
+    dedups — the UNION DISTINCT plan; the shuffle carries <= |users| rows
+    per side, never events."""
+    from .queries import _t
+
+    big = (
+        _t(sf_dir, "events", ["user_id", "value"])
+        .map_batches(
+            remote_fn(_QA, "spend_cents_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="spend"))
+        .map_batches(
+            remote_fn(_QA, "big_users_filter"),
+            batch_format="pyarrow",
+        )
+    )
+    recent = _t(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        remote_fn(_QA, "recent_users_project"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        big.union(recent)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(remote_fn(_QA, "distinct_user_project"), batch_format="pyarrow")
+    )
+
+
+SQL_BIG_OR_RECENT_USERS = f"""
+SELECT user_id FROM events
+GROUP BY user_id
+HAVING sum(CAST(floor(value*100 + 0.5) AS BIGINT)) >= {BIG_SPEND_CENTS}
+UNION
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '{RECENT_TS}'
+"""
+
+
 AGG_QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "region_nation_list": q_region_nation_list,
     "doc_size_hist": q_doc_size_hist,
     "ddsketch_size_quantiles": q_ddsketch_size_quantiles,
+    "props_json_stats": q_props_json_stats,
+    "big_or_recent_users": q_big_or_recent_users,
 }
 
 AGG_ORACLES = {
@@ -300,4 +418,6 @@ AGG_ORACLES = {
     "region_nation_list": SQL_REGION_NATION_LIST,
     "doc_size_hist": SQL_DOC_SIZE_HIST,
     "ddsketch_size_quantiles": SQL_DDSKETCH_QUANTILES,
+    "props_json_stats": SQL_PROPS_JSON_STATS,
+    "big_or_recent_users": SQL_BIG_OR_RECENT_USERS,
 }

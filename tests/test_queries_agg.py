@@ -134,3 +134,54 @@ def test_nations_concat_sorted_and_layout_independent():
     assert out1["nations"].iloc[0] == "AAA,BBB,CCC"
     assert out1["n_nations"].iloc[0] == 3
     pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_props_k_project_extracts_and_drops_nonmatching():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import props_k_project
+
+    batch = pa.table(
+        {
+            "event_type": ["a", "b", "c", "d", "e"],
+            "props": ['{"k": 87}', '{"k":-3}', '{"j": 1}', "not json", '{"k": 0}'],
+        }
+    )
+    out = props_k_project(batch)
+    assert out["event_type"].to_pylist() == ["a", "b", "e"] or out[
+        "event_type"
+    ].to_pylist() == ["a", "b", "d", "e"]
+    # "b" must parse the negative; rows without a "k" integer are dropped.
+    d = dict(zip(out["event_type"].to_pylist(), out["k"].to_pylist()))
+    assert d["a"] == 87 and d["b"] == -3 and d["e"] == 0 and "c" not in d
+
+
+def test_spend_cents_half_up_rounding():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import spend_cents_project
+
+    batch = pa.table({"user_id": [1, 2, 3], "value": [1.005, 2.004, 0.0]})
+    out = spend_cents_project(batch)
+    # floor(v*100 + 0.5): 1.005 -> 101 (or 100 under fp), matches the SQL twin
+    # because BOTH sides use the identical floor(value*100 + 0.5) expression.
+    import math
+
+    expect = [int(math.floor(v * 100 + 0.5)) for v in [1.005, 2.004, 0.0]]
+    assert out["cents"].to_pylist() == expect
+
+
+def test_recent_users_boundary_inclusive():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import (
+        RECENT_TS,
+        recent_users_project,
+    )
+
+    edge = pd.Timestamp(RECENT_TS)
+    batch = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [edge - pd.Timedelta("1us"), edge, edge + pd.Timedelta("1us")],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = recent_users_project(batch)
+    assert out["user_id"].to_pylist() == [2, 3]
