@@ -1386,6 +1386,13 @@ from .queries_agg import AGG_ORACLES, AGG_QUERIES  # noqa: E402
 QUERIES.update(AGG_QUERIES)
 ORACLES.update(AGG_ORACLES)
 
+# relational completeness: ordered funnel, INTERSECT/EXCEPT set ops,
+# grouped Pearson correlation (all static SQL)
+from .queries_rel import REL_ORACLES, REL_QUERIES  # noqa: E402
+
+QUERIES.update(REL_QUERIES)
+ORACLES.update(REL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -1,0 +1,343 @@
+"""Relational-completeness operators: ordered funnel analysis, the
+INTERSECT / EXCEPT set operations, and a grouped Pearson correlation —
+three families the registry otherwise lacks. All static-SQL checked.
+
+- ``funnel_conversion`` — the ORDERED multi-stage funnel (view ->
+  click -> purchase, each stage's first hit must not precede the
+  previous stage's): the sequence-pattern class of per-key analysis,
+  one step beyond ``sessionize``'s gap-split. One shuffle on user_id
+  carries only funnel-type events; per-user work is a vectorized
+  three-min pass; stage counts reduce through a <=3-row combiner.
+- ``users_intersect`` / ``users_except`` — INTERSECT and EXCEPT
+  DISTINCT, completing the set-op family next to
+  ``big_or_recent_users``'s UNION DISTINCT (queries_agg.py). Both
+  sides come from ONE scan: a per-batch distinct combiner tags each
+  user with side-membership bits, one grouped max merges the bits,
+  and a filter picks (a AND b) resp. (a AND NOT b) — the shuffle
+  carries <= |distinct users| rows per batch, never events.
+- ``corr_value_props`` — per-group Pearson correlation (the CORR /
+  COVAR aggregate class) between the cents-fixed-point value column
+  and the JSON ``k`` property, from EXACT integer sufficient
+  statistics (n, sx, sy, sxx, syy, sxy). The merge is plain integer
+  sums (commutative + batching-invariant, like
+  ``events_value_moments``); the final r is computed driver-side from
+  Python arbitrary-precision ints with the SAME int->double->mul->
+  sqrt->div step sequence the SQL twin uses, so the float output is
+  bit-identical, not merely close.
+
+Scale notes (100 TB):
+- the funnel shuffles only the three funnel event types and holds one
+  user's events at a time (same hot-user caveat + salting remedy as
+  every per-user window operator, see stages/temporal.py);
+- the set ops move one row per (batch, distinct user, side) after the
+  combiner — bounded by user cardinality, not event count;
+- corr's integer second moments need int128 headroom beyond ~10^9
+  rows x (10^5 cents)^2 per group; the Arrow partials here are int64
+  (exact to ~9.2e18) and the driver-side merge is arbitrary-precision,
+  so the overflow boundary is per-BATCH, not per-group — noted, same
+  caveat as moments_partial (queries_corpus.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+from ..remote import remote_fn
+
+_QR = "khl_pdf_ocr_ray.pipelines.queries_rel"
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+# Set-op sides: A = users with a big purchase, B = users with a big click.
+# Thresholds chosen so INTERSECT and EXCEPT are both non-degenerate at the
+# driver's gate scales (sf0.001 and sf0.01).
+SET_SIDE_A = ("purchase", 20_000)
+SET_SIDE_B = ("click", 15_000)
+
+
+# --- funnel_conversion ------------------------------------------------------
+def funnel_project(batch: pa.Table) -> pa.Table:
+    """Keep only funnel-stage events, slimmed to (user_id, event_type, ts)."""
+    keep = pc.is_in(batch["event_type"], value_set=pa.array(FUNNEL_STAGES))
+    return batch.select(["user_id", "event_type", "ts"]).filter(keep)
+
+
+def funnel_user_reach(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's funnel depth: stage i counts only if its earliest
+    occurrence at-or-after stage i-1's chosen time exists (ties allowed,
+    matching the SQL twin's ``ts >= prev``)."""
+    et = g["event_type"].to_numpy()
+    ts = g["ts"].to_numpy()
+    reach = 0
+    prev = None
+    for stage in FUNNEL_STAGES:
+        m = et == stage
+        if prev is not None:
+            m &= ts >= prev
+        if not m.any():
+            break
+        prev = ts[m].min()
+        reach += 1
+    if reach == 0:
+        return pd.DataFrame({"reach": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"reach": np.array([reach], dtype="int64")})
+
+
+def reach_count_partial(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(["reach"]).aggregate([("reach", "count")])
+    return g.rename_columns(["reach", "n"])
+
+
+def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Users reaching at least each funnel stage, in order."""
+    from .queries import _t
+
+    levels = (
+        _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(
+            remote_fn(_QR, "funnel_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .map_groups(remote_fn(_QR, "funnel_user_reach"), batch_format="pandas")
+        .map_batches(remote_fn(_QR, "reach_count_partial"), batch_format="pyarrow")
+        .groupby("reach")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 3 rows
+    )
+    by_level = dict(zip(levels["reach"].astype(int), levels["n"].astype(int)))
+    n_users = [
+        sum(v for k, v in by_level.items() if k >= i)
+        for i in range(1, len(FUNNEL_STAGES) + 1)
+    ]
+    return pd.DataFrame(
+        {
+            "stage": list(FUNNEL_STAGES),
+            "n_users": np.array(n_users, dtype="int64"),
+        }
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= c.t2
+  GROUP BY e.user_id
+)
+SELECT '{FUNNEL_STAGES[0]}' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT '{FUNNEL_STAGES[1]}', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '{FUNNEL_STAGES[2]}', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+# --- users_intersect / users_except -----------------------------------------
+def setop_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct combiner: one row per user seen in this batch,
+    with side-membership bits (a = hit SET_SIDE_A's type+threshold,
+    b = hit SET_SIDE_B's)."""
+    et = batch["event_type"]
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+    )
+    in_a = pc.and_(
+        pc.equal(et, SET_SIDE_A[0]), pc.greater_equal(cents, SET_SIDE_A[1])
+    )
+    in_b = pc.and_(
+        pc.equal(et, SET_SIDE_B[0]), pc.greater_equal(cents, SET_SIDE_B[1])
+    )
+    keep = pc.or_(in_a, in_b)
+    tagged = pa.table(
+        {
+            "user_id": batch["user_id"],
+            "a": pc.cast(in_a, pa.int64()),
+            "b": pc.cast(in_b, pa.int64()),
+        }
+    ).filter(keep)
+    g = tagged.group_by(["user_id"]).aggregate([("a", "max"), ("b", "max")])
+    return g.rename_columns(["user_id", "a", "b"])
+
+
+def intersect_filter(batch: pa.Table) -> pa.Table:
+    keep = pc.and_(pc.equal(batch["a"], 1), pc.equal(batch["b"], 1))
+    return pa.table({"user_id": batch.filter(keep)["user_id"]})
+
+
+def except_filter(batch: pa.Table) -> pa.Table:
+    keep = pc.and_(pc.equal(batch["a"], 1), pc.equal(batch["b"], 0))
+    return pa.table({"user_id": batch.filter(keep)["user_id"]})
+
+
+def _setop(sf_dir: str, final: str) -> rd.Dataset:
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(
+            remote_fn(_QR, "setop_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .aggregate(Max("a", alias_name="a"), Max("b", alias_name="b"))
+        .map_batches(remote_fn(_QR, final), batch_format="pyarrow")
+    )
+
+
+def q_users_intersect(sf_dir: str) -> rd.Dataset:
+    """INTERSECT DISTINCT: users who did both sides."""
+    return _setop(sf_dir, "intersect_filter")
+
+
+def q_users_except(sf_dir: str) -> rd.Dataset:
+    """EXCEPT DISTINCT: side-A users who never did side B."""
+    return _setop(sf_dir, "except_filter")
+
+
+_SQL_SIDE = (
+    "SELECT DISTINCT user_id FROM events WHERE event_type = '{t}' "
+    "AND CAST(floor(value*100 + 0.5) AS BIGINT) >= {c}"
+)
+_SIDE_A_SQL = _SQL_SIDE.format(t=SET_SIDE_A[0], c=SET_SIDE_A[1])
+_SIDE_B_SQL = _SQL_SIDE.format(t=SET_SIDE_B[0], c=SET_SIDE_B[1])
+
+SQL_USERS_INTERSECT = f"{_SIDE_A_SQL}\nINTERSECT\n{_SIDE_B_SQL}"
+
+SQL_USERS_EXCEPT = f"{_SIDE_A_SQL}\nEXCEPT\n{_SIDE_B_SQL}"
+
+
+# --- corr_value_props -------------------------------------------------------
+def corr_partial(batch: pa.Table) -> pa.Table:
+    """Per-(type, batch) exact integer sufficient statistics for Pearson
+    r between cents(value) and the JSON props field k."""
+    ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+    y = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+    x = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+    )
+    t = pa.table(
+        {
+            "event_type": batch["event_type"],
+            "x": x,
+            "y": y,
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        }
+    ).filter(pc.is_valid(y))
+    g = t.group_by(["event_type"]).aggregate(
+        [
+            ("x", "count"),
+            ("x", "sum"),
+            ("y", "sum"),
+            ("xx", "sum"),
+            ("yy", "sum"),
+            ("xy", "sum"),
+        ]
+    )
+    return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+
+def corr_from_sums(n: int, sx: int, sy: int, sxx: int, syy: int, sxy: int) -> float:
+    """The SQL twin's exact step sequence: int128-exact numerator /
+    variance terms, each cast int->double ONCE, then mul, sqrt, div —
+    IEEE-deterministic, so both engines emit the same bits."""
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return float(num) / math.sqrt(float(vx) * float(vy))
+
+
+def q_corr_value_props(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Pearson correlation between value (cents) and the
+    JSON props k field."""
+    from .queries import _t
+
+    sums = (
+        _t(sf_dir, "events", ["event_type", "value", "props"])
+        .map_batches(
+            remote_fn(_QR, "corr_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()  # <= |event types| rows
+    )
+    corr = [
+        corr_from_sums(
+            int(r.n), int(r.sx), int(r.sy), int(r.sxx), int(r.syy), int(r.sxy)
+        )
+        for r in sums.itertuples()
+    ]
+    return pd.DataFrame(
+        {
+            "event_type": sums["event_type"],
+            "n": sums["n"].astype("int64"),
+            "corr_vk": np.array(corr, dtype="float64"),
+        }
+    )
+
+
+SQL_CORR_VALUE_PROPS = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+         CAST(sum(x*y) AS BIGINT) AS sxy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         AS corr_vk
+FROM s
+"""
+
+
+REL_QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "users_intersect": q_users_intersect,
+    "users_except": q_users_except,
+    "corr_value_props": q_corr_value_props,
+}
+
+REL_ORACLES = {
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "users_intersect": SQL_USERS_INTERSECT,
+    "users_except": SQL_USERS_EXCEPT,
+    "corr_value_props": SQL_CORR_VALUE_PROPS,
+}

@@ -1,0 +1,120 @@
+"""Kernel-level checks for the relational-completeness operators
+(pipelines/queries_rel.py) beyond the oracle parity gate: funnel
+ordering semantics, set-op membership-bit algebra, and correlation
+sufficient-statistics exactness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from khl_pdf_ocr_ray.pipelines.queries_rel import (
+    SET_SIDE_A,
+    SET_SIDE_B,
+    corr_from_sums,
+    corr_partial,
+    except_filter,
+    funnel_user_reach,
+    intersect_filter,
+    setop_partial,
+)
+
+
+def _user(events):
+    ts = pd.to_datetime([t for t, _ in events], unit="s")
+    return pd.DataFrame({"event_type": [e for _, e in events], "ts": ts})
+
+
+def test_funnel_reach_requires_stage_order():
+    # click BEFORE the first view must not count toward stage 2.
+    g = _user([(10, "click"), (20, "view")])
+    assert funnel_user_reach(g)["reach"].tolist() == [1]
+    # proper order reaches 3
+    g = _user([(10, "view"), (20, "click"), (30, "purchase")])
+    assert funnel_user_reach(g)["reach"].tolist() == [3]
+    # purchase before the qualifying click doesn't count
+    g = _user([(10, "view"), (30, "click"), (20, "purchase")])
+    assert funnel_user_reach(g)["reach"].tolist() == [2]
+
+
+def test_funnel_reach_ties_count_and_no_view_is_empty():
+    # simultaneous view+click at the same ts: ties allowed (ts >= prev)
+    g = _user([(10, "view"), (10, "click")])
+    assert funnel_user_reach(g)["reach"].tolist() == [2]
+    g = _user([(10, "click"), (20, "purchase")])
+    assert funnel_user_reach(g).empty
+
+
+def test_funnel_reach_uses_earliest_qualifying_stage_time():
+    # First view at t=10; the t=15 click qualifies even though a later
+    # view (t=30) would disqualify it — min-ts per stage, not max.
+    g = _user([(10, "view"), (15, "click"), (30, "view"), (16, "purchase")])
+    assert funnel_user_reach(g)["reach"].tolist() == [3]
+
+
+def _ev_batch(rows):
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_setop_bits_and_filters():
+    ta, ca = SET_SIDE_A
+    tb, cb = SET_SIDE_B
+    batch = _ev_batch(
+        [
+            (1, ta, ca / 100.0),          # A at threshold -> a-side
+            (1, tb, (cb - 1) / 100.0),    # B below threshold -> not b-side
+            (2, ta, ca / 100.0),
+            (2, tb, cb / 100.0),          # both sides
+            (3, tb, cb / 100.0),          # b only
+            (4, "view", 10_000.0),        # wrong type, huge value -> neither
+        ]
+    )
+    g = setop_partial(batch)
+    bits = {
+        u: (a, b)
+        for u, a, b in zip(
+            g["user_id"].to_pylist(), g["a"].to_pylist(), g["b"].to_pylist()
+        )
+    }
+    assert bits == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
+    assert intersect_filter(g)["user_id"].to_pylist() == [2]
+    assert except_filter(g)["user_id"].to_pylist() == [1]
+
+
+def test_corr_partial_sums_and_formula_match_numpy():
+    rng = np.random.default_rng(7)
+    n = 500
+    val = rng.uniform(0.01, 400.0, n).round(2)
+    k = rng.integers(-50, 150, n)
+    batch = pa.table(
+        {
+            "event_type": pa.array(["t"] * n),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array([f'{{"k": {int(x)}}}' for x in k]),
+        }
+    )
+    g = corr_partial(batch)
+    assert g.num_rows == 1
+    row = {c: g[c][0].as_py() for c in g.column_names}
+    x = np.floor(val * 100 + 0.5).astype("int64")
+    assert row["n"] == n and row["sx"] == x.sum() and row["sy"] == k.sum()
+    assert row["sxy"] == (x * k).sum()
+    r = corr_from_sums(row["n"], row["sx"], row["sy"], row["sxx"], row["syy"], row["sxy"])
+    assert abs(r - np.corrcoef(x, k)[0, 1]) < 1e-12
+
+
+def test_corr_partial_drops_missing_k():
+    batch = pa.table(
+        {
+            "event_type": ["t", "t"],
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": ['{"j": 5}', '{"k": 3}'],
+        }
+    )
+    g = corr_partial(batch)
+    assert g["n"][0].as_py() == 1 and g["sy"][0].as_py() == 3
