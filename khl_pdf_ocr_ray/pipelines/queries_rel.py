@@ -328,7 +328,73 @@ FROM s
 """
 
 
+# --- fuzzy_prefix_dups ------------------------------------------------------
+def fuzzy_project(batch: pa.Table) -> pa.Table:
+    """Slim blocking projection: (doc_id, lang, length bucket, prefix)."""
+    from ..stages.dedup import FUZZY_LEN_BUCKET, FUZZY_PREFIX
+
+    lb = pc.cast(
+        pc.floor(pc.divide(pc.cast(batch["n_chars"], pa.float64()), float(FUZZY_LEN_BUCKET))),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "lb": lb,
+            "text": pc.utf8_slice_codeunits(batch["text"], 0, FUZZY_PREFIX),
+        }
+    )
+
+
+def q_fuzzy_prefix_dups(sf_dir: str) -> rd.Dataset:
+    """Edit-distance near-dup pairs: docs in the same (lang, n_chars
+    bucket) block whose first-FUZZY_PREFIX-chars Levenshtein distance is
+    within FUZZY_MAXDIST — the fuzzy-string-match dedup family (exact,
+    MinHash, SimHash, n-gram-Jaccard and embedding cosine live in
+    stages/dedup.py + stages/knn.py). One shuffle on the blocking key;
+    the quadratic pair DP is vectorized across pairs inside each block
+    (stages/dedup.py::levenshtein_pairs)."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+        .map_batches(
+            remote_fn(_QR, "fuzzy_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["lang", "lb"])
+        .map_groups(
+            remote_fn("khl_pdf_ocr_ray.stages.dedup", "fuzzy_block_pairs"),
+            batch_format="pandas",
+        )
+    )
+
+
+def _sql_fuzzy() -> str:
+    from ..stages.dedup import FUZZY_LEN_BUCKET, FUZZY_MAXDIST, FUZZY_PREFIX
+
+    lev = (
+        f"levenshtein(substr(a.text, 1, {FUZZY_PREFIX}), "
+        f"substr(b.text, 1, {FUZZY_PREFIX}))"
+    )
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({lev} AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang
+ AND CAST(floor(a.n_chars / {FUZZY_LEN_BUCKET}) AS BIGINT)
+     = CAST(floor(b.n_chars / {FUZZY_LEN_BUCKET}) AS BIGINT)
+ AND a.doc_id < b.doc_id
+WHERE {lev} <= {FUZZY_MAXDIST}
+"""
+
+
+SQL_FUZZY_PREFIX_DUPS = _sql_fuzzy()
+
+
 REL_QUERIES = {
+    "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
     "funnel_conversion": q_funnel_conversion,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -336,6 +402,7 @@ REL_QUERIES = {
 }
 
 REL_ORACLES = {
+    "fuzzy_prefix_dups": SQL_FUZZY_PREFIX_DUPS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,

@@ -10,10 +10,13 @@ no SQL oracle exists for these (the driver records rows-only checks), but
 the pytest suite asserts planted near-dup pairs are recovered.
 
 Shuffle structure (the part that matters at 100 TB):
-- minhash: map (sig per doc) -> explode to (band_id, band_hash) keys ->
-  groupby buckets -> per-bucket candidate pairs (bucket size capped) ->
-  groupby pair dedup. Signatures ride with band rows (128*8 bytes) so no
-  join-back is needed; at petabyte scale you would join sigs instead.
+- minhash: map (sig per doc) -> explode to SLIM (shard, band_hash,
+  doc_id) keys (24 B/row) -> groupby buckets -> per-bucket candidate
+  pairs (bucket size capped) -> groupby pair dedup -> verify by hash-
+  joining the sparse pair list against the packed signature table
+  (doc_a then doc_b). Two extra join exchanges, but they move
+  ~2 KB/doc total vs ~16 KB/doc if signatures rode the band rows —
+  the right trade at scale, and no per-doc state on the driver.
 - simhash: 64-bit fingerprint, 4x16-bit band bucketing, Hamming<=k verify
   inside buckets.
 - ngram-jaccard: inverted index (shingle -> docs) with hot-shingle
@@ -698,3 +701,83 @@ def minhash_clusters(docs, threshold_x100: int = 70):
     scale the cluster table is big)."""
     pairs = minhash_dedup(docs, threshold_x100)
     return label_propagation_clusters(pairs).sort("doc_id")
+
+
+# --- Edit-distance (fuzzy prefix) dedup --------------------------------------
+FUZZY_PREFIX = 40       # compare the first N characters of each doc
+FUZZY_MAXDIST = 5       # Levenshtein threshold for a candidate pair
+FUZZY_LEN_BUCKET = 64   # blocking: pairs must share (lang, n_chars bucket)
+
+
+def _pad_codes(strs: List[str], width: int):
+    """Strings -> (codes (P, width) int32 zero-padded, lengths int64)."""
+    codes = np.zeros((len(strs), width), dtype=np.int32)
+    lens = np.empty(len(strs), dtype=np.int64)
+    for i, s in enumerate(strs):
+        s = s[:width]
+        lens[i] = len(s)
+        if s:
+            codes[i, : len(s)] = np.fromiter(map(ord, s), dtype=np.int32, count=len(s))
+    return codes, lens
+
+
+def levenshtein_pairs(
+    a_codes: np.ndarray, a_lens: np.ndarray, b_codes: np.ndarray, b_lens: np.ndarray
+) -> np.ndarray:
+    """Vectorized-over-pairs Levenshtein DP: the (i, j) loops run over the
+    fixed prefix width (<= FUZZY_PREFIX each), every step a numpy op over
+    ALL P pairs at once — ~W^2 vector ops total instead of P scalar DPs.
+    Matches single-character-edit (codepoint) semantics, i.e. DuckDB's
+    ``levenshtein`` on ASCII/BMP text."""
+    P, W = a_codes.shape
+    out = np.empty(P, dtype=np.int64)
+    prev = np.tile(np.arange(W + 1, dtype=np.int32), (P, 1))
+    done0 = a_lens == 0
+    out[done0] = b_lens[done0]
+    for i in range(1, W + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = a_codes[:, i - 1]
+        for j in range(1, W + 1):
+            sub = prev[:, j - 1] + (ai != b_codes[:, j - 1])
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub
+            )
+        hit = a_lens == i
+        if hit.any():
+            out[hit] = cur[hit, b_lens[hit]]
+        prev = cur
+    return out
+
+
+def fuzzy_block_pairs(
+    g: pd.DataFrame, prefix_len: int = FUZZY_PREFIX, max_dist: int = FUZZY_MAXDIST
+) -> pd.DataFrame:
+    """One (lang, length-bucket) block: all doc_a < doc_b pairs whose
+    prefix edit distance is within max_dist. Quadratic INSIDE the block
+    only — the blocking key bounds group size, exactly like the LSH
+    bucket cap bounds minhash's pair generation (here uncapped because
+    the oracle join must see the identical candidate set)."""
+    order = np.argsort(g["doc_id"].to_numpy())
+    ids = g["doc_id"].to_numpy()[order]
+    prefs = [str(t)[:prefix_len] for t in g["text"].fillna("").iloc[order]]
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+    codes, lens = _pad_codes(prefs, prefix_len)
+    ia, ib = np.triu_indices(n, k=1)
+    d = levenshtein_pairs(codes[ia], lens[ia], codes[ib], lens[ib])
+    keep = d <= max_dist
+    return pd.DataFrame(
+        {
+            "doc_a": ids[ia][keep].astype("int64"),
+            "doc_b": ids[ib][keep].astype("int64"),
+            "dist": d[keep],
+        }
+    )

@@ -118,3 +118,64 @@ def test_corr_partial_drops_missing_k():
     )
     g = corr_partial(batch)
     assert g["n"][0].as_py() == 1 and g["sy"][0].as_py() == 3
+
+
+def _ref_lev(a, b):
+    la, lb = len(a), len(b)
+    D = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        D[i][0] = i
+    for j in range(lb + 1):
+        D[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            D[i][j] = min(
+                D[i - 1][j] + 1,
+                D[i][j - 1] + 1,
+                D[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return D[la][lb]
+
+
+def test_levenshtein_pairs_matches_bruteforce():
+    import itertools
+    import random
+
+    from khl_pdf_ocr_ray.stages.dedup import _pad_codes, levenshtein_pairs
+
+    rng = random.Random(11)
+    strs = [
+        "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 15)))
+        for _ in range(25)
+    ]
+    A, B = zip(*itertools.combinations(strs, 2))
+    ca, la = _pad_codes(list(A), 15)
+    cb, lb = _pad_codes(list(B), 15)
+    got = levenshtein_pairs(ca, la, cb, lb)
+    exp = np.array([_ref_lev(a, b) for a, b in zip(A, B)])
+    assert (got == exp).all()
+
+
+def test_fuzzy_block_pairs_finds_planted_near_dup():
+    from khl_pdf_ocr_ray.stages.dedup import fuzzy_block_pairs
+
+    base = "the quick brown fox jumps over the lazy dog once more"
+    g = pd.DataFrame(
+        {
+            "doc_id": [30, 10, 20],
+            "text": [
+                "completely different text about other things entirely ok",
+                base,
+                # 1 sub + 1 insert, plus the insert shifts the 40-char
+                # window so its trailing char differs too -> distance 3
+                base.replace("quick", "quacks"),
+            ],
+        }
+    )
+    out = fuzzy_block_pairs(g)
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[10, 20]]
+    assert int(out["dist"].iloc[0]) == 3
+    # singleton group -> empty frame with stable int64 schema
+    empty = fuzzy_block_pairs(g.iloc[:1])
+    assert list(empty.columns) == ["doc_a", "doc_b", "dist"]
+    assert empty.dtypes.astype(str).tolist() == ["int64", "int64", "int64"]
