@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "bm25_topk",     # text-retrieval ranking (round 3)
     "pack_sequences",   # distributed prefix sum (round 3)
     "kmeans_clusters",  # iterative fixed-point k-means (round 3)
+    "funnel_conversion",  # ordered sequence-pattern funnel (round 3)
+    "fuzzy_prefix_dups",  # edit-distance dedup, vectorized pair DP (round 3)
 ]
 
 

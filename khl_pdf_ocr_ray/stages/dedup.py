@@ -721,33 +721,55 @@ def _pad_codes(strs: List[str], width: int):
     return codes, lens
 
 
+_LEV_INF = 3 * FUZZY_PREFIX  # > any true distance; int16-safe under +1s
+
+
 def levenshtein_pairs(
-    a_codes: np.ndarray, a_lens: np.ndarray, b_codes: np.ndarray, b_lens: np.ndarray
+    a_codes: np.ndarray,
+    a_lens: np.ndarray,
+    b_codes: np.ndarray,
+    b_lens: np.ndarray,
+    max_dist: int | None = None,
 ) -> np.ndarray:
-    """Vectorized-over-pairs Levenshtein DP: the (i, j) loops run over the
-    fixed prefix width (<= FUZZY_PREFIX each), every step a numpy op over
-    ALL P pairs at once — ~W^2 vector ops total instead of P scalar DPs.
+    """Vectorized-over-pairs BANDED Levenshtein DP.
+
+    Every DP step is a numpy op over ALL P pairs at once, on TRANSPOSED
+    (W, P) layouts so each row access is contiguous. With ``max_dist=k``
+    only the |i-j| <= k diagonal band is computed (any alignment costing
+    <= k stays inside it; cells outside count as +inf), so the work is
+    W*(2k+1) vector steps instead of W^2 — results are exact wherever
+    the true distance <= k and reported as >= _LEV_INF-ish values (> k)
+    otherwise, which is all a thresholded dedup consumes. With
+    ``max_dist=None`` the band covers the full table (exact everywhere).
     Matches single-character-edit (codepoint) semantics, i.e. DuckDB's
     ``levenshtein`` on ASCII/BMP text."""
     P, W = a_codes.shape
-    out = np.empty(P, dtype=np.int64)
-    prev = np.tile(np.arange(W + 1, dtype=np.int32), (P, 1))
+    k = W if max_dist is None else int(max_dist)
+    at = np.ascontiguousarray(a_codes.T)
+    bt = np.ascontiguousarray(b_codes.T)
+    out = np.full(P, _LEV_INF, dtype=np.int64)
     done0 = a_lens == 0
     out[done0] = b_lens[done0]
+    prev = np.full((W + 1, P), _LEV_INF, dtype=np.int16)
+    for j in range(0, min(k, W) + 1):
+        prev[j] = j
+    cur = np.empty_like(prev)
     for i in range(1, W + 1):
-        cur = np.empty_like(prev)
-        cur[:, 0] = i
-        ai = a_codes[:, i - 1]
-        for j in range(1, W + 1):
-            sub = prev[:, j - 1] + (ai != b_codes[:, j - 1])
-            cur[:, j] = np.minimum(
-                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub
-            )
+        cur.fill(_LEV_INF)
+        if i <= k:
+            cur[0] = i
+        ai = at[i - 1]
+        for j in range(max(1, i - k), min(W, i + k) + 1):
+            sub = prev[j - 1] + (ai != bt[j - 1]).astype(np.int16)
+            np.minimum(sub, prev[j] + np.int16(1), out=sub)
+            np.minimum(sub, cur[j - 1] + np.int16(1), out=sub)
+            cur[j] = sub
         hit = a_lens == i
         if hit.any():
-            out[hit] = cur[hit, b_lens[hit]]
-        prev = cur
-    return out
+            idx = np.flatnonzero(hit)
+            out[idx] = cur[b_lens[idx], idx]
+        prev, cur = cur, prev
+    return np.minimum(out, _LEV_INF)
 
 
 def fuzzy_block_pairs(
@@ -772,7 +794,10 @@ def fuzzy_block_pairs(
         )
     codes, lens = _pad_codes(prefs, prefix_len)
     ia, ib = np.triu_indices(n, k=1)
-    d = levenshtein_pairs(codes[ia], lens[ia], codes[ib], lens[ib])
+    # length-difference prefilter: |la - lb| is a Levenshtein lower bound
+    near = np.abs(lens[ia] - lens[ib]) <= max_dist
+    ia, ib = ia[near], ib[near]
+    d = levenshtein_pairs(codes[ia], lens[ia], codes[ib], lens[ib], max_dist=max_dist)
     keep = d <= max_dist
     return pd.DataFrame(
         {

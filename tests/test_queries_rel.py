@@ -179,3 +179,24 @@ def test_fuzzy_block_pairs_finds_planted_near_dup():
     empty = fuzzy_block_pairs(g.iloc[:1])
     assert list(empty.columns) == ["doc_a", "doc_b", "dist"]
     assert empty.dtypes.astype(str).tolist() == ["int64", "int64", "int64"]
+
+
+def test_levenshtein_banded_exact_below_threshold_clipped_above():
+    import itertools
+    import random
+
+    from khl_pdf_ocr_ray.stages.dedup import _pad_codes, levenshtein_pairs
+
+    rng = random.Random(5)
+    strs = [
+        "".join(rng.choice("abc ") for _ in range(rng.randint(0, 14)))
+        for _ in range(30)
+    ]
+    A, B = zip(*itertools.combinations(strs, 2))
+    ca, la = _pad_codes(list(A), 14)
+    cb, lb = _pad_codes(list(B), 14)
+    exp = np.array([_ref_lev(a, b) for a, b in zip(A, B)])
+    for k in (0, 2, 5):
+        got = levenshtein_pairs(ca, la, cb, lb, max_dist=k)
+        assert (got[exp <= k] == exp[exp <= k]).all()
+        assert (got[exp > k] > k).all()
