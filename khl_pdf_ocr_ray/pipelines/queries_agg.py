@@ -404,7 +404,137 @@ SELECT user_id FROM events WHERE ts >= TIMESTAMP '{RECENT_TS}'
 """
 
 
+# --- events_time_window (RANGE frame) ---------------------------------------
+TIME_WIN_US = 3_600_000_000  # 1 hour, in microseconds
+
+
+def time_window_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's ts-ordered stream: trailing-1-hour sum of exact cents.
+    RANGE-frame semantics (the SQL twin's RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW): the frame is [ts_i - 1h, ts_i] by VALUE,
+    so ts-duplicate peers are all included — hence the right-searchsorted
+    upper bound, not the row index. Cumsum + two binary searches per
+    group, no per-row Python."""
+    g = g.sort_values("ts", kind="mergesort")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+    cum = np.concatenate([[0], np.cumsum(cents)])
+    lo = np.searchsorted(ts, ts - TIME_WIN_US, side="left")
+    hi = np.searchsorted(ts, ts, side="right")
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "win_cents": cum[hi] - cum[lo],
+        }
+    )
+
+
+def q_events_time_window(sf_dir: str) -> rd.Dataset:
+    """Trailing 1-hour moving sum per user — the time-based RANGE window
+    frame (events_sliding_window covers the row-count ROWS frame,
+    events_running the unbounded cumulative one)."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_QA, "time_window_per_user"), batch_format="pandas")
+    )
+
+
+SQL_EVENTS_TIME_WINDOW = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS win_cents
+FROM events
+"""
+
+
+# --- corpus_cube (full CUBE over lang x source) ------------------------------
+def cube_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner emitting ALL FOUR cube grouping sets at once
+    (level bitmask: bit1 = lang kept, bit0 = source kept), so one shuffle
+    carries the whole cube — corpus_rollup's plan plus the (source) set
+    a ROLLUP cannot express."""
+    t = batch.select(["lang", "source", "n_chars"]).to_pandas()
+    levels = []
+    g3 = t.groupby(["lang", "source"], as_index=False).agg(
+        n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+    )
+    levels.append(g3.assign(level=np.int64(3)))
+    g2 = t.groupby(["lang"], as_index=False).agg(
+        n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+    )
+    levels.append(g2.assign(source="ALL", level=np.int64(2)))
+    g1 = t.groupby(["source"], as_index=False).agg(
+        n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+    )
+    levels.append(g1.assign(lang="ALL", level=np.int64(1)))
+    levels.append(
+        pd.DataFrame(
+            {
+                "lang": ["ALL"],
+                "source": ["ALL"],
+                "n_docs": [len(t)],
+                "total_chars": [t["n_chars"].sum()],
+                "level": [0],
+            }
+        )
+    )
+    out = pd.concat(levels, ignore_index=True)[
+        ["lang", "source", "level", "n_docs", "total_chars"]
+    ]
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("level", pa.int64()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        )
+    )
+
+
+def q_corpus_cube(sf_dir: str) -> rd.Dataset:
+    """CUBE(lang, source): all four grouping sets in one pass/one shuffle,
+    rolled-up dimensions marked 'ALL' (see corpus_rollup for the ROLLUP
+    subset of the same plan)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(remote_fn(_QA, "cube_partial"), batch_format="pyarrow")
+        .repartition(2)  # few groups; non-empty reduce partitions
+        .groupby(["lang", "source", "level"])
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+
+SQL_CORPUS_CUBE = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(CASE WHEN lang IS NULL AND source IS NULL THEN 0
+                 WHEN lang IS NULL THEN 1
+                 WHEN source IS NULL THEN 2 ELSE 3 END AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 AGG_QUERIES = {
+    "events_time_window": q_events_time_window,
+    "corpus_cube": q_corpus_cube,
     "events_sliding_window": q_events_sliding_window,
     "region_nation_list": q_region_nation_list,
     "doc_size_hist": q_doc_size_hist,
@@ -414,6 +544,8 @@ AGG_QUERIES = {
 }
 
 AGG_ORACLES = {
+    "events_time_window": SQL_EVENTS_TIME_WINDOW,
+    "corpus_cube": SQL_CORPUS_CUBE,
     "events_sliding_window": SQL_EVENTS_SLIDING,
     "region_nation_list": SQL_REGION_NATION_LIST,
     "doc_size_hist": SQL_DOC_SIZE_HIST,

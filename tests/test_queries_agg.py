@@ -185,3 +185,50 @@ def test_recent_users_boundary_inclusive():
     )
     out = recent_users_project(batch)
     assert out["user_id"].to_pylist() == [2, 3]
+
+
+def test_time_window_matches_bruteforce_with_ties():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import (
+        TIME_WIN_US,
+        time_window_per_user,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 300
+    # coarse second resolution + duplicates to exercise RANGE peer semantics
+    secs = np.sort(rng.integers(0, 5000, n))
+    g = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": np.full(n, 7, dtype="int64"),
+            "ts": pd.to_datetime(secs, unit="s"),
+            "value": rng.uniform(0.01, 99.0, n).round(2),
+        }
+    )
+    out = time_window_per_user(g).set_index("event_id")["win_cents"]
+    ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+    for i in range(n):
+        # RANGE frame: every row (incl. later peers) with ts in [ts_i-1h, ts_i]
+        mask = (ts_us >= ts_us[i] - TIME_WIN_US) & (ts_us <= ts_us[i])
+        assert out.loc[i] == cents[mask].sum()
+
+
+def test_cube_partial_levels_and_mass():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import cube_partial
+
+    batch = pa.table(
+        {
+            "lang": ["en", "en", "fr"],
+            "source": ["s1", "s2", "s1"],
+            "n_chars": pa.array([10, 20, 40], pa.int64()),
+        }
+    )
+    out = cube_partial(batch).to_pandas()
+    for lvl, want_rows in [(3, 3), (2, 2), (1, 2), (0, 1)]:
+        lvl_df = out[out["level"] == lvl]
+        assert len(lvl_df) == want_rows
+        assert lvl_df["total_chars"].sum() == 70  # mass conserved per level
+        assert lvl_df["n_docs"].sum() == 3
+    src_only = out[(out["level"] == 1) & (out["source"] == "s1")]
+    assert src_only["total_chars"].iloc[0] == 50 and src_only["lang"].iloc[0] == "ALL"
