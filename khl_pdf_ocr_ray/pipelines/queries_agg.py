@@ -532,9 +532,62 @@ GROUP BY CUBE (lang, source)
 """
 
 
+# --- user_first_last (ARG_MIN / ARG_MAX aggregate) ---------------------------
+def first_last_partial(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-(user, batch-or-group) argmin/argmax rows under the total
+    (ts, event_id) order. Emitting BOTH candidates per user makes this a
+    mergeable combiner: applying it again to concatenated partials yields
+    the same winners (idempotent under re-aggregation), so the shuffle
+    carries <= 2 rows per user per block and the reduce reuses the same
+    kernel."""
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    first = g.groupby("user_id", as_index=False, sort=False).head(1)
+    last = g.groupby("user_id", as_index=False, sort=False).tail(1)
+    return pd.concat([first, last], ignore_index=True).drop_duplicates()
+
+
+def first_last_finalize(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    return pd.DataFrame(
+        {
+            "user_id": g["user_id"].iloc[[0]].astype("int64"),
+            "first_type": [str(g["event_type"].iloc[0])],
+            "last_type": [str(g["event_type"].iloc[-1])],
+        }
+    )
+
+
+def q_user_first_last(sf_dir: str) -> rd.Dataset:
+    """First and last event type per user (the ARG_MIN/ARG_MAX aggregate
+    under the total (ts, event_id) order — source_top_docs covers grouped
+    top-K, this is the K=1 both-ends form with a 2-rows-per-user-per-block
+    combiner)."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+        .map_batches(remote_fn(_QA, "first_last_partial"), batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(remote_fn(_QA, "first_last_finalize"), batch_format="pandas")
+    )
+
+
+SQL_USER_FIRST_LAST = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM events)
+SELECT a.user_id, a.event_type AS first_type, b.event_type AS last_type
+FROM o a JOIN o b ON a.user_id = b.user_id
+WHERE a.rn = 1 AND b.rnd = 1
+"""
+
+
 AGG_QUERIES = {
     "events_time_window": q_events_time_window,
     "corpus_cube": q_corpus_cube,
+    "user_first_last": q_user_first_last,
     "events_sliding_window": q_events_sliding_window,
     "region_nation_list": q_region_nation_list,
     "doc_size_hist": q_doc_size_hist,
@@ -546,6 +599,7 @@ AGG_QUERIES = {
 AGG_ORACLES = {
     "events_time_window": SQL_EVENTS_TIME_WINDOW,
     "corpus_cube": SQL_CORPUS_CUBE,
+    "user_first_last": SQL_USER_FIRST_LAST,
     "events_sliding_window": SQL_EVENTS_SLIDING,
     "region_nation_list": SQL_REGION_NATION_LIST,
     "doc_size_hist": SQL_DOC_SIZE_HIST,

@@ -232,3 +232,36 @@ def test_cube_partial_levels_and_mass():
         assert lvl_df["n_docs"].sum() == 3
     src_only = out[(out["level"] == 1) & (out["source"] == "s1")]
     assert src_only["total_chars"].iloc[0] == 50 and src_only["lang"].iloc[0] == "ALL"
+
+
+def test_first_last_combiner_is_mergeable():
+    """Split -> partial -> concat -> finalize equals whole -> finalize:
+    the combiner keeps exactly the rows the reduce needs."""
+    from khl_pdf_ocr_ray.pipelines.queries_agg import (
+        first_last_finalize,
+        first_last_partial,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 9, n),
+            "event_type": rng.choice(list("abcde"), n),
+            "ts": pd.to_datetime(rng.integers(0, 500, n), unit="s"),  # many ties
+            "event_id": rng.permutation(n).astype("int64"),
+        }
+    )
+    whole = pd.concat(
+        [first_last_finalize(g) for _, g in df.groupby("user_id")],
+        ignore_index=True,
+    ).sort_values("user_id").reset_index(drop=True)
+    parts = pd.concat(
+        [first_last_partial(df.iloc[i : i + 37]) for i in range(0, n, 37)],
+        ignore_index=True,
+    )
+    merged = pd.concat(
+        [first_last_finalize(g) for _, g in parts.groupby("user_id")],
+        ignore_index=True,
+    ).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, merged)
