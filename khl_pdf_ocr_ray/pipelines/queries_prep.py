@@ -54,7 +54,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 from ..joins import safe_join
 from ..remote import remote_fn
@@ -349,7 +349,138 @@ def q_dedup_prefix_keep_best(sf_dir: str) -> rd.Dataset:
     )
 
 
+
+
+# --- events_zscore (feature standardization) ---------------------------------
+def zscore_sums_partial(batch: pa.Table) -> pa.Table:
+    """Per-(type, batch) exact integer (n, sum cents, sum cents^2)."""
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+    )
+    t = pa.table(
+        {
+            "event_type": batch["event_type"],
+            "cents": cents,
+            "sq": pc.multiply(cents, cents),
+        }
+    )
+    g = t.group_by(["event_type"]).aggregate(
+        [("cents", "count"), ("cents", "sum"), ("sq", "sum")]
+    )
+    return g.rename_columns(["event_type", "n", "sx", "sxx"])
+
+
+def zscore_apply(batch: pa.Table, stats: dict) -> pa.Table:
+    """Broadcast-stats apply pass: z = (x*n - sx) / sqrt(n*sxx - sx^2)
+    (algebraically identical to (x - mean)/std, but with ONE exact integer
+    numerator and ONE double division, so the floats hash bit-identical to
+    the SQL twin that uses the same expression shape)."""
+    import numpy as np
+
+    x = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+    ).to_numpy()
+    et = batch["event_type"].to_pylist()
+    n = np.array([stats[t][0] for t in et], dtype="int64")
+    sx = np.array([stats[t][1] for t in et], dtype="int64")
+    den = np.array([stats[t][2] for t in et], dtype="float64")
+    z = (x * n - sx).astype("float64") / den
+    return pa.table(
+        {
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "z": pa.array(z, pa.float64()),
+        }
+    )
+
+
+def q_events_zscore(sf_dir: str) -> rd.Dataset:
+    """Per-event-type z-score standardization of the value column — the
+    two-pass (aggregate stats -> broadcast -> map apply) feature-scaling
+    operator every ML prep pipeline needs. Pass 1 reduces to |types|
+    integer-sum rows on the driver; pass 2 is map-only with the stats as
+    plain broadcast kwargs (the master-lookup pattern) — no shuffle of
+    the fact table at all."""
+    import math
+
+    from .queries import _t
+
+    sums = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(remote_fn(_QP, "zscore_sums_partial"), batch_format="pyarrow")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()  # <= |event types| rows
+    )
+    stats = {}
+    for r in sums.itertuples():
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        stats[str(r.event_type)] = (n, sx, math.sqrt(float(n * sxx - sx * sx)))
+    return _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        remote_fn(_QP, "zscore_apply", stats=stats),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       CAST(c.x*s.n - s.sx AS DOUBLE)
+         / sqrt(CAST(s.n*s.sxx - s.sx*s.sx AS DOUBLE)) AS z
+FROM c JOIN s USING (event_type)
+"""
+
+
+# --- events_onehot (categorical feature encoding) ----------------------------
+ONEHOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def onehot_batch(batch: pa.Table) -> pa.Table:
+    """Map-only one-hot expansion of event_type into indicator columns."""
+    cols = {"event_id": batch["event_id"]}
+    for t in ONEHOT_TYPES:
+        cols[f"is_{t}"] = pc.cast(pc.equal(batch["event_type"], t), pa.int64())
+    return pa.table(cols)
+
+
+def q_events_onehot(sf_dir: str) -> rd.Dataset:
+    """One-hot encoding of the categorical event_type — the feature-
+    encoding map every tabular training pipeline runs. Embarrassingly
+    parallel, no shuffle; the category vocabulary is fixed/broadcast
+    (deriving it is a |types|-row distinct aggregate when unknown)."""
+    from .queries import _t
+
+    return _t(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        remote_fn(_QP, "onehot_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ONEHOT_SQL = "SELECT event_id, " + ", ".join(
+    f"CAST(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END AS BIGINT) AS is_{t}"
+    for t in ONEHOT_TYPES
+) + " FROM events"
+
+
 PREP_QUERIES: Dict[str, object] = {
+    "events_zscore": q_events_zscore,
+    "events_onehot": q_events_onehot,
     "decontaminate": q_decontaminate,
     "chunk_docs": q_chunk_docs,
     "stratified_sample": q_stratified_sample,
@@ -360,6 +491,8 @@ PREP_QUERIES: Dict[str, object] = {
 
 
 PREP_ORACLES: Dict[str, str] = {
+    "events_zscore": ZSCORE_SQL,
+    "events_onehot": ONEHOT_SQL,
     "decontaminate": f"""
 WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
 g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng

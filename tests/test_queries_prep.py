@@ -220,3 +220,51 @@ def test_lang_quantile_walk_matches_sorted_values():
         s = np.sort(vals)
         for p in GROUP_QUANTILE_PS:
             assert out[p] == s[math.ceil(p / 100 * len(s)) - 1], (trial, p)
+
+
+def test_zscore_formula_is_exact_standardization():
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.pipelines.queries_prep import (
+        zscore_apply,
+        zscore_sums_partial,
+    )
+
+    rng = np.random.default_rng(12)
+    val = rng.uniform(0.01, 300.0, 1000).round(2)
+    batch = pa.table(
+        {
+            "event_id": pa.array(np.arange(1000), pa.int64()),
+            "event_type": pa.array(["t"] * 1000),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    g = zscore_sums_partial(batch)
+    n, sx, sxx = (g[c][0].as_py() for c in ("n", "sx", "sxx"))
+    stats = {"t": (n, sx, math.sqrt(float(n * sxx - sx * sx)))}
+    z = zscore_apply(batch, stats)["z"].to_numpy()
+    x = np.floor(val * 100 + 0.5)
+    # (x*n - sx)/sqrt(n*sxx - sx^2) == (x - mean)/std_pop, up to fp
+    ref = (x - x.mean()) / x.std()
+    assert np.abs(z - ref).max() < 1e-9
+    assert abs(z.mean()) < 1e-12 and abs(z.std() - 1) < 1e-9
+
+
+def test_onehot_rows_sum_to_one_and_match_type():
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.pipelines.queries_prep import ONEHOT_TYPES, onehot_batch
+
+    batch = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": ["view", "error", "purchase"],
+        }
+    )
+    out = onehot_batch(batch).to_pandas().set_index("event_id")
+    assert (out.sum(axis=1) == 1).all()
+    assert out.loc[1, "is_view"] == 1 and out.loc[2, "is_error"] == 1
+    assert list(out.columns) == [f"is_{t}" for t in ONEHOT_TYPES]
