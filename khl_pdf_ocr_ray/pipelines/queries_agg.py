@@ -584,7 +584,56 @@ WHERE a.rn = 1 AND b.rnd = 1
 """
 
 
+# --- events_dow_hour (calendar-function aggregation) -------------------------
+def dow_hour_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (day-of-week, hour) count combiner. dow matches DuckDB's
+    dayofweek(): 0 = Sunday; epoch day 0 (1970-01-01) was a Thursday, so
+    dow = (epoch_days + 4) % 7. Pure integer arithmetic on the raw
+    microsecond timestamps — no datetime objects in the hot path."""
+    us = pc.cast(batch["ts"], pa.int64())
+    days = pc.divide(us, 86_400_000_000)
+    dow = pc.subtract(
+        pc.add(days, 4),
+        pc.multiply(pc.divide(pc.add(days, 4), 7), 7),
+    )
+    hour = pc.divide(
+        pc.subtract(us, pc.multiply(days, 86_400_000_000)), 3_600_000_000
+    )
+    t = pa.table({"dow": dow, "hour": hour})
+    g = t.group_by(["dow", "hour"]).aggregate([("hour", "count")])
+    return g.rename_columns(["dow", "hour", "n"])
+
+
+def q_events_dow_hour(sf_dir: str) -> rd.Dataset:
+    """Day-of-week x hour-of-day activity heatmap — the calendar-extraction
+    function class (dayofweek/hour) over the event stream; <=168-row
+    combiner output per block, one tiny shuffle."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["ts"])
+        .map_batches(
+            remote_fn(_QA, "dow_hour_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_EVENTS_DOW_HOUR = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 AGG_QUERIES = {
+    "events_dow_hour": q_events_dow_hour,
     "events_time_window": q_events_time_window,
     "corpus_cube": q_corpus_cube,
     "user_first_last": q_user_first_last,
@@ -597,6 +646,7 @@ AGG_QUERIES = {
 }
 
 AGG_ORACLES = {
+    "events_dow_hour": SQL_EVENTS_DOW_HOUR,
     "events_time_window": SQL_EVENTS_TIME_WINDOW,
     "corpus_cube": SQL_CORPUS_CUBE,
     "user_first_last": SQL_USER_FIRST_LAST,

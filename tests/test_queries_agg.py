@@ -265,3 +265,23 @@ def test_first_last_combiner_is_mergeable():
         ignore_index=True,
     ).sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, merged)
+
+
+def test_dow_hour_matches_pandas_calendar():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import dow_hour_partial
+
+    rng = np.random.default_rng(6)
+    ts = pd.to_datetime(rng.integers(0, 10**9, 500), unit="s")
+    out = (
+        dow_hour_partial(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}))
+        .to_pandas()
+        .set_index(["dow", "hour"])["n"]
+    )
+    # pandas dayofweek: 0=Monday; DuckDB/our dow: 0=Sunday
+    ref = (
+        pd.DataFrame({"dow": (ts.dayofweek + 1) % 7, "hour": ts.hour})
+        .value_counts()
+        .sort_index()
+    )
+    assert out.sort_index().tolist() == ref.tolist()
+    assert set(map(tuple, out.index)) == set(map(tuple, ref.index))
