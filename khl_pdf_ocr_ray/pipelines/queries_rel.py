@@ -393,8 +393,42 @@ WHERE {lev} <= {FUZZY_MAXDIST}
 SQL_FUZZY_PREFIX_DUPS = _sql_fuzzy()
 
 
+# --- lang_confusion (model-eval aggregation) --------------------------------
+def q_lang_confusion(sf_dir: str) -> rd.Dataset:
+    """Confusion matrix of the declared ``lang`` column vs the stopword
+    lang-ID predictor (stages/textqc.py) — the model-evaluation aggregate
+    of a training-data pipeline (precision/recall per class are driver-
+    side ratios of these counts). Map-side combiner bounds the shuffle at
+    (|langs|+1)^2 rows per block."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.textqc", "lang_confusion_partial"),
+            batch_format="pandas",
+        )
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby(["lang", "pred_lang"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
+def _sql_lang_confusion() -> str:
+    from ..stages.textqc import sql_lang_id
+
+    return f"""
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN ({sql_lang_id()}) p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 REL_QUERIES = {
     "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
+    "lang_confusion": q_lang_confusion,
     "funnel_conversion": q_funnel_conversion,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -403,6 +437,7 @@ REL_QUERIES = {
 
 REL_ORACLES = {
     "fuzzy_prefix_dups": SQL_FUZZY_PREFIX_DUPS,
+    "lang_confusion": _sql_lang_confusion(),
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,

@@ -60,6 +60,20 @@ def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": pred})
 
 
+def lang_confusion_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (declared lang, predicted lang) count combiner — the
+    model-evaluation confusion matrix over the lang-ID predictor; the
+    downstream groupby moves <= |langs|^2 rows per block."""
+    pred = lang_id_batch(df)["pred_lang"].to_numpy()
+    g = (
+        pd.DataFrame({"lang": df["lang"], "pred_lang": pred})
+        .groupby(["lang", "pred_lang"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    return g.astype({"n": "int64"})
+
+
 def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Per-doc quality metrics, all integers."""
     text = df["text"].fillna("")

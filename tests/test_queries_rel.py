@@ -200,3 +200,23 @@ def test_levenshtein_banded_exact_below_threshold_clipped_above():
         got = levenshtein_pairs(ca, la, cb, lb, max_dist=k)
         assert (got[exp <= k] == exp[exp <= k]).all()
         assert (got[exp > k] > k).all()
+
+
+def test_lang_confusion_partial_counts_and_diagonal():
+    from khl_pdf_ocr_ray.stages.textqc import lang_confusion_partial
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "fr", "de"],
+            "text": [
+                "the cat and the dog of to in",   # clearly en
+                "le chat la nuit et les jours",   # en doc that reads fr
+                "le la et les des",               # clearly fr
+                "zzz qqq www",                    # no stopwords -> und
+            ],
+        }
+    )
+    out = lang_confusion_partial(df)
+    m = {(r.lang, r.pred_lang): r.n for r in out.itertuples()}
+    assert m == {("en", "en"): 1, ("en", "fr"): 1, ("fr", "fr"): 1, ("de", "und"): 1}
