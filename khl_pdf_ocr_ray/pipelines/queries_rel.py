@@ -393,6 +393,112 @@ WHERE {lev} <= {FUZZY_MAXDIST}
 SQL_FUZZY_PREFIX_DUPS = _sql_fuzzy()
 
 
+# --- events_iqr_filter (outlier removal) ------------------------------------
+def cents_project(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+    )
+    return pa.table(
+        {
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "cents": cents,
+        }
+    )
+
+
+def iqr_bounds_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One type's (cents -> count) histogram -> Tukey fence bounds from
+    the discrete quartiles (v[ceil(p*n)-1], duckdb quantile_disc), with
+    the 1.5*IQR margin kept integer as (3*IQR)//2."""
+    import math
+
+    g = g.sort_values("cents")
+    total = int(g["n"].sum())
+    cum = g["n"].cumsum()
+    qs = []
+    for p in (25, 75):
+        rank = math.ceil(p / 100 * total)
+        qs.append(int(g.loc[cum >= rank, "cents"].iloc[0]))
+    q1, q3 = qs
+    margin = (3 * (q3 - q1)) // 2
+    return pd.DataFrame(
+        {
+            "event_type": [str(g["event_type"].iloc[0])],
+            "lo": np.array([q1 - margin], dtype="int64"),
+            "hi": np.array([q3 + margin], dtype="int64"),
+        }
+    )
+
+
+def iqr_filter_apply(batch: pa.Table, bounds: dict) -> pa.Table:
+    et = batch["event_type"].to_pylist()
+    lo = np.array([bounds[t][0] for t in et], dtype="int64")
+    hi = np.array([bounds[t][1] for t in et], dtype="int64")
+    cents = batch["cents"].to_numpy()
+    keep = (cents >= lo) & (cents <= hi)
+    return batch.filter(pa.array(keep))
+
+
+def q_events_iqr_filter(sf_dir: str) -> rd.Dataset:
+    """Tukey-fence (1.5*IQR) outlier removal per event type — the
+    data-cleaning filter of a training pipeline. Distributed quartiles via
+    the (type, cents) histogram (shuffle bounded by the value DOMAIN, not
+    the row count), |types|-row bounds table broadcast as plain kwargs,
+    then a map-only filter pass — the fact table never shuffles."""
+    from ray.data.aggregate import Count as _Count
+
+    from .queries import _t
+
+    bounds_df = (
+        _t(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(
+            remote_fn(_QR, "cents_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "cents"])
+        .aggregate(_Count(alias_name="n"))
+        .repartition(2)  # histogram table; non-empty reduce partitions
+        .groupby("event_type")
+        .map_groups(remote_fn(_QR, "iqr_bounds_group"), batch_format="pandas")
+        .to_pandas()  # <= |event types| rows
+    )
+    bounds = {
+        str(r.event_type): (int(r.lo), int(r.hi)) for r in bounds_df.itertuples()
+    }
+    return (
+        _t(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(
+            remote_fn(_QR, "cents_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            remote_fn(_QR, "iqr_filter_apply", bounds=bounds),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_EVENTS_IQR_FILTER = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), q AS (
+  SELECT event_type,
+         quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.75) AS q3
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.cents
+FROM c JOIN q USING (event_type)
+WHERE c.cents >= q.q1 - (3*(q.q3 - q.q1))//2
+  AND c.cents <= q.q3 + (3*(q.q3 - q.q1))//2
+"""
+
+
 # --- lang_confusion (model-eval aggregation) --------------------------------
 def q_lang_confusion(sf_dir: str) -> rd.Dataset:
     """Confusion matrix of the declared ``lang`` column vs the stopword
@@ -429,6 +535,7 @@ GROUP BY 1, 2
 REL_QUERIES = {
     "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
     "lang_confusion": q_lang_confusion,
+    "events_iqr_filter": q_events_iqr_filter,
     "funnel_conversion": q_funnel_conversion,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -438,6 +545,7 @@ REL_QUERIES = {
 REL_ORACLES = {
     "fuzzy_prefix_dups": SQL_FUZZY_PREFIX_DUPS,
     "lang_confusion": _sql_lang_confusion(),
+    "events_iqr_filter": SQL_EVENTS_IQR_FILTER,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,

@@ -220,3 +220,36 @@ def test_lang_confusion_partial_counts_and_diagonal():
     out = lang_confusion_partial(df)
     m = {(r.lang, r.pred_lang): r.n for r in out.itertuples()}
     assert m == {("en", "en"): 1, ("en", "fr"): 1, ("fr", "fr"): 1, ("de", "und"): 1}
+
+
+def test_iqr_bounds_match_numpy_quartiles_and_filter_keeps_inliers():
+    from khl_pdf_ocr_ray.pipelines.queries_rel import (
+        iqr_bounds_group,
+        iqr_filter_apply,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = np.sort(rng.integers(0, 1000, 200))
+    hist = (
+        pd.DataFrame({"cents": vals})
+        .value_counts()
+        .rename("n")
+        .reset_index()
+        .assign(event_type="t")
+    )
+    b = iqr_bounds_group(hist)
+    import math
+
+    q1 = int(vals[math.ceil(0.25 * len(vals)) - 1])
+    q3 = int(vals[math.ceil(0.75 * len(vals)) - 1])
+    m = (3 * (q3 - q1)) // 2
+    assert int(b["lo"].iloc[0]) == q1 - m and int(b["hi"].iloc[0]) == q3 + m
+    batch = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": ["t", "t", "t"],
+            "cents": pa.array([q1, q3 + m, q3 + m + 1], pa.int64()),
+        }
+    )
+    out = iqr_filter_apply(batch, {"t": (q1 - m, q3 + m)})
+    assert out["event_id"].to_pylist() == [1, 2]
