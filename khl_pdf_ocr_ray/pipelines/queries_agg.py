@@ -532,6 +532,47 @@ GROUP BY CUBE (lang, source)
 """
 
 
+# --- events_lead (LEAD window, symmetric to queries.py's events_lag) ---------
+def lead_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"])
+    us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    gap = np.empty(len(g), dtype="int64")
+    gap[-1] = -1
+    gap[:-1] = us[1:] - us[:-1]
+    nxt = np.empty(len(g), dtype=object)
+    nxt[-1] = "none"
+    nxt[:-1] = g["event_type"].to_numpy()[1:]
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "next_type": pd.Series(nxt, index=g.index, dtype="string"),
+            "gap_us": gap,
+        }
+    )
+
+
+def q_events_lead(sf_dir: str) -> rd.Dataset:
+    """Next event type + exact microsecond gap per user stream (LEAD —
+    the forward complement of events_lag)."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(remote_fn(_QA, "lead_per_user"), batch_format="pandas")
+    )
+
+
+SQL_EVENTS_LEAD = """
+SELECT event_id, user_id,
+       COALESCE(LEAD(event_type) OVER w, 'none') AS next_type,
+       COALESCE(date_diff('microsecond', ts, LEAD(ts) OVER w), -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --- user_first_last (ARG_MIN / ARG_MAX aggregate) ---------------------------
 def first_last_partial(g: pd.DataFrame) -> pd.DataFrame:
     """Per-(user, batch-or-group) argmin/argmax rows under the total
@@ -637,6 +678,7 @@ AGG_QUERIES = {
     "events_time_window": q_events_time_window,
     "corpus_cube": q_corpus_cube,
     "user_first_last": q_user_first_last,
+    "events_lead": q_events_lead,
     "events_sliding_window": q_events_sliding_window,
     "region_nation_list": q_region_nation_list,
     "doc_size_hist": q_doc_size_hist,
@@ -650,6 +692,7 @@ AGG_ORACLES = {
     "events_time_window": SQL_EVENTS_TIME_WINDOW,
     "corpus_cube": SQL_CORPUS_CUBE,
     "user_first_last": SQL_USER_FIRST_LAST,
+    "events_lead": SQL_EVENTS_LEAD,
     "events_sliding_window": SQL_EVENTS_SLIDING,
     "region_nation_list": SQL_REGION_NATION_LIST,
     "doc_size_hist": SQL_DOC_SIZE_HIST,

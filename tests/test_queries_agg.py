@@ -285,3 +285,20 @@ def test_dow_hour_matches_pandas_calendar():
     )
     assert out.sort_index().tolist() == ref.tolist()
     assert set(map(tuple, out.index)) == set(map(tuple, ref.index))
+
+
+def test_lead_is_reverse_of_lag_semantics():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import lead_per_user
+
+    g = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2, 3], dtype="int64"),
+            "user_id": np.array([5, 5, 5], dtype="int64"),
+            "ts": pd.to_datetime([10, 20, 45], unit="s"),
+            "event_type": ["a", "b", "c"],
+        }
+    )
+    out = lead_per_user(g).set_index("event_id")
+    assert out.loc[1, "next_type"] == "b" and out.loc[1, "gap_us"] == 10_000_000
+    assert out.loc[2, "next_type"] == "c" and out.loc[2, "gap_us"] == 25_000_000
+    assert out.loc[3, "next_type"] == "none" and out.loc[3, "gap_us"] == -1
