@@ -499,6 +499,95 @@ WHERE c.cents >= q.q1 - (3*(q.q3 - q.q1))//2
 """
 
 
+# --- suppliers_full_brand (relational division) ------------------------------
+DIV_BRAND = "Brand#6"
+
+
+def supp_part_distinct(batch: pa.Table, part_keys: list) -> pa.Table:
+    """Per-batch distinct (suppkey, partkey) pairs restricted to the
+    brand's part set (dimension-bounded, shipped as a plain kwarg list —
+    at an unbounded dividend use a hash join instead)."""
+    keep = pc.is_in(batch["l_partkey"], value_set=pa.array(part_keys, pa.int64()))
+    t = batch.filter(keep).select(["l_suppkey", "l_partkey"])
+    g = t.group_by(["l_suppkey", "l_partkey"]).aggregate([("l_partkey", "count")])
+    return g.rename_columns(["l_suppkey", "l_partkey", "_n"]).drop_columns(["_n"])
+
+
+def part_project(batch: pa.Table) -> pa.Table:
+    return pa.table({"l_partkey": batch["l_partkey"]})
+
+
+def div_finalize(batch: pa.Table, n_total: int) -> pa.Table:
+    return pa.table(
+        {
+            "suppkey": batch["l_suppkey"],
+            "n_parts": batch["n_parts"],
+            "is_full": pc.equal(batch["n_parts"], n_total),
+        }
+    )
+
+
+def q_suppliers_full_brand(sf_dir: str) -> rd.Dataset:
+    """Relational division (the 'for all' query class): per supplier, how
+    many of DIV_BRAND's shipped part varieties they have shipped, and
+    whether they cover ALL of them. Plan: brand part list broadcast ->
+    per-batch distinct (supp, part) combiner -> one grouped dedup ->
+    per-supplier count; the divisor cardinality is a tiny second aggregate
+    over the same deduped table. Shuffles bounded by |supps| x |brand
+    parts|, never lineitem rows."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count as _Count
+
+    from .queries import _t
+
+    part_keys = (
+        pq.read_table(
+            _os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+        )
+        .filter(pc.equal(pc.field("p_brand"), DIV_BRAND))["p_partkey"]
+        .to_pylist()
+    )
+    dist = (
+        _t(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+        .map_batches(
+            remote_fn(_QR, "supp_part_distinct", part_keys=part_keys),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(_Count(alias_name="_c"))
+    )
+    n_total = (
+        dist.map_batches(remote_fn(_QR, "part_project"), batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(_Count(alias_name="_c"))
+        .count()
+    )
+    return (
+        dist.groupby("l_suppkey")
+        .aggregate(_Count(alias_name="n_parts"))
+        .map_batches(
+            remote_fn(_QR, "div_finalize", n_total=int(n_total)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_SUPPLIERS_FULL_BRAND = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{DIV_BRAND}'),
+shipped AS (
+  SELECT DISTINCT l_suppkey, l_partkey
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+),
+tot AS (SELECT count(DISTINCT l_partkey) AS n FROM shipped)
+SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_parts,
+       count(*) = (SELECT n FROM tot) AS is_full
+FROM shipped GROUP BY l_suppkey
+"""
+
+
 # --- lang_confusion (model-eval aggregation) --------------------------------
 def q_lang_confusion(sf_dir: str) -> rd.Dataset:
     """Confusion matrix of the declared ``lang`` column vs the stopword
@@ -536,6 +625,7 @@ REL_QUERIES = {
     "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
     "lang_confusion": q_lang_confusion,
     "events_iqr_filter": q_events_iqr_filter,
+    "suppliers_full_brand": q_suppliers_full_brand,
     "funnel_conversion": q_funnel_conversion,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -546,6 +636,7 @@ REL_ORACLES = {
     "fuzzy_prefix_dups": SQL_FUZZY_PREFIX_DUPS,
     "lang_confusion": _sql_lang_confusion(),
     "events_iqr_filter": SQL_EVENTS_IQR_FILTER,
+    "suppliers_full_brand": SQL_SUPPLIERS_FULL_BRAND,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,

@@ -253,3 +253,30 @@ def test_iqr_bounds_match_numpy_quartiles_and_filter_keeps_inliers():
     )
     out = iqr_filter_apply(batch, {"t": (q1 - m, q3 + m)})
     assert out["event_id"].to_pylist() == [1, 2]
+
+
+def test_relational_division_kernels():
+    from khl_pdf_ocr_ray.pipelines.queries_rel import (
+        div_finalize,
+        supp_part_distinct,
+    )
+
+    batch = pa.table(
+        {
+            "l_suppkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "l_partkey": pa.array([10, 10, 20, 10, 99, 20], pa.int64()),
+        }
+    )
+    # brand part set {10, 20}: supp 1 ships both (dup collapsed), supp 2
+    # ships 10 only (99 excluded), supp 3 ships 20 only
+    dist = supp_part_distinct(batch, [10, 20]).to_pandas()
+    got = set(map(tuple, dist.values.tolist()))
+    assert got == {(1, 10), (1, 20), (2, 10), (3, 20)}
+    counts = pa.table(
+        {
+            "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "n_parts": pa.array([2, 1, 1], pa.int64()),
+        }
+    )
+    out = div_finalize(counts, n_total=2).to_pandas().set_index("suppkey")
+    assert bool(out.loc[1, "is_full"]) and not bool(out.loc[2, "is_full"])
