@@ -1,7 +1,11 @@
-"""Aggregation-family operators rounds the registry out with four more
-classes: a BOUNDED sliding-window frame, ordered string aggregation,
-width-bucket discretization, and a mergeable DDSketch-style quantile
-sketch. All four are STATIC-SQL checked.
+"""Aggregation/window-family operators, all STATIC-SQL checked: a
+BOUNDED sliding ROWS frame, a time-based RANGE frame
+(``events_time_window``), ordered string aggregation, width-bucket
+discretization, a mergeable DDSketch-style quantile sketch, full CUBE
+grouping (``corpus_cube``), ARG_MIN/ARG_MAX (``user_first_last``),
+LEAD (``events_lead``), calendar extraction (``events_dow_hour``),
+semi-structured JSON stats (``props_json_stats``) and UNION DISTINCT
+(``big_or_recent_users``). Original four in detail:
 
 - ``events_sliding_window`` — per-user moving sum over the last
   ``SLIDE_W`` events (``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW``):

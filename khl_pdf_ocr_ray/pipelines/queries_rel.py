@@ -1,6 +1,10 @@
-"""Relational-completeness operators: ordered funnel analysis, the
-INTERSECT / EXCEPT set operations, and a grouped Pearson correlation —
-three families the registry otherwise lacks. All static-SQL checked.
+"""Relational-completeness operators — families the registry otherwise
+lacked, all static-SQL checked: ordered funnel analysis, INTERSECT /
+EXCEPT set operations, grouped Pearson correlation, edit-distance fuzzy
+dedup (``fuzzy_prefix_dups``), relational division
+(``suppliers_full_brand``: the 'for all' coverage class), a model-eval
+confusion matrix (``lang_confusion``), and Tukey-fence IQR outlier
+removal (``events_iqr_filter``). Highlights:
 
 - ``funnel_conversion`` — the ORDERED multi-stage funnel (view ->
   click -> purchase, each stage's first hit must not precede the
