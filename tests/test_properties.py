@@ -86,3 +86,81 @@ def test_bisect_clustering_equals_naive_any_tolerance(words, tol):
     from khl_pdf_ocr_ray.functions.textgeom import cluster_rows
 
     assert cluster_rows(words, tol) == _cluster_rows_naive(words, tol)
+
+
+# --- banded Levenshtein (stages/dedup.py) ------------------------------------
+def _lev_ref(a, b):
+    la, lb = len(a), len(b)
+    D = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev_diag, D[0] = D[0], i
+        for j in range(1, lb + 1):
+            prev_diag, D[j] = D[j], min(
+                D[j] + 1, D[j - 1] + 1, prev_diag + (a[i - 1] != b[j - 1])
+            )
+    return D[lb]
+
+
+_str_strategy = st.text(alphabet="ab -", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_str_strategy, _str_strategy, st.integers(min_value=0, max_value=6))
+def test_banded_levenshtein_agrees_with_reference(a, b, k):
+    import numpy as np
+
+    from khl_pdf_ocr_ray.stages.dedup import _pad_codes, levenshtein_pairs
+
+    ca, la = _pad_codes([a], 12)
+    cb, lb = _pad_codes([b], 12)
+    exp = _lev_ref(a[:12], b[:12])
+    full = int(levenshtein_pairs(ca, la, cb, lb)[0])
+    assert full == exp
+    banded = int(levenshtein_pairs(ca, la, cb, lb, max_dist=k)[0])
+    if exp <= k:
+        assert banded == exp
+    else:
+        assert banded > k
+
+
+# --- funnel reach (pipelines/queries_rel.py) ---------------------------------
+def _funnel_ref(events):
+    """Chained-min reference: t_i = min ts of stage i at-or-after t_{i-1}."""
+    from khl_pdf_ocr_ray.pipelines.queries_rel import FUNNEL_STAGES
+
+    reach, prev = 0, None
+    for stage in FUNNEL_STAGES:
+        cand = [t for t, e in events if e == stage and (prev is None or t >= prev)]
+        if not cand:
+            break
+        prev = min(cand)
+        reach += 1
+    return reach
+
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_events_strategy)
+def test_funnel_reach_agrees_with_chained_min_reference(events):
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries_rel import funnel_user_reach
+
+    g = pd.DataFrame(
+        {
+            "event_type": [e for _, e in events],
+            "ts": pd.to_datetime([t for t, _ in events], unit="s"),
+        }
+    )
+    out = funnel_user_reach(g)
+    got = 0 if out.empty else int(out["reach"].iloc[0])
+    assert got == _funnel_ref(events)
