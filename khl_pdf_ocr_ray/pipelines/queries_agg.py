@@ -299,6 +299,10 @@ FROM hit
 # SAME column with its native JSON reader (json_extract_string), so the
 # gate cross-checks the regex fast-path against a real JSON parser.
 def props_k_project(batch: pa.Table) -> pa.Table:
+    # Fast-path caveat: the regex is exact only for FLAT one-level props
+    # objects (what this corpus carries — the gate cross-checks it against
+    # DuckDB's real JSON parser). Nested objects or string values embedding
+    # '"k":' would need a JSON-parsing kernel instead.
     ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
     k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
     return pa.table({"event_type": batch["event_type"], "k": k}).filter(
@@ -342,17 +346,24 @@ RECENT_TS = "2024-01-30 12:00:00"
 
 
 def spend_cents_project(batch: pa.Table) -> pa.Table:
-    cents = pc.cast(
-        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-    )
-    return pa.table({"user_id": batch["user_id"], "cents": cents})
+    """Per-batch per-user cents-sum combiner: one row per user per batch
+    crosses the spend shuffle, never one row per event."""
+    from .queries import _cents
+
+    t = pa.table({"user_id": batch["user_id"], "cents": _cents(batch["value"])})
+    g = t.group_by(["user_id"]).aggregate([("cents", "sum")])
+    return g.rename_columns(["user_id", "cents"])
 
 
 def recent_users_project(batch: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT recent users (combiner): the union side carries
+    <= |users in batch| rows, not one per recent event."""
     keep = pc.greater_equal(
         batch["ts"], pa.scalar(pd.Timestamp(RECENT_TS), pa.timestamp("us"))
     )
-    return pa.table({"user_id": batch.filter(keep)["user_id"]})
+    t = pa.table({"user_id": batch.filter(keep)["user_id"]})
+    g = t.group_by(["user_id"]).aggregate([("user_id", "count")])
+    return g.rename_columns(["user_id", "_n"]).drop_columns(["_n"])
 
 
 def big_users_filter(batch: pa.Table) -> pa.Table:
@@ -458,12 +469,22 @@ FROM events
 
 
 # --- corpus_cube (full CUBE over lang x source) ------------------------------
+CUBE_NULL = "NULL_"  # data-NULL sentinel in kept dimensions, distinct from
+                     # the rolled-up 'ALL' marker (collides only if a real
+                     # value equals either literal — not possible for the
+                     # 2-letter lang / srcN source domains here)
+
+
 def cube_partial(batch: pa.Table) -> pa.Table:
     """Per-batch combiner emitting ALL FOUR cube grouping sets at once
     (level bitmask: bit1 = lang kept, bit0 = source kept), so one shuffle
     carries the whole cube — corpus_rollup's plan plus the (source) set
-    a ROLLUP cannot express."""
+    a ROLLUP cannot express. dropna=False + the CUBE_NULL sentinel keep
+    data-NULL rows in every level (mass conservation), mirroring the SQL
+    twin's GROUPING()-aware coalesce."""
     t = batch.select(["lang", "source", "n_chars"]).to_pandas()
+    t["lang"] = t["lang"].fillna(CUBE_NULL)
+    t["source"] = t["source"].fillna(CUBE_NULL)
     levels = []
     g3 = t.groupby(["lang", "source"], as_index=False).agg(
         n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
@@ -524,11 +545,12 @@ def q_corpus_cube(sf_dir: str) -> rd.Dataset:
     )
 
 
-SQL_CORPUS_CUBE = """
-SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-       CAST(CASE WHEN lang IS NULL AND source IS NULL THEN 0
-                 WHEN lang IS NULL THEN 1
-                 WHEN source IS NULL THEN 2 ELSE 3 END AS BIGINT) AS level,
+SQL_CORPUS_CUBE = f"""
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+            ELSE coalesce(lang, '{CUBE_NULL}') END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+            ELSE coalesce(source, '{CUBE_NULL}') END AS source,
+       CAST(3 - (GROUPING(lang)*2 + GROUPING(source)) AS BIGINT) AS level,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
@@ -630,20 +652,26 @@ WHERE a.rn = 1 AND b.rnd = 1
 
 
 # --- events_dow_hour (calendar-function aggregation) -------------------------
+def _floordiv(x, d: int):
+    """Euclidean (floored) integer division — pc.divide truncates toward
+    zero, which mis-buckets pre-1970 (negative-us) timestamps."""
+    q = pc.divide(x, d)
+    r = pc.subtract(x, pc.multiply(q, d))
+    return pc.if_else(pc.less(r, 0), pc.subtract(q, 1), q)
+
+
 def dow_hour_partial(batch: pa.Table) -> pa.Table:
     """Per-batch (day-of-week, hour) count combiner. dow matches DuckDB's
     dayofweek(): 0 = Sunday; epoch day 0 (1970-01-01) was a Thursday, so
-    dow = (epoch_days + 4) % 7. Pure integer arithmetic on the raw
-    microsecond timestamps — no datetime objects in the hot path."""
+    dow = (epoch_days + 4) mod 7 with FLOORED division throughout, so
+    pre-epoch timestamps bucket correctly too. Pure integer arithmetic on
+    the raw microsecond timestamps — no datetime objects in the hot path."""
     us = pc.cast(batch["ts"], pa.int64())
-    days = pc.divide(us, 86_400_000_000)
-    dow = pc.subtract(
-        pc.add(days, 4),
-        pc.multiply(pc.divide(pc.add(days, 4), 7), 7),
-    )
-    hour = pc.divide(
-        pc.subtract(us, pc.multiply(days, 86_400_000_000)), 3_600_000_000
-    )
+    days = _floordiv(us, 86_400_000_000)
+    shifted = pc.add(days, 4)
+    dow = pc.subtract(shifted, pc.multiply(_floordiv(shifted, 7), 7))
+    rem = pc.subtract(us, pc.multiply(days, 86_400_000_000))  # >= 0 by floor
+    hour = pc.divide(rem, 3_600_000_000)
     t = pa.table({"dow": dow, "hour": hour})
     g = t.group_by(["dow", "hour"]).aggregate([("hour", "count")])
     return g.rename_columns(["dow", "hour", "n"])

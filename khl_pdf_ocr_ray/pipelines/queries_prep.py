@@ -354,9 +354,9 @@ def q_dedup_prefix_keep_best(sf_dir: str) -> rd.Dataset:
 # --- events_zscore (feature standardization) ---------------------------------
 def zscore_sums_partial(batch: pa.Table) -> pa.Table:
     """Per-(type, batch) exact integer (n, sum cents, sum cents^2)."""
-    cents = pc.cast(
-        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-    )
+    from .queries import _cents
+
+    cents = _cents(batch["value"])
     t = pa.table(
         {
             "event_type": batch["event_type"],
@@ -374,16 +374,20 @@ def zscore_apply(batch: pa.Table, stats: dict) -> pa.Table:
     """Broadcast-stats apply pass: z = (x*n - sx) / sqrt(n*sxx - sx^2)
     (algebraically identical to (x - mean)/std, but with ONE exact integer
     numerator and ONE double division, so the floats hash bit-identical to
-    the SQL twin that uses the same expression shape)."""
+    the SQL twin that uses the same expression shape). The type column is
+    dictionary-encoded once per batch, so the per-row stats lookup is a
+    fancy-index — no per-row Python in the full-table pass."""
     import numpy as np
 
-    x = pc.cast(
-        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-    ).to_numpy()
-    et = batch["event_type"].to_pylist()
-    n = np.array([stats[t][0] for t in et], dtype="int64")
-    sx = np.array([stats[t][1] for t in et], dtype="int64")
-    den = np.array([stats[t][2] for t in et], dtype="float64")
+    from .queries import _cents
+
+    x = _cents(batch["value"]).to_numpy()
+    enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+    types = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy()
+    n = np.array([stats[t][0] for t in types], dtype="int64")[codes]
+    sx = np.array([stats[t][1] for t in types], dtype="int64")[codes]
+    den = np.array([stats[t][2] for t in types], dtype="float64")[codes]
     z = (x * n - sx).astype("float64") / den
     return pa.table(
         {

@@ -158,10 +158,10 @@ def setop_partial(batch: pa.Table) -> pa.Table:
     """Per-batch distinct combiner: one row per user seen in this batch,
     with side-membership bits (a = hit SET_SIDE_A's type+threshold,
     b = hit SET_SIDE_B's)."""
+    from .queries import _cents
+
     et = batch["event_type"]
-    cents = pc.cast(
-        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-    )
+    cents = _cents(batch["value"])
     in_a = pc.and_(
         pc.equal(et, SET_SIDE_A[0]), pc.greater_equal(cents, SET_SIDE_A[1])
     )
@@ -231,12 +231,14 @@ SQL_USERS_EXCEPT = f"{_SIDE_A_SQL}\nEXCEPT\n{_SIDE_B_SQL}"
 # --- corr_value_props -------------------------------------------------------
 def corr_partial(batch: pa.Table) -> pa.Table:
     """Per-(type, batch) exact integer sufficient statistics for Pearson
-    r between cents(value) and the JSON props field k."""
+    r between cents(value) and the JSON props field k. Same regex
+    fast-path caveat as props_k_project (queries_agg.py): exact only for
+    flat one-level props objects, which is what the corpus carries."""
+    from .queries import _cents
+
     ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
     y = pc.cast(pc.struct_field(ex, "k"), pa.int64())
-    x = pc.cast(
-        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-    )
+    x = _cents(batch["value"])
     t = pa.table(
         {
             "event_type": batch["event_type"],
@@ -263,11 +265,16 @@ def corr_partial(batch: pa.Table) -> pa.Table:
 def corr_from_sums(n: int, sx: int, sy: int, sxx: int, syy: int, sxy: int) -> float:
     """The SQL twin's exact step sequence: int128-exact numerator /
     variance terms, each cast int->double ONCE, then mul, sqrt, div —
-    IEEE-deterministic, so both engines emit the same bits."""
+    IEEE-deterministic, so both engines emit the same bits. A
+    zero-variance group (constant column, or n=1) divides by 0.0, which
+    DuckDB defines as NULL -> pandas NaN; mirror that instead of raising."""
     num = n * sxy - sx * sy
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
-    return float(num) / math.sqrt(float(vx) * float(vy))
+    den = math.sqrt(float(vx) * float(vy))
+    if den == 0.0:
+        return float("nan")
+    return float(num) / den
 
 
 def q_corr_value_props(sf_dir: str) -> pd.DataFrame:
@@ -399,16 +406,26 @@ SQL_FUZZY_PREFIX_DUPS = _sql_fuzzy()
 
 # --- events_iqr_filter (outlier removal) ------------------------------------
 def cents_project(batch: pa.Table) -> pa.Table:
-    cents = pc.cast(
-        pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-    )
+    from .queries import _cents
+
     return pa.table(
         {
             "event_id": batch["event_id"],
             "event_type": batch["event_type"],
-            "cents": cents,
+            "cents": _cents(batch["value"]),
         }
     )
+
+
+def iqr_hist_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (type, cents) count combiner for the quartile pass —
+    the shuffle then carries histogram rows (bounded by the value
+    domain x types per block), never raw events."""
+    from .queries import _cents
+
+    t = pa.table({"event_type": batch["event_type"], "cents": _cents(batch["value"])})
+    g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+    return g.rename_columns(["event_type", "cents", "n"])
 
 
 def iqr_bounds_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -436,9 +453,14 @@ def iqr_bounds_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def iqr_filter_apply(batch: pa.Table, bounds: dict) -> pa.Table:
-    et = batch["event_type"].to_pylist()
-    lo = np.array([bounds[t][0] for t in et], dtype="int64")
-    hi = np.array([bounds[t][1] for t in et], dtype="int64")
+    """Vectorized apply: dictionary-encode the type column once per batch
+    (O(|types|) Python), then one fancy-index per bound — no per-row
+    Python in the full-table pass."""
+    enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+    types = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy()
+    lo = np.array([bounds[t][0] for t in types], dtype="int64")[codes]
+    hi = np.array([bounds[t][1] for t in types], dtype="int64")[codes]
     cents = batch["cents"].to_numpy()
     keep = (cents >= lo) & (cents <= hi)
     return batch.filter(pa.array(keep))
@@ -450,19 +472,20 @@ def q_events_iqr_filter(sf_dir: str) -> rd.Dataset:
     the (type, cents) histogram (shuffle bounded by the value DOMAIN, not
     the row count), |types|-row bounds table broadcast as plain kwargs,
     then a map-only filter pass — the fact table never shuffles."""
-    from ray.data.aggregate import Count as _Count
 
     from .queries import _t
 
+    from ray.data.aggregate import Sum as _Sum
+
     bounds_df = (
-        _t(sf_dir, "events", ["event_id", "event_type", "value"])
+        _t(sf_dir, "events", ["event_type", "value"])
         .map_batches(
-            remote_fn(_QR, "cents_project"),
+            remote_fn(_QR, "iqr_hist_partial"),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         .groupby(["event_type", "cents"])
-        .aggregate(_Count(alias_name="n"))
+        .aggregate(_Sum("n", alias_name="n"))
         .repartition(2)  # histogram table; non-empty reduce partitions
         .groupby("event_type")
         .map_groups(remote_fn(_QR, "iqr_bounds_group"), batch_format="pandas")
@@ -562,6 +585,10 @@ def q_suppliers_full_brand(sf_dir: str) -> rd.Dataset:
         )
         .groupby(["l_suppkey", "l_partkey"])
         .aggregate(_Count(alias_name="_c"))
+        # materialized: BOTH consumers (divisor count + per-supplier count)
+        # read this <= |supps| x |brand parts|-row table, so the lineitem
+        # scan + dedup shuffle run once, not twice
+        .materialize()
     )
     n_total = (
         dist.map_batches(remote_fn(_QR, "part_project"), batch_format="pyarrow")

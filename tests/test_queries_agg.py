@@ -302,3 +302,60 @@ def test_lead_is_reverse_of_lag_semantics():
     assert out.loc[1, "next_type"] == "b" and out.loc[1, "gap_us"] == 10_000_000
     assert out.loc[2, "next_type"] == "c" and out.loc[2, "gap_us"] == 25_000_000
     assert out.loc[3, "next_type"] == "none" and out.loc[3, "gap_us"] == -1
+
+
+def test_dow_hour_pre_epoch_floored_division():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import dow_hour_partial
+
+    # 1969-12-31 23:30 was a Wednesday (dow 3 in 0=Sunday convention)
+    ts = pd.to_datetime(["1969-12-31 23:30:00", "1970-01-01 00:30:00"])
+    out = (
+        dow_hour_partial(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}))
+        .to_pandas()
+        .set_index(["dow", "hour"])["n"]
+    )
+    assert out.loc[(3, 23)] == 1  # pre-epoch row floored, not truncated
+    assert out.loc[(4, 0)] == 1   # Thursday epoch day
+
+
+def test_cube_partial_keeps_null_rows_in_every_level():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import CUBE_NULL, cube_partial
+
+    batch = pa.table(
+        {
+            "lang": ["en", None],
+            "source": ["s1", "s1"],
+            "n_chars": pa.array([10, 20], pa.int64()),
+        }
+    )
+    out = cube_partial(batch).to_pandas()
+    for lvl in (0, 1, 2, 3):
+        lvl_df = out[out["level"] == lvl]
+        assert lvl_df["total_chars"].sum() == 30, f"mass lost at level {lvl}"
+    null_row = out[(out["level"] == 2) & (out["lang"] == CUBE_NULL)]
+    assert null_row["total_chars"].iloc[0] == 20
+
+
+def test_union_side_combiners_emit_per_user_rows():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import (
+        recent_users_project,
+        spend_cents_project,
+    )
+
+    batch = pa.table(
+        {
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = spend_cents_project(batch).to_pandas().set_index("user_id")["cents"]
+    assert len(out) == 2 and out.loc[7] == 300 and out.loc[8] == 300
+    rec = pa.table(
+        {
+            "user_id": pa.array([7, 7], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-31", "2024-01-31"]), pa.timestamp("us")
+            ),
+        }
+    )
+    assert recent_users_project(rec)["user_id"].to_pylist() == [7]

@@ -280,3 +280,13 @@ def test_relational_division_kernels():
     )
     out = div_finalize(counts, n_total=2).to_pandas().set_index("suppkey")
     assert bool(out.loc[1, "is_full"]) and not bool(out.loc[2, "is_full"])
+
+
+def test_corr_zero_variance_yields_nan_like_sql_null():
+    import math
+
+    from khl_pdf_ocr_ray.pipelines.queries_rel import corr_from_sums
+
+    # constant y column (vy == 0) and single-row group (vx == vy == 0)
+    assert math.isnan(corr_from_sums(3, 6, 9, 14, 27, 18))
+    assert math.isnan(corr_from_sums(1, 5, 7, 25, 49, 35))
