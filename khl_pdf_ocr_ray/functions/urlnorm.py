@@ -11,7 +11,11 @@ strip):
 - fragment dropped;
 - tracking query params dropped (utm_*, fbclid, gclid, ref);
 - remaining query params sorted by (key, value) for a stable order;
-- trailing slash stripped from non-root paths; empty path -> "/".
+- the directory-style trailing slash stripped: one "/" after a NON-empty
+  final segment ("/a/b/" -> "/a/b"). Empty path segments are significant
+  per RFC 3986 and preserved ("/a//" stays "/a//"), which also keeps the
+  rule idempotent (asserted by property test);
+- empty path -> "/"; userinfo preserved (a significant component).
 
 Pure function (stdlib urllib.parse only); used by the distributed
 ``url_dedup`` query and its sequential oracle twin, byte-for-byte shared.
@@ -36,19 +40,24 @@ def normalize_url(url: str) -> str:
     not parse as a scheme://host URL (never raises)."""
     try:
         parts = urlsplit(url)
+        # .hostname/.port parse lazily and can raise (non-numeric or
+        # out-of-range port) — keep them inside the guard
+        host = (parts.hostname or "").lower()
+        port = parts.port
     except ValueError:
         return url
     if not parts.scheme or not parts.netloc:
         return url
     scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
+    userinfo = parts.netloc.rpartition("@")[0]
+    if userinfo:
+        netloc = f"{userinfo}@{netloc}"
     path = parts.path or "/"
-    if len(path) > 1 and path.endswith("/"):
-        path = path.rstrip("/") or "/"
+    if len(path) > 1 and path.endswith("/") and not path.endswith("//"):
+        path = path[:-1]
     query = urlencode(
         sorted((k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
                if not _is_tracking(k))

@@ -62,18 +62,24 @@ _QC = "khl_pdf_ocr_ray.pipelines.queries_corpus"
 
 
 # --- batch bodies (top-level so remote_fn can import them) ------------------
+def _rep_permille(ws) -> int:
+    """Repetition metric, fixed-point permille — the SAME double-precision
+    expression as the SQL oracles: floor((1.0 - nd/nw) * 1000 + 0.5).
+    Shared by word_stats_batch and corpus_prep_partial so the quality
+    gate cannot drift between the metric query and the prep filter."""
+    nw = len(ws)
+    nd = len(set(ws))
+    return int(math.floor((1.0 - nd / nw) * 1000 + 0.5))
+
+
 def word_stats_batch(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"]
     n_words, n_distinct, rep = [], [], []
     for t in batch["text"].to_pylist():
         ws = (t or "").split(" ")
-        nw = len(ws)
-        nd = len(set(ws))
-        n_words.append(nw)
-        n_distinct.append(nd)
-        # same double-precision expression as the SQL oracle:
-        # floor((1.0 - nd/nw) * 1000 + 0.5)
-        rep.append(int(math.floor((1.0 - nd / nw) * 1000 + 0.5)))
+        n_words.append(len(ws))
+        n_distinct.append(len(set(ws)))
+        rep.append(_rep_permille(ws))
     return pa.table(
         {
             "doc_id": ids,
@@ -223,7 +229,8 @@ def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     (doc_id, term) appears exactly once, so Count == document frequency)."""
     tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         remote_fn(_QC, "tf_partial"), batch_format="pyarrow"
-    )
+    ).materialize()  # df below derives from tf's plan; without this the
+    # full-corpus tokenization would execute twice (once per join side)
     df = (
         tf.groupby("term")
         .aggregate(Count(alias_name="df"))
@@ -532,8 +539,11 @@ def pivot_partial(batch: pa.Table) -> pa.Table:
     rows per block instead of one row per event."""
     import pyarrow.compute as pc
 
+    from .queries_agg import _floordiv
+
     us = pc.cast(batch["ts"], pa.int64())
-    day = pc.cast(pc.divide(us, 86_400_000_000), pa.int64())
+    day = pc.cast(_floordiv(us, 86_400_000_000), pa.int64())  # floored like
+    # the oracle's // (pre-epoch timestamps bucket to day -1, not day 0)
     t = pa.table({"day": day, "event_type": batch["event_type"]})
     g = (
         t.group_by(["day", "event_type"])
@@ -646,7 +656,6 @@ def q_segment_priority_matrix(sf_dir: str) -> pd.DataFrame:
     product itself is over the two DISTINCT dimension sets — bounded by
     dimension cardinality (|segments| x |priorities|), so the matrix
     assembly is driver-side by design, like every dimension table."""
-    from ..joins import safe_join
     from .queries import _t
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
@@ -743,8 +752,7 @@ def corpus_prep_partial(batch: pa.Table) -> pa.Table:
         batch["n_chars"].to_pylist(),
     ):
         ws = (t or "").split(" ")
-        rep = int(math.floor((1.0 - len(set(ws)) / len(ws)) * 1000 + 0.5))
-        if rep <= PREP_REP_MAX_PERMILLE:
+        if _rep_permille(ws) <= PREP_REP_MAX_PERMILLE:
             ids.append(d)
             chars.append(nc)
             hashes.append(hashlib.md5((t or "").encode("utf-8")).hexdigest())

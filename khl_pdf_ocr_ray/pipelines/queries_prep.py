@@ -451,7 +451,8 @@ FROM c JOIN s USING (event_type)
 
 
 # --- events_onehot (categorical feature encoding) ----------------------------
-ONEHOT_TYPES = ("click", "error", "purchase", "signup", "view")
+from .queries_corpus import EVENT_TYPES as ONEHOT_TYPES  # single source of
+# truth for the event-type vocabulary (also drives events_pivot's columns)
 
 
 def onehot_batch(batch: pa.Table) -> pa.Table:

@@ -108,11 +108,12 @@ def hll_sequential(keys: np.ndarray) -> pd.DataFrame:
 # Cormode & Muthukrishnan 2005, public algorithm. Cell-wise ADDITION is the
 # merge, so like the HLL registers it is commutative/associative/order-
 # independent: the distributed estimate is bit-identical to a sequential
-# pass. Heavy-hitter candidates come from per-batch local top-k unions
-# (a superset of any global top-k whose true count exceeds one batch's
-# local threshold — exactness for the planted/test corpora is asserted by
-# comparing against the exact counts, and at 100 TB the candidate union
-# is the standard practical compromise, stated here rather than hidden).
+# pass. Heavy-hitter candidates: the consumer (q_bigram_topk_cms,
+# queries_corpus.py) enumerates the DISTINCT key set from its count
+# combiner and probes every key against the broadcast sketch — exact
+# candidate coverage at the cost of a distinct-key aggregate. Per-batch
+# local top-k unions (a smaller candidate superset) are the documented
+# alternative when even the distinct-key table is too wide.
 
 CMS_D = 4           # hash rows
 CMS_W = 1 << 14     # 16384 counters per row

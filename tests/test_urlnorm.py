@@ -87,3 +87,21 @@ def test_normalize_drops_fragment_and_case(u):
     scheme, _, rest = n.partition("://")
     host = rest.split("/", 1)[0].rsplit(":", 1)[0]
     assert scheme == scheme.lower() and host == host.lower()
+
+
+def test_invalid_port_passes_through_unchanged():
+    # parts.port parses lazily and raises; the guard must cover it
+    assert normalize_url("http://h.example:8x/a") == "http://h.example:8x/a"
+    assert normalize_url("http://h.example:99999/a") == "http://h.example:99999/a"
+
+
+def test_userinfo_is_preserved_not_merged():
+    assert normalize_url("http://user:pw@H.Example/a") == "http://user:pw@h.example/a"
+    assert normalize_url("http://alice@host/x") != normalize_url("http://host/x")
+
+
+def test_only_directory_style_trailing_slash_strips():
+    assert normalize_url("https://h.example/a/b/") == "https://h.example/a/b"
+    # empty segments are significant and preserved
+    assert normalize_url("https://h.example/a/b//") == "https://h.example/a/b//"
+    assert normalize_url("https://h.example/") == "https://h.example/"
