@@ -26,7 +26,6 @@ import ray
 
 LSH_PLANES = 6
 LSH_TABLES = 8
-_rs = np.random.RandomState(0x5EED)
 
 
 def _embed_matrix(df: pd.DataFrame) -> np.ndarray:
@@ -179,7 +178,6 @@ def lsh_bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Explode each embedding into its LSH_TABLES bucket rows."""
     x = _embed_matrix(df)
     keys = _bucket_keys(x)
-    n = len(df)
     return pd.DataFrame(
         {
             "vec_id": np.repeat(df["vec_id"].to_numpy().astype(np.int64), LSH_TABLES),
@@ -272,7 +270,10 @@ def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5, probes: int = 4) -> pd.
     for row in qkeys:
         for key in row:
             wanted.add(int(key))
-            for b in range(probes):  # 1-bit-flip probes within the table
+            # 1-bit-flip probes within the table; clamp so flips never
+            # spill into the table-id bits (probes > LSH_PLANES would
+            # probe ANOTHER table's keyspace and silently lose recall)
+            for b in range(min(probes, LSH_PLANES)):
                 wanted.add(int(key) ^ (1 << b))
 
     paths = _probe_partitions(index_dir, "bucket", wanted)
@@ -309,20 +310,22 @@ def triangle_replicate_batch(df: pd.DataFrame, n_blocks: int) -> pd.DataFrame:
     2 blocks and nothing is broadcast or driver-materialized — the
     round-1 design shipped the full normalized matrix via ray.put."""
     ids = df["vec_id"].to_numpy().astype(np.int64)
+    n = len(ids)
     g = ids % n_blocks
-    out = {"pair_key": [], "grp": [], "vec_id": [], "embedding": []}
-    emb = df["embedding"].to_numpy()
-    for i in range(len(ids)):
-        gi = int(g[i])
-        for other in range(n_blocks):
-            g1, g2 = (gi, other) if gi <= other else (other, gi)
-            out["pair_key"].append(g1 * n_blocks + g2)
-            out["grp"].append(gi)
-            out["vec_id"].append(int(ids[i]))
-            out["embedding"].append(emb[i])
-    return pd.DataFrame(out).astype(
-        {"pair_key": "int64", "grp": "int64", "vec_id": "int64"}
-    )
+    # fully vectorized replication (n x B): no per-row Python in the one
+    # stage that touches every vector B times
+    gi = np.repeat(g, n_blocks)
+    other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+    g1 = np.minimum(gi, other)
+    g2 = np.maximum(gi, other)
+    return pd.DataFrame(
+        {
+            "pair_key": g1 * n_blocks + g2,
+            "grp": gi,
+            "vec_id": np.repeat(ids, n_blocks),
+            "embedding": np.repeat(df["embedding"].to_numpy(), n_blocks),
+        }
+    ).astype({"pair_key": "int64", "grp": "int64", "vec_id": "int64"})
 
 
 def triangle_block_pairs(group: pd.DataFrame, tau_e6: int, n_blocks: int) -> pd.DataFrame:

@@ -50,10 +50,10 @@ def add_partition_key(
     keys = []
     for h, u, nb in zip(hosts, urls, n_bytes):
         if nb is not None and nb > giant_threshold:
-            keys.append(GIANT_KEY_BASE + (zlib.crc32(u.encode()) % (1 << 16)))
+            keys.append(GIANT_KEY_BASE + (zlib.crc32((u or "").encode()) % (1 << 16)))
         elif h in hot:
             base = zlib.crc32((h or "").encode()) % n_parts
-            keys.append(base * salt_factor + zlib.crc32(u.encode()) % salt_factor)
+            keys.append(base * salt_factor + zlib.crc32((u or "").encode()) % salt_factor)
         else:
             keys.append((zlib.crc32((h or "").encode()) % n_parts) * salt_factor)
     return batch.append_column("part_key", pa.array(keys, pa.int64()))
@@ -68,7 +68,9 @@ def sample_rows_by_url(batch: pa.Table, pct: int = HOT_SAMPLE_PCT) -> pa.Table:
     Unbiased per host (urls hash independently of their host), unlike a
     host-residue sample which would keep/drop whole hosts."""
     urls = batch["url"].to_pylist()
-    mask = pa.array([zlib.crc32(u.encode()) % 100 < pct for u in urls], pa.bool_())
+    mask = pa.array(
+        [zlib.crc32((u or "").encode()) % 100 < pct for u in urls], pa.bool_()
+    )
     return batch.filter(mask)
 
 

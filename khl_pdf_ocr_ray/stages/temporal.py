@@ -53,18 +53,25 @@ def _rfn(attr: str, **kw):
     return remote_fn(_T, attr, **kw)
 
 
+def _shard_key(user_id, day, num_shards: int):
+    """(user, day) -> shard in [0, num_shards), with the negative branch
+    normalized: pc.multiply WRAPS on int64 overflow (user_id >= ~3.5e9 x
+    the Knuth constant), so mix can go negative — base and carried rows
+    must use THIS same normalization or the two halves of one bucket land
+    in different groupby keys."""
+    mix = pc.add(pc.multiply(user_id, _MULT_U), pc.multiply(day, _MULT_D))
+    shard = pc.subtract(mix, pc.multiply(pc.divide(mix, num_shards), num_shards))
+    return pc.cast(
+        pc.if_else(pc.less(shard, 0), pc.add(shard, num_shards), shard), pa.int64()
+    )
+
+
 def day_shard_project(batch: pa.Table, num_shards: int) -> pa.Table:
     """Vectorized projection: day id + coarse (user, day) shard key."""
     us = pc.cast(batch["ts"], pa.int64())
     day = pc.cast(pc.divide(us, US_PER_DAY), pa.int64())
-    mix = pc.add(
-        pc.multiply(batch["user_id"], _MULT_U), pc.multiply(day, _MULT_D)
-    )
-    # mix % num_shards (ids and modern days are non-negative, so the
-    # truncated-division remainder is already in [0, num_shards))
-    shard = pc.subtract(mix, pc.multiply(pc.divide(mix, num_shards), num_shards))
     return batch.append_column("day", day).append_column(
-        "shard", pc.cast(shard, pa.int64())
+        "shard", _shard_key(batch["user_id"], day, num_shards)
     )
 
 
@@ -73,7 +80,7 @@ def _ts_us(s: pd.Series) -> pd.Series:
 
 
 # --- sessionize -------------------------------------------------------------
-def session_shard_partial(g: pd.DataFrame) -> pd.DataFrame:
+def session_shard_partial(g: pd.DataFrame, num_shards: int = DEFAULT_SHARDS) -> pd.DataFrame:
     """One shard (many complete user-day buckets) -> per-(user, day)
     summary rows, fully vectorized: sort once, detect breaks with shifted
     comparisons, aggregate with groupby-agg."""
@@ -104,7 +111,7 @@ def session_shard_partial(g: pd.DataFrame) -> pd.DataFrame:
             last_ts_us=("ts_us", "max"),
         )
     )
-    s["ushard"] = (s["user_id"] * _MULT_U) % DEFAULT_SHARDS
+    s["ushard"] = (s["user_id"] * _MULT_U) % num_shards
     return s.astype(
         {"user_id": "int64", "day": "int64", "ushard": "int64", "n_events": "int64",
          "n_breaks": "int64", "first_ts_us": "int64", "last_ts_us": "int64"}
@@ -147,14 +154,15 @@ def sessionize_bucketed(events, num_shards: int = DEFAULT_SHARDS):
             _rfn("day_shard_project", num_shards=num_shards), batch_format="pyarrow"
         )
         .groupby("shard")
-        .map_groups(_rfn("session_shard_partial"), batch_format="pandas")
+        .map_groups(_rfn("session_shard_partial", num_shards=num_shards),
+                    batch_format="pandas")
         .groupby("ushard")
         .map_groups(_rfn("session_merge_shard"), batch_format="pandas")
     )
 
 
 # --- as-of join -------------------------------------------------------------
-def asof_shard_partial(g: pd.DataFrame) -> pd.DataFrame:
+def asof_shard_partial(g: pd.DataFrame, num_shards: int = DEFAULT_SHARDS) -> pd.DataFrame:
     """One shard -> mixed partial rows, vectorized via merge_asof(by=):
 
     kind=0: purchase matched to a same-day view  (purchase_id, view_id)
@@ -228,8 +236,14 @@ def asof_shard_partial(g: pd.DataFrame) -> pd.DataFrame:
     if not parts:
         return empty
     out = pd.concat(parts, ignore_index=True)
-    out["ushard"] = (out["user_id"] * _MULT_U) % DEFAULT_SHARDS
+    out["ushard"] = (out["user_id"] * _MULT_U) % num_shards
     return out[list(empty.columns)].astype({c: "int64" for c in empty.columns})
+
+
+def asof_carry_input(df: pd.DataFrame) -> pd.DataFrame:
+    """Pre-shuffle filter: only the carry-relevant kinds (last-view /
+    unmatched day summaries) enter the ushard exchange."""
+    return df[df["kind"] != 0]
 
 
 def asof_carry_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -306,12 +320,17 @@ def events_asof_bucketed(events, num_shards: int = DEFAULT_SHARDS):
             _rfn("day_shard_project", num_shards=num_shards), batch_format="pyarrow"
         )
         .groupby("shard")
-        .map_groups(_rfn("asof_shard_partial"), batch_format="pandas")
+        .map_groups(_rfn("asof_shard_partial", num_shards=num_shards),
+                    batch_format="pandas")
         .materialize()  # consumed by three branches below: compute once
     )
     matched = partials.map_batches(_rfn("asof_matched_project"), batch_format="pandas")
     carries = (
-        partials.groupby("ushard")
+        # kind=0 matched-purchase rows dominate partials and the carry
+        # merge discards them — drop them BEFORE the ushard shuffle so the
+        # exchange moves day summaries, not one row per matched purchase
+        partials.map_batches(_rfn("asof_carry_input"), batch_format="pandas")
+        .groupby("ushard")
         .map_groups(_rfn("asof_carry_shard"), batch_format="pandas")
     )
     unmatched = partials.map_batches(
@@ -348,13 +367,8 @@ def range_day_project(batch: pa.Table, num_shards: int) -> pa.Table:
     if rep.num_rows:
         rep_us = pc.cast(rep["ts"], pa.int64())
         rep_day = pc.add(pc.cast(pc.divide(rep_us, US_PER_DAY), pa.int64()), 1)
-        mix = pc.add(
-            pc.multiply(rep["user_id"], _MULT_U), pc.multiply(rep_day, _MULT_D)
-        )
-        shard = pc.subtract(mix, pc.multiply(pc.divide(mix, num_shards), num_shards))
-        shard = pc.if_else(pc.less(shard, 0), pc.add(shard, num_shards), shard)
         carried = rep.append_column("day", rep_day).append_column(
-            "shard", pc.cast(shard, pa.int64())
+            "shard", _shard_key(rep["user_id"], rep_day, num_shards)
         ).append_column("carried", pa.array([True] * rep.num_rows, pa.bool_()))
         base = pa.concat_tables([base, carried.select(base.column_names)])
     return base

@@ -61,17 +61,18 @@ def extraction_version(cfg=None) -> str:
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
-    if cfg is not None:
-        o = cfg.ocr
-        parts.append(
-            f"mode={cfg.mode}|debug={cfg.debug}|dpi={o.dpi}|lang={o.lang}"
-            f"|contrast={o.contrast}|sharpen={o.sharpen}|psm={o.psm}"
-        )
-    else:  # ExtractConfig defaults
-        parts.append(
-            "mode=all|debug=False|dpi=300|lang=rus+eng"
-            "|contrast=1.4|sharpen=True|psm=6"
-        )
+    if cfg is None:
+        # derive from the live dataclass defaults — a hardcoded copy here
+        # would silently drift when a default changes and mis-stamp
+        # manifests relative to the parameters actually used
+        from ..pipelines.extract_pipeline import ExtractConfig
+
+        cfg = ExtractConfig()
+    o = cfg.ocr
+    parts.append(
+        f"mode={cfg.mode}|debug={cfg.debug}|dpi={o.dpi}|lang={o.lang}"
+        f"|contrast={o.contrast}|sharpen={o.sharpen}|psm={o.psm}"
+    )
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
@@ -159,6 +160,9 @@ class FragmentExtractWorker:
         from ..stages.extract import OcrFallbackStage
 
         self.out_dir = out_dir
+        # self-sufficient: the pipeline normally pre-creates _manifest/,
+        # but the worker must not depend on that ordering
+        os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
         self.version = version
         self.mode = mode
         self.debug = debug
@@ -179,7 +183,15 @@ class FragmentExtractWorker:
                 extract_text_layer(meta_stage(chunk), mode=self.mode, debug=self.debug)
             )
             parts.append(out)
-        return pa.concat_tables(parts) if parts else None
+        if parts:
+            return pa.concat_tables(parts)
+        # legitimate 0-row fragment: run the chain on the empty table so
+        # the partition publishes with the real output schema (a None here
+        # would crash pq.write_table and wedge the partition forever)
+        empty = tbl.slice(0, 0)
+        return self.ocr(
+            extract_text_layer(meta_stage(empty), mode=self.mode, debug=self.debug)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -188,6 +200,13 @@ class FragmentExtractWorker:
             part_dir = os.path.join(self.out_dir, f"part-{pid:05d}")
             tmp_dir = f"{part_dir}.tmp-{os.getpid()}"
             shutil.rmtree(tmp_dir, ignore_errors=True)
+            # drop the manifest BEFORE the data dir: a kill between the two
+            # must never leave a manifest whose data is gone (manifest
+            # presence == durable data is THE checkpoint invariant)
+            try:
+                os.remove(manifest_path(self.out_dir, pid))
+            except FileNotFoundError:
+                pass
             shutil.rmtree(part_dir, ignore_errors=True)  # stale partial
             out_tbl = self._extract_fragment(frag)
             os.makedirs(tmp_dir, exist_ok=True)

@@ -251,3 +251,74 @@ ray.shutdown()
     total_in = pq.read_table(pages_dir).num_rows
     total_out = pq.read_table(out_dir).num_rows
     assert total_out == total_in
+
+
+def test_empty_fragment_publishes_schema_stable_partition(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.state.manifest import (
+        FragmentExtractWorker,
+        manifest_path,
+    )
+
+    frag = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+                "html": pa.array([], pa.binary()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            }
+        ),
+        frag,
+    )
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    w = FragmentExtractWorker(out_dir=out_dir, version="vtest")
+    w(pa.table({"pid": pa.array([0], pa.int64()), "frag": pa.array([frag])}))
+    part = pq.read_table(os.path.join(out_dir, "part-00000"))
+    assert part.num_rows == 0 and "text" in part.column_names
+    assert os.path.exists(manifest_path(out_dir, 0))
+
+
+def test_rework_removes_manifest_before_data(tmp_path, monkeypatch):
+    """A kill between data-dir removal and republish must never leave a
+    manifest without data (manifest presence == durable data)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.state.manifest import (
+        FragmentExtractWorker,
+        manifest_path,
+    )
+    from khl_pdf_ocr_ray.sources.synth import page_row
+
+    rows = [page_row(3, i, "alpha beta " * 10, "en") for i in range(3)]
+    frag = str(tmp_path / "frag.parquet")
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in ("url", "warc_ts", "html", "text", "lang")}),
+        frag,
+    )
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    w = FragmentExtractWorker(out_dir=out_dir, version="v1")
+    batch = pa.table({"pid": pa.array([0], pa.int64()), "frag": pa.array([frag])})
+    w(batch)
+    assert os.path.exists(manifest_path(out_dir, 0))
+
+    # rework under v2, dying right after the old state teardown
+    w2 = FragmentExtractWorker(out_dir=out_dir, version="v2")
+    orig = w2._extract_fragment
+    monkeypatch.setattr(
+        w2, "_extract_fragment", lambda f: (_ for _ in ()).throw(RuntimeError("kill"))
+    )
+    try:
+        w2(batch)
+    except RuntimeError:
+        pass
+    # invariant: no manifest may exist without its data directory
+    assert not os.path.exists(manifest_path(out_dir, 0))
+    assert not os.path.exists(os.path.join(out_dir, "part-00000", "data-00000.parquet"))

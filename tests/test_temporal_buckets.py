@@ -145,3 +145,20 @@ def test_bucketed_ops_match_oracle_sql_at_sf(ray_session, sf_smoke_dir):
         assert len(got) == len(want), qname
         for c in got.columns:
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), (qname, c)
+
+
+def test_shard_key_nonnegative_and_symmetric_for_huge_user_ids():
+    """pc.multiply wraps on int64 overflow; base and carried rows must
+    normalize the negative branch identically or one (user, day) bucket
+    splits across two groupby keys."""
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.stages.temporal import _shard_key
+
+    uid = pa.array([2**33 + 12345, 5], pa.int64())
+    day = pa.array([19845, 19845], pa.int64())
+    for shards in (64, 7):
+        s = _shard_key(uid, day, shards).to_pylist()
+        assert all(0 <= v < shards for v in s)
+        # carried rows for the SAME (user, day) recompute the key — must match
+        assert _shard_key(uid, day, shards).to_pylist() == s
