@@ -146,12 +146,19 @@ def run_extract(pages_path: str, cfg: Optional[ExtractConfig] = None) -> rd.Data
 
 # --- synthetic corpus materialization (cached) ------------------------------
 def pages_cache_dir(
-    sf_dir: str, repeat: int = 1, seed: int = SEED, giants_per_mille: int = 0
+    sf_dir: str,
+    repeat: int = 1,
+    seed: int = SEED,
+    giants_per_mille: int = 0,
+    num_blocks=None,
 ) -> str:
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
+    # num_blocks is part of the key: its whole purpose is file LAYOUT, so
+    # an explicit value must never be silently served a cached other layout
     key = hashlib.sha256(
-        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}:v6".encode()
+        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}"
+        f":{num_blocks}:v6".encode()
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, f"pages_{key}")
 
@@ -171,7 +178,7 @@ def synthesize_pages(
     """
     from ..state.atomic import ensure_published
 
-    out_dir = pages_cache_dir(sf_dir, repeat, seed, giants_per_mille)
+    out_dir = pages_cache_dir(sf_dir, repeat, seed, giants_per_mille, num_blocks)
 
     def _build(tmp_dir: str) -> None:
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))

@@ -14,7 +14,6 @@ and what the 100 TB variant changes.
 from __future__ import annotations
 
 import os
-import re
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -23,9 +22,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..remote import remote_fn
 
@@ -57,6 +55,14 @@ def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     if n:
         ds = ds.repartition(n)
     return ds
+
+
+def _floordiv_us(x, d: int):
+    """FLOORED integer division (oracles use floor(epoch/d); Arrow's
+    pc.divide truncates toward zero, diverging on pre-epoch timestamps)."""
+    q = pc.divide(x, d)
+    r = pc.subtract(x, pc.multiply(q, d))
+    return pc.if_else(pc.less(r, 0), pc.subtract(q, 1), q)
 
 
 def _cents(x):
@@ -99,7 +105,7 @@ def events_project(batch: pa.Table) -> pa.Table:
     t = pa.table(
         {
             "event_type": batch["event_type"],
-            "hour_bucket": pc.cast(pc.divide(us, 3_600_000_000), pa.int64()),
+            "hour_bucket": pc.cast(_floordiv_us(us, 3_600_000_000), pa.int64()),
             "value_cents": _cents(batch["value"]),
         }
     )
@@ -203,9 +209,10 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+SELECT md5(coalesce(text, '')) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS dup_count
-FROM documents GROUP BY md5(text)
+FROM documents GROUP BY 1
 """
 
 
@@ -730,7 +737,7 @@ def q_events_sliding(sf_dir: str) -> rd.Dataset:
 
 def sliding_project(batch: pa.Table) -> pa.Table:
     us = pc.cast(batch["ts"], pa.int64())
-    hour = pc.cast(pc.divide(us, 3_600_000_000), pa.int64())
+    hour = pc.cast(_floordiv_us(us, 3_600_000_000), pa.int64())
     cents = _cents(batch["value"])
     parts = []
     for off in (0, 1):
@@ -948,6 +955,11 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 
 
 SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+SPLIT_ID_MOD = 2147483647  # doc_id reduced mod 2^31-1 BEFORE the multiply:
+                           # (2^31)(2.66e9) < 2^63, so the product can never
+                           # overflow int64 — Arrow would silently WRAP where
+                           # DuckDB raises, diverging at doc_id >= ~3.5e9.
+                           # Identity for every doc_id < 2^31-1.
 SPLIT_TRAIN_PCT = 90
 
 
@@ -971,10 +983,12 @@ def q_train_test_split(sf_dir: str) -> rd.Dataset:
 
 
 def split_partial(batch: pa.Table) -> pa.Table:
-    residue = pc.subtract(
-        pc.multiply(batch["doc_id"], SPLIT_MULT),
-        pc.multiply(pc.divide(pc.multiply(batch["doc_id"], SPLIT_MULT), 100), 100),
+    rid = pc.subtract(
+        batch["doc_id"],
+        pc.multiply(pc.divide(batch["doc_id"], SPLIT_ID_MOD), SPLIT_ID_MOD),
     )
+    prod = pc.multiply(rid, SPLIT_MULT)  # < 2^63: no wrap (see SPLIT_ID_MOD)
+    residue = pc.subtract(prod, pc.multiply(pc.divide(prod, 100), 100))
     split = pc.if_else(
         pc.less(residue, SPLIT_TRAIN_PCT), pa.scalar("train"), pa.scalar("test")
     )
@@ -984,7 +998,7 @@ def split_partial(batch: pa.Table) -> pa.Table:
 
 
 SQL_TRAIN_TEST_SPLIT = f"""
-SELECT CASE WHEN (doc_id * {SPLIT_MULT}) % 100 < {SPLIT_TRAIN_PCT}
+SELECT CASE WHEN ((doc_id % {SPLIT_ID_MOD}) * {SPLIT_MULT}) % 100 < {SPLIT_TRAIN_PCT}
             THEN 'train' ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -986,9 +986,9 @@ WITH kept AS (
         <= {PREP_REP_MAX_PERMILLE}
 ), surv AS (
   SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
-  FROM kept GROUP BY md5(text)
+  FROM kept GROUP BY md5(coalesce(text, ''))
 )
-SELECT CASE WHEN (doc_id * {PREP_SPLIT_MULT}) % 100 < {PREP_SPLIT_TRAIN_PCT}
+SELECT CASE WHEN ((doc_id % 2147483647) * {PREP_SPLIT_MULT}) % 100 < {PREP_SPLIT_TRAIN_PCT}
             THEN 'train' ELSE 'test' END AS split,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS total_chars

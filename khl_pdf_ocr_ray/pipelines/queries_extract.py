@@ -12,9 +12,7 @@ Every query synthesizes the deterministic corpus for the given sf_dir
 from __future__ import annotations
 
 import os
-from typing import Dict, List
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -223,6 +221,10 @@ def q_skew_partition_stats(sf_dir: str) -> rd.Dataset:
             remote_fn("khl_pdf_ocr_ray.stages.extract", "meta_stage"),
             batch_format="pyarrow",
         )
+        # metadata-only query from here on: drop the payload BEFORE
+        # pinning in the object store (html would otherwise hold the whole
+        # corpus's bytes resident for a stats query)
+        .select_columns(["url", "host", "n_bytes"])
         .materialize()  # consumed twice (hot-host sample + keying): run once
     )
     hot = detect_hot_hosts(pages.select_columns(["host", "url"]))

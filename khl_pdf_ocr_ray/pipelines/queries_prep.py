@@ -73,6 +73,7 @@ CHUNK_STRIDE = 24
 # stratified sample: k per language, Knuth multiplicative hash mod 2^32
 SAMPLE_K = 10
 SAMPLE_MULT = 2654435761
+SAMPLE_ID_MOD = 2147483647  # overflow guard, see sample_hash_partial
 SAMPLE_MOD = 2**32
 
 # canonical-selection near-dup key: leading 50 characters
@@ -142,12 +143,16 @@ def sample_hash_partial(batch: pa.Table) -> pa.Table:
     """Per-batch partial top-k per lang by (hash, doc_id): the winning k of
     each batch are the only candidates that can win globally, so at most
     k rows per (lang, block) reach the shuffle."""
+    # doc_id reduced mod 2^31-1 BEFORE the multiply: keeps the product
+    # < 2^63 so Arrow can't wrap where DuckDB would raise (identity for
+    # every doc_id < 2^31-1) — same guard as queries.SPLIT_ID_MOD
+    rid = pc.subtract(
+        batch["doc_id"],
+        pc.multiply(pc.divide(batch["doc_id"], SAMPLE_ID_MOD), SAMPLE_ID_MOD),
+    )
+    prod = pc.multiply(rid, SAMPLE_MULT)
     h = pc.subtract(
-        pc.multiply(batch["doc_id"], SAMPLE_MULT),
-        pc.multiply(
-            pc.divide(pc.multiply(batch["doc_id"], SAMPLE_MULT), SAMPLE_MOD),
-            SAMPLE_MOD,
-        ),
+        prod, pc.multiply(pc.divide(prod, SAMPLE_MOD), SAMPLE_MOD)
     )
     df = pa.table(
         {"lang": batch["lang"], "doc_id": batch["doc_id"], "h": h}
@@ -521,7 +526,7 @@ FROM w, UNNEST(range(0, (len(ws)-1)//{CHUNK_STRIDE} + 1)) AS t(k)
 SELECT lang, doc_id, CAST(rk AS BIGINT) AS rank FROM (
   SELECT lang, doc_id,
     row_number() OVER (PARTITION BY lang
-      ORDER BY (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}, doc_id) AS rk
+      ORDER BY ((doc_id % {SAMPLE_ID_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD}, doc_id) AS rk
   FROM documents) t WHERE rk <= {SAMPLE_K}
 """,
     "pii_scrub": f"""

@@ -72,6 +72,7 @@ PACK_SHARD = 1024   # contiguous doc_ids per prefix-sum shard
 
 RESAMPLE_SCALE = 1_000_000
 RESAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+RESAMPLE_ID_MOD = 2147483647  # overflow guard, see resample_filter_partial
 # target corpus mix by language (integer percents, sum 100)
 RESAMPLE_TARGETS = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
 
@@ -317,12 +318,15 @@ def lang_count_partial(batch: pa.Table) -> pa.Table:
 def resample_filter_partial(batch: pa.Table, thresholds: dict) -> pa.Table:
     """Accept doc iff hash residue < its language's integer threshold;
     reduce survivors to one (lang, docs, chars) row per batch-lang."""
+    # doc_id mod 2^31-1 before the multiply: no int64 wrap (identity at
+    # current id ranges) — same guard as queries.SPLIT_ID_MOD
+    rid = pc.subtract(
+        batch["doc_id"],
+        pc.multiply(pc.divide(batch["doc_id"], RESAMPLE_ID_MOD), RESAMPLE_ID_MOD),
+    )
+    prod = pc.multiply(rid, RESAMPLE_MULT)
     residue = pc.subtract(
-        pc.multiply(batch["doc_id"], RESAMPLE_MULT),
-        pc.multiply(
-            pc.divide(pc.multiply(batch["doc_id"], RESAMPLE_MULT), RESAMPLE_SCALE),
-            RESAMPLE_SCALE,
-        ),
+        prod, pc.multiply(pc.divide(prod, RESAMPLE_SCALE), RESAMPLE_SCALE)
     )
     thr = pc.take(
         pa.array(list(thresholds.values()), pa.int64()),
@@ -400,7 +404,7 @@ SELECT d.lang,
        CAST(COUNT(*) AS BIGINT) AS kept_docs,
        CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
 FROM documents d JOIN thr ON d.lang = thr.lang
-WHERE (d.doc_id * {RESAMPLE_MULT}) % {RESAMPLE_SCALE} < thr.thr
+WHERE ((d.doc_id % {RESAMPLE_ID_MOD}) * {RESAMPLE_MULT}) % {RESAMPLE_SCALE} < thr.thr
 GROUP BY d.lang
 """
 

@@ -165,6 +165,6 @@ FROM documents GROUP BY lang
 """
 
 SQL_FINGERPRINT = r"""
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp_md5
 FROM documents
 """

@@ -163,3 +163,34 @@ def test_full_outer_empty_right_keeps_left(ray_session):
     )
     out = safe_join(left, right, on=("k",), right_on=("rk",), join_type="full_outer")
     assert sorted(r["k"] for r in out.take_all()) == [1, 2]
+
+
+def test_split_hash_is_overflow_safe_and_identity_below_2_31():
+    """doc_id >= ~3.5e9 would wrap Arrow's unchecked int64 multiply where
+    DuckDB raises; the mod-2^31-1 pre-reduction keeps both engines in
+    range AND is the identity for every current id."""
+    import duckdb
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.pipelines.queries import (
+        SPLIT_ID_MOD,
+        SPLIT_MULT,
+        SPLIT_TRAIN_PCT,
+        split_partial,
+    )
+
+    ids = [0, 1, 12345, 2**31 - 2, 2**31, 2**40, 4_000_000_000]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array([10] * len(ids), pa.int64()),
+        }
+    )
+    out = split_partial(batch).to_pandas()
+    n_train = int(out.set_index("split")["n_docs"].get("train", 0))
+    sql = duckdb.sql(
+        f"""SELECT sum(CASE WHEN ((i % {SPLIT_ID_MOD}) * {SPLIT_MULT}) % 100
+                 < {SPLIT_TRAIN_PCT} THEN 1 ELSE 0 END)
+            FROM (SELECT unnest({ids}) AS i)"""
+    ).fetchone()[0]
+    assert n_train == int(sql)
