@@ -90,7 +90,9 @@ def run_bench() -> dict:
     # warm the OS page cache so the headline measures compute+pipeline
     import pyarrow.parquet as pq
 
-    meta = pq.read_table(pages_dir, columns=["url"])
+    # read the payload column too: parquet is columnar, so warming only
+    # url would leave the html bytes (the bulk of the corpus) cold
+    meta = pq.read_table(pages_dir, columns=["url", "html"])
     n_docs = meta.num_rows
     corpus_bytes = sum(
         os.path.getsize(os.path.join(pages_dir, f))

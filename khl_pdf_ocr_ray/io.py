@@ -21,12 +21,12 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def _footer_schema(path: str) -> pa.Schema:
+def _footer_schema(path) -> pa.Schema:
+    if isinstance(path, (list, tuple)):  # before isdir: it raises on lists
+        path = path[0]
     if os.path.isdir(path):
         frags = sorted(glob.glob(os.path.join(path, "*.parquet")))
         path = frags[0]
-    elif isinstance(path, (list, tuple)):
-        path = path[0]
     return pq.read_schema(path).remove_metadata()
 
 

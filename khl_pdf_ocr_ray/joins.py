@@ -20,9 +20,18 @@ Empty-side semantics (callers otherwise crash or silently lose rows):
 - either side empty + inner/left_semi  -> ``None`` (result is empty; an
   empty join output schema cannot be inferred here without executing the
   join — the caller supplies its own typed empty result);
-- right side empty + left_anti/left outer -> the LEFT side unchanged
-  (every left row survives an anti join against nothing);
-- left side empty (any type) -> ``None``.
+- right side empty + left_anti -> the LEFT side unchanged (every left
+  row survives an anti join against nothing);
+- an OUTER join with an empty side raises NotImplementedError: the
+  correct result needs the empty side's columns null-filled, which this
+  wrapper cannot synthesize without a typed schema — silent column loss
+  would be worse than a loud error (current outer-join callers guarantee
+  both sides non-empty by construction).
+
+Caveat (documented, not solved here): num_partitions derives from the
+smaller side's ROW count, but the empty-partition hazard is governed by
+DISTINCT-KEY count. Callers joining on a LOW-cardinality key (fewer
+distinct keys than rows/4096) must pass ``num_partitions`` explicitly.
 """
 
 from __future__ import annotations
@@ -64,19 +73,29 @@ def safe_join(
     right_on: Tuple[str, ...],
     join_type: str = "inner",
     rows_per_partition: int = _ROWS_PER_PARTITION,
+    num_partitions: Optional[int] = None,
 ):
     left = left.materialize()
     right = right.materialize()
     n_left, n_right = left.count(), right.count()
+    if (n_left == 0 or n_right == 0) and join_type in ("left_outer", "full_outer"):
+        # returning the non-empty side would silently DROP the other
+        # side's columns (left_outer) or rows (full_outer)
+        raise NotImplementedError(
+            f"safe_join cannot synthesize the null-filled columns an "
+            f"empty-side {join_type} needs; guarantee both sides non-empty "
+            f"or handle the empty case at the call site"
+        )
     if n_left == 0:
         return None
     if n_right == 0:
-        # anti/outer joins against an empty right side keep every left row
-        if join_type in ("left_anti", "left_outer", "full_outer"):
+        # anti join against an empty right side keeps every left row
+        if join_type == "left_anti":
             return left
         return None
-    n = min(n_left, n_right)
-    num_partitions = max(1, min(_max_partitions(), n // rows_per_partition))
+    if num_partitions is None:
+        n = min(n_left, n_right)
+        num_partitions = max(1, min(_max_partitions(), n // rows_per_partition))
     return left.join(
         right,
         join_type=join_type,

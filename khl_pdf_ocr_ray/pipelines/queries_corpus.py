@@ -700,6 +700,14 @@ def outer_counts_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["c_mktsegment", "n_customers", "n_no_orders", "total_orders"])
 
 
+def null_orders_append(batch: pa.Table) -> pa.Table:
+    """Empty-orders fallback: every customer with a null n_orders (what a
+    left outer join against an empty right side yields)."""
+    return batch.append_column(
+        "n_orders", pa.array([None] * batch.num_rows, pa.int64())
+    )
+
+
 def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
     """LEFT OUTER join: every customer keeps a row even with zero orders
     (the join type §2.4 otherwise lacks; semi/anti/inner/broadcast are
@@ -714,10 +722,17 @@ def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_orders"))
     )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = safe_join(
-        cust, per_cust, on=("c_custkey",), right_on=("o_custkey",),
-        join_type="left_outer",
-    )
+    try:
+        joined = safe_join(
+            cust, per_cust, on=("c_custkey",), right_on=("o_custkey",),
+            join_type="left_outer",
+        )
+    except NotImplementedError:
+        # orders empty: a left outer join keeps every customer with a null
+        # n_orders — synthesize that directly (safe_join cannot)
+        joined = cust.map_batches(
+            remote_fn(_QC, "null_orders_append"), batch_format="pyarrow"
+        )
     assert joined is not None  # customer is never empty
     return (
         joined.map_batches(remote_fn(_QC, "outer_counts_partial"), batch_format="pyarrow")

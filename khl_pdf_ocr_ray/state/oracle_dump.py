@@ -53,7 +53,13 @@ def dumps_dir(sf_dir: str) -> str:
     # detector edits rebuild the dumps without invalidating checkpoints
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     extra_md5 = []
-    for rel in ("functions/tables.py", "functions/urlnorm.py"):
+    for rel in (
+        "functions/tables.py",
+        "functions/urlnorm.py",
+        "stages/multimodal.py",   # media_* dump kernels
+        "stages/textqc.py",       # fingerprint_rolling twin constants
+        "sources/synth.py",       # master lists + media table generators
+    ):
         with open(os.path.join(pkg, rel), "rb") as f:
             extra_md5.append(hashlib.md5(f.read()).hexdigest())
     key = hashlib.sha256(
@@ -67,6 +73,7 @@ def _join(names: List[str]) -> str:
 
 
 def _build_dumps(sf_dir: str, out_dir: str) -> None:
+    import zlib
     import glob
 
     from ..functions.doc_extract import extract_document
@@ -89,13 +96,12 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     ext: Dict[str, list] = {
         k: []
         for k in (
-            "url hos season uid content_type engine ok error n_bytes n_chars "
+            "url host season uid content_type engine ok error n_bytes n_chars "
             "match_date match_time team_home team_away ref_main ref_linesmen "
             "gk_home_names gk_home_flags gk_away_names gk_away_flags "
             "raw_ref_line ocr_ref_line ocr_fallback".split()
         )
     }
-    ext["host"] = ext.pop("hos")
     names_rows: Dict[str, list] = {"url": [], "kind": [], "name": []}
     words_rows: Dict[str, list] = {
         "url": [], "page": [], "y_x10": [], "x_x10": [], "token": []
@@ -238,7 +244,6 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
 
     # url-dedup twin: the same planted messy variants + canonicalization
     # (functions/urlnorm.py, shared kernel) in one sequential pass
-    import zlib as _zlib
 
     import pandas as _pd
 
@@ -251,7 +256,7 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     )
     with_variants = list(all_urls)
     for u in all_urls:
-        if _zlib.crc32(u.encode()) % 3 == 0:
+        if zlib.crc32(u.encode()) % 3 == 0:
             scheme, rest = u.split("://", 1)
             host, _, path = rest.partition("/")
             with_variants.append(
@@ -293,7 +298,6 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     # skew partition keys, recomputed sequentially: exact host histogram ->
     # hot hosts (> 20% of rows) -> salted/giant-isolated part_key per row
     # (the crc32 formulas restated inline — they ARE the partitioning spec)
-    import zlib
 
     host_counts: Dict[str, int] = {}
     page_rows: List[tuple] = []  # (host, url, n_bytes)
@@ -401,16 +405,24 @@ FROM read_parquet('{p("extracted_seq.parquet")}')
 GROUP BY host, content_type
 """,
         "master_validate": f"""
-SELECT kind, CAST(count(*) AS BIGINT) AS n_names,
-       CAST(sum(CASE WHEN (kind = 'referee' AND name IN
-                 (SELECT name FROM read_parquet('{p("master.parquet")}')
-                  WHERE kind = 'referee'))
-             OR (kind = 'goalie' AND name IN
-                 (SELECT name FROM read_parquet('{p("master.parquet")}')
-                  WHERE kind = 'player'))
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_validated
-FROM read_parquet('{p("names_seq.parquet")}')
-GROUP BY kind
+-- both kinds ALWAYS present (the engine emits zero-count rows for a kind
+-- that extracted nothing; the bare GROUP BY would drop it)
+WITH counts AS (
+  SELECT kind, CAST(count(*) AS BIGINT) AS n_names,
+         CAST(sum(CASE WHEN (kind = 'referee' AND name IN
+                   (SELECT name FROM read_parquet('{p("master.parquet")}')
+                    WHERE kind = 'referee'))
+               OR (kind = 'goalie' AND name IN
+                   (SELECT name FROM read_parquet('{p("master.parquet")}')
+                    WHERE kind = 'player'))
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_validated
+  FROM read_parquet('{p("names_seq.parquet")}')
+  GROUP BY kind
+)
+SELECT k.kind, coalesce(c.n_names, 0) AS n_names,
+       coalesce(c.n_validated, 0) AS n_validated
+FROM (SELECT 'referee' AS kind UNION ALL SELECT 'goalie') k
+LEFT JOIN counts c ON k.kind = c.kind
 """,
         "pdf_words": f"""
 SELECT url, page, y_x10, x_x10, token

@@ -158,6 +158,7 @@ def _queries(emb: pd.DataFrame):
 
 def _ann_lsh_seq(emb: pd.DataFrame) -> pd.DataFrame:
     from ..stages.knn import (
+        LSH_PLANES,
         _bucket_keys,
         knn_merge,
         knn_partial_batch,
@@ -169,7 +170,9 @@ def _ann_lsh_seq(emb: pd.DataFrame) -> pd.DataFrame:
     for row in _bucket_keys(q):
         for key in row:
             wanted.add(int(key))
-            for b in range(LSH_PROBES):
+            # same clamp as stages/knn.ann_lsh: bit flips must never
+            # spill into the table-id bits
+            for b in range(min(LSH_PROBES, LSH_PLANES)):
                 wanted.add(int(key) ^ (1 << b))
     exploded = lsh_bucket_batch(emb)
     cands = exploded[exploded["bucket"].isin(wanted)][["vec_id", "embedding"]]

@@ -149,8 +149,12 @@ def test_lag_kernel_ties_and_first_row():
     assert out["gap_us"].tolist() == [-1, 0, 1_499_995]
 
 
-def test_full_outer_empty_right_keeps_left(ray_session):
+def test_outer_join_with_empty_side_raises_loudly(ray_session):
+    """An empty-side outer join can't be synthesized here (the result
+    needs the empty side's columns null-filled) — silently returning the
+    other side would DROP columns/rows, so the wrapper must refuse."""
     import pyarrow as pa
+    import pytest
     import ray.data as rd
 
     from khl_pdf_ocr_ray.joins import safe_join
@@ -161,8 +165,12 @@ def test_full_outer_empty_right_keeps_left(ray_session):
     right = rd.from_arrow(
         pa.table({"rk": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
     )
-    out = safe_join(left, right, on=("k",), right_on=("rk",), join_type="full_outer")
-    assert sorted(r["k"] for r in out.take_all()) == [1, 2]
+    for jt in ("full_outer", "left_outer"):
+        with pytest.raises(NotImplementedError):
+            safe_join(left, right, on=("k",), right_on=("rk",), join_type=jt)
+    # anti join against nothing still keeps every left row
+    anti = safe_join(left, right, on=("k",), right_on=("rk",), join_type="left_anti")
+    assert sorted(r["k"] for r in anti.take_all()) == [1, 2]
 
 
 def test_split_hash_is_overflow_safe_and_identity_below_2_31():
