@@ -85,7 +85,15 @@ class FetcherStage:
 
                 self.transport = _get
             except Exception:  # pragma: no cover - requests always present
-                self.transport = None  # type: ignore[assignment]
+                # no transport at all: fail with the clear message per ROW
+                # (in-band error contract), never a cryptic NoneType call
+                def _no_transport(url: str) -> bytes:
+                    raise NotImplementedError(
+                        "no HTTP transport available (requests missing and "
+                        "none injected); supply payloads in the input parquet"
+                    )
+
+                self.transport = _no_transport
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads: List[Optional[bytes]] = []

@@ -230,10 +230,16 @@ def _page_words(
             leading = float(stack[-1][1])
         elif op == b"Tj" and stack and stack[-1][0] == "str":
             _emit_words(words, stack[-1][1], tx, ty, font_size, page_h, widths)
+            # a show op ADVANCES the text position (ISO 32000 9.4.4) —
+            # without this, consecutive Tj in one line stack every word at
+            # the line start, corrupting reading order and the median-x
+            # column split on wild PDFs
+            tx += _text_width(stack[-1][1], widths, font_size)
         elif op in (b"'", b'"') and stack and stack[-1][0] == "str":
             line_ty -= leading
             tx, ty = line_tx, line_ty
             _emit_words(words, stack[-1][1], tx, ty, font_size, page_h, widths)
+            tx += _text_width(stack[-1][1], widths, font_size)
         elif op == b"TJ" and stack and isinstance(stack[-1], list):
             x = tx
             for kind, val in stack[-1]:
@@ -244,6 +250,7 @@ def _page_words(
                     # kerning adjustment: thousandths of text space,
                     # subtracted from the advance (ISO 32000 9.4.3)
                     x -= val / 1000.0 * font_size
+            tx = x  # pen position after the array show
         elif op == b"BT":
             tx = ty = line_tx = line_ty = 0.0
         if op not in (b"[",):
@@ -291,7 +298,9 @@ def extract_pdf_pages(payload: bytes) -> List[Dict]:
 
 # --- writer ------------------------------------------------------------------
 def _escape_literal(s: str) -> bytes:
-    raw = s.encode("cp1251")
+    # errors="replace": degrade non-cp1251 glyphs like the reader side's
+    # width table does, instead of crashing corpus generation on one token
+    raw = s.encode("cp1251", errors="replace")
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 

@@ -393,7 +393,6 @@ def words_explode_batch(batch: pa.Table) -> pa.Table:
     surface (SURVEY.md §1.2). Coordinates are exported as fixed-point
     tenths (integers) so the surface is hash-comparable against the DuckDB
     oracle dump (floats hash unreliably across engines)."""
-    from ..functions.textgeom import reading_order as _ro
 
     urls: List[str] = []
     pages_col: List[int] = []
@@ -409,7 +408,7 @@ def words_explode_batch(batch: pa.Table) -> pa.Table:
         except wb.PayloadError:
             continue
         for pno, page in enumerate(doc.pages):
-            for y, x, t in _ro(page.words):
+            for y, x, t in reading_order(page.words):
                 urls.append(url)
                 pages_col.append(pno)
                 ys.append(int(y * 10 + 0.5))

@@ -59,7 +59,10 @@ def synth_audio(media_id: int, n_samples: int = 4096, sample_rate: int = 16000) 
         8000 * np.sin(2 * np.pi * freq * t / sample_rate)
         + rs.randint(-500, 500, size=n_samples)
     ).astype(np.int16)
-    return AUD_MAGIC + struct.pack(">I", sample_rate) + wave.tobytes()
+    # the FAUD1 container is declared big-endian throughout: samples must
+    # be emitted as >i2 (astype(int16).tobytes() would be native-LE on
+    # x86, silently byte-swapping every decoded sample)
+    return AUD_MAGIC + struct.pack(">I", sample_rate) + wave.astype(">i2").tobytes()
 
 
 def synth_video(media_id: int, n_frames: int = 16, width: int = 16, height: int = 12) -> bytes:
@@ -90,7 +93,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     """payload -> HxWxC uint8 array. Toy container decoded natively; real
     formats require PIL (STUB: raises when the wheel is absent)."""
     if payload.startswith(IMG_MAGIC):
-        w, h, c = struct.unpack(">HHB", payload[5:10])
+        try:
+            w, h, c = struct.unpack(">HHB", payload[5:10])
+        except struct.error as e:  # truncated header -> in-band error row
+            raise MediaDecodeError(f"image: truncated header ({e})") from e
+        if w == 0 or h == 0 or c == 0:
+            raise MediaDecodeError("image: zero-dimension header")
         pix = np.frombuffer(payload[10 : 10 + w * h * c], dtype=np.uint8)
         if pix.size != w * h * c:
             raise MediaDecodeError("image: truncated pixel section")
@@ -111,7 +119,10 @@ def decode_audio(payload: bytes):
             "real audio decoding requires an audio library (librosa/soundfile); "
             "only the FAUD1 toy container is supported here"
         )
-    (rate,) = struct.unpack(">I", payload[5:9])
+    try:
+        (rate,) = struct.unpack(">I", payload[5:9])
+    except struct.error as e:
+        raise MediaDecodeError(f"audio: truncated header ({e})") from e
     samples = np.frombuffer(payload[9:], dtype=">i2").astype(np.int64)
     return rate, samples
 
@@ -122,7 +133,12 @@ def decode_video(payload: bytes) -> np.ndarray:
             "real video decoding requires ffmpeg bindings; "
             "only the FVID1 toy container is supported here"
         )
-    n, w, h = struct.unpack(">HHH", payload[5:11])
+    try:
+        n, w, h = struct.unpack(">HHH", payload[5:11])
+    except struct.error as e:
+        raise MediaDecodeError(f"video: truncated header ({e})") from e
+    if n == 0 or w == 0 or h == 0:
+        raise MediaDecodeError("video: zero-dimension header")
     frames = np.frombuffer(payload[11 : 11 + n * w * h], dtype=np.uint8)
     if frames.size != n * w * h:
         raise MediaDecodeError("video: truncated frames")

@@ -173,3 +173,34 @@ def test_widths_fallback_without_widths_array_unchanged():
     pages = extract_pdf_pages(pdf)
     assert pages[0]["words"] == [(100.0, 50.0, "hello"), (100.0, 120.0, "world")]
     assert CHAR_ADVANCE == 0.5
+
+
+def test_show_operators_advance_text_position():
+    """Consecutive Tj (and TJ-then-Tj) in one line must advance the pen —
+    stacked-at-line-start words would corrupt reading order and the
+    upper-median column split on wild PDFs."""
+    import zlib
+
+    from khl_pdf_ocr_ray.sources.minipdf import extract_pdf_pages
+
+    content = b"BT /F1 10 Tf 100 700 Td (Hello) Tj (World) Tj ET"
+    stream = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /MediaBox [0 0 595 842] >> endobj\n"
+        b"2 0 obj << /Length " + str(len(stream)).encode() +
+        b" /Filter /FlateDecode >> stream\n" + stream + b"\nendstream endobj\n"
+        b"%%EOF"
+    )
+    pages = extract_pdf_pages(pdf)
+    words = sorted(pages[0]["words"], key=lambda w: w[1])
+    assert [w[2] for w in words] == ["Hello", "World"]
+    x_hello, x_world = words[0][1], words[1][1]
+    assert x_world > x_hello  # second show starts after the first's width
+
+
+def test_escape_literal_degrades_non_cp1251():
+    from khl_pdf_ocr_ray.sources.minipdf import _escape_literal
+
+    assert _escape_literal("ok") == b"ok"
+    assert b"?" in _escape_literal("漢字")  # CJK degrades, no crash

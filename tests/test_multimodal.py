@@ -86,3 +86,48 @@ def test_media_queries_on_ray(ray_session, sf_smoke_dir):
     a = img.sort_values("media_id").reset_index(drop=True)
     b = img2.sort_values("media_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_truncated_and_zero_dim_payloads_become_error_rows():
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.stages.multimodal import (
+        AudioFeatureStage,
+        ImageFeatureStage,
+        VideoFrameSampleStage,
+    )
+
+    def _batch(kind, payload):
+        return pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "media_type": [kind],
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+
+    import struct
+
+    from khl_pdf_ocr_ray.stages.multimodal import IMG_MAGIC
+
+    for stage, kind, payload in [
+        (ImageFeatureStage(), "image", b"FIMG1\x00"),           # truncated header
+        (ImageFeatureStage(), "image", IMG_MAGIC + struct.pack(">HHB", 0, 24, 3)),
+        (AudioFeatureStage(), "audio", b"FAUD1\x00\x00"),
+    ]:
+        out = stage(_batch(kind, payload)).to_pandas()
+        assert len(out) == 1 and not bool(out["ok"].iloc[0])
+        assert out["error"].iloc[0] != ""
+    # video marks undecodable rows with the in-band frame_idx -1 sentinel
+    vout = VideoFrameSampleStage()(_batch("video", b"FVID1\x00")).to_pandas()
+    assert vout["frame_idx"].tolist() == [-1]
+
+
+def test_audio_samples_roundtrip_big_endian():
+    from khl_pdf_ocr_ray.stages.multimodal import decode_audio, synth_audio
+
+    rate, samples = decode_audio(synth_audio(1, n_samples=64))
+    assert rate == 16000
+    # a declared-BE container decoded as BE yields the bounded sine+noise,
+    # not byte-swapped full-range garbage
+    assert abs(int(samples.max())) <= 8500 and abs(int(samples.min())) <= 8500
