@@ -24,7 +24,8 @@ semi-structured JSON stats (``props_json_stats``) and UNION DISTINCT
   integer-division binning) with per-bucket count + char sum: the
   discretization operator. Pure combiner: the shuffle carries one row
   per (bucket, block).
-- ``ddsketch_size_quantiles`` — approximate quantiles from a MERGEABLE
+- ``ddsketch_size_quantiles`` — (Masson, Rim & Lee 2019, "DDSketch: a
+  fast and fully-mergeable quantile sketch") approximate quantiles from a MERGEABLE
   relative-error sketch (DDSketch/HDR-histogram family, integer-only):
   bucket = (msb octave of n_chars) x 8 linear sub-buckets, guaranteeing
   est <= q_true <= est*(1+1/8)+1. Per-batch bucket partials -> one

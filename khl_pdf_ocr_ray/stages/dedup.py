@@ -1,13 +1,22 @@
 """Near-duplicate detection: MinHash+LSH, SimHash, exact n-gram Jaccard.
 
+Published algorithms: MinHash resemblance sketching (Broder 1997, "On the
+resemblance and containment of documents"), banded LSH (Indyk & Motwani
+1998 / the classic b-bands-of-r-rows construction), SimHash (Charikar
+2002, "Similarity estimation techniques from rounding algorithms"); the
+banded Levenshtein DP is the standard Ukkonen-style |i-j| <= k diagonal
+band (Ukkonen 1985).
+
 Deduplication operators for a training-data pipeline (build brief: exact,
 MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — exact dedup lives
 in queries.q_dedup_exact; embedding dedup in stages/knn.py).
 
 All hashing is seeded/deterministic (blake2b digests + fixed affine
-permutations), so every operator's output is reproducible run-to-run —
-no SQL oracle exists for these (the driver records rows-only checks), but
-the pytest suite asserts planted near-dup pairs are recovered.
+permutations), so every operator's output is reproducible run-to-run.
+The driver gate checks each against a sequential-twin DUMP oracle
+(state/oracle_dump_near.py — same kernels run in a plain loop, results
+parqueted, compared by value hash); the pytest suite additionally asserts
+planted near-dup pairs are recovered.
 
 Shuffle structure (the part that matters at 100 TB):
 - minhash: map (sig per doc) -> explode to SLIM (shard, band_hash,
