@@ -600,6 +600,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- doc_size_dense_rank (DENSE_RANK window with real ties) -------------------
+def dense_rank_apply(batch: pa.Table, rank_maps: dict) -> pa.Table:
+    """Broadcast-rank apply: per (lang, n_chars) lookup into the dense-rank
+    map — dictionary-encode lang once per batch, then one vectorized
+    searchsorted per language slice; no per-row Python."""
+    langs_enc = pc.dictionary_encode(batch["lang"].combine_chunks())
+    lang_vals = langs_enc.dictionary.to_pylist()
+    codes = langs_enc.indices.to_numpy()
+    sizes = batch["n_chars"].to_numpy()
+    rank = np.empty(len(sizes), dtype="int64")
+    for ci, lang in enumerate(lang_vals):
+        sel = codes == ci
+        # distinct sizes sorted DESC -> dense rank = index + 1
+        desc_sizes = rank_maps[lang]  # numpy array, descending
+        rank[sel] = len(desc_sizes) - np.searchsorted(
+            desc_sizes[::-1], sizes[sel], side="left"
+        )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "size_rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
+def q_doc_size_dense_rank(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars DESC) — the
+    tie-sharing rank (orders_rank_window covers ROW_NUMBER, doc_ntile
+    NTILE). NO per-partition sort of the docs: the distinct-size set per
+    lang (bounded by the value domain, not the doc count) reduces through
+    a grouped-histogram shuffle, the driver builds |langs| sorted arrays,
+    and a map-only broadcast-searchsorted pass ranks every doc."""
+    from .queries import _t
+
+    hist = (
+        _t(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()  # <= |langs| x |distinct sizes| rows
+    )
+    rank_maps = {
+        str(lang): np.sort(g["n_chars"].unique())[::-1]
+        for lang, g in hist.groupby("lang")
+    }
+    return _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        remote_fn(_QA, "dense_rank_apply", rank_maps=rank_maps),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_DOC_SIZE_DENSE_RANK = """
+SELECT doc_id, lang, n_chars,
+       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+            AS BIGINT) AS size_rank
+FROM documents
+"""
+
+
 # --- user_first_last (ARG_MIN / ARG_MAX aggregate) ---------------------------
 def first_last_partial(g: pd.DataFrame) -> pd.DataFrame:
     """Per-(user, batch-or-group) argmin/argmax rows under the total
@@ -712,6 +773,7 @@ AGG_QUERIES = {
     "corpus_cube": q_corpus_cube,
     "user_first_last": q_user_first_last,
     "events_lead": q_events_lead,
+    "doc_size_dense_rank": q_doc_size_dense_rank,
     "events_sliding_window": q_events_sliding_window,
     "region_nation_list": q_region_nation_list,
     "doc_size_hist": q_doc_size_hist,
@@ -726,6 +788,7 @@ AGG_ORACLES = {
     "corpus_cube": SQL_CORPUS_CUBE,
     "user_first_last": SQL_USER_FIRST_LAST,
     "events_lead": SQL_EVENTS_LEAD,
+    "doc_size_dense_rank": SQL_DOC_SIZE_DENSE_RANK,
     "events_sliding_window": SQL_EVENTS_SLIDING,
     "region_nation_list": SQL_REGION_NATION_LIST,
     "doc_size_hist": SQL_DOC_SIZE_HIST,

@@ -359,3 +359,24 @@ def test_union_side_combiners_emit_per_user_rows():
         }
     )
     assert recent_users_project(rec)["user_id"].to_pylist() == [7]
+
+
+def test_dense_rank_apply_shares_rank_on_ties():
+    from khl_pdf_ocr_ray.pipelines.queries_agg import dense_rank_apply
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "lang": ["en", "en", "en", "fr", "en"],
+            "n_chars": pa.array([500, 300, 500, 300, 100], pa.int64()),
+        }
+    )
+    maps = {
+        "en": np.array([500, 300, 100], dtype="int64"),
+        "fr": np.array([300], dtype="int64"),
+    }
+    out = dense_rank_apply(batch, maps).to_pandas().set_index("doc_id")["size_rank"]
+    # ties share rank 1; next DISTINCT value gets rank 2 (dense, no gaps)
+    assert out.loc[1] == 1 and out.loc[3] == 1
+    assert out.loc[2] == 2 and out.loc[5] == 3
+    assert out.loc[4] == 1  # fr partition ranks independently
