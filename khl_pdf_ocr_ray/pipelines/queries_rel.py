@@ -619,6 +619,101 @@ FROM shipped GROUP BY l_suppkey
 """
 
 
+# --- spend_gini (rank statistic over a distributed sort) ---------------------
+def spend_sum_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-user cents-sum combiner (same as queries_agg's spend
+    side: one row per user per batch, never per event)."""
+    from .queries import _cents
+
+    t = pa.table({"user_id": batch["user_id"], "cents": _cents(batch["value"])})
+    g = t.group_by(["user_id"]).aggregate([("cents", "sum")])
+    return g.rename_columns(["user_id", "spend"])
+
+
+def gini_block_partial(batch: pa.Table) -> pa.Table:
+    """One SORTED block -> (count, sum s, sum local_rank*s, block-order
+    key). Local ranks are 1..len; the driver shifts each block's rank-sum
+    by its global offset: sum((off+i)*s) = rs_local + off*tot — the same
+    two-level prefix-sum trick pack_sequences uses, so no single task ever
+    enumerates the whole sorted table."""
+    s = batch["spend"].to_numpy()
+    i = np.arange(1, len(s) + 1, dtype="int64")
+    return pa.table(
+        {
+            "cnt": pa.array([len(s)], pa.int64()),
+            "tot": pa.array([int(s.sum())], pa.int64()),
+            "rs_local": pa.array([int((i * s).sum())], pa.int64()),
+            "min_spend": pa.array([int(s[0])], pa.int64()),
+            "min_user": pa.array([int(batch["user_id"][0].as_py())], pa.int64()),
+        }
+    )
+
+
+def gini_from_partials(parts: pd.DataFrame) -> tuple:
+    """Combine block partials (any arrival order; blocks reorder by their
+    range-partition minimum) into (n_users, gini). Python ints keep the
+    numerator exact; ONE int->double cast per operand then one division —
+    the SQL twin's exact expression shape, so the float hashes identical.
+    Ties in spend cannot change sum(rank*s) (equal values swap freely)."""
+    parts = parts.sort_values(["min_spend", "min_user"]).reset_index(drop=True)
+    n = int(parts["cnt"].sum())
+    tot = int(parts["tot"].sum())
+    off = 0
+    rs = 0
+    for r in parts.itertuples():
+        rs += int(r.rs_local) + off * int(r.tot)
+        off += int(r.cnt)
+    num = 2 * rs - (n + 1) * tot
+    den = n * tot
+    return n, float(num) / float(den)
+
+
+def q_spend_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-user spend — the inequality/concentration
+    rank statistic (data-curation diagnostics: how skewed is the
+    contribution distribution). Combiner -> per-user sum -> DISTRIBUTED
+    sort by (spend, user) -> per-block local rank-sums -> tiny driver
+    combine; no task holds more than one sorted block."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .queries import _t
+
+    parts = (
+        _t(sf_dir, "events", ["user_id", "value"])
+        .map_batches(
+            remote_fn(_QR, "spend_sum_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .aggregate(_Sum("spend", alias_name="spend"))
+        .sort(["spend", "user_id"])
+        .map_batches(remote_fn(_QR, "gini_block_partial"), batch_format="pyarrow")
+        .to_pandas()  # one row per sorted block
+    )
+    n, gini = gini_from_partials(parts)
+    return pd.DataFrame({"n_users": np.array([n], dtype="int64"), "gini": [gini]})
+
+
+SQL_SPEND_GINI = """
+WITH c AS (
+  SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events
+), sp AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS s FROM c GROUP BY user_id
+), r AS (
+  SELECT s, CAST(row_number() OVER (ORDER BY s, user_id) AS BIGINT) AS rk
+  FROM sp
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS tot,
+         CAST(sum(rk * s) AS BIGINT) AS rs
+  FROM r
+)
+SELECT n AS n_users,
+       CAST(2*rs - (n + 1)*tot AS DOUBLE) / CAST(n*tot AS DOUBLE) AS gini
+FROM agg
+"""
+
+
 # --- lang_confusion (model-eval aggregation) --------------------------------
 def q_lang_confusion(sf_dir: str) -> rd.Dataset:
     """Confusion matrix of the declared ``lang`` column vs the stopword
@@ -657,6 +752,7 @@ REL_QUERIES = {
     "lang_confusion": q_lang_confusion,
     "events_iqr_filter": q_events_iqr_filter,
     "suppliers_full_brand": q_suppliers_full_brand,
+    "spend_gini": q_spend_gini,
     "funnel_conversion": q_funnel_conversion,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -668,6 +764,7 @@ REL_ORACLES = {
     "lang_confusion": _sql_lang_confusion(),
     "events_iqr_filter": SQL_EVENTS_IQR_FILTER,
     "suppliers_full_brand": SQL_SUPPLIERS_FULL_BRAND,
+    "spend_gini": SQL_SPEND_GINI,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,

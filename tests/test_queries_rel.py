@@ -290,3 +290,36 @@ def test_corr_zero_variance_yields_nan_like_sql_null():
     # constant y column (vy == 0) and single-row group (vx == vy == 0)
     assert math.isnan(corr_from_sums(3, 6, 9, 14, 27, 18))
     assert math.isnan(corr_from_sums(1, 5, 7, 25, 49, 35))
+
+
+def test_gini_partials_match_single_pass_formula():
+    from khl_pdf_ocr_ray.pipelines.queries_rel import (
+        gini_block_partial,
+        gini_from_partials,
+    )
+
+    rng = np.random.default_rng(21)
+    spend = np.sort(rng.integers(1, 10**6, 200))
+    users = np.arange(200, dtype="int64")
+    # split the sorted table into uneven "blocks" in shuffled arrival order
+    cuts = [0, 37, 38, 120, 200]
+    parts = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        parts.append(
+            gini_block_partial(
+                pa.table(
+                    {
+                        "user_id": pa.array(users[a:b], pa.int64()),
+                        "spend": pa.array(spend[a:b], pa.int64()),
+                    }
+                )
+            ).to_pandas()
+        )
+    arrival = pd.concat([parts[2], parts[0], parts[3], parts[1]], ignore_index=True)
+    n, gini = gini_from_partials(arrival)
+    i = np.arange(1, 201, dtype="int64")
+    num = 2 * int((i * spend).sum()) - 201 * int(spend.sum())
+    den = 200 * int(spend.sum())
+    assert n == 200
+    assert gini == float(num) / float(den)
+    assert 0.0 <= gini <= 1.0
