@@ -619,6 +619,92 @@ FROM shipped GROUP BY l_suppkey
 """
 
 
+# --- events_mad (median absolute deviation, robust scale) --------------------
+def median_from_hist(g: pd.DataFrame, val_col: str) -> int:
+    """quantile_disc(x, 0.5) from a (value -> count) histogram:
+    v[ceil(n/2) - 1] of the sorted values (the repo-wide convention)."""
+    import math
+
+    g = g.sort_values(val_col)
+    total = int(g["n"].sum())
+    rank = math.ceil(total / 2)
+    cum = g["n"].cumsum()
+    return int(g.loc[cum >= rank, val_col].iloc[0])
+
+
+def mad_dev_hist_partial(batch: pa.Table, medians: dict) -> pa.Table:
+    """Pass-2 combiner: per-batch histogram of |cents - median(type)|,
+    medians broadcast as plain kwargs."""
+    from .queries import _cents
+
+    enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+    types = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy()
+    med = np.array([medians[t] for t in types], dtype="int64")[codes]
+    dev = np.abs(_cents(batch["value"]).to_numpy() - med)
+    t = pa.table({"event_type": batch["event_type"], "dev": pa.array(dev, pa.int64())})
+    g = t.group_by(["event_type", "dev"]).aggregate([("dev", "count")])
+    return g.rename_columns(["event_type", "dev", "n"])
+
+
+def q_events_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation of value per event type — the robust
+    scale statistic next to events_iqr_filter's robust range. Two
+    histogram passes (value domain-bounded shuffles, same plan as the IQR
+    quartiles), medians broadcast between them; the fact table never
+    shuffles."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .queries import _t
+
+    def _hist(kernel: str, **kw) -> pd.DataFrame:
+        val = "cents" if kernel == "iqr_hist_partial" else "dev"
+        return (
+            _t(sf_dir, "events", ["event_type", "value"])
+            .map_batches(
+                remote_fn(_QR, kernel, **kw),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby(["event_type", val])
+            .aggregate(_Sum("n", alias_name="n"))
+            .to_pandas()  # <= |types| x |distinct values| rows
+        )
+
+    h1 = _hist("iqr_hist_partial")
+    medians = {
+        str(t): median_from_hist(g, "cents") for t, g in h1.groupby("event_type")
+    }
+    h2 = _hist("mad_dev_hist_partial", medians=medians)
+    rows = sorted(
+        (t, medians[str(t)], median_from_hist(g, "dev"))
+        for t, g in h2.groupby("event_type")
+    )
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "median_cents": np.array([r[1] for r in rows], dtype="int64"),
+            "mad_cents": np.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(any_value(m.med) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN m USING (event_type)
+GROUP BY c.event_type
+"""
+
+
 # --- spend_gini (rank statistic over a distributed sort) ---------------------
 def spend_sum_partial(batch: pa.Table) -> pa.Table:
     """Per-batch per-user cents-sum combiner (same as queries_agg's spend
@@ -753,6 +839,7 @@ REL_QUERIES = {
     "events_iqr_filter": q_events_iqr_filter,
     "suppliers_full_brand": q_suppliers_full_brand,
     "spend_gini": q_spend_gini,
+    "events_mad": q_events_mad,
     "funnel_conversion": q_funnel_conversion,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -765,6 +852,7 @@ REL_ORACLES = {
     "events_iqr_filter": SQL_EVENTS_IQR_FILTER,
     "suppliers_full_brand": SQL_SUPPLIERS_FULL_BRAND,
     "spend_gini": SQL_SPEND_GINI,
+    "events_mad": SQL_EVENTS_MAD,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,

@@ -323,3 +323,24 @@ def test_gini_partials_match_single_pass_formula():
     assert n == 200
     assert gini == float(num) / float(den)
     assert 0.0 <= gini <= 1.0
+
+
+def test_mad_median_convention_and_deviation_hist():
+    from khl_pdf_ocr_ray.pipelines.queries_rel import (
+        mad_dev_hist_partial,
+        median_from_hist,
+    )
+
+    # even count: quantile_disc takes v[ceil(n/2)-1] (lower of the middle pair)
+    hist = pd.DataFrame({"cents": [10, 20, 30, 40], "n": [1, 1, 1, 1]})
+    assert median_from_hist(hist, "cents") == 20
+    hist2 = pd.DataFrame({"cents": [10, 20, 30], "n": [1, 5, 1]})
+    assert median_from_hist(hist2, "cents") == 20
+    batch = pa.table(
+        {
+            "event_type": ["t", "t", "t"],
+            "value": pa.array([0.10, 0.20, 0.50], pa.float64()),
+        }
+    )
+    out = mad_dev_hist_partial(batch, {"t": 20}).to_pandas()
+    assert dict(zip(out["dev"], out["n"])) == {10: 1, 0: 1, 30: 1}
