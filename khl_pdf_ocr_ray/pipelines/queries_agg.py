@@ -3,7 +3,8 @@ BOUNDED sliding ROWS frame, a time-based RANGE frame
 (``events_time_window``), ordered string aggregation, width-bucket
 discretization, a mergeable DDSketch-style quantile sketch, full CUBE
 grouping (``corpus_cube``), ARG_MIN/ARG_MAX (``user_first_last``),
-LEAD (``events_lead``), calendar extraction (``events_dow_hour``),
+LEAD (``events_lead``), DENSE_RANK with ties (``doc_size_dense_rank``),
+calendar extraction (``events_dow_hour``),
 semi-structured JSON stats (``props_json_stats``) and UNION DISTINCT
 (``big_or_recent_users``). Original four in detail:
 

@@ -3,8 +3,10 @@ lacked, all static-SQL checked: ordered funnel analysis, INTERSECT /
 EXCEPT set operations, grouped Pearson correlation, edit-distance fuzzy
 dedup (``fuzzy_prefix_dups``), relational division
 (``suppliers_full_brand``: the 'for all' coverage class), a model-eval
-confusion matrix (``lang_confusion``), and Tukey-fence IQR outlier
-removal (``events_iqr_filter``). Highlights:
+confusion matrix (``lang_confusion``), Tukey-fence IQR outlier removal
+(``events_iqr_filter``), median absolute deviation (``events_mad``), and
+the Gini concentration rank statistic (``spend_gini``: distributed sort +
+two-level per-block rank sums). Highlights:
 
 - ``funnel_conversion`` — the ORDERED multi-stage funnel (view ->
   click -> purchase, each stage's first hit must not precede the
