@@ -982,13 +982,18 @@ def q_train_test_split(sf_dir: str) -> rd.Dataset:
     )
 
 
+def hash_residue(col, scale: int):
+    """((col % SPLIT_ID_MOD) * SPLIT_MULT) % scale — THE multiplicative
+    split/sample hash, one implementation for every twin (the SQL side
+    spells the identical expression). The pre-reduction keeps the product
+    < 2^63 so Arrow cannot wrap where DuckDB raises."""
+    rid = pc.subtract(col, pc.multiply(pc.divide(col, SPLIT_ID_MOD), SPLIT_ID_MOD))
+    prod = pc.multiply(rid, SPLIT_MULT)
+    return pc.subtract(prod, pc.multiply(pc.divide(prod, scale), scale))
+
+
 def split_partial(batch: pa.Table) -> pa.Table:
-    rid = pc.subtract(
-        batch["doc_id"],
-        pc.multiply(pc.divide(batch["doc_id"], SPLIT_ID_MOD), SPLIT_ID_MOD),
-    )
-    prod = pc.multiply(rid, SPLIT_MULT)  # < 2^63: no wrap (see SPLIT_ID_MOD)
-    residue = pc.subtract(prod, pc.multiply(pc.divide(prod, 100), 100))
+    residue = hash_residue(batch["doc_id"], 100)
     split = pc.if_else(
         pc.less(residue, SPLIT_TRAIN_PCT), pa.scalar("train"), pa.scalar("test")
     )

@@ -89,6 +89,8 @@ def km_update_from_sums(
 
 
 def _matrix(df: pd.DataFrame) -> np.ndarray:
+    if df.empty:  # empty shuffle partitions are legitimate (joins.py)
+        return np.zeros((0, EMB_DIM), dtype=np.float64)
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
 
 
@@ -107,6 +109,8 @@ def emb_pack_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _unpack(df: pd.DataFrame) -> np.ndarray:
+    if df.empty:  # empty join/shuffle partitions are legitimate (joins.py)
+        return np.zeros((0, 1), dtype=np.float32)
     return np.frombuffer(
         b"".join(df["emb_bin"].tolist()), dtype=np.float32
     ).reshape(len(df), -1)
@@ -204,20 +208,24 @@ FROM ex GROUP BY lang, dim
 """
 
 
-def kmeans_init(sf_dir: str) -> np.ndarray:
-    """Deterministic seeds: the embeddings of the KM_K lowest vec_ids
-    (pushdown-filtered read; never materializes the corpus)."""
-    import pyarrow.compute as pc_
-    import pyarrow.parquet as pq_
+def km_seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch bottom-KM_K by vec_id: only each block's K winners can
+    win globally, so <= K rows per block reach the driver."""
+    return df.nsmallest(KM_K, "vec_id")
 
-    import os
 
-    t = pq_.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=pc_.field("vec_id") < KM_K,
-    )
-    df = t.to_pandas().sort_values("vec_id")
+def kmeans_init(ds: rd.Dataset) -> np.ndarray:
+    """Deterministic seeds: the embeddings of the KM_K lowest vec_ids,
+    via a distributed bottom-K combiner — correct for ANY id domain (a
+    `vec_id < KM_K` pushdown filter would silently under-seed a non-dense
+    or non-zero-based id space and crash the iterate step) and never
+    collects more than K rows per block."""
+    parts = ds.map_batches(
+        remote_fn(_QE, "km_seed_partial"), batch_format="pandas"
+    ).to_pandas()  # <= KM_K x blocks rows
+    df = parts.nsmallest(KM_K, "vec_id").sort_values("vec_id")
+    if len(df) < KM_K:
+        raise ValueError(f"kmeans needs >= {KM_K} vectors, got {len(df)}")
     return _matrix(df)
 
 
@@ -249,12 +257,13 @@ def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
     """Per-vector k-means assignment after KM_ITERS Lloyd iterations."""
     from .queries import _t
 
-    cents = kmeans_init(sf_dir)
-    # iterative working set: materialized ONCE so the 4 passes (3 updates
-    # + final assign) don't re-read and re-partition the parquet each
-    # time — the standard cache-the-iterate pattern; at 100 TB the object
-    # store holds/spills the blocks and every pass is a pure map over them
+    # iterative working set: materialized ONCE so the seed scan + 4 passes
+    # (3 updates + final assign) don't re-read and re-partition the
+    # parquet each time — the standard cache-the-iterate pattern; at
+    # 100 TB the object store holds/spills the blocks and every pass is a
+    # pure map over them
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cents = kmeans_init(ds)
     cents = kmeans_iterate(ds, cents, KM_ITERS)
     return ds.map_batches(
         remote_fn(_QE, "km_assign_batch", cents=cents.tolist()),

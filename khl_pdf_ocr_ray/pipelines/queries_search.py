@@ -191,7 +191,8 @@ def q_keyword_search(sf_dir: str) -> rd.Dataset:
 
     tf = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         remote_fn(_QS, "search_tf_partial"), batch_format="pyarrow"
-    )
+    ).materialize()  # df derives from tf's plan; unmaterialized, safe_join
+    # would tokenize the whole corpus twice (once per join side)
     df = (
         tf.groupby("term")
         .aggregate(Count(alias_name="df"))

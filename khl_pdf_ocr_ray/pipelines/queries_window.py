@@ -72,7 +72,6 @@ PACK_SHARD = 1024   # contiguous doc_ids per prefix-sum shard
 
 RESAMPLE_SCALE = 1_000_000
 RESAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
-RESAMPLE_ID_MOD = 2147483647  # overflow guard, see resample_filter_partial
 # target corpus mix by language (integer percents, sum 100)
 RESAMPLE_TARGETS = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
 
@@ -161,9 +160,14 @@ def ntile_of_rank(rank: np.ndarray, n_total: int, k: int) -> np.ndarray:
 
 
 def ntile_shard_key(batch: pa.Table) -> pa.Table:
+    # multiplicative hashing needs the HIGH product bits: (x*M) & 31 is
+    # just a permutation of x mod 32 (one shard for fixed-width corpora);
+    # (x*M) >> 59 & 31 mixes every input bit into the shard. The & after
+    # the arithmetic shift discards sign-fill, so the wrapped signed
+    # product still yields the unsigned top bits.
+    prod = pc.multiply(batch["n_chars"], RESAMPLE_MULT)
     shard = pc.cast(
-        pc.bit_wise_and(pc.multiply(batch["n_chars"], RESAMPLE_MULT),
-                        NTILE_SHARDS - 1),
+        pc.bit_wise_and(pc.shift_right(prod, 59), NTILE_SHARDS - 1),
         pa.int64(),
     )
     return batch.append_column("shard", shard)
@@ -303,7 +307,7 @@ SELECT doc_id, dl,
        CAST((sum(dl) OVER w - dl) // {PACK_WINDOW} AS BIGINT) AS first_bin,
        CAST((sum(dl) OVER w - 1) // {PACK_WINDOW} AS BIGINT) AS last_bin
 FROM (SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl
       FROM documents)
 WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 """
@@ -318,16 +322,9 @@ def lang_count_partial(batch: pa.Table) -> pa.Table:
 def resample_filter_partial(batch: pa.Table, thresholds: dict) -> pa.Table:
     """Accept doc iff hash residue < its language's integer threshold;
     reduce survivors to one (lang, docs, chars) row per batch-lang."""
-    # doc_id mod 2^31-1 before the multiply: no int64 wrap (identity at
-    # current id ranges) — same guard as queries.SPLIT_ID_MOD
-    rid = pc.subtract(
-        batch["doc_id"],
-        pc.multiply(pc.divide(batch["doc_id"], RESAMPLE_ID_MOD), RESAMPLE_ID_MOD),
-    )
-    prod = pc.multiply(rid, RESAMPLE_MULT)
-    residue = pc.subtract(
-        prod, pc.multiply(pc.divide(prod, RESAMPLE_SCALE), RESAMPLE_SCALE)
-    )
+    from .queries import hash_residue
+
+    residue = hash_residue(batch["doc_id"], RESAMPLE_SCALE)
     thr = pc.take(
         pa.array(list(thresholds.values()), pa.int64()),
         pc.index_in(batch["lang"], pa.array(list(thresholds.keys()))),
@@ -345,6 +342,8 @@ def resample_thresholds(lang_counts: dict) -> dict:
     """Integer acceptance thresholds: keep min(1, target_share * N /
     n_lang) of each language, as an exact integer on both engines."""
     n_total = sum(lang_counts.values())
+    # languages absent from the target mix are DROPPED (the SQL twin's
+    # inner join does the same), never a KeyError crash
     return {
         lang: min(
             RESAMPLE_SCALE,
@@ -352,6 +351,7 @@ def resample_thresholds(lang_counts: dict) -> dict:
             // (100 * n),
         )
         for lang, n in sorted(lang_counts.items())
+        if lang in RESAMPLE_TARGETS
     }
 
 
@@ -404,7 +404,7 @@ SELECT d.lang,
        CAST(COUNT(*) AS BIGINT) AS kept_docs,
        CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
 FROM documents d JOIN thr ON d.lang = thr.lang
-WHERE ((d.doc_id % {RESAMPLE_ID_MOD}) * {RESAMPLE_MULT}) % {RESAMPLE_SCALE} < thr.thr
+WHERE ((d.doc_id % 2147483647) * {RESAMPLE_MULT}) % {RESAMPLE_SCALE} < thr.thr
 GROUP BY d.lang
 """
 

@@ -131,14 +131,16 @@ def _cms_cols(hashes: np.ndarray) -> np.ndarray:
 
 
 def _hash_str64(values) -> np.ndarray:
-    """Deterministic 64-bit string hash (FNV-1a), vectorizable enough for
-    the per-batch path; identical in the sequential twin by construction."""
+    """Deterministic 64-bit string hash (FNV-1a). Plain Python ints with
+    an explicit 64-bit mask — several times faster per byte than numpy
+    uint64 scalar ops (no per-op dispatch/errstate), SAME values, and the
+    sequential twin runs this identical function."""
+    mask = 0xFFFFFFFFFFFFFFFF
     out = np.empty(len(values), dtype=np.uint64)
     for i, s in enumerate(values):
-        h = np.uint64(0xCBF29CE484222325)
-        with np.errstate(over="ignore"):
-            for b in s.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & mask
         out[i] = h
     return out
 

@@ -374,7 +374,9 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
 
     full = emb.sort_values("vec_id")
     x = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    cents = x[full["vec_id"].to_numpy().astype(np.int64) < KM_K]
+    # same seed rule as queries_embed.kmeans_init: the KM_K LOWEST ids
+    # (not `id < K`, which under-seeds a non-dense id space)
+    cents = x[:KM_K]
     for _ in range(KM_ITERS):
         assign = km_assign(x, cents)
         fx = emb_fixed(x)
