@@ -1412,6 +1412,14 @@ from .queries_rel import REL_ORACLES, REL_QUERIES  # noqa: E402
 QUERIES.update(REL_QUERIES)
 ORACLES.update(REL_ORACLES)
 
+# positional-substring family: duplicate-span detection (Lee et al.-style
+# exact substring dedup), positional phrase search, cross-snapshot
+# incremental dedup (all static SQL)
+from .queries_substr import SUBSTR_ORACLES, SUBSTR_QUERIES  # noqa: E402
+
+QUERIES.update(SUBSTR_QUERIES)
+ORACLES.update(SUBSTR_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -1,0 +1,308 @@
+"""Positional-substring corpus operators: exact duplicate-span detection,
+positional phrase search, and cross-snapshot incremental dedup.
+
+These are the remaining document-dedup surfaces a training-data pipeline
+runs that the hash/sketch family (stages/dedup.py) does not cover — all
+three are STATIC-SQL oracle checked:
+
+- ``substring_dup_spans`` — exact duplicate-substring detection in the
+  style of "Deduplicating Training Data Makes Language Models Better"
+  (Lee et al., ACL 2022): every word K-gram that occurs in >= 2 distinct
+  documents marks its positions; overlapping/adjacent marked K-gram
+  windows merge into maximal duplicated spans per document. The published
+  method builds a suffix array; at Ray-Data scale the equivalent
+  formulation is positional-shingle exchange: explode (doc_id, pos,
+  kgram), count distinct docs per kgram, join the >=2 set back to the
+  positional stream, and merge intervals per doc. Only (kgram, doc_id)
+  and (kgram, doc_id, pos) rows ever shuffle — never document text.
+- ``phrase_hits`` — exact phrase search with word-offset positions: the
+  positional-index probe (hit count + first occurrence per doc). Map-only
+  here (scan-time match); the persisted-index variant at 100 TB is the
+  same explode keyed by kgram, hive-partitioned like stages/knn.py's LSH
+  buckets.
+- ``snapshot_dedup`` — incremental dedup between two crawl snapshots:
+  the "new" half keeps only documents whose content hash never appeared
+  in the "old" half (an md5 anti-join — the per-crawl dedup step every
+  Common-Crawl-derived corpus applies against prior crawls). The anti
+  join moves only (16-byte digest, doc_id) pairs.
+
+Scale notes (100 TB):
+- substring_dup_spans explodes the corpus twice (positional stream +
+  per-doc-distinct stream) rather than materializing either — the same
+  recompute-over-pin tradeoff as queries_prep.decontaminate. The kgram
+  join key is the literal K-word string here because the correctness gate
+  demands exactness; the deployment-scale variant keys on a 128-bit hash
+  of the kgram (collision odds ~n^2/2^129) so shuffled rows stay ~24 B.
+- phrase_hits is embarrassingly parallel (no shuffle at all).
+- snapshot_dedup's right side is the distinct-hash table of the old
+  snapshot — at 100 TB this is the persisted bloom/hash index of prior
+  crawls; here it is derived in-pipeline from the same table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..joins import safe_join
+from ..remote import remote_fn
+
+_QS = "khl_pdf_ocr_ray.pipelines.queries_substr"
+
+# duplicate-span K-gram width (docs are 10-100 words; Lee et al. use 50
+# BPE tokens on real corpora)
+SPAN_K = 5
+
+# phrase probe (any phrase is equally valid for the parity gate; this one
+# is three common corpus words so the result is non-trivial at every sf)
+PHRASE = "data row column"
+PHRASE_N = len(PHRASE.split(" "))
+
+
+# --- batch bodies (top-level so remote_fn can import them) ------------------
+def _tokens(text) -> list:
+    return (text or "").split(" ")
+
+
+def kgram_pos_explode(batch: pa.Table) -> pa.Table:
+    """Positional K-gram stream: one (doc_id, pos, ng) row per word
+    position. pos is the 0-based index of the K-gram's first word."""
+    ids, poss, ngs = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = _tokens(t)
+        for i in range(len(ws) - (SPAN_K - 1)):
+            ids.append(d)
+            poss.append(i)
+            ngs.append(" ".join(ws[i : i + SPAN_K]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "ng": pa.array(ngs, pa.string()),
+        }
+    )
+
+
+def kgram_doc_distinct(batch: pa.Table) -> pa.Table:
+    """Per-doc DISTINCT K-grams — the doc-frequency combiner input. A doc
+    lives in exactly one block, so per-batch distinct == global distinct
+    per (ng, doc_id); the downstream Count(ng) is therefore the number of
+    distinct documents containing the K-gram."""
+    ids, ngs = [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = _tokens(t)
+        for ng in {" ".join(ws[i : i + SPAN_K]) for i in range(len(ws) - (SPAN_K - 1))}:
+            ids.append(d)
+            ngs.append(ng)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "ng": pa.array(ngs, pa.string())}
+    )
+
+
+def keep_dup_ngrams(batch: pa.Table) -> pa.Table:
+    """Filter the doc-frequency table to K-grams in >= 2 docs; rename the
+    key so the positional join has distinct column names."""
+    import pyarrow.compute as pc
+
+    out = batch.filter(pc.greater_equal(batch["n_docs"], 2))
+    return pa.table({"ng_r": out["ng"]})
+
+
+def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge one doc's marked K-gram windows [pos, pos+K) into maximal
+    spans: consecutive marks merge while the gap between start positions
+    is <= K (overlap or exact adjacency). Vectorized (sort + diff +
+    cumsum), no per-row Python."""
+    pos = np.sort(g["pos"].to_numpy(dtype=np.int64))
+    brk = np.ones(len(pos), dtype=np.int64)
+    brk[1:] = (np.diff(pos) > SPAN_K).astype(np.int64)
+    island = np.cumsum(brk)
+    df = pd.DataFrame({"pos": pos, "island": island})
+    agg = df.groupby("island")["pos"].agg(["min", "max", "count"]).reset_index()
+    return pd.DataFrame(
+        {
+            "doc_id": np.full(len(agg), int(g["doc_id"].iloc[0]), dtype=np.int64),
+            "span_start": agg["min"].to_numpy(dtype=np.int64),
+            "span_end": agg["max"].to_numpy(dtype=np.int64) + SPAN_K,
+            "n_grams": agg["count"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def phrase_scan(batch: pa.Table) -> pa.Table:
+    """Exact positional phrase match, vectorized per doc: token-array
+    equality at offsets 0..n-1 of the phrase, AND-ed across offsets."""
+    words = PHRASE.split(" ")
+    n = len(words)
+    ids, hits, firsts = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = np.asarray(_tokens(t), dtype=object)
+        if len(ws) < n:
+            continue
+        m = ws[: len(ws) - n + 1] == words[0]
+        for j in range(1, n):
+            m = m & (ws[j : len(ws) - n + 1 + j] == words[j])
+        k = int(m.sum())
+        if k:
+            ids.append(d)
+            hits.append(k)
+            firsts.append(int(np.argmax(m)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "first_pos": pa.array(firsts, pa.int64()),
+        }
+    )
+
+
+def snapshot_hash(batch: pa.Table, old_side: bool) -> pa.Table:
+    """md5 content hash for one snapshot half (old: even doc_id, new: odd).
+    The old side emits per-batch DISTINCT hashes only (the combiner for
+    the downstream distinct groupby); the new side keeps (doc_id, hash)."""
+    import pyarrow.compute as pc
+
+    mod = pc.subtract(
+        batch["doc_id"], pc.multiply(pc.divide(batch["doc_id"], 2), 2)
+    )
+    batch = batch.filter(pc.equal(mod, 0) if old_side else pc.equal(mod, 1))
+    digests = [
+        hashlib.md5((s or "").encode("utf-8")).hexdigest()
+        for s in batch["text"].to_pylist()
+    ]
+    if old_side:
+        return pa.table({"h_r": pa.array(sorted(set(digests)), pa.string())})
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text_hash": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def drop_count(batch: pa.Table) -> pa.Table:
+    return batch.select(["h_r"])
+
+
+# --- queries -----------------------------------------------------------------
+def _docs(sf_dir: str, columns) -> rd.Dataset:
+    from .queries import _t
+
+    return _t(sf_dir, "documents", columns)
+
+
+def q_substring_dup_spans(sf_dir: str) -> rd.Dataset:
+    """Exact duplicate-substring spans (Lee et al. 2022 semantics at word
+    granularity): maximal per-doc spans covered by K-grams that occur in
+    >= 2 distinct documents. Three slim exchanges: Count by kgram,
+    join dup-kgrams back to the positional stream, groupby doc for the
+    interval merge (one doc's positions per task — bounded by doc
+    length, never by corpus size)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    dup_ngs = (
+        docs.map_batches(remote_fn(_QS, "kgram_doc_distinct"), batch_format="pyarrow")
+        .groupby("ng")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(remote_fn(_QS, "keep_dup_ngrams"), batch_format="pyarrow")
+    )
+    positions = docs.map_batches(
+        remote_fn(_QS, "kgram_pos_explode"), batch_format="pyarrow"
+    )
+    hit = safe_join(positions, dup_ngs, on=("ng",), right_on=("ng_r",))
+    if hit is None:  # no duplicated K-gram anywhere in the corpus
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_end": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return (
+        hit.select_columns(["doc_id", "pos"])
+        .groupby("doc_id")
+        .map_groups(remote_fn(_QS, "merge_spans"), batch_format="pandas")
+    )
+
+
+def q_phrase_hits(sf_dir: str) -> rd.Dataset:
+    """Positional phrase search: docs containing the probe phrase as an
+    exact word sequence, with occurrence count and first word offset.
+    Map-only — no shuffle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QS, "phrase_scan"), batch_format="pyarrow"
+    )
+
+
+def q_snapshot_dedup(sf_dir: str) -> rd.Dataset:
+    """Cross-snapshot incremental dedup: documents of the "new" snapshot
+    (odd doc_id) whose content hash never occurs in the "old" snapshot
+    (even doc_id). Left-anti hash join on the digest; the old side is
+    reduced to distinct digests first (per-batch distinct combiner ->
+    digest-keyed groupby), so the exchange carries only 16-byte keys."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = (
+        docs.map_batches(
+            remote_fn(_QS, "snapshot_hash", old_side=True), batch_format="pyarrow"
+        )
+        .groupby("h_r")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(remote_fn(_QS, "drop_count"), batch_format="pyarrow")
+    )
+    new = docs.map_batches(
+        remote_fn(_QS, "snapshot_hash", old_side=False), batch_format="pyarrow"
+    )
+    out = safe_join(new, old, on=("text_hash",), right_on=("h_r",), join_type="left_anti")
+    assert out is not None  # new side is never empty (documents has odd ids)
+    return out
+
+
+SUBSTR_QUERIES: Dict[str, object] = {
+    "substring_dup_spans": q_substring_dup_spans,
+    "phrase_hits": q_phrase_hits,
+    "snapshot_dedup": q_snapshot_dedup,
+}
+
+
+SUBSTR_ORACLES: Dict[str, str] = {
+    "substring_dup_spans": f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+g AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+{SPAN_K - 1}], ' ') AS ng
+      FROM w, UNNEST(range(1, len(ws)-{SPAN_K}+2)) AS t(i)),
+d AS (SELECT ng FROM g GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN d USING(ng)),
+marks AS (SELECT doc_id, pos,
+  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+            <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM hits),
+isl AS (SELECT doc_id, pos,
+  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM marks)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SPAN_K} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+""",
+    "phrase_hits": f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+g AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+{PHRASE_N - 1}], ' ') AS ng
+      FROM w, UNNEST(range(1, len(ws)-{PHRASE_N}+2)) AS t(i))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM g WHERE ng = '{PHRASE}' GROUP BY doc_id
+""",
+    "snapshot_dedup": """
+WITH h AS (SELECT doc_id, md5(coalesce(text,'')) AS text_hash FROM documents)
+SELECT n.doc_id, n.text_hash FROM h n
+WHERE n.doc_id % 2 = 1
+  AND n.text_hash NOT IN (SELECT text_hash FROM h WHERE doc_id % 2 = 0)
+""",
+}
