@@ -271,9 +271,119 @@ def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- PCA (one-pass covariance -> driver eigh -> map-only projection) --------
+PCA_NC = 2  # components kept
+
+
+def pca_moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch int64 fixed-point moments, one row per statistic:
+    (i, j, v) = upper-triangle Gram sums over the fixed-point ints for
+    i <= j; (i, -1, v) = per-dim first-moment sums; (-1, -1, n) = row
+    count. Integer sums are order-independent, so the downstream groupby
+    Sum reproduces the sequential twin's bits under any batching.
+    Shuffle volume: D*(D+3)/2 + 1 rows per block (~2.1k for D=64) —
+    independent of batch size."""
+    fx = emb_fixed(_matrix(df))
+    n, d = fx.shape
+    # int64 matmul: exact for unit-norm embeddings (|fx| < 2^20, so each
+    # Gram entry grows < 2^40 per row -> overflow headroom ~2^23 rows
+    # corpus-wide). Beyond that, drop the Gram fixed-point to 2^10 (still
+    # bit-reproducible; headroom 2^43 rows) or carry (hi, lo) int64 pairs.
+    g = fx.T @ fx
+    iu, ju = np.triu_indices(d)
+    i = np.concatenate([iu, np.arange(d), [-1]])
+    j = np.concatenate([ju, np.full(d, -1), [-1]])
+    v = np.concatenate([g[iu, ju], fx.sum(axis=0), [n]])
+    return pd.DataFrame(
+        {
+            "i": pd.Series(i, dtype="int64"),
+            "j": pd.Series(j, dtype="int64"),
+            "v": pd.Series(v, dtype="int64"),
+        }
+    )
+
+
+def pca_model_from_sums(agg: pd.DataFrame):
+    """(i, j, v) moment rows -> (mean: (D,) float64, comps: (D, NC)
+    float64). Shared by the distributed plan and the sequential dump twin
+    so every double is computed once, identically: covariance from the
+    integer sums in a fixed operation order, then numpy eigh (same LAPACK
+    in-process on both sides) with a deterministic sign rule (largest-
+    magnitude component positive, ties to the lowest dim)."""
+    n = int(agg.loc[(agg.i == -1) & (agg.j == -1), "v"].iloc[0])
+    s = np.zeros(EMB_DIM, dtype=np.int64)
+    first = agg[(agg.j == -1) & (agg.i >= 0)]
+    s[first["i"].to_numpy(dtype=np.int64)] = first["v"].to_numpy(dtype=np.int64)
+    g = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+    sec = agg[agg.j >= 0]
+    gi = sec["i"].to_numpy(dtype=np.int64)
+    gj = sec["j"].to_numpy(dtype=np.int64)
+    g[gi, gj] = sec["v"].to_numpy(dtype=np.int64)
+    g[gj, gi] = g[gi, gj]
+    mean_fx = s.astype(np.float64) / float(n)
+    cov = (g.astype(np.float64) / float(n)) - np.outer(mean_fx, mean_fx)
+    cov /= float(EMB_SCALE) * float(EMB_SCALE)
+    w, vv = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = vv[:, ::-1][:, :PCA_NC].copy()
+    for c in range(PCA_NC):
+        k = int(np.argmax(np.abs(comps[:, c])))
+        if comps[k, c] < 0:
+            comps[:, c] = -comps[:, c]
+    return mean_fx / float(EMB_SCALE), comps
+
+
+def pca_project_batch(
+    df: pd.DataFrame, mean: List[float], comps: List[List[float]]
+) -> pd.DataFrame:
+    """Map-only projection onto the broadcast components, reported fixed-
+    point (x 2^20). The dim accumulation runs in a fixed order (explicit
+    loop over dims, vectorized across rows) — never a BLAS matmul, whose
+    summation order can vary with matrix shape — so the doubles match the
+    single-batch twin bit-for-bit."""
+    m = np.asarray(mean, dtype=np.float64)
+    cp = np.asarray(comps, dtype=np.float64)  # (D, NC)
+    x = _matrix(df)
+    y = np.zeros((len(x), cp.shape[1]), dtype=np.float64)
+    for d in range(cp.shape[0]):
+        y += (x[:, d] - m[d])[:, None] * cp[d]
+    # plain arrays, not Series: mixed indexes (a sliced frame + fresh
+    # RangeIndex series) would silently align-pad the output
+    out = {"vec_id": df["vec_id"].to_numpy(dtype=np.int64)}
+    for c in range(cp.shape[1]):
+        out[f"pc{c + 1}_fx"] = np.floor(y[:, c] * EMB_SCALE + 0.5).astype(np.int64)
+    return pd.DataFrame(out)
+
+
+def q_pca_project(sf_dir: str) -> rd.Dataset:
+    """Distributed PCA: dimensionality reduction of the embedding column
+    to PCA_NC components — covariance in ONE streaming pass of int64
+    fixed-point moment combiners (a ~2.1k-row shuffle per block, never
+    the vectors), eigendecomposition of the 64x64 matrix on the driver,
+    then a map-only broadcast projection. Checked bit-exact against the
+    sequential dump twin (state/oracle_dump_near.py). 100 TB: identical
+    plan — pass 1 reduces to D^2/2 integer rows regardless of corpus
+    size; pass 2 is embarrassingly parallel."""
+    from .queries import _t
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    agg = (
+        ds.map_batches(remote_fn(_QE, "pca_moment_partial"), batch_format="pandas")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()  # D*(D+3)/2 + 1 rows
+    )
+    mean, comps = pca_model_from_sums(agg)
+    return ds.map_batches(
+        remote_fn(_QE, "pca_project_batch", mean=mean.tolist(), comps=comps.tolist()),
+        batch_format="pandas",
+    )
+
+
 EMBED_QUERIES = {
     "lang_embedding_centroid": q_lang_embedding_centroid,
     "kmeans_clusters": q_kmeans_clusters,
+    "pca_project": q_pca_project,
 }
 
 EMBED_ORACLES = {

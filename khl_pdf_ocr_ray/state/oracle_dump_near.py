@@ -398,6 +398,24 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         ),
     )
 
+    # PCA twin: the SAME kernels (pca_moment_partial over the whole table
+    # as one batch -> identical integer moment sums; pca_model_from_sums
+    # -> identical doubles and eigh; pca_project_batch -> fixed-order dim
+    # accumulation). The plumbing under test is the distributed moment
+    # combiner shuffle and the broadcast projection.
+    from ..pipelines.queries_embed import (
+        pca_model_from_sums,
+        pca_moment_partial,
+        pca_project_batch,
+    )
+
+    moments = pca_moment_partial(full)
+    mean, comps = pca_model_from_sums(moments)
+    _write(
+        "pca_seq.parquet",
+        pca_project_batch(full, mean.tolist(), comps.tolist()),
+    )
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -424,4 +442,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",
         "bm25_topk": f"SELECT doc_id, n_terms, score_x1m FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
         "kmeans_clusters": f"SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')",
+        "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
     }

@@ -65,3 +65,74 @@ def test_pack_unpack_roundtrip():
     packed = emb_pack_batch(df)
     back = _unpack(packed)
     assert back.shape == x.shape and (back == x).all()
+
+
+# --- PCA kernels -------------------------------------------------------------
+def _pca_df(n, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    from khl_pdf_ocr_ray.pipelines.queries_embed import EMB_DIM
+
+    x = rng.normal(size=(n, EMB_DIM)).astype(np.float32)
+    x[:, 0] *= 5.0  # dominant variance direction = dim 0
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x)})
+
+
+def test_pca_moments_split_invariant():
+    """Summed per-batch moment rows equal the single-batch moments bit-
+    for-bit (the property the distributed groupby relies on)."""
+    from khl_pdf_ocr_ray.pipelines.queries_embed import pca_moment_partial
+
+    df = _pca_df(53)
+    whole = pca_moment_partial(df).set_index(["i", "j"])["v"]
+    parts = pd.concat(
+        [pca_moment_partial(df.iloc[i : i + 17]) for i in range(0, len(df), 17)]
+    )
+    summed = parts.groupby(["i", "j"])["v"].sum()
+    pd.testing.assert_series_equal(
+        whole.sort_index(), summed.sort_index(), check_names=False
+    )
+
+
+def test_pca_model_finds_dominant_direction_and_fixed_sign():
+    from khl_pdf_ocr_ray.pipelines.queries_embed import (
+        pca_model_from_sums,
+        pca_moment_partial,
+    )
+
+    df = _pca_df(400)
+    mean, comps = pca_model_from_sums(pca_moment_partial(df))
+    # PC1 is (close to) the inflated axis, and the sign rule makes the
+    # largest-magnitude component positive
+    assert abs(comps[0, 0]) > 0.95
+    k = int(abs(comps[:, 0]).argmax())
+    assert comps[k, 0] > 0
+    k1 = int(abs(comps[:, 1]).argmax())
+    assert comps[k1, 1] > 0
+    # components are unit-norm and orthogonal
+    import numpy as np
+
+    assert np.allclose((comps**2).sum(axis=0), 1.0)
+    assert abs(float(comps[:, 0] @ comps[:, 1])) < 1e-9
+
+
+def test_pca_projection_batch_invariant():
+    """Projection of a split frame equals the whole-frame projection
+    exactly (fixed-order dim accumulation, no shape-dependent BLAS)."""
+    from khl_pdf_ocr_ray.pipelines.queries_embed import (
+        pca_model_from_sums,
+        pca_moment_partial,
+        pca_project_batch,
+    )
+
+    df = _pca_df(60)
+    mean, comps = pca_model_from_sums(pca_moment_partial(df))
+    whole = pca_project_batch(df, mean.tolist(), comps.tolist())
+    parts = pd.concat(
+        [
+            pca_project_batch(df.iloc[i : i + 13], mean.tolist(), comps.tolist())
+            for i in range(0, len(df), 13)
+        ]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, parts)

@@ -33,6 +33,7 @@ DUMP_QUERIES = [
     "bigram_topk_cms",
     "bm25_topk",
     "kmeans_clusters",
+    "pca_project",
 ]
 
 
