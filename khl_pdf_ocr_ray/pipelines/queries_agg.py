@@ -768,7 +768,67 @@ GROUP BY 1, 2
 """
 
 
+# --- covisit_pairs (co-occurrence / market-basket pair counts) ---------------
+def covisit_distinct_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (user_id, event_type) — the combiner that caps
+    what a hot user contributes per block at |types| rows."""
+    return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+
+def covisit_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's distinct types -> all unordered pairs (a < b). The group
+    is <= |type vocabulary| rows after the distinct combiner, never one
+    row per event."""
+    import itertools
+
+    ts = sorted(set(g["event_type"]))
+    pairs = list(itertools.combinations(ts, 2))
+    return pd.DataFrame(
+        {
+            "type_a": pd.Series([a for a, _ in pairs], dtype="string"),
+            "type_b": pd.Series([b for _, b in pairs], dtype="string"),
+        }
+    )
+
+
+def q_covisit_pairs(sf_dir: str) -> rd.Dataset:
+    """Event-type co-occurrence: for every unordered pair of event types,
+    the number of users that performed both — the market-basket /
+    co-visitation support count behind recommendation candidate
+    generation. Plan: per-batch distinct combiner -> user-keyed groupby
+    emitting each user's type pairs -> pair-keyed Count. Shuffles carry
+    (user, type) and (type, type) rows only. 100 TB: with an unbounded
+    item vocabulary the per-user pair fan-out is |items|^2/2 — the
+    standard mitigation (cap each user at their top-F frequent items
+    before pairing) slots into covisit_pairs_group; the type vocabulary
+    here is small and fixed."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(
+            remote_fn(_QA, "covisit_distinct_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .map_groups(remote_fn(_QA, "covisit_pairs_group"), batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_COVISIT_PAIRS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 AGG_QUERIES = {
+    "covisit_pairs": q_covisit_pairs,
     "events_dow_hour": q_events_dow_hour,
     "events_time_window": q_events_time_window,
     "corpus_cube": q_corpus_cube,
@@ -784,6 +844,7 @@ AGG_QUERIES = {
 }
 
 AGG_ORACLES = {
+    "covisit_pairs": SQL_COVISIT_PAIRS,
     "events_dow_hour": SQL_EVENTS_DOW_HOUR,
     "events_time_window": SQL_EVENTS_TIME_WINDOW,
     "corpus_cube": SQL_CORPUS_CUBE,

@@ -380,3 +380,19 @@ def test_dense_rank_apply_shares_rank_on_ties():
     assert out.loc[1] == 1 and out.loc[3] == 1
     assert out.loc[2] == 2 and out.loc[5] == 3
     assert out.loc[4] == 1  # fr partition ranks independently
+
+
+def test_covisit_group_kernel_pairs_and_dedup():
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries_agg import covisit_pairs_group
+
+    g = pd.DataFrame(
+        {"user_id": [1] * 4, "event_type": ["b", "a", "c", "a"]}  # dup 'a'
+    )
+    out = covisit_pairs_group(g)
+    assert list(zip(out.type_a, out.type_b)) == [("a", "b"), ("a", "c"), ("b", "c")]
+    # single-type user contributes nothing
+    assert covisit_pairs_group(
+        pd.DataFrame({"user_id": [2], "event_type": ["a"]})
+    ).empty
