@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "kmeans_clusters",  # iterative fixed-point k-means (round 3)
     "funnel_conversion",  # ordered sequence-pattern funnel (round 3)
     "fuzzy_prefix_dups",  # edit-distance dedup, vectorized pair DP (round 3)
+    "substring_dup_spans",  # positional-shingle duplicate spans (round 3)
+    "pca_project",          # one-pass covariance + projection (round 3)
 ]
 
 
