@@ -853,7 +853,86 @@ def q_lang_watchlist_full(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- unigram-LM perplexity scoring (CCNet-style quality signal) --------------
+LM_SCALE = 1 << 20
+
+
+def lm_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch unigram counts (the LM-training combiner)."""
+    from collections import Counter
+
+    c = Counter()
+    for t in batch["text"].to_pylist():
+        c.update((t or "").split(" "))
+    terms = sorted(c)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([c[w] for w in terms], pa.int64()),
+        }
+    )
+
+
+def lm_model_from_counts(counts: pd.DataFrame) -> Dict[str, int]:
+    """(term, n) -> fixed-point log2 probabilities: logp_fx[term] =
+    floor(log2(n/total) * 2^20 + 0.5). Shared by the distributed plan and
+    the sequential dump twin so both compute the identical doubles
+    (per-term independent ops — no accumulation order involved)."""
+    total = float(int(counts["n"].sum()))
+    terms = counts["term"].to_numpy()
+    p = counts["n"].to_numpy(dtype=np.float64) / total
+    fx = np.floor(np.log2(p) * LM_SCALE + 0.5).astype(np.int64)
+    return {str(t): int(v) for t, v in zip(terms, fx)}
+
+
+def lm_score_batch(batch: pa.Table, model: Dict[str, int]) -> pa.Table:
+    """Per-doc negative log-likelihood under the broadcast unigram model:
+    integer sum of per-token fixed-point log-probs (order-independent, so
+    any batching gives identical bits). The corpus-trained model covers
+    every token; unseen tokens (scoring fresh data) take the floor
+    penalty min(logp)-2^20 (one bit worse than the rarest seen term)."""
+    floor_fx = min(model.values()) - LM_SCALE
+    ids, nts, lps = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = (t or "").split(" ")
+        ids.append(d)
+        nts.append(len(ws))
+        lps.append(sum(model.get(w, floor_fx) for w in ws))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nts, pa.int64()),
+            "neg_logprob_fx": pa.array([-v for v in lps], pa.int64()),
+        }
+    )
+
+
+def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """CCNet-style LM quality scoring: train a unigram LM on the corpus
+    (distributed count combiner -> term-keyed Sum), broadcast the
+    fixed-point log-prob table, score every document map-only. The score
+    is the exact integer sum of per-token logp_fx, so the dump twin
+    (state/oracle_dump_near.py) reproduces it bit-for-bit. 100 TB: the
+    count shuffle carries (term, n) combiner rows; the model table is a
+    one-time ray.put broadcast when the vocabulary outgrows task kwargs
+    (the real CCNet model is a KenLM binary loaded once per actor — the
+    same broadcast-once pattern as stages/extract.py's OCR engine)."""
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(remote_fn(_QC, "lm_count_partial"), batch_format="pyarrow")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-sized
+    )
+    model = lm_model_from_counts(counts)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QC, "lm_score_batch", model=model), batch_format="pyarrow"
+    )
+
+
 CORPUS_QUERIES: Dict[str, object] = {
+    "unigram_logprob": q_unigram_logprob,  # dump-backed oracle
     "lang_watchlist_full": q_lang_watchlist_full,
     "word_repetition": q_word_repetition,
     "bigram_topk": q_bigram_topk,

@@ -416,6 +416,21 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         pca_project_batch(full, mean.tolist(), comps.tolist()),
     )
 
+    # unigram-LM twin: same kernels single-process (integer counts and
+    # per-doc integer log-prob sums are order-independent; the per-term
+    # log2 doubles come from the one shared lm_model_from_counts).
+    from ..pipelines.queries_corpus import (
+        lm_count_partial,
+        lm_model_from_counts,
+        lm_score_batch,
+    )
+
+    docs_raw = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    model = lm_model_from_counts(lm_count_partial(docs_raw).to_pandas())
+    _write("unigram_lm_seq.parquet", lm_score_batch(docs_raw, model).to_pandas())
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -443,4 +458,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "bm25_topk": f"SELECT doc_id, n_terms, score_x1m FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
         "kmeans_clusters": f"SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')",
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
+        "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
     }

@@ -1,0 +1,66 @@
+"""Kernel checks for the unigram-LM quality scorer
+(pipelines/queries_corpus.py): count split-invariance, model determinism,
+scoring batching-invariance, and the OOV floor."""
+
+import pandas as pd
+import pyarrow as pa
+
+from khl_pdf_ocr_ray.pipelines.queries_corpus import (
+    LM_SCALE,
+    lm_count_partial,
+    lm_model_from_counts,
+    lm_score_batch,
+)
+
+
+def _batch(rows):
+    ids, texts = zip(*rows)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+ROWS = [(1, "a b a"), (2, "b c"), (3, None), (4, "a a a a")]
+
+
+def test_lm_counts_split_invariant():
+    whole = lm_count_partial(_batch(ROWS)).to_pandas().set_index("term")["n"]
+    parts = pd.concat(
+        [lm_count_partial(_batch(ROWS[:2])).to_pandas(),
+         lm_count_partial(_batch(ROWS[2:])).to_pandas()]
+    )
+    summed = parts.groupby("term")["n"].sum()
+    pd.testing.assert_series_equal(
+        whole.sort_index(), summed.sort_index(), check_names=False
+    )
+    # null text tokenizes like '' (one empty token) — matches str.split(' ')
+    assert whole[""] == 1
+
+
+def test_lm_model_probs_sum_and_order():
+    counts = lm_count_partial(_batch(ROWS)).to_pandas()
+    model = lm_model_from_counts(counts)
+    # the most frequent term has the least-negative logp
+    assert model["a"] == max(model.values())
+    # logp of a p=1 vocabulary is 0
+    one = lm_model_from_counts(pd.DataFrame({"term": ["x"], "n": [5]}))
+    assert one["x"] == 0
+
+
+def test_lm_score_batching_invariant_and_oov_floor():
+    counts = lm_count_partial(_batch(ROWS)).to_pandas()
+    model = lm_model_from_counts(counts)
+    whole = lm_score_batch(_batch(ROWS), model).to_pandas()
+    parts = pd.concat(
+        [lm_score_batch(_batch(ROWS[:1]), model).to_pandas(),
+         lm_score_batch(_batch(ROWS[1:]), model).to_pandas()]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, parts)
+    # scoring unseen text applies the floor: min(logp) - 2^20 per token
+    oov = lm_score_batch(_batch([(9, "zz")]), model).to_pandas()
+    assert int(oov.neg_logprob_fx.iloc[0]) == -(min(model.values()) - LM_SCALE)
+    # scores are negative log-likelihoods: positive for any p<1 corpus
+    assert (whole.neg_logprob_fx >= 0).all()

@@ -34,6 +34,7 @@ DUMP_QUERIES = [
     "bm25_topk",
     "kmeans_clusters",
     "pca_project",
+    "unigram_logprob",
 ]
 
 
