@@ -23,6 +23,7 @@ Pure function (stdlib urllib.parse only); used by the distributed
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
@@ -63,3 +64,22 @@ def normalize_url(url: str) -> str:
                if not _is_tracking(k))
     )
     return urlunsplit((scheme, netloc, path, query, ""))
+
+
+_RE_DIGITS = re.compile(r"[0-9]+")
+
+
+def url_template(url: str) -> str:
+    """Structural URL template: host + path with every digit run collapsed
+    to ``{n}`` and the query/fragment dropped — the pattern-mining key
+    that groups sitemap-generated URLs (/2023/891/game-891-....pdf and
+    /2024/17/game-17-....pdf share one template). Non-parsing inputs
+    collapse digits over the raw string (never raises)."""
+    try:
+        parts = urlsplit(url)
+        host = (parts.hostname or "").lower()
+    except ValueError:
+        return _RE_DIGITS.sub("{n}", url)
+    if not parts.scheme or not parts.netloc:
+        return _RE_DIGITS.sub("{n}", url)
+    return host + _RE_DIGITS.sub("{n}", parts.path or "/")

@@ -463,6 +463,40 @@ def q_url_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def url_template_batch(batch: pa.Table) -> pa.Table:
+    from ..functions.urlnorm import url_template
+
+    return pa.table(
+        {
+            "template": pa.array(
+                [url_template(u) for u in batch["url"].to_pylist()], pa.string()
+            )
+        }
+    )
+
+
+def q_url_template_topk(sf_dir: str) -> rd.Dataset:
+    """URL-pattern mining: top-20 structural URL templates (host + path,
+    digit runs collapsed) by page count — the sitemap/crawler-trap
+    analysis every crawl triage runs. Map -> template-keyed Count ->
+    top-k sort; only template strings shuffle. Deterministic tie order
+    (n DESC, template ASC)."""
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return (
+        rd.read_parquet(pages_dir, columns=["url"])
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.pipelines.queries_extract", "url_template_batch"
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("template")
+        .aggregate(Count(alias_name="n_pages"))
+        .sort(["n_pages", "template"], descending=[True, False])
+        .limit(20)
+    )
+
+
 EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
@@ -477,4 +511,5 @@ EXTRACT_QUERIES = {
     "pdf_words": q_pdf_words,
     "extract_blocks": q_extract_blocks,
     "url_dedup": q_url_dedup,
+    "url_template_topk": q_url_template_topk,
 }

@@ -280,6 +280,28 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "url_dedup_seq.parquet"),
     )
 
+    # url-template twin: same url_template kernel over the raw page urls
+    # (no planted variants), pandas count + the same (n DESC, template ASC)
+    # top-20 tie rule
+    from ..functions.urlnorm import url_template
+
+    tdf = _pd.DataFrame({"template": [url_template(u) for u in all_urls]})
+    ttop = (
+        tdf.groupby("template", as_index=False)
+        .agg(n_pages=("template", "size"))
+        .sort_values(["n_pages", "template"], ascending=[False, True])
+        .head(20)
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "template": pa.array(ttop["template"], pa.string()),
+                "n_pages": pa.array(ttop["n_pages"].astype("int64"), pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "url_templates_seq.parquet"),
+    )
+
     # media features: the deterministic media corpus through the stage
     # kernels sequentially (driver-side, no actors)
     media = media_table(N_MEDIA)
@@ -445,6 +467,7 @@ SELECT partition_id, row_count, bytes_in, chars_out, error_rows,
 FROM read_parquet('{p("lineage_seq.parquet")}')
 """,
         "url_dedup": f"SELECT norm_url, n_dups, keep_url FROM read_parquet('{p('url_dedup_seq.parquet')}')",
+        "url_template_topk": f"SELECT template, n_pages FROM read_parquet('{p('url_templates_seq.parquet')}')",
         "media_image_features": f"SELECT * FROM read_parquet('{p('media_image_seq.parquet')}')",
         "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",
         "media_frame_sample": f"SELECT * FROM read_parquet('{p('media_frames_seq.parquet')}')",

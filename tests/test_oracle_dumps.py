@@ -16,6 +16,7 @@ DUMP_QUERIES = [
     "fingerprint_rolling",
     "skew_partition_stats",
     "url_dedup",
+    "url_template_topk",
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",

@@ -105,3 +105,19 @@ def test_only_directory_style_trailing_slash_strips():
     # empty segments are significant and preserved
     assert normalize_url("https://h.example/a/b//") == "https://h.example/a/b//"
     assert normalize_url("https://h.example/") == "https://h.example/"
+
+
+def test_url_template_collapses_digits_and_drops_query():
+    from khl_pdf_ocr_ray.functions.urlnorm import url_template
+
+    assert (
+        url_template("https://KHL.ru/2023/891/game-891-start-ru.pdf?x=1#f")
+        == "khl.ru/{n}/{n}/game-{n}-start-ru.pdf"
+    )
+    # empty path -> "/", host lowercased
+    assert url_template("http://Host.COM") == "host.com/"
+    # non-parsing input: digits still collapse, never raises
+    assert url_template("not a url 123") == "not a url {n}"
+    # malformed port: hostname still parses; the port never enters the
+    # template (templates key on host + path structure only)
+    assert url_template("http://h:bad_port/a1") == "h/a{n}"
