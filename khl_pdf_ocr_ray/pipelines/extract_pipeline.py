@@ -181,7 +181,12 @@ def synthesize_pages(
     out_dir = pages_cache_dir(sf_dir, repeat, seed, giants_per_mille, num_blocks)
 
     def _build(tmp_dir: str) -> None:
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        from ..io import read_parquet_clean
+
+        # metadata-clean read: the b'pandas' schema dict would make every
+        # repartition reduce task log "Failed to hash the schemas" and lose
+        # schema dedup on the exchange
+        docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
         n = num_blocks if num_blocks is not None else max(4, min(64, docs.count() // 125))
         pages = docs.repartition(n).map_batches(
             remote_fn(
