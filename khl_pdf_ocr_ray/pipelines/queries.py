@@ -1420,6 +1420,12 @@ from .queries_substr import SUBSTR_ORACLES, SUBSTR_QUERIES  # noqa: E402
 QUERIES.update(SUBSTR_QUERIES)
 ORACLES.update(SUBSTR_ORACLES)
 
+# the composed LLM training-data recipe (quality filter -> dedup ->
+# decontaminate -> chunk -> accounting) — sequential-twin dump oracle
+from .queries_recipe import RECIPE_QUERIES  # noqa: E402
+
+QUERIES.update(RECIPE_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

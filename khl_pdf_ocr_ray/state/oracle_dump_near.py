@@ -61,6 +61,8 @@ def dumps_dir(sf_dir: str) -> str:
         "pipelines/queries_corpus.py",
         "pipelines/queries_search.py",
         "pipelines/queries_embed.py",
+        "pipelines/queries_prep.py",    # trigram/chunk constants (recipe twin)
+        "pipelines/queries_recipe.py",  # recipe kernels
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
@@ -431,6 +433,52 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     model = lm_model_from_counts(lm_count_partial(docs_raw).to_pandas())
     _write("unigram_lm_seq.parquet", lm_score_batch(docs_raw, model).to_pandas())
 
+    # llm_corpus_recipe twin: the SAME stage kernels chained sequentially
+    # with pandas plumbing (filter -> md5-min dedup -> eval-trigram
+    # decontamination -> chunk accounting). The distributed plan under
+    # test is the 5-exchange composition.
+    from ..pipelines.queries_prep import trigram_explode
+    from ..pipelines.queries_recipe import (
+        chunk_stats_partial,
+        recipe_filter_batch,
+        recipe_hash_batch,
+        recipe_input_batch,
+    )
+
+    docs3 = recipe_input_batch(
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "text"],
+        )
+    )
+    recipe_model = lm_model_from_counts(lm_count_partial(docs3).to_pandas())
+    surv = recipe_filter_batch(docs3, recipe_model)
+    hdf = recipe_hash_batch(surv).to_pandas()
+    keep_ids = set(hdf.groupby("text_hash")["doc_id"].min())
+    surv_pd = surv.to_pandas()
+    dedup_pd = surv_pd[surv_pd["doc_id"].isin(keep_ids)]
+    ev_set = set(trigram_explode(docs3, eval_side=True).to_pandas()["ng"])
+    tr = trigram_explode(
+        pa.table(
+            {
+                "doc_id": pa.array(dedup_pd["doc_id"], pa.int64()),
+                "text": pa.array(dedup_pd["text"], pa.string()),
+            }
+        ),
+        eval_side=False,
+    ).to_pandas()
+    flagged = set(tr[tr["ng"].isin(ev_set)]["doc_id"])
+    clean_pd = dedup_pd[~dedup_pd["doc_id"].isin(flagged)]
+    stats = chunk_stats_partial(
+        pa.table(
+            {
+                "lang": pa.array(clean_pd["lang"], pa.string()),
+                "text": pa.array(clean_pd["text"], pa.string()),
+            }
+        )
+    ).to_pandas()
+    _write("llm_recipe_seq.parquet", stats)
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -459,4 +507,5 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "kmeans_clusters": f"SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')",
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
+        "llm_corpus_recipe": f"SELECT lang, n_docs, n_chunks, n_tokens FROM read_parquet('{p('llm_recipe_seq.parquet')}')",
     }

@@ -36,6 +36,7 @@ DUMP_QUERIES = [
     "kmeans_clusters",
     "pca_project",
     "unigram_logprob",
+    "llm_corpus_recipe",
 ]
 
 
