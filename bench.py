@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "fuzzy_prefix_dups",  # edit-distance dedup, vectorized pair DP (round 3)
     "substring_dup_spans",  # positional-shingle duplicate spans (round 3)
     "pca_project",          # one-pass covariance + projection (round 3)
+    "llm_corpus_recipe",    # composed filter->dedup->decon->chunk (round 3)
 ]
 
 

@@ -115,3 +115,51 @@ def test_snapshot_hash_sides():
         new.set_index("doc_id").loc[3, "text_hash"]
         == hashlib.md5(b"").hexdigest()
     )
+
+
+# --- property tests (hypothesis) ---------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _naive_merge(positions, k):
+    """Brute-force interval union of [p, p+k) windows with touching merge."""
+    spans = []
+    for p in sorted(set(positions)):
+        if spans and p <= spans[-1][1]:
+            spans[-1][1] = max(spans[-1][1], p + k)
+            spans[-1][2] += 1
+        else:
+            spans.append([p, p + k, 1])
+    return [(a, b, c) for a, b, c in spans]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40, unique=True))
+def test_merge_spans_matches_naive_interval_union(positions):
+    got = _spans(positions)
+    assert got == _naive_merge(positions, SPAN_K)
+    # spans never overlap and are sorted
+    for (a1, b1, _), (a2, _b2, _) in zip(got, got[1:]):
+        assert b1 < a2
+
+
+_vocab = st.sampled_from(["a", "b", "data", "row", "column"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_vocab, min_size=0, max_size=30))
+def test_phrase_scan_matches_naive(tokens):
+    text = " ".join(tokens)
+    out = phrase_scan(_docs_batch([(1, text)])).to_pandas()
+    phrase = PHRASE.split(" ")
+    naive = [
+        i
+        for i in range(len(tokens) - len(phrase) + 1)
+        if tokens[i : i + len(phrase)] == phrase
+    ]
+    if not naive:
+        assert out.empty
+    else:
+        assert out.n_hits.tolist() == [len(naive)]
+        assert out.first_pos.tolist() == [naive[0]]
