@@ -25,8 +25,11 @@ Scale notes (100 TB):
 - the LM model is trained on the full corpus in one (term, n) combiner
   pass and broadcast (ray.put at real vocab sizes);
 - the filter is map-only; only survivors' (doc_id, digest) and trigram
-  rows ever shuffle — document text crosses one exchange (the dedup-keep
-  join) and is re-read, not pinned, for the chunk pass;
+  rows shuffle as keys — survivor text is materialized ONCE (object
+  store, spillable) and reused by the dedup join, the trigram explode and
+  the chunk pass; at 100 TB the equivalent is a stage checkpoint (write
+  survivors to partitioned parquet, read back per stage) so no text block
+  outlives its consumers;
 - the decontamination join is trigram-keyed (eval side never broadcast);
 - the final accounting reduces to |langs| rows via a per-batch combiner.
 """

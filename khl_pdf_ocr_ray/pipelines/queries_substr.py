@@ -94,7 +94,15 @@ def kgram_doc_distinct(batch: pa.Table) -> pa.Table:
     """Per-doc DISTINCT K-grams — the doc-frequency combiner input. A doc
     lives in exactly one block, so per-batch distinct == global distinct
     per (ng, doc_id); the downstream Count(ng) is therefore the number of
-    distinct documents containing the K-gram."""
+    distinct documents containing the K-gram. Derived from the positional
+    stream's columns (no second tokenize pass) when fed positional blocks."""
+    if "pos" in batch.column_names:  # positional block: dedupe, drop pos
+        return (
+            batch.select(["doc_id", "ng"])
+            .group_by(["doc_id", "ng"])
+            .aggregate([])
+            .select(["doc_id", "ng"])
+        )
     ids, ngs = [], []
     for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         ws = _tokens(t)
@@ -104,6 +112,19 @@ def kgram_doc_distinct(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "ng": pa.array(ngs, pa.string())}
     )
+
+
+def add_doc_shard(batch: pa.Table, num_shards: int) -> pa.Table:
+    """Coarse doc-hash shard key for the span merge: bounds the number of
+    map_groups invocations at num_shards (each vectorized over all its
+    docs) instead of one Python call per document."""
+    import pyarrow.compute as pc
+
+    shard = pc.subtract(
+        batch["doc_id"],
+        pc.multiply(pc.divide(batch["doc_id"], num_shards), num_shards),
+    )
+    return batch.append_column("shard", pc.cast(shard, pa.int64()))
 
 
 def keep_dup_ngrams(batch: pa.Table) -> pa.Table:
@@ -116,24 +137,36 @@ def keep_dup_ngrams(batch: pa.Table) -> pa.Table:
 
 
 def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
-    """Merge one doc's marked K-gram windows [pos, pos+K) into maximal
-    spans: consecutive marks merge while the gap between start positions
-    is <= K (overlap or exact adjacency). Vectorized (sort + diff +
-    cumsum), no per-row Python."""
-    pos = np.sort(g["pos"].to_numpy(dtype=np.int64))
+    """Merge marked K-gram windows [pos, pos+K) into maximal spans per
+    doc: consecutive marks merge while the gap between start positions is
+    <= K (overlap or exact adjacency). Vectorized over an ENTIRE shard of
+    docs at once (sort + diff + cumsum + groupby), no per-doc Python —
+    the group fed to this is a coarse doc-hash shard, not a single doc,
+    so the distributed plan makes O(shards) map_groups calls instead of
+    O(docs)."""
+    df = g.sort_values(["doc_id", "pos"])
+    doc = df["doc_id"].to_numpy(dtype=np.int64)
+    pos = df["pos"].to_numpy(dtype=np.int64)
     brk = np.ones(len(pos), dtype=np.int64)
-    brk[1:] = (np.diff(pos) > SPAN_K).astype(np.int64)
+    if len(pos) > 1:
+        same_doc = doc[1:] == doc[:-1]
+        brk[1:] = (~same_doc | (np.diff(pos) > SPAN_K)).astype(np.int64)
     island = np.cumsum(brk)
-    df = pd.DataFrame({"pos": pos, "island": island})
-    agg = df.groupby("island")["pos"].agg(["min", "max", "count"]).reset_index()
-    return pd.DataFrame(
-        {
-            "doc_id": np.full(len(agg), int(g["doc_id"].iloc[0]), dtype=np.int64),
-            "span_start": agg["min"].to_numpy(dtype=np.int64),
-            "span_end": agg["max"].to_numpy(dtype=np.int64) + SPAN_K,
-            "n_grams": agg["count"].to_numpy(dtype=np.int64),
-        }
+    out = (
+        pd.DataFrame({"doc_id": doc, "pos": pos, "island": island})
+        .groupby("island")
+        .agg(
+            doc_id=("doc_id", "first"),
+            span_start=("pos", "min"),
+            span_end=("pos", "max"),
+            n_grams=("pos", "count"),
+        )
+        .reset_index(drop=True)
     )
+    out["span_end"] = out["span_end"] + SPAN_K
+    return out.astype(
+        {"doc_id": "int64", "span_start": "int64", "span_end": "int64", "n_grams": "int64"}
+    )[["doc_id", "span_start", "span_end", "n_grams"]]
 
 
 def phrase_scan(batch: pa.Table) -> pa.Table:
@@ -201,21 +234,35 @@ def _docs(sf_dir: str, columns) -> rd.Dataset:
 def q_substring_dup_spans(sf_dir: str) -> rd.Dataset:
     """Exact duplicate-substring spans (Lee et al. 2022 semantics at word
     granularity): maximal per-doc spans covered by K-grams that occur in
-    >= 2 distinct documents. Three slim exchanges: Count by kgram,
-    join dup-kgrams back to the positional stream, groupby doc for the
-    interval merge (one doc's positions per task — bounded by doc
-    length, never by corpus size)."""
+    >= 2 distinct documents. Three slim exchanges: Count by kgram, a
+    probe-side-partitioned join of dup-kgrams back to the positional
+    stream, then a coarse doc-hash shard groupby for the interval merge
+    (64 vectorized merge tasks, each bounded by its shard's positions —
+    never one Python call per document)."""
+    from ..joins import _max_partitions
+
     docs = _docs(sf_dir, ["doc_id", "text"])
+    # one tokenize pass: the positional stream is materialized once and
+    # feeds BOTH the doc-frequency side (per-batch dedupe, no re-explode)
+    # and the join probe side
+    positions = docs.map_batches(
+        remote_fn(_QS, "kgram_pos_explode"), batch_format="pyarrow"
+    ).materialize()
     dup_ngs = (
-        docs.map_batches(remote_fn(_QS, "kgram_doc_distinct"), batch_format="pyarrow")
+        positions.map_batches(
+            remote_fn(_QS, "kgram_doc_distinct"), batch_format="pyarrow"
+        )
         .groupby("ng")
         .aggregate(Count(alias_name="n_docs"))
         .map_batches(remote_fn(_QS, "keep_dup_ngrams"), batch_format="pyarrow")
     )
-    positions = docs.map_batches(
-        remote_fn(_QS, "kgram_pos_explode"), batch_format="pyarrow"
+    # partition the join by the PROBE side: safe_join's default sizes from
+    # the smaller (dup-ngram) side, which would stream the whole positional
+    # table through a couple of giant tasks
+    n_parts = max(8, min(_max_partitions(), positions.count() // 100_000))
+    hit = safe_join(
+        positions, dup_ngs, on=("ng",), right_on=("ng_r",), num_partitions=n_parts
     )
-    hit = safe_join(positions, dup_ngs, on=("ng",), right_on=("ng_r",))
     if hit is None:  # no duplicated K-gram anywhere in the corpus
         return rd.from_arrow(
             pa.table(
@@ -229,7 +276,10 @@ def q_substring_dup_spans(sf_dir: str) -> rd.Dataset:
         )
     return (
         hit.select_columns(["doc_id", "pos"])
-        .groupby("doc_id")
+        .map_batches(
+            remote_fn(_QS, "add_doc_shard", num_shards=64), batch_format="pyarrow"
+        )
+        .groupby("shard")
         .map_groups(remote_fn(_QS, "merge_spans"), batch_format="pandas")
     )
 
