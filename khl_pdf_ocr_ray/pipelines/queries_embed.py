@@ -34,7 +34,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import pandas as pd

@@ -174,8 +174,7 @@ def q_llm_corpus_recipe(sf_dir: str) -> rd.Dataset:
     accounting of the cleaned, deduplicated, decontaminated, chunked
     corpus (lang, n_docs, n_chunks, n_tokens)."""
     from .queries import _t
-    from .queries_corpus import lm_count_partial, lm_model_from_counts
-    from .queries_prep import trigram_explode
+    from .queries_corpus import lm_model_from_counts
 
     docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
         remote_fn(_QR, "recipe_input_batch"), batch_format="pyarrow"

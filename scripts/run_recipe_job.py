@@ -42,7 +42,6 @@ _QR = "khl_pdf_ocr_ray.pipelines.queries_recipe"
 
 def run_job(input_path: str, work_dir: str) -> dict:
     """Build (or resume) the corpus recipe; returns {stats_dir, lineage}."""
-    import ray.data as rd
     from ray.data.aggregate import Count, Min, Sum
 
     from khl_pdf_ocr_ray.io import read_parquet_clean
