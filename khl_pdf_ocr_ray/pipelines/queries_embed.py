@@ -380,10 +380,53 @@ def q_pca_project(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- cluster purity (external clustering evaluation) -------------------------
+def purity_per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+    """One cluster's (lang, n) contingency rows -> (n_vecs, majority lang).
+    Ties break to the lexicographically-lowest lang. The group is the
+    contingency table (<= |langs| rows), never the vectors."""
+    g = g.sort_values(["n", "lang"], ascending=[False, True])
+    return pd.DataFrame(
+        {
+            "cluster": pd.Series([int(g["cluster"].iloc[0])], dtype="int64"),
+            "n_vecs": pd.Series([int(g["n"].sum())], dtype="int64"),
+            "top_lang": pd.Series([g["lang"].iloc[0]], dtype="string"),
+            "top_n": pd.Series([int(g["n"].iloc[0])], dtype="int64"),
+        }
+    )
+
+
+def q_cluster_lang_purity(sf_dir: str) -> rd.Dataset:
+    """External evaluation of the k-means clustering against the declared
+    language labels: per cluster, size + majority label + its count (the
+    purity numerator/denominator — the division is left to the caller so
+    no float enters the hashed result). Plan: the kmeans assignment
+    Dataset joins the doc labels on id, reduces to a K x |langs|
+    contingency via Count, then a K-group finalize. Only (vec_id,
+    cluster) and contingency rows shuffle. The dump oracle recomputes the
+    same contingency in SQL over the kmeans twin's assignments."""
+    from ray.data.aggregate import Count
+
+    from .queries import _t
+
+    assigns = q_kmeans_clusters(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    joined = safe_join(assigns, docs, on=("vec_id",), right_on=("doc_id",))
+    assert joined is not None  # both sides non-empty on the driver corpora
+    return (
+        joined.groupby(["cluster", "lang"])
+        .aggregate(Count(alias_name="n"))
+        .repartition(2)  # tiny contingency table; non-empty reduce partitions
+        .groupby("cluster")
+        .map_groups(remote_fn(_QE, "purity_per_cluster"), batch_format="pandas")
+    )
+
+
 EMBED_QUERIES = {
     "lang_embedding_centroid": q_lang_embedding_centroid,
     "kmeans_clusters": q_kmeans_clusters,
     "pca_project": q_pca_project,
+    "cluster_lang_purity": q_cluster_lang_purity,  # dump-backed oracle
 }
 
 EMBED_ORACLES = {

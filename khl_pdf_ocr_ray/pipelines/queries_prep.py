@@ -255,6 +255,52 @@ def lang_quantile_final(g: pd.DataFrame) -> pd.DataFrame:
     return out.astype({"p": "int64", "n_chars_q": "int64"})
 
 
+CONT_QUANTILE_PS = (25, 50, 75)  # quarters: frac is exact in binary FP, so
+# lo + frac*(hi-lo) is bit-identical to any algebraically-equal form and
+# the hashed doubles can't drift between engines
+
+
+def lang_quantile_cont_final(g: pd.DataFrame) -> pd.DataFrame:
+    """Walk one language's histogram for the INTERPOLATED quantiles
+    (R-7 / duckdb quantile_cont): h = (n-1)*p, result = v[floor(h)] +
+    frac*(v[floor(h)+1] - v[floor(h)]). The group is the (size -> count)
+    histogram, never the docs."""
+    import math
+
+    g = g.sort_values("n_chars")
+    total = int(g["n"].sum())
+    cum = g["n"].cumsum()
+
+    def value_at(i: int) -> int:  # 0-based index into the sorted values
+        return int(g.loc[cum >= i + 1, "n_chars"].iloc[0])
+
+    rows = []
+    for p in CONT_QUANTILE_PS:
+        h = (total - 1) * (p / 100)
+        lo_i = math.floor(h)
+        lo = value_at(lo_i)
+        hi = value_at(min(lo_i + 1, total - 1))
+        rows.append((g["lang"].iloc[0], p, lo + (h - lo_i) * (hi - lo)))
+    out = pd.DataFrame(rows, columns=["lang", "p", "n_chars_q"])
+    return out.astype({"p": "int64", "n_chars_q": "float64"})
+
+
+def q_lang_size_percentiles_cont(sf_dir: str) -> rd.Dataset:
+    """Per-language INTERPOLATED percentiles (PERCENTILE_CONT class) —
+    the continuous counterpart of lang_size_quantiles, same fully
+    distributed histogram plan: one (lang, size) row per distinct pair
+    per block shuffles, the per-lang walk sees distinct-size cardinality
+    rows, never documents."""
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="n"))
+        .repartition(2)  # tiny histogram table (see lang_size_quantiles)
+        .groupby("lang")
+        .map_groups(remote_fn(_QP, "lang_quantile_cont_final"), batch_format="pandas")
+    )
+
+
 # --- queries ----------------------------------------------------------------
 def _docs(sf_dir: str, columns) -> rd.Dataset:
     from .queries import _t
@@ -497,6 +543,7 @@ PREP_QUERIES: Dict[str, object] = {
     "pii_scrub": q_pii_scrub,
     "dedup_prefix_keep_best": q_dedup_prefix_keep_best,
     "lang_size_quantiles": q_lang_size_quantiles,
+    "lang_size_percentiles_cont": q_lang_size_percentiles_cont,
 }
 
 
@@ -542,6 +589,15 @@ SELECT event_id,
     '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_PHONE}', '<PHONE>', 'g'),
     '{PII_NUMBER}')) AS BIGINT) AS n_number
 FROM events
+""",
+    "lang_size_percentiles_cont": f"""
+SELECT lang, p,
+  CASE p WHEN {CONT_QUANTILE_PS[0]} THEN quantile_cont(n_chars, {CONT_QUANTILE_PS[0] / 100})
+         WHEN {CONT_QUANTILE_PS[1]} THEN quantile_cont(n_chars, {CONT_QUANTILE_PS[1] / 100})
+         ELSE quantile_cont(n_chars, {CONT_QUANTILE_PS[2] / 100}) END
+    AS n_chars_q
+FROM documents, (SELECT unnest([{CONT_QUANTILE_PS[0]}, {CONT_QUANTILE_PS[1]}, {CONT_QUANTILE_PS[2]}]) AS p) ps
+GROUP BY lang, p
 """,
     "lang_size_quantiles": f"""
 SELECT lang, p,

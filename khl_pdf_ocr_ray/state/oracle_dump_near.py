@@ -508,4 +508,19 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
         "llm_corpus_recipe": f"SELECT lang, n_docs, n_chunks, n_tokens FROM read_parquet('{p('llm_recipe_seq.parquet')}')",
+        # purity: the contingency recomputed in SQL over the kmeans twin's
+        # assignments joined to the documents view — an INDEPENDENT
+        # relational derivation of what the distributed join+Count builds
+        "cluster_lang_purity": f"""
+WITH a AS (SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')),
+c AS (SELECT a.cluster, d.lang, count(*) AS n
+      FROM a JOIN documents d ON a.vec_id = d.doc_id GROUP BY 1, 2),
+r AS (SELECT cluster, lang, n,
+             row_number() OVER (PARTITION BY cluster ORDER BY n DESC, lang) AS rk,
+             sum(n) OVER (PARTITION BY cluster) AS n_vecs
+      FROM c)
+SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs, lang AS top_lang,
+       CAST(n AS BIGINT) AS top_n
+FROM r WHERE rk = 1
+""",
     }

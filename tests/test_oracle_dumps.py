@@ -37,6 +37,7 @@ DUMP_QUERIES = [
     "pca_project",
     "unigram_logprob",
     "llm_corpus_recipe",
+    "cluster_lang_purity",
 ]
 
 
