@@ -56,8 +56,10 @@ def run_job(input_path: str, work_dir: str) -> dict:
 
     # 1. expanded input (planted exact duplicates, same as llm_corpus_recipe)
     def _input(tmp: str) -> None:
+        from khl_pdf_ocr_ray.io import blocks_for_bytes, input_nbytes
+
         read_parquet_clean(input_path, columns=["doc_id", "lang", "text"]).repartition(
-            8
+            blocks_for_bytes(input_nbytes(input_path))  # size-derived fan-out
         ).map_batches(
             remote_fn(_QR, "recipe_input_batch"), batch_format="pyarrow"
         ).write_parquet(tmp)
