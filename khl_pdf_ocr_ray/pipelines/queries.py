@@ -1197,6 +1197,21 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return ann_lsh(sf_dir, n_queries=8, k=5)[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_lsh_incremental(sf_dir: str) -> pd.DataFrame:
+    """Index MAINTENANCE: the same ANN probe over an index built as a base
+    snapshot (even vec_ids) plus an APPENDED second snapshot (odd ids) —
+    new parquet files dropped into the existing bucket partitions, no
+    rewrite (stages/knn.py:ensure_lsh_index_snapshots). Bucket content
+    equals the single-shot build's, so this must reproduce ann_lsh's
+    results bit-for-bit — the oracle IS ann_lsh's sequential twin."""
+    from ..stages.knn import ann_lsh, ensure_lsh_index_snapshots
+
+    idx = ensure_lsh_index_snapshots(sf_dir)
+    return ann_lsh(sf_dir, n_queries=8, k=5, index_dir=idx)[
+        ["query_id", "neighbor_id", "rank"]
+    ]
+
+
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF (k-means inverted lists, nprobe=4) approximate top-5 — the
     second ANN scale path beside LSH; recall vs brute force asserted in
@@ -1294,6 +1309,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_incremental": q_ann_lsh_incremental,  # oracle: ann_lsh's twin
     "ann_ivf": q_ann_ivf,
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,

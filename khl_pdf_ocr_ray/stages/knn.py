@@ -238,6 +238,62 @@ def ensure_lsh_index(sf_dir: str) -> str:
     return ensure_published(out_dir, _build)
 
 
+def ensure_lsh_index_snapshots(sf_dir: str) -> str:
+    """The APPEND-ONLY index-maintenance path: build the LSH index from a
+    base snapshot (even vec_ids), then append a second snapshot (odd
+    vec_ids) as additional parquet files INSIDE the same bucket partition
+    directories — no rewrite of existing files, which is how a persisted
+    100 TB index absorbs a new crawl. Hive partition discovery treats a
+    directory's files as a union, so every probe sees base+appended rows;
+    bucket CONTENT equals the single-shot build's, hence probe results
+    are bit-identical (asserted by the shared ann_lsh oracle and a test).
+    Each snapshot write is a separate streaming pass; crash-safety comes
+    from the atomic publish of the whole two-write build here — in
+    production each append publishes a manifest like state/stage_ckpt.py."""
+    import os
+
+    from ..remote import remote_fn
+    from ..state.atomic import ensure_published
+
+    out_dir = _index_dir(sf_dir, "lshsnap", f"t{LSH_TABLES}p{LSH_PLANES}")
+
+    def _build(tmp_dir: str) -> None:
+        from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        nblocks = blocks_for_bytes(input_nbytes(path))
+        for parity in (0, 1):  # snapshot 0 = base build, 1 = append
+            ds = (
+                read_parquet_clean(path, columns=["vec_id", "embedding"])
+                .repartition(nblocks)
+                .map_batches(
+                    remote_fn(
+                        "khl_pdf_ocr_ray.stages.knn",
+                        "snapshot_filter_batch",
+                        parity=parity,
+                    ),
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    remote_fn("khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch"),
+                    batch_format="pandas",
+                )
+            )
+            ds.write_parquet(tmp_dir, partition_cols=["bucket"])
+
+    return ensure_published(out_dir, _build)
+
+
+def snapshot_filter_batch(batch, parity: int):
+    """Rows of one snapshot half (vec_id parity)."""
+    import pyarrow.compute as pc
+
+    mod = pc.subtract(
+        batch["vec_id"], pc.multiply(pc.divide(batch["vec_id"], 2), 2)
+    )
+    return batch.filter(pc.equal(mod, parity))
+
+
 def _probe_partitions(index_dir: str, col: str, wanted: set) -> list:
     """Parquet files of the probed hive partitions (only those that exist
     — empty buckets have no directory). Ray's read_parquet wants concrete
@@ -253,17 +309,26 @@ def _probe_partitions(index_dir: str, col: str, wanted: set) -> list:
     return files
 
 
-def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5, probes: int = 4) -> pd.DataFrame:
+def ann_lsh(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    probes: int = 4,
+    index_dir: str = None,
+) -> pd.DataFrame:
     """Approximate top-k over the PERSISTED LSH index: compute the query's
     bucket keys (+1-bit-flip probes), then read only those bucket
     partitions and rank in-bucket candidates. Recall vs brute force is
     asserted in tests; at 100 TB the partition pruning means a query batch
-    touches probes×tables directories, not the corpus."""
+    touches probes×tables directories, not the corpus. ``index_dir``
+    overrides the index (the incremental-maintenance query probes the
+    snapshot-appended index through this same path)."""
     import ray.data as rd
 
     from ..remote import remote_fn
 
-    index_dir = ensure_lsh_index(sf_dir)
+    if index_dir is None:
+        index_dir = ensure_lsh_index(sf_dir)
     qids, q = load_queries(sf_dir, n_queries)
     qkeys = _bucket_keys(q)  # (nq, tables)
     wanted = set()

@@ -498,6 +498,9 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "simhash_dups": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p('simhash_pairs_seq.parquet')}')",
         "ngram_jaccard_dups": f"SELECT doc_a, doc_b, jaccard_x100 FROM read_parquet('{p('ngram_pairs_seq.parquet')}')",
         "ann_lsh": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
+        # the appended-snapshot index holds the same bucket content, so the
+        # incremental query must reproduce the SAME sequential twin
+        "ann_lsh_incremental": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
         "ann_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
         "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",

@@ -249,3 +249,27 @@ def test_ann_ivf_recall(ray_session, sf):
     # deterministic
     again = q_ann_ivf(sf)
     assert approx.equals(again)
+
+
+def test_lsh_snapshot_index_appends_files(ray_session, sf_smoke_dir):
+    """The incremental index holds BOTH snapshots' files inside shared
+    bucket partition dirs (append, not rewrite), and its probe results
+    equal the single-shot index's exactly."""
+    import glob
+    import os
+
+    from khl_pdf_ocr_ray.stages.knn import (
+        ann_lsh,
+        ensure_lsh_index_snapshots,
+    )
+
+    idx = ensure_lsh_index_snapshots(sf_smoke_dir)
+    buckets = [d for d in glob.glob(os.path.join(idx, "bucket=*")) if os.path.isdir(d)]
+    assert buckets, "snapshot index has no bucket partitions"
+    # at least one bucket received files from both snapshot writes
+    assert any(len(glob.glob(os.path.join(b, "*.parquet"))) >= 2 for b in buckets)
+    got = ann_lsh(sf_smoke_dir, n_queries=8, k=5, index_dir=idx)
+    want = ann_lsh(sf_smoke_dir, n_queries=8, k=5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

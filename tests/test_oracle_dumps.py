@@ -27,6 +27,7 @@ DUMP_QUERIES = [
     "simhash_dups",
     "ngram_jaccard_dups",
     "ann_lsh",
+    "ann_lsh_incremental",
     "ann_ivf",
     "embedding_dups_lsh",
     "hll_distinct_users",
