@@ -27,12 +27,16 @@ three are STATIC-SQL oracle checked:
   join moves only (16-byte digest, doc_id) pairs.
 
 Scale notes (100 TB):
-- substring_dup_spans explodes the corpus twice (positional stream +
-  per-doc-distinct stream) rather than materializing either — the same
-  recompute-over-pin tradeoff as queries_prep.decontaminate. The kgram
-  join key is the literal K-word string here because the correctness gate
-  demands exactness; the deployment-scale variant keys on a 128-bit hash
-  of the kgram (collision odds ~n^2/2^129) so shuffled rows stay ~24 B.
+- substring_dup_spans tokenizes the corpus ONCE: the positional stream is
+  materialized (object store, spillable) and feeds both the
+  doc-frequency side (a per-batch dedupe of its own blocks) and the join
+  probe side, which is partitioned by the PROBE row count (safe_join's
+  smaller-side default would funnel the whole positional table through a
+  couple of tasks). The kgram join key is the literal K-word string here
+  because the correctness gate demands exactness; the deployment-scale
+  variant keys on a 128-bit hash of the kgram (collision odds ~n^2/2^129)
+  so shuffled rows stay ~24 B. The span merge groups by a 64-way doc-hash
+  shard and vectorizes across each shard's docs.
 - phrase_hits is embarrassingly parallel (no shuffle at all).
 - snapshot_dedup's right side is the distinct-hash table of the old
   snapshot — at 100 TB this is the persisted bloom/hash index of prior
