@@ -1212,6 +1212,19 @@ def q_ann_lsh_incremental(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_ann_ivf_incremental(sf_dir: str) -> pd.DataFrame:
+    """Index MAINTENANCE, IVF flavor: assignment of an appended snapshot
+    with the quantizer FROZEN from the original build (retraining would
+    reshuffle existing lists). Must reproduce ann_ivf bit-for-bit — the
+    oracle IS ann_ivf's sequential twin."""
+    from ..stages.knn import ann_ivf, ensure_ivf_index_snapshots
+
+    idx = ensure_ivf_index_snapshots(sf_dir)
+    return ann_ivf(sf_dir, n_queries=8, k=5, index_dir=idx)[
+        ["query_id", "neighbor_id", "rank"]
+    ]
+
+
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF (k-means inverted lists, nprobe=4) approximate top-5 — the
     second ANN scale path beside LSH; recall vs brute force asserted in
@@ -1311,6 +1324,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_incremental": q_ann_lsh_incremental,  # oracle: ann_lsh's twin
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_incremental": q_ann_ivf_incremental,  # oracle: ann_ivf's twin
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
 }

@@ -646,10 +646,84 @@ def ensure_ivf_index(sf_dir: str) -> str:
     return ensure_published(out_dir, _build)
 
 
-def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int = 4) -> pd.DataFrame:
+def ensure_ivf_index_snapshots(sf_dir: str) -> str:
+    """IVF index maintenance: assign and append a second snapshot (odd
+    vec_ids) into the list partitions built from the base snapshot (even
+    ids), with the quantizer FROZEN — the centroids come from the
+    original full build (ensure_ivf_index) and are NOT retrained on
+    append. Retraining on append would reshuffle every existing list;
+    freezing is how production IVF indexes absorb new data (and why they
+    are periodically rebuilt). Because the quantizer is identical and
+    assignment is per-row, list content equals the single-shot build's —
+    probes are bit-identical, certified by sharing ann_ivf's oracle."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..remote import remote_fn
+    from ..state.atomic import ensure_published
+
+    base_dir = ensure_ivf_index(sf_dir)
+    out_dir = _index_dir(
+        sf_dir, "ivfsnap", f"k{IVF_CLUSTERS}i{IVF_KMEANS_ITERS}s{IVF_TRAIN_SAMPLE}"
+    )
+
+    def _build(tmp_dir: str) -> None:
+        from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
+
+        centroids = np.stack(
+            _pq.read_table(os.path.join(base_dir, "centroids.parquet"))
+            .to_pandas()["centroid"]
+            .to_numpy()
+        ).astype(np.float64)
+        cents_ref = ray.put(centroids)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        nblocks = blocks_for_bytes(input_nbytes(path))
+        os.makedirs(tmp_dir, exist_ok=True)
+        for parity in (0, 1):  # snapshot 0 = base build, 1 = append
+            (
+                read_parquet_clean(path, columns=["vec_id", "embedding"])
+                .repartition(nblocks)
+                .map_batches(
+                    remote_fn(
+                        "khl_pdf_ocr_ray.stages.knn",
+                        "snapshot_filter_batch",
+                        parity=parity,
+                    ),
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    remote_fn(
+                        "khl_pdf_ocr_ray.stages.knn",
+                        "ivf_assign_batch",
+                        centroids_ref=cents_ref,
+                    ),
+                    batch_format="pandas",
+                )
+                .write_parquet(os.path.join(tmp_dir, "lists"), partition_cols=["ivf_list"])
+            )
+        shutil.copy2(
+            os.path.join(base_dir, "centroids.parquet"),
+            os.path.join(tmp_dir, "centroids.parquet"),
+        )
+
+    return ensure_published(out_dir, _build)
+
+
+def ann_ivf(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = 4,
+    index_dir: str = None,
+) -> pd.DataFrame:
     """IVF approximate top-k over the PERSISTED index: load the (tiny)
     centroid table, pick each query's nprobe nearest lists, read only
-    those list partitions and rank candidates."""
+    those list partitions and rank candidates. ``index_dir`` overrides
+    the index (the incremental-maintenance query probes the
+    snapshot-appended index through this same path)."""
     import os
 
     import pyarrow.parquet as _pq
@@ -657,7 +731,8 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int = 4) -> pd.
 
     from ..remote import remote_fn
 
-    index_dir = ensure_ivf_index(sf_dir)
+    if index_dir is None:
+        index_dir = ensure_ivf_index(sf_dir)
     centroids = np.stack(
         _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
         .to_pandas()["centroid"]

@@ -502,6 +502,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         # incremental query must reproduce the SAME sequential twin
         "ann_lsh_incremental": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
         "ann_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
+        "ann_ivf_incremental": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
         "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",
         "bigram_topk_cms": f"SELECT bigram, n_est FROM read_parquet('{p('bigram_cms_seq.parquet')}')",

@@ -29,6 +29,7 @@ DUMP_QUERIES = [
     "ann_lsh",
     "ann_lsh_incremental",
     "ann_ivf",
+    "ann_ivf_incremental",
     "embedding_dups_lsh",
     "hll_distinct_users",
     "hll_users_by_type",
