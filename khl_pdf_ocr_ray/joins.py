@@ -94,8 +94,25 @@ def safe_join(
             return left
         return None
     if num_partitions is None:
-        n = min(n_left, n_right)
-        num_partitions = max(1, min(_max_partitions(), n // rows_per_partition))
+        n_small, n_large = min(n_left, n_right), max(n_left, n_right)
+        # floor: the smaller side's row count keeps every partition
+        # (overwhelmingly) populated; bump: a much LARGER probe side may
+        # raise parallelism — one partition per ~100k probe rows — but
+        # never past ~256 expected build rows per partition (the
+        # empty-partition guard) or the 4x-cores cap (joins hang well
+        # above ~8x cores in local mode). Without the bump a 12k x 3M
+        # join funnels the whole probe side through 2 tasks (measured 3x
+        # slower on substring_dup_spans before it passed this explicitly).
+        num_partitions = max(
+            1,
+            min(
+                _max_partitions(),
+                max(
+                    n_small // rows_per_partition,
+                    min(n_large // 100_000, n_small // 256),
+                ),
+            ),
+        )
     return left.join(
         right,
         join_type=join_type,
