@@ -497,6 +497,109 @@ def q_url_template_topk(sf_dir: str) -> rd.Dataset:
     )
 
 
+def lines_explode(batch: pa.Table) -> pa.Table:
+    """One row per kept, non-empty HTML block: the corpus's line table.
+    Only (url, md5, position, length) leave the task — never line text."""
+    from ..functions.lines import kept_line_rows, pos_key
+
+    urls, md5s, ncs, keys = [], [], [], []
+    for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        for bid, h, n in kept_line_rows(payload):
+            urls.append(url)
+            md5s.append(h)
+            ncs.append(n)
+            keys.append(pos_key(url, bid))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "line_md5": pa.array(md5s, pa.string()),
+            "n_chars": pa.array(ncs, pa.int64()),
+            "pos_key": pa.array(keys, pa.string()),
+        }
+    )
+
+
+def line_win_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (line_md5, min pos_key) row per distinct
+    hash, so the winner groupby shuffles <= distinct-lines-per-block rows
+    (boilerplate lines collapse map-side — the giant-group guard: a line
+    occurring on every page contributes ONE row per block, not one per
+    occurrence)."""
+    g = batch.group_by(["line_md5"]).aggregate([("pos_key", "min")])
+    return g.rename_columns(["line_md5", "keep_key"])
+
+
+def line_dedup_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-url partial of the final accounting."""
+    removed = pc.not_equal(batch["pos_key"], batch["keep_key"])
+    t = pa.table(
+        {
+            "url": batch["url"],
+            "n_lines": pa.array([1] * len(batch), pa.int64()),
+            "n_removed": pc.cast(removed, pa.int64()),
+            "chars_kept": pc.if_else(
+                removed, pa.scalar(0, pa.int64()), batch["n_chars"]
+            ),
+        }
+    )
+    g = t.group_by(["url"]).aggregate(
+        [("n_lines", "sum"), ("n_removed", "sum"), ("chars_kept", "sum")]
+    )
+    return g.rename_columns(["url", "n_lines", "n_removed", "chars_kept"])
+
+
+def q_line_dedup(sf_dir: str) -> rd.Dataset:
+    """C4-style corpus-wide LINE dedup over the extracted web text: a kept
+    HTML block whose whitespace-collapsed text already occurred earlier in
+    the corpus (min (url, block_id) order) is boilerplate and is removed;
+    per url report lines seen, lines removed, and chars surviving.
+
+    Plan (all slim string/int columns; payloads never shuffle):
+      explode -> per-batch min combiner -> line_md5 groupby Min (winner)
+      -> hash join winners back -> per-batch per-url partial -> url Sum.
+    100 TB: the winner table is |distinct lines| rows; hot boilerplate
+    lines pre-collapse map-side in BOTH the combiner and the final
+    partial, so no task ever holds a full dup group."""
+    from ray.data.aggregate import Min
+
+    from ..joins import safe_join
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    lines = (
+        rd.read_parquet(pages_dir, columns=["url", "html"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "lines_explode"),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice: winner aggregate + join probe
+    )
+    winners = (
+        lines.map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_win_partial"),
+            batch_format="pyarrow",
+        )
+        .groupby("line_md5")
+        .aggregate(Min("keep_key", alias_name="keep_key"))
+        .rename_columns({"line_md5": "line_md5_r"})
+    )
+    joined = safe_join(lines, winners, on=("line_md5",), right_on=("line_md5_r",))
+    assert joined is not None  # the html corpus always has kept lines
+    return (
+        joined.map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.pipelines.queries_extract", "line_dedup_partial"
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("url")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_removed", alias_name="n_removed"),
+            Sum("chars_kept", alias_name="chars_kept"),
+        )
+    )
+
+
 EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
@@ -512,4 +615,5 @@ EXTRACT_QUERIES = {
     "extract_blocks": q_extract_blocks,
     "url_dedup": q_url_dedup,
     "url_template_topk": q_url_template_topk,
+    "line_dedup": q_line_dedup,
 }

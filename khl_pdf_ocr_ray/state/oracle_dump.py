@@ -56,6 +56,8 @@ def dumps_dir(sf_dir: str) -> str:
     for rel in (
         "functions/tables.py",
         "functions/urlnorm.py",
+        "functions/lines.py",     # line-dedup identity kernel
+
         "stages/multimodal.py",   # media_* dump kernels
         "stages/textqc.py",       # fingerprint_rolling twin constants
         "sources/synth.py",       # master lists + media table generators
@@ -109,6 +111,13 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     blocks_rows: Dict[str, list] = {
         "url": [], "block_id": [], "kind": [], "text_len": [],
         "link_density_x1e6": [], "text_density_x100": [], "kept": [],
+    }
+    # line-dedup twin: the shared identity kernel sequentially; DuckDB
+    # does the winner/accounting relational part (extract_oracle_sqls)
+    from ..functions.lines import kept_line_rows, pos_key
+
+    lines_rows: Dict[str, list] = {
+        "url": [], "line_md5": [], "n_chars": [], "pos_key": [],
     }
 
     # lineage twin: per-fragment (partition) aggregates accumulated in the
@@ -183,6 +192,11 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
             elif ctype == "text/html":
                 from ..functions.html_extract import extract_main_content
 
+                for bid, h, n in kept_line_rows(payload):
+                    lines_rows["url"].append(url)
+                    lines_rows["line_md5"].append(h)
+                    lines_rows["n_chars"].append(n)
+                    lines_rows["pos_key"].append(pos_key(url, bid))
                 for i, b in enumerate(extract_main_content(payload)["blocks"]):
                     blocks_rows["url"].append(url)
                     blocks_rows["block_id"].append(i)
@@ -226,6 +240,8 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
             "kept": pa.bool_(),
         },
     )
+
+    _write("lines_seq.parquet", lines_rows, {"n_chars": pa.int64()})
 
     _write(
         "lineage_seq.parquet",
@@ -465,6 +481,20 @@ SELECT part_key, rows, bytes FROM read_parquet('{p("skew_seq.parquet")}')
 SELECT partition_id, row_count, bytes_in, chars_out, error_rows,
        extraction_version
 FROM read_parquet('{p("lineage_seq.parquet")}')
+""",
+        "line_dedup": f"""
+-- relational twin of the C4-style line dedup: winner = min pos_key per
+-- line hash (the same packed key the Ray plan aggregates), then per-url
+-- accounting over the sequential line dump
+WITH l AS (SELECT * FROM read_parquet('{p("lines_seq.parquet")}')),
+w AS (SELECT line_md5, min(pos_key) AS keep_key FROM l GROUP BY line_md5)
+SELECT l.url, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l.pos_key <> w.keep_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN l.pos_key = w.keep_key THEN l.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_kept
+FROM l JOIN w USING (line_md5)
+GROUP BY l.url
 """,
         "url_dedup": f"SELECT norm_url, n_dups, keep_url FROM read_parquet('{p('url_dedup_seq.parquet')}')",
         "url_template_topk": f"SELECT template, n_pages FROM read_parquet('{p('url_templates_seq.parquet')}')",

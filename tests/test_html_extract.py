@@ -190,3 +190,43 @@ def test_fast_tokenizer_edge_cases_match_oracle():
         ] == [
             (b.kind, b.text, b.link_chars, b.total_chars, b.inner_tags) for b in rb
         ], html
+
+
+# --- C4-style line dedup (functions/lines.py + q_line_dedup) -----------------
+def test_kept_line_rows_kernel():
+    from khl_pdf_ocr_ray.functions.lines import kept_line_rows, pos_key
+
+    html = (
+        b"<html><body><h2>Title words here for density</h2>"
+        b"<p>first real paragraph with plenty of words to keep</p>"
+        b"<p>   </p>"  # kept-but-empty after collapse -> no line row
+        b"<p>first  real \n paragraph with plenty of words to keep</p>"
+        b"</body></html>"
+    )
+    rows = kept_line_rows(html)
+    # non-HTML payloads produce no line rows
+    assert kept_line_rows(b"%WBOX nope") == []
+    assert all(n > 0 for _, _, n in rows)
+    # whitespace-collapsed identity: the two paragraphs share one md5
+    md5s = [h for _, h, _ in rows]
+    assert len(md5s) >= 2 and len(set(md5s)) < len(md5s)
+    assert pos_key("http://a/x", 3) == "http://a/x|000003"
+
+
+def test_line_dedup_invariants(ray_session, sf_smoke_dir):
+    """Corpus-wide: kept lines == distinct line hashes; every url's removal
+    count is bounded by its line count."""
+    import duckdb
+
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES, oracles
+
+    df = QUERIES["line_dedup"](sf_smoke_dir).to_pandas()
+    assert (df["n_removed"] <= df["n_lines"]).all()
+    assert (df["chars_kept"] >= 0).all()
+    sqls = oracles(sf_smoke_dir)
+    # distinct-hash count from the sequential dump the oracle reads
+    path = sqls["line_dedup"].split("read_parquet('")[1].split("'")[0]
+    n_distinct = duckdb.sql(
+        f"SELECT count(DISTINCT line_md5) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    assert int((df["n_lines"] - df["n_removed"]).sum()) == int(n_distinct)

@@ -17,6 +17,7 @@ DUMP_QUERIES = [
     "skew_partition_stats",
     "url_dedup",
     "url_template_topk",
+    "line_dedup",
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
