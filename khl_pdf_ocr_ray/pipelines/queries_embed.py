@@ -422,11 +422,98 @@ def q_cluster_lang_purity(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- SemDeDup (within-cluster semantic dedup) --------------------------------
+SEM_TAU = 0.35  # cosine threshold; matches the embedding_dups family
+
+
+def semdedup_mark(x: np.ndarray) -> np.ndarray:
+    """Kept flags for one cluster's embedding matrix, rows pre-sorted by
+    vec_id ascending: row i is REMOVED iff some earlier row j < i has
+    cosine(x_j, x_i) >= SEM_TAU (the pairwise rule of SemDeDup, Abbas et
+    al. 2023, arXiv:2303.09540 — one representative survives per dup
+    pair, earliest id wins; 'earlier' is by id, NOT by kept status, so
+    the decision for row i is independent of other removals and the rule
+    is order-parallel). Shared verbatim by the distributed per-cluster
+    task and the sequential dump twin — identical input matrix, identical
+    doubles."""
+    n = len(x)
+    kept = np.ones(n, dtype=bool)
+    if n <= 1:
+        return kept
+    norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+    norms[norms == 0.0] = 1.0
+    xn = x / norms[:, None]
+    for i in range(1, n):
+        # matvec against the fixed prefix — same shape on both engines
+        if (xn[:i] @ xn[i] >= SEM_TAU).any():
+            kept[i] = False
+    return kept
+
+
+def sem_assign_batch(df: pd.DataFrame, cents: List[List[float]]) -> pd.DataFrame:
+    """km_assign_batch, but CARRYING the embedding column: the per-cluster
+    dedup needs the vectors co-located with their cluster id."""
+    c = np.asarray(cents, dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].astype("int64"),
+            "cluster": km_assign(_matrix(df), c),
+            "embedding": df["embedding"],
+        }
+    )
+
+
+def semdedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+    """One cluster -> (vec_id, cluster, kept)."""
+    g = g.sort_values("vec_id")
+    kept = semdedup_mark(_matrix(g))
+    return pd.DataFrame(
+        {
+            "vec_id": g["vec_id"].to_numpy(dtype=np.int64),
+            "cluster": g["cluster"].to_numpy(dtype=np.int64),
+            "kept": kept,
+        }
+    )
+
+
+def q_semdedup(sf_dir: str) -> rd.Dataset:
+    """SemDeDup: semantic (embedding-space) dedup — k-means partitions the
+    corpus, then each cluster is deduplicated internally by pairwise
+    cosine (>= SEM_TAU keeps the lowest vec_id). The published recipe for
+    sub-quadratic embedding dedup: the O(n^2) compare runs within
+    clusters only, so total work is sum m_k^2 ~ n^2/K.
+
+    Plan: the cached embedding working set -> Lloyd iterations (slim
+    K x D combiner shuffles) -> assignment carrying the vectors -> ONE
+    cluster-keyed exchange -> per-cluster vectorized mark. 100 TB: K
+    scales as corpus/target-cluster-size (SemDeDup uses ~10^5 clusters at
+    LAION scale) so a cluster stays one-task-sized; a pathological giant
+    cluster can shard the prefix compare chunk-vs-earlier-chunks without
+    changing the rule (decision for row i depends only on earlier rows)."""
+    ds = _t_emb(sf_dir)
+    cents = kmeans_iterate(ds, kmeans_init(ds), KM_ITERS)
+    return (
+        ds.map_batches(
+            remote_fn(_QE, "sem_assign_batch", cents=cents.tolist()),
+            batch_format="pandas",
+        )
+        .groupby("cluster")
+        .map_groups(remote_fn(_QE, "semdedup_cluster"), batch_format="pandas")
+    )
+
+
+def _t_emb(sf_dir: str) -> rd.Dataset:
+    from .queries import _t
+
+    return _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+
 EMBED_QUERIES = {
     "lang_embedding_centroid": q_lang_embedding_centroid,
     "kmeans_clusters": q_kmeans_clusters,
     "pca_project": q_pca_project,
     "cluster_lang_purity": q_cluster_lang_purity,  # dump-backed oracle
+    "semdedup": q_semdedup,  # dump-backed oracle
 }
 
 EMBED_ORACLES = {

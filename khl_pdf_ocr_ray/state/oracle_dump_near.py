@@ -390,12 +390,38 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
             if counts[k]:
                 sums[k] = fx[m].sum(axis=0)
         cents = km_update_from_sums(sums, counts, cents)
+    final_assign = km_assign(x, cents)
     _write(
         "kmeans_seq.parquet",
         pd.DataFrame(
             {
                 "vec_id": full["vec_id"].astype("int64"),
-                "cluster": km_assign(x, cents),
+                "cluster": final_assign,
+            }
+        ),
+    )
+
+    # SemDeDup twin: the SAME semdedup_mark kernel per cluster over the
+    # same final centroids' assignment; rows sorted by vec_id on both
+    # sides, so each cluster's input matrix (and hence its doubles) is
+    # identical to the distributed per-cluster task's.
+    from ..pipelines.queries_embed import semdedup_mark
+
+    sem_ids, sem_cl, sem_kept = [], [], []
+    vec_ids = full["vec_id"].to_numpy(dtype=np.int64)
+    for k in np.unique(final_assign):
+        m = final_assign == k
+        kept = semdedup_mark(x[m])  # full is vec_id-sorted already
+        sem_ids.extend(vec_ids[m].tolist())
+        sem_cl.extend([int(k)] * int(m.sum()))
+        sem_kept.extend(kept.tolist())
+    _write(
+        "semdedup_seq.parquet",
+        pd.DataFrame(
+            {
+                "vec_id": pd.Series(sem_ids, dtype="int64"),
+                "cluster": pd.Series(sem_cl, dtype="int64"),
+                "kept": pd.Series(sem_kept, dtype="bool"),
             }
         ),
     )
@@ -509,6 +535,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",
         "bm25_topk": f"SELECT doc_id, n_terms, score_x1m FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
         "kmeans_clusters": f"SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')",
+        "semdedup": f"SELECT vec_id, cluster, kept FROM read_parquet('{p('semdedup_seq.parquet')}')",
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
         "llm_corpus_recipe": f"SELECT lang, n_docs, n_chunks, n_tokens FROM read_parquet('{p('llm_recipe_seq.parquet')}')",

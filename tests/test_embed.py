@@ -136,3 +136,60 @@ def test_pca_projection_batch_invariant():
         ]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, parts)
+
+
+# --- SemDeDup -----------------------------------------------------------------
+def test_semdedup_mark_rule():
+    """Row i removed iff some EARLIER row has cosine >= SEM_TAU — kept
+    status of the earlier row is irrelevant (order-parallel rule)."""
+    import numpy as np
+
+    from khl_pdf_ocr_ray.pipelines.queries_embed import SEM_TAU, semdedup_mark
+
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    x = np.stack([a, b, a, a + 1e-3 * b, b])
+    kept = semdedup_mark(x)
+    # first occurrences of each direction survive; later near-copies don't
+    assert kept.tolist() == [True, True, False, False, False]
+    # orthogonal pair is below any sensible tau
+    assert SEM_TAU > 0.0
+    assert semdedup_mark(np.stack([a, b])).tolist() == [True, True]
+    assert semdedup_mark(np.zeros((0, 3))).tolist() == []
+    assert semdedup_mark(np.stack([a])).tolist() == [True]
+
+
+def test_semdedup_lowest_id_always_kept(ray_session, sf_smoke_dir):
+    """Per cluster: the lowest vec_id is always kept, and every removal has
+    an earlier same-cluster row above the threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.pipelines.queries_embed import SEM_TAU, q_semdedup
+
+    df = q_semdedup(sf_smoke_dir).to_pandas().sort_values(
+        ["cluster", "vec_id"]
+    )
+    first = df.groupby("cluster").head(1)
+    assert first["kept"].all()
+    emb = pq.read_table(
+        f"{sf_smoke_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    vecs = {
+        int(i): np.asarray(e, dtype=np.float64)
+        for i, e in zip(emb["vec_id"], emb["embedding"])
+    }
+
+    def cos(u, v):
+        nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+        return float(u @ v / ((nu or 1.0) * (nv or 1.0)))
+
+    for _, grp in df.groupby("cluster"):
+        ids = grp["vec_id"].tolist()
+        kept = grp["kept"].tolist()
+        for i, (vid, k) in enumerate(zip(ids, kept)):
+            if not k:
+                assert any(
+                    cos(vecs[earlier], vecs[vid]) >= SEM_TAU
+                    for earlier in ids[:i]
+                ), vid

@@ -41,6 +41,7 @@ DUMP_QUERIES = [
     "unigram_logprob",
     "llm_corpus_recipe",
     "cluster_lang_purity",
+    "semdedup",
 ]
 
 
