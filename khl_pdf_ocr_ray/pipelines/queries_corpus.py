@@ -46,7 +46,7 @@ from __future__ import annotations
 import math
 import os
 from collections import Counter
-from typing import Dict
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
@@ -931,7 +931,115 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- DSIR importance resampling (hashed n-gram domain selection) -------------
+DSIR_B = 4096          # hashed feature buckets
+DSIR_TARGET_LANG = "en"  # the target domain (DSIR trains on a target subset)
+DSIR_KEEP = 100        # resample size
+
+
+def dsir_feature_buckets(text: str) -> "np.ndarray":
+    """Hashed n-gram features of one document: word unigrams + adjacent
+    bigrams, crc32 % DSIR_B (the DSIR paper's hashed n-gram featurization,
+    Xie et al. 2023, arXiv:2302.03169). Shared by count and score passes
+    on both engines."""
+    import zlib
+
+    ws = (text or "").split(" ")
+    feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    return np.asarray(
+        [zlib.crc32(f.encode("utf-8")) % DSIR_B for f in feats], dtype=np.int64
+    )
+
+
+def dsir_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (bucket, n_tgt, n_src) combiner: every doc feeds the
+    source (raw) counts; target-language docs also feed the target counts.
+    One pass trains both models."""
+    tgt = np.zeros(DSIR_B, dtype=np.int64)
+    src = np.zeros(DSIR_B, dtype=np.int64)
+    for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+        b = dsir_feature_buckets(text)
+        cnt = np.bincount(b, minlength=DSIR_B)
+        src += cnt
+        if lang == DSIR_TARGET_LANG:
+            tgt += cnt
+    nz = np.nonzero(src + tgt)[0]
+    return pa.table(
+        {
+            "bucket": pa.array(nz, pa.int64()),
+            "n_tgt": pa.array(tgt[nz], pa.int64()),
+            "n_src": pa.array(src[nz], pa.int64()),
+        }
+    )
+
+
+def dsir_model_from_counts(counts: pd.DataFrame) -> List[int]:
+    """(bucket, n_tgt, n_src) -> dense per-bucket fixed-point importance
+    log-ratios: floor((log2 p_tgt - log2 p_src) * 2^20 + 0.5) with add-1
+    smoothing over DSIR_B buckets. Per-bucket independent doubles — shared
+    by the distributed plan and the sequential dump twin."""
+    tgt = np.zeros(DSIR_B, dtype=np.int64)
+    src = np.zeros(DSIR_B, dtype=np.int64)
+    bk = counts["bucket"].to_numpy(dtype=np.int64)
+    tgt[bk] = counts["n_tgt"].to_numpy(dtype=np.int64)
+    src[bk] = counts["n_src"].to_numpy(dtype=np.int64)
+    lt = np.log2((tgt + 1).astype(np.float64) / float(tgt.sum() + DSIR_B))
+    ls = np.log2((src + 1).astype(np.float64) / float(src.sum() + DSIR_B))
+    return np.floor((lt - ls) * LM_SCALE + 0.5).astype(np.int64).tolist()
+
+
+def dsir_score_batch(batch: pa.Table, ratios: List[int]) -> pa.Table:
+    """Per-doc integer importance log-weight: sum of per-feature ratio_fx
+    (order-independent under any batching)."""
+    r = np.asarray(ratios, dtype=np.int64)
+    ids, nfs, lws = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        b = dsir_feature_buckets(t)
+        ids.append(d)
+        nfs.append(len(b))
+        lws.append(int(r[b].sum()) if len(b) else 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_feats": pa.array(nfs, pa.int64()),
+            "logw_fx": pa.array(lws, pa.int64()),
+        }
+    )
+
+
+def q_dsir_topk(sf_dir: str) -> rd.Dataset:
+    """DSIR-style data selection: hashed-n-gram importance weights toward
+    a target domain (lang == DSIR_TARGET_LANG), then the deterministic resample —
+    the DSIR_KEEP highest-weight documents (ties to the lowest doc_id).
+
+    Plan: ONE counting pass trains both bucket models (a <= DSIR_B-row
+    combiner shuffle), the dense fixed-point ratio table broadcasts into
+    the scoring pass (map-only), and the selection is a distributed
+    sort + limit over slim (doc_id, n_feats, logw_fx) rows. 100 TB: counts
+    reduce to DSIR_B rows regardless of corpus size; the ratio table is
+    ~32 KB (ray.put once at real scale); top-k never moves text."""
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(remote_fn(_QC, "dsir_count_partial"), batch_format="pyarrow")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby("bucket")
+        .aggregate(Sum("n_tgt", alias_name="n_tgt"), Sum("n_src", alias_name="n_src"))
+        .to_pandas()  # <= DSIR_B rows
+    )
+    ratios = dsir_model_from_counts(counts)
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            remote_fn(_QC, "dsir_score_batch", ratios=ratios),
+            batch_format="pyarrow",
+        )
+        .sort(["logw_fx", "doc_id"], descending=[True, False])
+        .limit(DSIR_KEEP)
+    )
+
+
 CORPUS_QUERIES: Dict[str, object] = {
+    "dsir_topk": q_dsir_topk,  # dump-backed oracle
     "unigram_logprob": q_unigram_logprob,  # dump-backed oracle
     "lang_watchlist_full": q_lang_watchlist_full,
     "word_repetition": q_word_repetition,

@@ -459,6 +459,31 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     model = lm_model_from_counts(lm_count_partial(docs_raw).to_pandas())
     _write("unigram_lm_seq.parquet", lm_score_batch(docs_raw, model).to_pandas())
 
+    # DSIR twin: same count/model/score kernels single-process (integer
+    # bucket counts and per-doc integer weight sums are order-independent;
+    # the per-bucket log2 doubles come from the one shared
+    # dsir_model_from_counts); selection = the same (logw DESC, id ASC)
+    # head in pandas.
+    from ..pipelines.queries_corpus import (
+        DSIR_KEEP,
+        dsir_count_partial,
+        dsir_model_from_counts,
+        dsir_score_batch,
+    )
+
+    docs_dsir = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    ratios = dsir_model_from_counts(dsir_count_partial(docs_dsir).to_pandas())
+    scored = dsir_score_batch(docs_dsir, ratios).to_pandas()
+    _write(
+        "dsir_topk_seq.parquet",
+        scored.sort_values(["logw_fx", "doc_id"], ascending=[False, True]).head(
+            DSIR_KEEP
+        ),
+    )
+
     # llm_corpus_recipe twin: the SAME stage kernels chained sequentially
     # with pandas plumbing (filter -> md5-min dedup -> eval-trigram
     # decontamination -> chunk accounting). The distributed plan under
@@ -538,6 +563,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "semdedup": f"SELECT vec_id, cluster, kept FROM read_parquet('{p('semdedup_seq.parquet')}')",
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
+        "dsir_topk": f"SELECT doc_id, n_feats, logw_fx FROM read_parquet('{p('dsir_topk_seq.parquet')}')",
         "llm_corpus_recipe": f"SELECT lang, n_docs, n_chunks, n_tokens FROM read_parquet('{p('llm_recipe_seq.parquet')}')",
         # purity: the contingency recomputed in SQL over the kmeans twin's
         # assignments joined to the documents view — an INDEPENDENT

@@ -64,3 +64,56 @@ def test_lm_score_batching_invariant_and_oov_floor():
     assert int(oov.neg_logprob_fx.iloc[0]) == -(min(model.values()) - LM_SCALE)
     # scores are negative log-likelihoods: positive for any p<1 corpus
     assert (whole.neg_logprob_fx >= 0).all()
+
+
+# --- DSIR importance resampling ----------------------------------------------
+def test_dsir_kernels_batching_invariant_and_enrichment():
+    """Counts/scores split across batches equal the single-batch run, and
+    documents written in the target domain's vocabulary outweigh others."""
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.pipelines.queries_corpus import (
+        DSIR_TARGET_LANG,
+        dsir_count_partial,
+        dsir_model_from_counts,
+        dsir_score_batch,
+    )
+
+    rows = [
+        (1, DSIR_TARGET_LANG, "alpha beta gamma alpha beta"),
+        (2, DSIR_TARGET_LANG, "alpha beta delta"),
+        (3, "de", "zeta eta theta zeta"),
+        (4, "de", "eta theta iota"),
+    ]
+
+    def _b(rs):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rs], pa.int64()),
+                "lang": pa.array([r[1] for r in rs], pa.string()),
+                "text": pa.array([r[2] for r in rs], pa.string()),
+            }
+        )
+
+    whole = dsir_count_partial(_b(rows)).to_pandas().set_index("bucket")
+    import pandas as pd
+
+    parts = (
+        pd.concat(
+            [
+                dsir_count_partial(_b(rows[:2])).to_pandas(),
+                dsir_count_partial(_b(rows[2:])).to_pandas(),
+            ]
+        )
+        .groupby("bucket")
+        .sum()
+    )
+    pd.testing.assert_frame_equal(whole.sort_index(), parts.sort_index())
+
+    ratios = dsir_model_from_counts(whole.reset_index())
+    scored = dsir_score_batch(_b(rows), ratios).to_pandas().set_index("doc_id")
+    # target-vocabulary docs carry higher importance weights
+    assert scored.loc[1, "logw_fx"] > scored.loc[3, "logw_fx"]
+    assert scored.loc[2, "logw_fx"] > scored.loc[4, "logw_fx"]
+    # n_feats = unigrams + bigrams
+    assert int(scored.loc[1, "n_feats"]) == 5 + 4

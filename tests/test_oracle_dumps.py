@@ -39,6 +39,7 @@ DUMP_QUERIES = [
     "kmeans_clusters",
     "pca_project",
     "unigram_logprob",
+    "dsir_topk",
     "llm_corpus_recipe",
     "cluster_lang_purity",
     "semdedup",
