@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "substring_dup_spans",  # positional-shingle duplicate spans (round 3)
     "pca_project",          # one-pass covariance + projection (round 3)
     "llm_corpus_recipe",    # composed filter->dedup->decon->chunk (round 3)
+    "line_dedup",           # C4-style corpus-wide line dedup (round 3)
+    "semdedup",             # within-cluster semantic dedup (round 3)
+    "dsir_topk",            # hashed-ngram importance resampling (round 3)
 ]
 
 

@@ -931,6 +931,119 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- Gopher repetition signals ------------------------------------------------
+def gopher_rep_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher-style repetition metrics (Rae et al. 2021, Gopher
+    quality rules): for n in {2,3,4}, the permille of document characters
+    covered by the single most frequent word n-gram (ties to the
+    lexicographically smallest), and the permille of 5-gram POSITIONS
+    whose 5-gram occurs more than once. All doubles are one shared
+    floor(x*1000+0.5) expression per metric, identical to the SQL oracle.
+    Map-only — no shuffle."""
+    from collections import Counter
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    cols = {"doc_id": ids, "top2": [], "top3": [], "top4": [], "dup5": []}
+    for t in texts:
+        t = t or ""
+        ws = t.split(" ")
+        n_chars = len(t)
+        for n, key in ((2, "top2"), (3, "top3"), (4, "top4")):
+            grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            if not grams or n_chars == 0:
+                cols[key].append(0)
+                continue
+            c = Counter(grams)
+            # max count, ties to the smallest gram string
+            best = min((g for g, v in c.items() if v == max(c.values())))
+            cols[key].append(
+                int(math.floor(c[best] * len(best) * 1000.0 / n_chars + 0.5))
+            )
+        g5 = [" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)]
+        if not g5:
+            cols["dup5"].append(0)
+        else:
+            c5 = Counter(g5)
+            dup_pos = sum(v for v in c5.values() if v > 1)
+            cols["dup5"].append(int(math.floor(dup_pos * 1000.0 / len(g5) + 0.5)))
+    return pa.table(
+        {
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "top2_permille": pa.array(cols["top2"], pa.int64()),
+            "top3_permille": pa.array(cols["top3"], pa.int64()),
+            "top4_permille": pa.array(cols["top4"], pa.int64()),
+            "dup5_permille": pa.array(cols["dup5"], pa.int64()),
+        }
+    )
+
+
+def q_gopher_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher repetition quality filter inputs, one row per document.
+    Embarrassingly parallel (the n-gram tables are per-doc and die inside
+    the task); at 100 TB this is a pure streaming map like lang_id."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QC, "gopher_rep_batch"), batch_format="pyarrow"
+    )
+
+
+def _sql_top_ngram(n: int) -> str:
+    """SQL fragment: per-doc permille of chars covered by the top word
+    n-gram (count DESC, gram ASC tie rule — identical to the kernel)."""
+    leads = [f"w"] + [
+        f"lead(w, {k}) OVER (PARTITION BY doc_id ORDER BY i)" for k in range(1, n)
+    ]
+    ng = " || ' ' || ".join(leads)
+    return f"""
+  (WITH u AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w,
+                     generate_subscripts(string_split(d.text, ' '), 1) AS i
+              FROM documents d),
+   g AS (SELECT doc_id, {ng} AS ng FROM u QUALIFY ng IS NOT NULL),
+   c AS (SELECT doc_id, ng, count(*) AS c FROM g GROUP BY doc_id, ng),
+   r AS (SELECT doc_id, ng, c,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, ng) AS rk FROM c)
+   SELECT r.doc_id,
+          CAST(floor(r.c * len(r.ng) * 1000.0 / len(d2.text) + 0.5) AS BIGINT)
+            AS v
+   FROM r JOIN documents d2 ON r.doc_id = d2.doc_id
+   WHERE rk = 1 AND len(d2.text) > 0)
+"""
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH t2 AS {_sql_top_ngram(2)},
+t3 AS {_sql_top_ngram(3)},
+t4 AS {_sql_top_ngram(4)},
+g5 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY i) AS ng
+  FROM (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w,
+               generate_subscripts(string_split(d.text, ' '), 1) AS i
+        FROM documents d)
+  QUALIFY ng IS NOT NULL),
+d5 AS (
+  SELECT doc_id,
+         CAST(floor(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000.0
+                    / sum(c) + 0.5) AS BIGINT) AS v
+  FROM (SELECT doc_id, ng, count(*) AS c FROM g5 GROUP BY doc_id, ng)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t2.v, 0) AS top2_permille,
+       coalesce(t3.v, 0) AS top3_permille,
+       coalesce(t4.v, 0) AS top4_permille,
+       coalesce(d5.v, 0) AS dup5_permille
+FROM documents d
+LEFT JOIN t2 ON d.doc_id = t2.doc_id
+LEFT JOIN t3 ON d.doc_id = t3.doc_id
+LEFT JOIN t4 ON d.doc_id = t4.doc_id
+LEFT JOIN d5 ON d.doc_id = d5.doc_id
+"""
+
+
 # --- DSIR importance resampling (hashed n-gram domain selection) -------------
 DSIR_B = 4096          # hashed feature buckets
 DSIR_TARGET_LANG = "en"  # the target domain (DSIR trains on a target subset)
@@ -1043,6 +1156,7 @@ CORPUS_QUERIES: Dict[str, object] = {
     "unigram_logprob": q_unigram_logprob,  # dump-backed oracle
     "lang_watchlist_full": q_lang_watchlist_full,
     "word_repetition": q_word_repetition,
+    "gopher_repetition": q_gopher_repetition,
     "bigram_topk": q_bigram_topk,
     "source_top_docs": q_source_top_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1071,6 +1185,7 @@ SELECT COALESCE(l.lang, w.wlang) AS lang,
        CAST(COALESCE(w.priority, 0) AS BIGINT) AS priority
 FROM l FULL OUTER JOIN w ON l.lang = w.wlang
 """,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
     "word_repetition": """
 SELECT doc_id,
   CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,

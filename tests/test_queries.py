@@ -202,3 +202,27 @@ def test_split_hash_is_overflow_safe_and_identity_below_2_31():
             FROM (SELECT unnest({ids}) AS i)"""
     ).fetchone()[0]
     assert n_train == int(sql)
+
+
+def test_gopher_rep_kernel_hand_computed():
+    """'a b a b c' -> top 2-gram 'a b' covers 2*3=6 of 9 chars = 667
+    permille; 5-gram dup fraction on a doc of two identical 5-gram
+    positions is 1000."""
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.pipelines.queries_corpus import gopher_rep_batch
+
+    out = gopher_rep_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b a b c", "x y z x y z x y z x", ""], pa.string()),
+            }
+        )
+    ).to_pandas().set_index("doc_id")
+    assert int(out.loc[1, "top2_permille"]) == round(2 * 3 / 9 * 1000)
+    assert int(out.loc[1, "dup5_permille"]) == 0  # 'a b a b c' has 1 distinct 5-gram... occurs once
+    # doc 2: every 5-gram position ('x y z x y' etc.) repeats cyclically
+    assert int(out.loc[2, "dup5_permille"]) == 1000
+    # empty text: all metrics zero
+    assert out.loc[3].tolist() == [0, 0, 0, 0]
