@@ -931,6 +931,127 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- CCNet head/middle/tail perplexity buckets --------------------------------
+CCNET_K = 3  # head / middle / tail
+
+
+def ccnet_score_batch(batch: pa.Table, model: Dict[str, int]) -> pa.Table:
+    """lm_score_batch carrying the lang column (same row order)."""
+    scored = lm_score_batch(batch, model)
+    return scored.append_column("lang", batch["lang"])
+
+
+def ccnet_tag_batch(batch: pa.Table) -> pa.Table:
+    """One contiguous run of the (lang, nlp, doc) global sort -> rows
+    tagged with their run's FIRST key (bkey, the block-order handle the
+    driver groups offsets by) and their within-run per-lang local rank.
+    Tagging happens ONCE on the materialized sort, so bkey is consistent
+    between the offset aggregation and the final assignment no matter how
+    Ray forms batches. The driver re-sorts runs BY bkey string, so bkey's
+    lexicographic order must agree with the (lang, nlp, doc) sort: the
+    separator is '\\t' (below every printable lang character, so a lang
+    that is a strict prefix of another still orders first) and the
+    numeric fields are fixed-width non-negative (nlp >= 0 for a unigram
+    LM: every per-token logp is <= 0)."""
+    if len(batch) == 0:  # empty sort-range partitions are legitimate
+        return batch.append_column("bkey", pa.array([], pa.string())) \
+                    .append_column("local_rank", pa.array([], pa.int64()))
+    langs = batch["lang"].to_pylist()
+    nlp = batch["neg_logprob_fx"].to_pylist()
+    ids = batch["doc_id"].to_pylist()
+    assert nlp[0] >= 0 and ids[0] >= 0
+    bkey = f"{langs[0]}\t{nlp[0]:020d}\t{ids[0]:012d}"
+    seen: Dict[str, int] = {}
+    local = []
+    for lg in langs:
+        local.append(seen.get(lg, 0))
+        seen[lg] = seen.get(lg, 0) + 1
+    return batch.append_column("bkey", pa.array([bkey] * len(ids), pa.string())) \
+                .append_column("local_rank", pa.array(local, pa.int64()))
+
+
+def ccnet_assign_batch(
+    batch: pa.Table, offsets: Dict[str, int], totals: Dict[str, int]
+) -> pa.Table:
+    """Broadcast (bkey|lang -> global offset) + per-lang totals -> the
+    exact SQL NTILE(CCNET_K) bucket per row."""
+    from .queries_window import ntile_of_rank
+
+    langs = batch["lang"].to_pylist()
+    bkeys = batch["bkey"].to_pylist()
+    local = batch["local_rank"].to_numpy()
+    rank = np.asarray(
+        [offsets[f"{b}|{lg}"] for b, lg in zip(bkeys, langs)], dtype=np.int64
+    ) + local
+    buckets = np.empty(len(langs), dtype=np.int64)
+    for lg in set(langs):
+        m = np.asarray([x == lg for x in langs])
+        buckets[m] = ntile_of_rank(rank[m], totals[lg], CCNET_K)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "neg_logprob_fx": batch["neg_logprob_fx"],
+            "bucket": pa.array(buckets, pa.int64()),
+        }
+    )
+
+
+def q_ccnet_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): per language,
+    documents split into head/middle/tail terciles of LM score (exact
+    NTILE(3) over (neg_logprob ASC, doc_id)) — the standard quality
+    stratification before sampling training data.
+
+    Plan: unigram-LM scores (the certified unigram_logprob pass, carrying
+    lang) -> distributed sort by (lang, score, id) -> ONE tagging pass on
+    the materialized sort (batch-first-key + within-batch local ranks) ->
+    a (runs x langs)-row offset aggregate on the driver -> broadcast
+    assignment. No task or driver structure ever holds per-doc state:
+    driver memory is O(sorted-runs x languages)."""
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(remote_fn(_QC, "lm_count_partial"), batch_format="pyarrow")
+        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-sized
+    )
+    model = lm_model_from_counts(counts)
+    tagged = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(
+            remote_fn(_QC, "ccnet_score_batch", model=model), batch_format="pyarrow"
+        )
+        .sort(["lang", "neg_logprob_fx", "doc_id"])
+        .map_batches(remote_fn(_QC, "ccnet_tag_batch"), batch_format="pyarrow")
+        .materialize()  # bkey/local_rank must be identical in both consumers
+    )
+    parts = (
+        tagged.map_batches(remote_fn(_QC, "ccnet_part_partial"), batch_format="pyarrow")
+        .to_pandas()  # one row per (run, lang)
+        .sort_values("bkey")
+    )
+    offsets: Dict[str, int] = {}
+    run: Dict[str, int] = {}
+    for r in parts.itertuples():
+        offsets[f"{r.bkey}|{r.lang}"] = run.get(r.lang, 0)
+        run[r.lang] = run.get(r.lang, 0) + int(r.n)
+    totals = {lg: int(v) for lg, v in run.items()}
+    return tagged.map_batches(
+        remote_fn(_QC, "ccnet_assign_batch", offsets=offsets, totals=totals),
+        batch_format="pyarrow",
+    )
+
+
+def ccnet_part_partial(batch: pa.Table) -> pa.Table:
+    """(bkey, lang, n) combiner rows for the offset aggregation."""
+    g = batch.select(["bkey", "lang"]).group_by(["bkey", "lang"]).aggregate(
+        [("lang", "count")]
+    )
+    return g.rename_columns(["bkey", "lang", "n"])
+
+
 # --- Gopher repetition signals ------------------------------------------------
 def gopher_rep_batch(batch: pa.Table) -> pa.Table:
     """Per-doc Gopher-style repetition metrics (Rae et al. 2021, Gopher
@@ -1153,6 +1274,7 @@ def q_dsir_topk(sf_dir: str) -> rd.Dataset:
 
 CORPUS_QUERIES: Dict[str, object] = {
     "dsir_topk": q_dsir_topk,  # dump-backed oracle
+    "ccnet_buckets": q_ccnet_buckets,  # dump-backed oracle (unigram dump)
     "unigram_logprob": q_unigram_logprob,  # dump-backed oracle
     "lang_watchlist_full": q_lang_watchlist_full,
     "word_repetition": q_word_repetition,

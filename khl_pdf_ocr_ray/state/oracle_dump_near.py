@@ -564,6 +564,17 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
         "dsir_topk": f"SELECT doc_id, n_feats, logw_fx FROM read_parquet('{p('dsir_topk_seq.parquet')}')",
+        # ccnet_buckets: the scores are the certified unigram twin's; the
+        # NTILE is an INDEPENDENT relational derivation in SQL of what the
+        # distributed sort + two-level rank assignment computes
+        "ccnet_buckets": f"""
+SELECT s.doc_id, d.lang, s.neg_logprob_fx,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.neg_logprob_fx, s.doc_id) AS BIGINT)
+         AS bucket
+FROM read_parquet('{p('unigram_lm_seq.parquet')}') s
+JOIN documents d ON s.doc_id = d.doc_id
+""",
         "llm_corpus_recipe": f"SELECT lang, n_docs, n_chunks, n_tokens FROM read_parquet('{p('llm_recipe_seq.parquet')}')",
         # purity: the contingency recomputed in SQL over the kmeans twin's
         # assignments joined to the documents view — an INDEPENDENT

@@ -40,6 +40,7 @@ DUMP_QUERIES = [
     "pca_project",
     "unigram_logprob",
     "dsir_topk",
+    "ccnet_buckets",
     "llm_corpus_recipe",
     "cluster_lang_purity",
     "semdedup",
