@@ -600,6 +600,153 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def pr_edges_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (src, dst, w) edge combiner over the planted host links."""
+    from collections import Counter
+
+    from ..functions.graph import host_edge
+
+    c = Counter(host_edge(u) for u in batch["url"].to_pylist())
+    ks = sorted(c)
+    return pa.table(
+        {
+            "src": pa.array([k[0] for k in ks], pa.string()),
+            "dst": pa.array([k[1] for k in ks], pa.string()),
+            "w": pa.array([c[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def pr_contrib_partial(batch: pa.Table) -> pa.Table:
+    """Joined (edge, src rank) rows -> per-batch per-dst damped-mass sums
+    (the shared pr_contrib formula per edge, then an integer combiner)."""
+    from ..functions.graph import pr_contrib
+
+    sums: dict = {}
+    for d, r, w, wo in zip(
+        batch["dst"].to_pylist(),
+        batch["r"].to_pylist(),
+        batch["w"].to_pylist(),
+        batch["wout"].to_pylist(),
+    ):
+        sums[d] = sums.get(d, 0) + pr_contrib(r, w, wo)
+    ks = sorted(sums)
+    return pa.table(
+        {
+            "dst": pa.array(ks, pa.string()),
+            "c": pa.array([sums[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def pr_rank_coalesce(batch: pa.Table) -> pa.Table:
+    """(host LEFT JOIN incoming mass) -> next rank = teleport + mass."""
+    from ..functions.graph import PR_TELEPORT
+
+    c = batch["c"].to_pylist()
+    return pa.table(
+        {
+            "host": batch["host"],
+            "r": pa.array(
+                [PR_TELEPORT + (v or 0) for v in c], pa.int64()
+            ),
+        }
+    )
+
+
+def pr_nodes_partial(batch: pa.Table) -> pa.Table:
+    hosts = sorted(set(batch["src"].to_pylist()) | set(batch["dst"].to_pylist()))
+    return pa.table({"host": pa.array(hosts, pa.string())})
+
+
+def pr_init_rank(batch: pa.Table) -> pa.Table:
+    from ..functions.graph import PR_SCALE
+
+    return batch.select(["host"]).append_column(
+        "r", pa.array([PR_SCALE] * len(batch), pa.int64())
+    )
+
+
+def q_host_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank over the host link graph — the iterative graph-centrality
+    operator (Page et al. 1999; crawl prioritization / spam triage in a
+    web pipeline). Edges are the deterministic planted outlinks
+    (functions/graph.py); the iteration is all int64 fixed-point so any
+    partitioning is bit-identical to the sequential twin.
+
+    Plan: per-batch edge combiner -> (src, dst) Sum (the edge table, one
+    row per distinct link) -> weighted out-degree aggregate joined back
+    once -> PR_ITERS rounds of [rank join on src -> per-batch damped-mass
+    combiner -> dst-keyed Sum -> left join onto the node table]. Rank
+    state lives in Datasets end-to-end — the driver never holds a
+    per-node structure. 100 TB: edges/nodes are host-cardinality tables
+    (~10^7 rows for the web), every exchange is slim strings+ints; w and
+    rank bounded by corpus pages keeps r*w*85 under int64 for < ~2^30
+    pages per host-pair (documented headroom)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.graph import PR_ITERS
+    from ..joins import safe_join
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    edges = (
+        rd.read_parquet(pages_dir, columns=["url"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_edges_partial"),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"])
+        .aggregate(_Sum("w", alias_name="w"))
+        .materialize()
+    )
+    wout = (
+        edges.groupby("src")
+        .aggregate(_Sum("w", alias_name="wout"))
+        .rename_columns({"src": "wsrc"})
+    )
+    edges_w = safe_join(edges, wout, on=("src",), right_on=("wsrc",))
+    assert edges_w is not None  # every page plants one edge
+    edges_w = edges_w.materialize()  # reused every iteration
+    nodes = (
+        edges.map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_nodes_partial"),
+            batch_format="pyarrow",
+        )
+        .groupby("host")
+        .aggregate(Count(alias_name="n_"))
+        .select_columns(["host"])
+        .materialize()
+    )
+    rank = nodes.map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_init_rank"),
+        batch_format="pyarrow",
+    )
+    for _ in range(PR_ITERS):
+        j = safe_join(
+            edges_w, rank.rename_columns({"host": "rhost"}), on=("src",), right_on=("rhost",)
+        )
+        assert j is not None
+        mass = (
+            j.map_batches(
+                remote_fn(
+                    "khl_pdf_ocr_ray.pipelines.queries_extract", "pr_contrib_partial"
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("dst")
+            .aggregate(_Sum("c", alias_name="c"))
+        )
+        joined = safe_join(
+            nodes, mass, on=("host",), right_on=("dst",), join_type="left_outer"
+        )
+        assert joined is not None
+        rank = joined.map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_rank_coalesce"),
+            batch_format="pyarrow",
+        ).materialize()  # the iterate working set (cache-the-iterate pattern)
+    return rank.rename_columns({"r": "pagerank_fx"})
+
+
 EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
@@ -616,4 +763,5 @@ EXTRACT_QUERIES = {
     "url_dedup": q_url_dedup,
     "url_template_topk": q_url_template_topk,
     "line_dedup": q_line_dedup,
+    "host_pagerank": q_host_pagerank,
 }

@@ -57,6 +57,7 @@ def dumps_dir(sf_dir: str) -> str:
         "functions/tables.py",
         "functions/urlnorm.py",
         "functions/lines.py",     # line-dedup identity kernel
+        "functions/graph.py",     # host-graph / pagerank kernels
 
         "stages/multimodal.py",   # media_* dump kernels
         "stages/textqc.py",       # fingerprint_rolling twin constants
@@ -374,6 +375,28 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "skew_seq.parquet"),
     )
 
+    # host-pagerank twin: planted edges + the shared integer formula in
+    # one sequential pass (functions/graph.py:pagerank_sequential)
+    from ..functions.graph import host_edge, pagerank_sequential
+
+    pr_edges: Dict[tuple, int] = {}
+    pr_nodes = set()
+    for host, url, _nb in page_rows:
+        s, dtn = host_edge(url)
+        pr_edges[(s, dtn)] = pr_edges.get((s, dtn), 0) + 1
+        pr_nodes.add(s)
+        pr_nodes.add(dtn)
+    pr = pagerank_sequential(pr_edges, pr_nodes)
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(sorted(pr), pa.string()),
+                "pagerank_fx": pa.array([pr[h] for h in sorted(pr)], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "pagerank_seq.parquet"),
+    )
+
     # rolling fingerprint via an INDEPENDENT power-sum formulation:
     # h = sum(b_i * BASE^(n-1-i)) mod M, computed with precomputed powers —
     # algebraically equal to the kernel's Horner loop but separate code
@@ -481,6 +504,9 @@ SELECT part_key, rows, bytes FROM read_parquet('{p("skew_seq.parquet")}')
 SELECT partition_id, row_count, bytes_in, chars_out, error_rows,
        extraction_version
 FROM read_parquet('{p("lineage_seq.parquet")}')
+""",
+        "host_pagerank": f"""
+SELECT host, pagerank_fx FROM read_parquet('{p("pagerank_seq.parquet")}')
 """,
         "line_dedup": f"""
 -- relational twin of the C4-style line dedup: winner = min pos_key per

@@ -230,3 +230,36 @@ def test_line_dedup_invariants(ray_session, sf_smoke_dir):
         f"SELECT count(DISTINCT line_md5) FROM read_parquet('{path}')"
     ).fetchone()[0]
     assert int((df["n_lines"] - df["n_removed"]).sum()) == int(n_distinct)
+
+
+# --- host-graph PageRank (functions/graph.py + q_host_pagerank) ---------------
+def test_pagerank_sequential_hand_graph():
+    """A -> B single edge: after one round B = teleport + damp(A)/1 and A
+    falls to pure teleport; ranks stay >= teleport forever."""
+    from khl_pdf_ocr_ray.functions.graph import (
+        PR_SCALE,
+        PR_TELEPORT,
+        pagerank_sequential,
+        pr_contrib,
+    )
+
+    r = pagerank_sequential({("a", "b"): 1}, {"a", "b"}, iters=1)
+    assert r["a"] == PR_TELEPORT
+    assert r["b"] == PR_TELEPORT + pr_contrib(PR_SCALE, 1, 1)
+    r3 = pagerank_sequential({("a", "b"): 1}, {"a", "b"}, iters=3)
+    assert min(r3.values()) >= PR_TELEPORT
+
+
+def test_host_pagerank_invariants(ray_session, sf_smoke_dir):
+    """Corpus: the hot host receives no planted links (all dsts are
+    siteN.example.org), so its rank is exactly the teleport floor; total
+    mass never exceeds the initial nodes x SCALE (dangling mass leaks,
+    never grows)."""
+    from khl_pdf_ocr_ray.functions.graph import PR_SCALE, PR_TELEPORT
+    from khl_pdf_ocr_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["host_pagerank"](sf_smoke_dir).to_pandas()
+    assert (df["pagerank_fx"] >= PR_TELEPORT).all()
+    hot = df[df["host"] == "hot.example.com"]
+    assert len(hot) == 1 and int(hot["pagerank_fx"].iloc[0]) == PR_TELEPORT
+    assert int(df["pagerank_fx"].sum()) <= len(df) * PR_SCALE

@@ -18,6 +18,7 @@ DUMP_QUERIES = [
     "url_dedup",
     "url_template_topk",
     "line_dedup",
+    "host_pagerank",
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
