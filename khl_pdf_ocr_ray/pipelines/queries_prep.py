@@ -534,7 +534,70 @@ ONEHOT_SQL = "SELECT event_id, " + ", ".join(
 ) + " FROM events"
 
 
+# --- JSONL sink -> source roundtrip ------------------------------------------
+def jsonl_md5_batch(batch: pa.Table) -> pa.Table:
+    """Per-row md5 of the roundtripped text — the fidelity witness the
+    static oracle recomputes with DuckDB's md5() over the ORIGINAL table,
+    so any sink/source mangling (escaping, encoding, type drift) breaks
+    the value hash."""
+    import hashlib
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "text_md5": pa.array(
+                [
+                    hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                    for t in batch["text"].to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def _jsonl_dir(sf_dir: str) -> str:
+    """Documents exported once to JSONL via the distributed write_json
+    sink (cached on the source table's content fingerprint)."""
+    import hashlib
+
+    from ..state.atomic import ensure_published
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:jsonl1".encode()
+    ).hexdigest()[:16]
+    out = f"/tmp/khlray_cache/jsonl_{key}"
+
+    def _build(tmp: str) -> None:
+        rd.read_parquet(src).write_json(tmp)
+
+    return ensure_published(out, _build)
+
+
+def q_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """JSONL sink -> source roundtrip: documents exported with the
+    distributed ``write_json`` sink, re-read with ``read_json``, and
+    verified row-exact (text md5 + int columns) against the original
+    parquet — the format-interop surface (S4) as a value-hash-checked
+    query. 100 TB: both the sink and the source are per-block parallel;
+    nothing aggregates."""
+    return rd.read_json(_jsonl_dir(sf_dir)).map_batches(
+        remote_fn(_QP, "jsonl_md5_batch"), batch_format="pyarrow"
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars, md5(coalesce(text, '')) AS text_md5
+FROM documents
+"""
+
+
 PREP_QUERIES: Dict[str, object] = {
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "events_zscore": q_events_zscore,
     "events_onehot": q_events_onehot,
     "decontaminate": q_decontaminate,
@@ -548,6 +611,7 @@ PREP_QUERIES: Dict[str, object] = {
 
 
 PREP_ORACLES: Dict[str, str] = {
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "events_zscore": ZSCORE_SQL,
     "events_onehot": ONEHOT_SQL,
     "decontaminate": f"""
