@@ -931,6 +931,165 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- distributed-trained domain classifier (fastText-style LR) ----------------
+LR_SCALE = 1 << 20
+LR_ITERS = 5
+LR_RATE_NUM, LR_RATE_DEN = 10, 1  # lr = 10.0 (binary presence features)
+LR_ZCLIP = 50.0  # sigmoid argument clip (exp overflow guard; same both engines)
+LR_MARKER = " quality marker alpha"  # planted positive-class signal
+LR_LABEL_MOD = 3  # doc_id % 3 == 0 -> positive class
+
+
+def lr_train_input(batch: pa.Table) -> pa.Table:
+    """Planted training table: every doc_id % LR_LABEL_MOD == 0 doc gets
+    the marker tokens appended and label 1 — the same plant-a-signal
+    convention as stages.dedup.docs_with_variants (the corpus vocabulary
+    carries no natural linearly-separable label: its words are seeded
+    independently of lang/source). What the operator certifies is the
+    DISTRIBUTED training loop converging on the signal."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(
+                [
+                    (t or "") + LR_MARKER if d % LR_LABEL_MOD == 0 else (t or "")
+                    for d, t in zip(ids, texts)
+                ],
+                pa.string(),
+            ),
+            "y": pa.array(
+                [1 if d % LR_LABEL_MOD == 0 else 0 for d in ids], pa.int64()
+            ),
+        }
+    )
+
+
+def lr_doc_features(text: str) -> "np.ndarray":
+    """Dense (DSIR_B,) float64 BINARY presence vector of the shared
+    hashed-n-gram featurization — bag of distinct hashed n-grams, the
+    fastText-style linear-classifier feature map (raw counts are
+    ill-conditioned for full-batch GD: common-word magnitudes drown the
+    class signal; measured on this corpus)."""
+    b = dsir_feature_buckets(text)
+    return (np.bincount(b, minlength=DSIR_B) > 0).astype(np.float64)
+
+
+def lr_grad_partial(
+    batch: pa.Table, w: List[int], b_fx: int
+) -> pa.Table:
+    """Per-batch fixed-point logistic-loss gradient combiner. Per doc:
+    p = sigmoid(w.x + b) in float64 (identical operands on both engines —
+    w is the broadcast fixed-point model), then each nonzero feature's
+    contribution floors to int64: g_fx[j] = floor((p - y) * x_j * 2^20 +
+    0.5). Integer sums are order-independent, so any batching matches the
+    sequential twin bit-for-bit. Bias gradient rides along as bucket -1."""
+    wv = np.asarray(w, dtype=np.int64).astype(np.float64) / LR_SCALE
+    bias = float(b_fx) / LR_SCALE
+    g = np.zeros(DSIR_B, dtype=np.int64)
+    gb = 0
+    for yv, text in zip(batch["y"].to_pylist(), batch["text"].to_pylist()):
+        x = lr_doc_features(text)
+        y = float(yv)
+        z = min(max(float(x @ wv) + bias, -LR_ZCLIP), LR_ZCLIP)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g += np.floor((p - y) * x * LR_SCALE + 0.5).astype(np.int64)
+        gb += int(np.floor((p - y) * LR_SCALE + 0.5))
+    nz = np.nonzero(g)[0]
+    return pa.table(
+        {
+            "bucket": pa.array(np.concatenate([nz, [-1]]), pa.int64()),
+            "g_fx": pa.array(np.concatenate([g[nz], [gb]]), pa.int64()),
+            "n": pa.array([len(batch)] * (len(nz) + 1), pa.int64()),
+        }
+    )
+
+
+def lr_update(w: List[int], b_fx: int, agg: pd.DataFrame) -> tuple:
+    """Driver step: w_fx -= lr * G_fx / n (integer floor division —
+    deterministic; shared with the sequential twin)."""
+    # total doc count comes from the bias row: bucket -1 is emitted by
+    # EVERY combiner batch, so its summed n is the full corpus count (a
+    # feature bucket's n only sums the batches where it was nonzero)
+    n = int(agg.loc[agg["bucket"] == -1, "n"].iloc[0])
+    wv = np.asarray(w, dtype=np.int64)
+    feats = agg[agg["bucket"] >= 0]
+    idx = feats["bucket"].to_numpy(dtype=np.int64)
+    gfx = feats["g_fx"].to_numpy(dtype=np.int64)
+    wv[idx] = wv[idx] - (LR_RATE_NUM * gfx) // (LR_RATE_DEN * n)
+    gb = int(agg.loc[agg["bucket"] == -1, "g_fx"].sum())
+    b_new = b_fx - (LR_RATE_NUM * gb) // (LR_RATE_DEN * n)
+    return wv.tolist(), b_new
+
+
+def lr_score_batch(batch: pa.Table, w: List[int], b_fx: int) -> pa.Table:
+    """Map-only scoring under the broadcast model: per-doc probability as
+    fixed-point int plus the >= 0.5 prediction."""
+    wv = np.asarray(w, dtype=np.int64).astype(np.float64) / LR_SCALE
+    bias = float(b_fx) / LR_SCALE
+    ids, ps, preds = [], [], []
+    for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        x = lr_doc_features(text)
+        z = min(max(float(x @ wv) + bias, -LR_ZCLIP), LR_ZCLIP)
+        p = 1.0 / (1.0 + np.exp(-z))
+        ids.append(d)
+        ps.append(int(np.floor(p * LR_SCALE + 0.5)))
+        preds.append(bool(p >= 0.5))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "y": batch["y"],
+            "prob_fx": pa.array(ps, pa.int64()),
+            "pred_target": pa.array(preds, pa.bool_()),
+        }
+    )
+
+
+def q_domain_classifier(sf_dir: str) -> rd.Dataset:
+    """fastText-style text classifier, trained DISTRIBUTED: logistic
+    regression over the shared hashed-n-gram presence features — the
+    quality/domain scorer modern corpus pipelines train and apply at
+    scale (the Llama-era web filters). Labels and their signal are
+    planted (lr_train_input) because the synthetic vocabulary carries no
+    natural linearly-separable label; the certified artifact is the
+    training loop itself, and the output carries y so the fit
+    (train accuracy 1.0 on the planted signal) is self-evident.
+
+    LR_ITERS full-batch gradient steps: each is one streaming pass
+    emitting <= DSIR_B+1 fixed-point gradient rows per block (the
+    vectors never shuffle), a bucket-keyed Sum, and an integer driver
+    update; scoring is map-only under the broadcast model. Bit-identical
+    to the sequential twin: per-doc doubles use identical operands (the
+    model is fixed-point), per-bucket contributions floor to int64
+    BEFORE the order-independent sum. 100 TB: gradient traffic is
+    O(DSIR_B x blocks) per pass, independent of corpus size; the
+    training working set is materialized once and re-streamed per pass
+    (cache-the-iterate, as kmeans does)."""
+    train = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(remote_fn(_QC, "lr_train_input"), batch_format="pyarrow")
+        .materialize()  # re-streamed LR_ITERS + 1 times
+    )
+    w = [0] * DSIR_B
+    b_fx = 0
+    for _ in range(LR_ITERS):
+        agg = (
+            train.map_batches(
+                remote_fn(_QC, "lr_grad_partial", w=w, b_fx=b_fx),
+                batch_format="pyarrow",
+            )
+            .repartition(2)  # tiny combiner output; non-empty reduce partitions
+            .groupby("bucket")
+            .aggregate(Sum("g_fx", alias_name="g_fx"), Sum("n", alias_name="n"))
+            .to_pandas()  # <= DSIR_B + 1 rows
+        )
+        w, b_fx = lr_update(w, b_fx, agg)
+    return train.map_batches(
+        remote_fn(_QC, "lr_score_batch", w=w, b_fx=b_fx), batch_format="pyarrow"
+    )
+
+
 # --- CCNet head/middle/tail perplexity buckets --------------------------------
 CCNET_K = 3  # head / middle / tail
 
@@ -1275,6 +1434,7 @@ def q_dsir_topk(sf_dir: str) -> rd.Dataset:
 CORPUS_QUERIES: Dict[str, object] = {
     "dsir_topk": q_dsir_topk,  # dump-backed oracle
     "ccnet_buckets": q_ccnet_buckets,  # dump-backed oracle (unigram dump)
+    "domain_classifier": q_domain_classifier,  # dump-backed oracle
     "unigram_logprob": q_unigram_logprob,  # dump-backed oracle
     "lang_watchlist_full": q_lang_watchlist_full,
     "word_repetition": q_word_repetition,

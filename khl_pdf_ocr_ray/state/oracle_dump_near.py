@@ -484,6 +484,30 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         ),
     )
 
+    # domain-classifier twin: the same gradient/update/score kernels with
+    # the whole table as ONE batch — the per-batch combiner already
+    # aggregates, so the distributed groupby-Sum is the only plumbing
+    # under test (per-doc doubles share operands; contributions floor to
+    # int64 before any sum).
+    from ..pipelines.queries_corpus import (
+        LR_ITERS,
+        DSIR_B,
+        lr_grad_partial,
+        lr_score_batch,
+        lr_train_input,
+        lr_update,
+    )
+
+    train_lr = lr_train_input(docs_dsir)
+    w_lr = [0] * DSIR_B
+    b_lr = 0
+    for _ in range(LR_ITERS):
+        g = lr_grad_partial(train_lr, w_lr, b_lr).to_pandas()
+        w_lr, b_lr = lr_update(w_lr, b_lr, g)
+    _write(
+        "domain_clf_seq.parquet", lr_score_batch(train_lr, w_lr, b_lr).to_pandas()
+    )
+
     # llm_corpus_recipe twin: the SAME stage kernels chained sequentially
     # with pandas plumbing (filter -> md5-min dedup -> eval-trigram
     # decontamination -> chunk accounting). The distributed plan under
@@ -564,6 +588,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
         "dsir_topk": f"SELECT doc_id, n_feats, logw_fx FROM read_parquet('{p('dsir_topk_seq.parquet')}')",
+        "domain_classifier": f"SELECT doc_id, y, prob_fx, pred_target FROM read_parquet('{p('domain_clf_seq.parquet')}')",
         # ccnet_buckets: the scores are the certified unigram twin's; the
         # NTILE is an INDEPENDENT relational derivation in SQL of what the
         # distributed sort + two-level rank assignment computes

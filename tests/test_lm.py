@@ -117,3 +117,54 @@ def test_dsir_kernels_batching_invariant_and_enrichment():
     assert scored.loc[2, "logw_fx"] > scored.loc[4, "logw_fx"]
     # n_feats = unigrams + bigrams
     assert int(scored.loc[1, "n_feats"]) == 5 + 4
+
+
+# --- distributed-trained domain classifier ------------------------------------
+def test_lr_gradient_batching_invariant():
+    """Gradient combiner split across batches sums to the single-batch
+    gradient exactly (contributions floor to int64 before summation)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from khl_pdf_ocr_ray.pipelines.queries_corpus import (
+        DSIR_B,
+        lr_grad_partial,
+        lr_train_input,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(9)), pa.int64()),
+            "text": pa.array([f"w{i} common word soup here" for i in range(9)]),
+        }
+    )
+    train = lr_train_input(docs)
+    w = [7] * DSIR_B
+    whole = (
+        lr_grad_partial(train, w, 3).to_pandas().set_index("bucket").sort_index()
+    )
+    parts = (
+        pd.concat(
+            [
+                lr_grad_partial(train.slice(0, 4), w, 3).to_pandas(),
+                lr_grad_partial(train.slice(4), w, 3).to_pandas(),
+            ]
+        )
+        .groupby("bucket")
+        .sum()
+        .sort_index()
+    )
+    # the gradient itself is exactly batching-invariant; n is only
+    # meaningful on the bias row (a bucket's n counts just the batches
+    # where it appeared — lr_update documents and relies on this)
+    pd.testing.assert_series_equal(whole["g_fx"], parts["g_fx"])
+    assert int(whole.loc[-1, "n"]) == int(parts.loc[-1, "n"]) == len(train)
+
+
+def test_domain_classifier_learns_planted_signal(ray_session, sf_smoke_dir):
+    """The distributed training loop converges: train accuracy 1.0 on the
+    planted marker signal, and the bias row's n equals the corpus size."""
+    from khl_pdf_ocr_ray.pipelines.queries_corpus import q_domain_classifier
+
+    df = q_domain_classifier(sf_smoke_dir).to_pandas()
+    assert (df["pred_target"].astype(int) == df["y"]).all()

@@ -42,6 +42,7 @@ DUMP_QUERIES = [
     "unigram_logprob",
     "dsir_topk",
     "ccnet_buckets",
+    "domain_classifier",
     "llm_corpus_recipe",
     "cluster_lang_purity",
     "semdedup",
