@@ -498,6 +498,39 @@ def q_distinct_event_types(sf_dir: str) -> pa.Table:
 SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
 
+def distinct_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (event_type, user_id) pairs — the map-side
+    dedup combiner that keeps the exact-distinct shuffle at O(distinct
+    pairs per block), not O(events)."""
+    g = batch.select(["event_type", "user_id"]).group_by(
+        ["event_type", "user_id"]
+    ).aggregate([])
+    return g
+
+
+def q_distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    """EXACT count-distinct users per event type — the shuffle-heavy
+    ground truth the HLL sketch (hll_users_by_type) approximates: batch
+    combiner -> pair-keyed dedup groupby -> per-type Count. 100 TB: the
+    exchange carries one row per distinct (type, user) pair; when that is
+    still too wide, the HLL operator is the documented estimate path."""
+    return (
+        _t(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(remote_fn(_Q, "distinct_pair_partial"), batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n_"))
+        .select_columns(["event_type", "user_id"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="distinct_users"))
+    )
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # supplier balances per nation (second broadcast-join aggregate)
 # ---------------------------------------------------------------------------
@@ -1298,6 +1331,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "orders_by_segment": q_orders_by_segment,
     "top_customers": q_top_customers,
     "distinct_event_types": q_distinct_event_types,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "supplier_by_nation": q_supplier_by_nation,
     "part_ship_stats": q_part_ship_stats,
     "lang_id": q_lang_id,
@@ -1340,6 +1374,7 @@ ORACLES: Dict[str, str] = {
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "top_customers": SQL_TOP_CUSTOMERS,
     "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+    "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "supplier_by_nation": SQL_SUPPLIER_BY_NATION,
     "part_ship_stats": SQL_PART_SHIP_STATS,
 }
