@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "line_dedup",           # C4-style corpus-wide line dedup (round 3)
     "semdedup",             # within-cluster semantic dedup (round 3)
     "dsir_topk",            # hashed-ngram importance resampling (round 3)
+    "host_pagerank",        # iterative integer PageRank (round 3)
+    "domain_classifier",    # distributed LR training (round 3)
+    "ccnet_buckets",        # per-lang perplexity terciles (round 3)
+    "gopher_repetition",    # per-doc repetition signals (round 3)
 ]
 
 

@@ -686,7 +686,7 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Sum as _Sum
 
     from ..functions.graph import PR_ITERS
-    from ..joins import safe_join
+    from ..joins import _max_partitions, safe_join
 
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     edges = (
@@ -717,15 +717,25 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
         .select_columns(["host"])
         .materialize()
     )
+    # every in-loop table is host- or edge-cardinality and non-empty by
+    # construction, so the loop calls Dataset.join DIRECTLY with a
+    # partition count derived ONCE from the materialized metadata —
+    # safe_join's per-call materialize+count of both sides would add six
+    # pipeline barriers per run for information already in hand (measured
+    # 11.2 s -> these joins dominated the toy-scale wall)
+    n_parts = max(1, min(_max_partitions(), edges_w.count() // 4096))
     rank = nodes.map_batches(
         remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_init_rank"),
         batch_format="pyarrow",
     )
     for _ in range(PR_ITERS):
-        j = safe_join(
-            edges_w, rank.rename_columns({"host": "rhost"}), on=("src",), right_on=("rhost",)
+        j = edges_w.join(
+            rank.rename_columns({"host": "rhost"}),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("src",),
+            right_on=("rhost",),
         )
-        assert j is not None
         mass = (
             j.map_batches(
                 remote_fn(
@@ -736,10 +746,13 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
             .groupby("dst")
             .aggregate(_Sum("c", alias_name="c"))
         )
-        joined = safe_join(
-            nodes, mass, on=("host",), right_on=("dst",), join_type="left_outer"
+        joined = nodes.join(
+            mass,
+            join_type="left_outer",
+            num_partitions=n_parts,
+            on=("host",),
+            right_on=("dst",),
         )
-        assert joined is not None
         rank = joined.map_batches(
             remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_rank_coalesce"),
             batch_format="pyarrow",
