@@ -320,14 +320,121 @@ def q_snapshot_dedup(sf_dir: str) -> rd.Dataset:
     return out
 
 
+# --- snapshot_diff (SCD-style crawl diff) -------------------------------------
+DIFF_DEL_MOD = 10   # keys dropped from the new snapshot  -> 'removed'
+DIFF_CHG_MOD = 3    # keys whose content changed          -> 'changed'
+DIFF_ADD_MOD = 7    # planted brand-new keys              -> 'added'
+DIFF_ADD_OFFSET = 1_000_000
+
+
+def diff_old_batch(batch: pa.Table) -> pa.Table:
+    """Old snapshot: every document as (k, h)."""
+    return pa.table(
+        {
+            "k": batch["doc_id"],
+            "h": pa.array(
+                [
+                    hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                    for s in batch["text"].to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def diff_new_batch(batch: pa.Table) -> pa.Table:
+    """New snapshot, derived with planted crawl churn (the same
+    synthesize-on-read convention as docs_with_variants): every
+    DIFF_DEL_MOD-th key vanishes, every DIFF_CHG_MOD-th surviving key's
+    content changes, every DIFF_ADD_MOD-th key also spawns a brand-new
+    key at +DIFF_ADD_OFFSET."""
+    ks, hs = [], []
+    for d, s in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        s = s or ""
+        if d % DIFF_DEL_MOD != 0:
+            body = s + " rev2" if d % DIFF_CHG_MOD == 0 else s
+            ks.append(d)
+            hs.append(hashlib.md5(body.encode("utf-8")).hexdigest())
+        if d % DIFF_ADD_MOD == 0:
+            ks.append(d + DIFF_ADD_OFFSET)
+            hs.append(hashlib.md5((s + " brand new").encode("utf-8")).hexdigest())
+    return pa.table(
+        {"k_r": pa.array(ks, pa.int64()), "h_r": pa.array(hs, pa.string())}
+    )
+
+
+def diff_status_batch(batch: pa.Table) -> pa.Table:
+    """Full-outer-joined rows -> (url_key, status). Ray's full outer join
+    COALESCES the key columns into one `k`; side presence is read off the
+    null pattern of the per-side hash columns."""
+    out_k, out_s = [], []
+    for k, h, hr in zip(
+        batch["k"].to_pylist(), batch["h"].to_pylist(), batch["h_r"].to_pylist()
+    ):
+        if h is None:
+            out_s.append("added")
+        elif hr is None:
+            out_s.append("removed")
+        else:
+            out_s.append("same" if h == hr else "changed")
+        out_k.append(k)
+    return pa.table(
+        {
+            "url_key": pa.array(out_k, pa.int64()),
+            "status": pa.array(out_s, pa.string()),
+        }
+    )
+
+
+def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Crawl-snapshot diff (the SCD/changed-data-capture operator of a
+    recrawl pipeline): per url key, 'same' / 'changed' / 'removed' /
+    'added' between two snapshots — a content-hash FULL OUTER join.
+    Only (key, 16-byte digest) pairs shuffle; at 100 TB both sides are
+    the persisted per-crawl digest manifests and the join partitions by
+    key hash exactly as here."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(remote_fn(_QS, "diff_old_batch"), batch_format="pyarrow")
+    new = docs.map_batches(remote_fn(_QS, "diff_new_batch"), batch_format="pyarrow")
+    joined = safe_join(old, new, on=("k",), right_on=("k_r",), join_type="full_outer")
+    assert joined is not None  # both snapshots are non-empty by construction
+    return joined.map_batches(
+        remote_fn(_QS, "diff_status_batch"), batch_format="pyarrow"
+    )
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH oldt AS (SELECT doc_id AS k, md5(coalesce(text, '')) AS h FROM documents),
+newt AS (
+  SELECT doc_id AS k,
+         md5(coalesce(text, '') ||
+             CASE WHEN doc_id % {DIFF_CHG_MOD} = 0 THEN ' rev2' ELSE '' END) AS h
+  FROM documents WHERE doc_id % {DIFF_DEL_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_OFFSET},
+         md5(coalesce(text, '') || ' brand new')
+  FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+)
+SELECT coalesce(o.k, n.k) AS url_key,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN o.h = n.h THEN 'same'
+            ELSE 'changed' END AS status
+FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k
+"""
+
+
 SUBSTR_QUERIES: Dict[str, object] = {
     "substring_dup_spans": q_substring_dup_spans,
     "phrase_hits": q_phrase_hits,
     "snapshot_dedup": q_snapshot_dedup,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 
 SUBSTR_ORACLES: Dict[str, str] = {
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "substring_dup_spans": f"""
 WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
 g AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+{SPAN_K - 1}], ' ') AS ng
