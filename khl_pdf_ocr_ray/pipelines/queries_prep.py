@@ -534,6 +534,84 @@ ONEHOT_SQL = "SELECT event_id, " + ", ".join(
 ) + " FROM events"
 
 
+# --- text_normalize (NFC + control strip + whitespace collapse) ---------------
+NORM_MESS_MOD = 4  # every 4th doc gets planted mojibake/control mess
+# decomposed e+combining-acute (x2), a tab, double spaces, a BEL control
+NORM_MESS_SUFFIX = "\téclair  café\x07"
+
+_RE_CTRL = None
+_RE_WS = None
+
+
+def normalize_text_value(s: str) -> str:
+    """THE normalization rule, shared semantics with the SQL oracle:
+    NFC-compose, control chars -> space, collapse ASCII whitespace runs,
+    trim. The whitespace class is explicit [ \\t\\r\\n] on BOTH engines —
+    a bare \\s would pick up each engine's own unicode space table."""
+    import re
+    import unicodedata
+
+    global _RE_CTRL, _RE_WS
+    if _RE_CTRL is None:
+        _RE_CTRL = re.compile(r"[\x00-\x1f\x7f]")
+        _RE_WS = re.compile(r"[ \t\r\n]+")
+    s = unicodedata.normalize("NFC", s)
+    return _RE_WS.sub(" ", _RE_CTRL.sub(" ", s)).strip()
+
+
+def text_normalize_batch(batch: pa.Table) -> pa.Table:
+    """Per-row cleaning witness: md5 of the normalized text + whether
+    normalization changed anything. Input mess is planted on every
+    NORM_MESS_MOD-th doc (decomposed accents, a control char, tab/double
+    spaces) so the operator demonstrably bites; the corpus itself is
+    clean ASCII."""
+    import hashlib
+
+    ids = batch["doc_id"].to_pylist()
+    ids_out, md5s, changed = [], [], []
+    for d, t in zip(ids, batch["text"].to_pylist()):
+        raw = (t or "") + (NORM_MESS_SUFFIX if d % NORM_MESS_MOD == 0 else "")
+        clean = normalize_text_value(raw)
+        ids_out.append(d)
+        md5s.append(hashlib.md5(clean.encode("utf-8")).hexdigest())
+        changed.append(clean != raw)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "norm_md5": pa.array(md5s, pa.string()),
+            "changed": pa.array(changed, pa.bool_()),
+        }
+    )
+
+
+def q_text_normalize(sf_dir: str) -> rd.Dataset:
+    """Unicode text normalization (the ftfy/cleaning step of every web
+    pipeline): NFC composition, control-char strip, whitespace collapse —
+    map-only, per-row md5 witness checked against DuckDB's nfc_normalize
+    + RE2 twin. 100 TB: embarrassingly parallel."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QP, "text_normalize_batch"), batch_format="pyarrow"
+    )
+
+
+SQL_TEXT_NORMALIZE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % {NORM_MESS_MOD} = 0
+              THEN chr(9) || 'e' || chr(769) || 'clair  cafe' || chr(769)
+                   || chr(7)
+              ELSE '' END AS t
+  FROM documents),
+n AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(regexp_replace(nfc_normalize(t),
+              '[\\x00-\\x1f\\x7f]', ' ', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS c
+  FROM raw)
+SELECT doc_id, md5(c) AS norm_md5, (c <> t) AS changed FROM n
+"""
+
+
 # --- JSONL sink -> source roundtrip ------------------------------------------
 def jsonl_md5_batch(batch: pa.Table) -> pa.Table:
     """Per-row md5 of the roundtripped text — the fidelity witness the
@@ -598,6 +676,7 @@ FROM documents
 
 PREP_QUERIES: Dict[str, object] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "text_normalize": q_text_normalize,
     "events_zscore": q_events_zscore,
     "events_onehot": q_events_onehot,
     "decontaminate": q_decontaminate,
@@ -612,6 +691,7 @@ PREP_QUERIES: Dict[str, object] = {
 
 PREP_ORACLES: Dict[str, str] = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "events_zscore": ZSCORE_SQL,
     "events_onehot": ONEHOT_SQL,
     "decontaminate": f"""
