@@ -1188,15 +1188,10 @@ def q_ccnet_buckets(sf_dir: str) -> rd.Dataset:
     )
     parts = (
         tagged.map_batches(remote_fn(_QC, "ccnet_part_partial"), batch_format="pyarrow")
-        .to_pandas()  # one row per (run, lang)
+        .to_pandas()  # one row per (run, lang) x part-batch
         .sort_values("bkey")
     )
-    offsets: Dict[str, int] = {}
-    run: Dict[str, int] = {}
-    for r in parts.itertuples():
-        offsets[f"{r.bkey}|{r.lang}"] = run.get(r.lang, 0)
-        run[r.lang] = run.get(r.lang, 0) + int(r.n)
-    totals = {lg: int(v) for lg, v in run.items()}
+    offsets, totals = ccnet_offsets(parts)
     return tagged.map_batches(
         remote_fn(_QC, "ccnet_assign_batch", offsets=offsets, totals=totals),
         batch_format="pyarrow",
@@ -1209,6 +1204,22 @@ def ccnet_part_partial(batch: pa.Table) -> pa.Table:
         [("lang", "count")]
     )
     return g.rename_columns(["bkey", "lang", "n"])
+
+
+def ccnet_offsets(parts: pd.DataFrame):
+    """bkey-sorted (bkey, lang, n) partials -> ((bkey|lang -> run-start
+    per-lang offset), per-lang totals). The part pass re-batches the
+    materialized tag output independently of the tag pass, so ONE tag run
+    can emit SEVERAL partial rows for the same (bkey, lang) — setdefault
+    keeps the run-START offset while the counts still accumulate (a plain
+    assignment would shift every rank in the run by the first chunk's
+    size and silently corrupt the NTILE buckets)."""
+    offsets: Dict[str, int] = {}
+    run: Dict[str, int] = {}
+    for r in parts.itertuples():
+        offsets.setdefault(f"{r.bkey}|{r.lang}", run.get(r.lang, 0))
+        run[r.lang] = run.get(r.lang, 0) + int(r.n)
+    return offsets, {lg: int(v) for lg, v in run.items()}
 
 
 # --- Gopher repetition signals ------------------------------------------------
@@ -1235,8 +1246,11 @@ def gopher_rep_batch(batch: pa.Table) -> pa.Table:
                 cols[key].append(0)
                 continue
             c = Counter(grams)
-            # max count, ties to the smallest gram string
-            best = min((g for g, v in c.items() if v == max(c.values())))
+            # max count, ties to the smallest gram string (max hoisted:
+            # inside the generator it re-evaluates per distinct gram —
+            # O(distinct^2) on a long document)
+            mx = max(c.values())
+            best = min(g for g, v in c.items() if v == mx)
             cols[key].append(
                 int(math.floor(c[best] * len(best) * 1000.0 / n_chars + 0.5))
             )

@@ -351,6 +351,11 @@ def diff_new_batch(batch: pa.Table) -> pa.Table:
     key at +DIFF_ADD_OFFSET."""
     ks, hs = [], []
     for d, s in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        # planted keys live above the real id domain; a collision would
+        # duplicate join keys and silently corrupt the statuses, so the
+        # bound is enforced loudly (at real scale the added keys come from
+        # the crawl itself and no offset is needed)
+        assert d < DIFF_ADD_OFFSET, f"doc_id {d} >= DIFF_ADD_OFFSET"
         s = s or ""
         if d % DIFF_DEL_MOD != 0:
             body = s + " rev2" if d % DIFF_CHG_MOD == 0 else s

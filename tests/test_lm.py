@@ -168,3 +168,25 @@ def test_domain_classifier_learns_planted_signal(ray_session, sf_smoke_dir):
 
     df = q_domain_classifier(sf_smoke_dir).to_pandas()
     assert (df["pred_target"].astype(int) == df["y"]).all()
+
+
+def test_ccnet_offsets_split_run():
+    """A tag run whose rows split across two part-batches emits two
+    (bkey, lang) partial rows; the fold must keep the run-START offset
+    (a plain assignment would shift every rank in the run)."""
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries_corpus import ccnet_offsets
+
+    parts = pd.DataFrame(
+        {
+            "bkey": ["b1", "b1", "b1", "b2"],
+            "lang": ["en", "en", "de", "en"],
+            "n": [4, 3, 2, 5],
+        }
+    ).sort_values("bkey")
+    offsets, totals = ccnet_offsets(parts)
+    assert offsets["b1|en"] == 0          # run start, NOT 4
+    assert offsets["b1|de"] == 0
+    assert offsets["b2|en"] == 7          # 4 + 3 accumulated
+    assert totals == {"en": 12, "de": 2}
