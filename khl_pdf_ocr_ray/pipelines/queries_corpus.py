@@ -931,6 +931,64 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- per-doc character entropy (gibberish / encoding-noise signal) ------------
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Shannon entropy of the character distribution, fixed-point:
+    ent_fx = sum over chars of floor(cnt*(log2 n - log2 cnt)*2^20 + 0.5)
+    — each per-char double floors to int64 BEFORE the order-independent
+    sum, so the value is batching- and engine-invariant (a naive float
+    entropy sum would hash differently per summation order). The true
+    entropy in bits is ent_fx / (n * 2^20). Map-only."""
+    from collections import Counter
+
+    ids, nch, ents = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        t = t or ""
+        n = len(t)
+        c = Counter(t)
+        e = sum(
+            int(math.floor(v * (math.log2(n) - math.log2(v)) * LM_SCALE + 0.5))
+            for v in c.values()
+        ) if n else 0
+        ids.append(d)
+        nch.append(n)
+        ents.append(e)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars_t": pa.array(nch, pa.int64()),
+            "ent_fx": pa.array(ents, pa.int64()),
+        }
+    )
+
+
+def q_char_entropy(sf_dir: str) -> rd.Dataset:
+    """Character-distribution entropy per document — the cheap
+    gibberish / encoding-noise / compressed-blob detector of web-text
+    quality filtering. Embarrassingly parallel."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QC, "char_entropy_batch"), batch_format="pyarrow"
+    )
+
+
+SQL_CHAR_ENTROPY = f"""
+WITH ch AS (
+  SELECT doc_id, len(coalesce(text, '')) AS n,
+         unnest(string_split(coalesce(text, ''), '')) AS c
+  FROM documents
+  WHERE len(coalesce(text, '')) > 0),  -- '' splits to [''] and log2(0) poisons
+cnt AS (SELECT doc_id, any_value(n) AS n, c, count(*) AS v
+        FROM ch GROUP BY doc_id, c),
+e AS (SELECT doc_id, any_value(n) AS n,
+             CAST(sum(CAST(floor(v * (log2(n) - log2(v)) * {LM_SCALE} + 0.5)
+                           AS BIGINT)) AS BIGINT) AS ent_fx
+      FROM cnt GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(e.n, 0) AS BIGINT) AS n_chars_t,
+       coalesce(e.ent_fx, 0) AS ent_fx
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+"""
+
+
 # --- distributed-trained domain classifier (fastText-style LR) ----------------
 LR_SCALE = 1 << 20
 LR_ITERS = 5
@@ -1446,6 +1504,7 @@ def q_dsir_topk(sf_dir: str) -> rd.Dataset:
 
 
 CORPUS_QUERIES: Dict[str, object] = {
+    "char_entropy": q_char_entropy,
     "dsir_topk": q_dsir_topk,  # dump-backed oracle
     "ccnet_buckets": q_ccnet_buckets,  # dump-backed oracle (unigram dump)
     "domain_classifier": q_domain_classifier,  # dump-backed oracle
@@ -1481,6 +1540,7 @@ SELECT COALESCE(l.lang, w.wlang) AS lang,
        CAST(COALESCE(w.priority, 0) AS BIGINT) AS priority
 FROM l FULL OUTER JOIN w ON l.lang = w.wlang
 """,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "word_repetition": """
 SELECT doc_id,

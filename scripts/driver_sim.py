@@ -63,7 +63,13 @@ def main() -> int:
     spec.loader.exec_module(m)
 
     qs = m.queries()
-    sqls = m.oracle_sql()
+    from khl_pdf_ocr_ray.pipelines.queries import oracles
+    from khl_pdf_ocr_ray.state.oracle_dump import ORACLE_SF
+
+    # the real driver always compares at ORACLE_SF; for other --sf values
+    # the dump-backed oracles must be built FOR that sf dir or every
+    # dump-backed query would be compared against the wrong corpus
+    sqls = m.oracle_sql() if args.sf == ORACLE_SF else oracles(args.sf)
     only = set(args.only.split(",")) if args.only else None
 
     con = duckdb.connect()
