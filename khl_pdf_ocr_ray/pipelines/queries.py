@@ -1274,6 +1274,22 @@ def q_embedding_dups(sf_dir: str) -> rd.Dataset:
     return embedding_dups(sf_dir, tau_e6=350_000)
 
 
+def q_embedding_clusters(sf_dir: str) -> rd.Dataset:
+    """SemDeDup-adjacent whole-graph view: connected components over the
+    EXACT embedding near-dup pairs — the same distributed min-label
+    propagation that clusters the MinHash graph, composed over a second
+    pair source. Returns (doc_id, cluster_id, cluster_size, keep) for
+    every vector in >= 1 pair; keep marks the lowest-id survivor. The
+    dump twin runs the INDEPENDENT sequential algorithm (union-find) over
+    pairs derived by DuckDB's own list_cosine_similarity."""
+    from ..stages.dedup import label_propagation_clusters
+
+    pairs = q_embedding_dups(sf_dir).rename_columns(
+        {"vec_a": "doc_a", "vec_b": "doc_b"}
+    )
+    return label_propagation_clusters(pairs).sort("doc_id")
+
+
 def q_embedding_dups_lsh(sf_dir: str) -> rd.Dataset:
     """Approximate (sub-quadratic) embedding near-dup pairs over the
     persisted LSH bucket index — the 100 TB path; recall vs the exact
@@ -1361,6 +1377,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "ann_ivf_incremental": q_ann_ivf_incremental,  # oracle: ann_ivf's twin
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
+    "embedding_clusters": q_embedding_clusters,  # dump-backed oracle
 }
 
 ORACLES: Dict[str, str] = {

@@ -68,7 +68,7 @@ def dumps_dir(sf_dir: str) -> str:
             parts.append(hashlib.md5(f.read()).hexdigest())
     for name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         parts.append(_fingerprint(os.path.join(sf_dir, name)))
-    key = hashlib.sha256(("|".join(parts) + "|v2").encode()).hexdigest()[:16]
+    key = hashlib.sha256(("|".join(parts) + "|v3").encode()).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_near_{key}")
 
 
@@ -246,6 +246,23 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     )
     _write("simhash_pairs_seq.parquet", _simhash_pairs(docs))
     _write("ngram_pairs_seq.parquet", _ngram_pairs(docs))
+
+    # embedding-cluster twin: union-find (the independent sequential CC
+    # algorithm) over pairs derived by DuckDB's OWN cosine — both the pair
+    # rule and the clustering are independent of the production path
+    import duckdb
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ep = duckdb.sql(
+        f"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM '{emb_path}' a JOIN '{emb_path}' b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding)
+              >= {TAU_E6} / 1000000.0"""
+    ).df()
+    _write(
+        "emb_clusters_seq.parquet",
+        union_find_clusters(ep).sort_values("doc_id").reset_index(drop=True),
+    )
 
     emb = _load_embeddings(sf_dir)
     _write("ann_lsh_seq.parquet", _ann_lsh_seq(emb))
@@ -579,6 +596,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "ann_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
         "ann_ivf_incremental": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
         "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
+        "embedding_clusters": f"SELECT doc_id, cluster_id, cluster_size, keep FROM read_parquet('{p('emb_clusters_seq.parquet')}')",
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",
         "bigram_topk_cms": f"SELECT bigram, n_est FROM read_parquet('{p('bigram_cms_seq.parquet')}')",
         "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",

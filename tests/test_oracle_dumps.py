@@ -33,6 +33,7 @@ DUMP_QUERIES = [
     "ann_ivf",
     "ann_ivf_incremental",
     "embedding_dups_lsh",
+    "embedding_clusters",
     "hll_distinct_users",
     "hll_users_by_type",
     "bigram_topk_cms",
