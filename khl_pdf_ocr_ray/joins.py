@@ -120,3 +120,126 @@ def safe_join(
         on=on,
         right_on=right_on,
     )
+
+
+# --- skew-aware join ----------------------------------------------------------
+def _key_count_partial(batch, key: str):
+    """Per-batch (key, n) combiner for exact probe-side key counts."""
+    g = batch.select([key]).group_by([key]).aggregate([(key, "count")])
+    return g.rename_columns(["k_", "n_"])
+
+
+def _keep_keys(batch, key: str, keys, invert: bool):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(batch[key], value_set=pa.array(keys))
+    return batch.filter(pc.invert(mask) if invert else mask)
+
+
+def _project(batch, cols):
+    return batch.select(cols)
+
+
+def _broadcast_join_batch(batch, key: str, right_key: str, build_ref, hot, schema):
+    """Map-side hash join of one probe batch's HOT rows against the
+    broadcast build slice; emits the fixed output schema so the union
+    with the shuffle path is type-exact even for empty batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    build = ray.get(build_ref)
+    hot_rows = batch.filter(pc.is_in(batch[key], value_set=pa.array(hot))).to_pandas()
+    cols = [f.name for f in schema]
+    if hot_rows.empty:
+        return pa.table({c: pa.array([], schema.field(c).type) for c in cols})
+    merged = hot_rows.merge(build, left_on=key, right_on=right_key, how="inner")
+    return pa.Table.from_pandas(merged[cols], schema=schema, preserve_index=False)
+
+
+def skew_join(
+    left,
+    right,
+    key: str,
+    right_key: str,
+    out_schema,
+    hot_count_threshold: int = 100_000,
+):
+    """Skew-aware INNER join — the brief's "salt hot keys", realized as
+    the standard split recipe: exact per-key probe counts via a map-side
+    combiner, keys at/above ``hot_count_threshold`` join by BROADCASTING
+    the build-side slice into a map-only stage, and the cold remainder
+    goes through the normal hash-shuffle join — no shuffle partition ever
+    holds a hot key's full probe row set.
+
+    Partitioning assumptions (per the brief, documented):
+    - the hot-key SET is bounded: at most count(left)/threshold keys
+      reach the driver;
+    - the BUILD side is dimension-like (bounded rows per key), so the
+      broadcast slice is |hot| x per-key rows — the classic skew-join
+      regime. A skewed-build x skewed-probe pair needs salting WITH
+      build replication instead (no current caller needs it).
+
+    ``out_schema`` (pyarrow.Schema) fixes the output projection so the
+    broadcast path and the shuffle path union with identical types.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from .remote import remote_fn
+
+    left = left.materialize()
+    counts = (
+        left.map_batches(
+            remote_fn("khl_pdf_ocr_ray.joins", "_key_count_partial", key=key),
+            batch_format="pyarrow",
+        )
+        .groupby("k_")
+        .aggregate(_Sum("n_", alias_name="n_"))
+        .to_pandas()  # one row per distinct probe key — keys, never rows
+    )
+    hot = sorted(counts.loc[counts["n_"] >= hot_count_threshold, "k_"].tolist())
+    cols = [f.name for f in out_schema]
+
+    if not hot:
+        j = safe_join(left, right, on=(key,), right_on=(right_key,))
+        return None if j is None else j.map_batches(
+            remote_fn("khl_pdf_ocr_ray.joins", "_project", cols=cols),
+            batch_format="pyarrow",
+        )
+
+    right = right.materialize()  # consumed twice: hot slice + cold join
+    build_hot = right.map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.joins", "_keep_keys", key=right_key, keys=hot, invert=False
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # |hot| x per-key rows — the documented broadcast bound
+    build_ref = ray.put(build_hot)
+
+    hot_joined = left.map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.joins",
+            "_broadcast_join_batch",
+            key=key,
+            right_key=right_key,
+            build_ref=build_ref,
+            hot=hot,
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )
+    cold = left.map_batches(
+        remote_fn("khl_pdf_ocr_ray.joins", "_keep_keys", key=key, keys=hot, invert=True),
+        batch_format="pyarrow",
+    )
+    cold_joined = safe_join(cold, right, on=(key,), right_on=(right_key,))
+    if cold_joined is None:  # every probe key was hot
+        return hot_joined
+    cold_joined = cold_joined.map_batches(
+        remote_fn("khl_pdf_ocr_ray.joins", "_project", cols=cols),
+        batch_format="pyarrow",
+    )
+    return hot_joined.union(cold_joined)

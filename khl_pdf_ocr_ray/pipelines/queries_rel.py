@@ -54,7 +54,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..remote import remote_fn
 
@@ -835,7 +835,96 @@ GROUP BY 1, 2
 """
 
 
+# --- skew_join_events (hot-key-aware join) ------------------------------------
+SKEW_HOT_THRESHOLD = 1000  # events per user above which the key is "hot"
+
+
+def skew_plant_batch(batch: pa.Table) -> pa.Table:
+    """Plant key skew (synthesize-on-read convention): every even
+    event_id re-attributes to user 0, making it hold ~half the stream."""
+    import pyarrow.compute as pc
+
+    even = pc.equal(pc.bit_wise_and(batch["event_id"], 1), 0)
+    return pa.table(
+        {
+            "event_id": batch["event_id"],
+            "user_id": pc.if_else(even, pa.scalar(0, pa.int64()), batch["user_id"]),
+        }
+    )
+
+
+def skew_dim_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct users of the planted stream (dim combiner)."""
+    g = batch.select(["user_id"]).group_by(["user_id"]).aggregate([])
+    return g.rename_columns(["u_r"])
+
+
+def skew_dim_seg(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "u_r": batch["u_r"],
+            "seg": pc.cast(
+                pc.subtract(
+                    batch["u_r"], pc.multiply(pc.divide(batch["u_r"], 5), 5)
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q_skew_join_events(sf_dir: str) -> rd.Dataset:
+    """Hot-key-aware dimension join: the planted-skew event stream (user 0
+    holds ~50% of rows) joins a per-user dimension through joins.skew_join
+    — the hot key's rows NEVER enter the shuffle (its dimension slice
+    broadcasts into a map-only stage); only the cold remainder hash-joins.
+    Without the split, one shuffle partition would hold half the corpus —
+    the straggler the brief's "salt hot keys" guards against."""
+    import pyarrow as _pa
+
+    from ..joins import skew_join
+    from .queries import _t
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        remote_fn(_QR, "skew_plant_batch"), batch_format="pyarrow"
+    )
+    dim = (
+        ev.map_batches(remote_fn(_QR, "skew_dim_partial"), batch_format="pyarrow")
+        .groupby("u_r")
+        .aggregate(Count(alias_name="n_"))
+        .select_columns(["u_r"])
+        .map_batches(remote_fn(_QR, "skew_dim_seg"), batch_format="pyarrow")
+    )
+    out_schema = _pa.schema(
+        [("event_id", _pa.int64()), ("user_id", _pa.int64()), ("seg", _pa.int64())]
+    )
+    joined = skew_join(
+        ev,
+        dim,
+        key="user_id",
+        right_key="u_r",
+        out_schema=out_schema,
+        hot_count_threshold=SKEW_HOT_THRESHOLD,
+    )
+    assert joined is not None  # events is never empty
+    return joined
+
+
+SQL_SKEW_JOIN_EVENTS = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id
+  FROM events),
+dim AS (SELECT DISTINCT user_id AS u_r, user_id % 5 AS seg FROM ev)
+SELECT ev.event_id, ev.user_id, CAST(dim.seg AS BIGINT) AS seg
+FROM ev JOIN dim ON ev.user_id = dim.u_r
+"""
+
+
 REL_QUERIES = {
+    "skew_join_events": q_skew_join_events,
     "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
     "lang_confusion": q_lang_confusion,
     "events_iqr_filter": q_events_iqr_filter,
@@ -849,6 +938,7 @@ REL_QUERIES = {
 }
 
 REL_ORACLES = {
+    "skew_join_events": SQL_SKEW_JOIN_EVENTS,
     "fuzzy_prefix_dups": SQL_FUZZY_PREFIX_DUPS,
     "lang_confusion": _sql_lang_confusion(),
     "events_iqr_filter": SQL_EVENTS_IQR_FILTER,

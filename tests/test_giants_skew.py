@@ -81,3 +81,58 @@ def test_detect_hot_hosts_sampled_feed(ray_session):
     assert detect_hot_hosts(pages, sample_threshold=0) == sampled  # deterministic
     exact = detect_hot_hosts(pages)  # below the default threshold -> exact
     assert exact == ["hot.example.com"]
+
+
+# --- skew_join (hot-key-aware join) --------------------------------------------
+def test_skew_join_hot_and_cold_paths_agree(ray_session, sf_smoke_dir):
+    """The hot-key split produces exactly the plain-join result: running
+    skew_join with a threshold that fires (planted user 0 is hot) equals
+    running it with a threshold no key reaches (pure shuffle fallback)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from khl_pdf_ocr_ray.joins import skew_join
+    from khl_pdf_ocr_ray.pipelines.queries_rel import (
+        SKEW_HOT_THRESHOLD,
+        q_skew_join_events,
+    )
+    from khl_pdf_ocr_ray.pipelines.queries import _t
+    from khl_pdf_ocr_ray.remote import remote_fn
+
+    split = q_skew_join_events(sf_smoke_dir).to_pandas()
+    # the planted hot key accounts for about half the stream
+    n0 = (split["user_id"] == 0).sum()
+    assert n0 > len(split) * 0.4
+
+    ev = _t(sf_smoke_dir, "events", ["event_id", "user_id"]).map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_rel", "skew_plant_batch"),
+        batch_format="pyarrow",
+    )
+    dim = (
+        ev.map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_rel", "skew_dim_partial"),
+            batch_format="pyarrow",
+        )
+        .groupby("u_r")
+        .aggregate(Count(alias_name="n_"))
+        .select_columns(["u_r"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_rel", "skew_dim_seg"),
+            batch_format="pyarrow",
+        )
+    )
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("seg", pa.int64())]
+    )
+    fallback = skew_join(
+        ev, dim, key="user_id", right_key="u_r", out_schema=schema,
+        hot_count_threshold=10**9,  # nothing is hot: pure shuffle path
+    ).to_pandas()
+
+    def _norm(df):
+        return df.sort_values(["event_id"]).reset_index(drop=True)[
+            ["event_id", "user_id", "seg"]
+        ]
+
+    pd.testing.assert_frame_equal(_norm(split), _norm(fallback))
