@@ -226,7 +226,15 @@ def q_source_top_docs(sf_dir: str) -> rd.Dataset:
 def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     """Per-doc top term by (tf DESC, df ASC, term ASC) over a corpus-wide
     document-frequency join (df computed from the same tf table: each
-    (doc_id, term) appears exactly once, so Count == document frequency)."""
+    (doc_id, term) appears exactly once, so Count == document frequency).
+
+    The term join is HOT-KEY skewed by nature — stopword-ish terms appear
+    in nearly every document, so a plain hash join puts a constant
+    fraction of the whole positional table in a few partitions. It runs
+    through joins.skew_join: terms in >= half the docs broadcast their
+    one-row df slice; only the long tail shuffles. The fraction-based
+    threshold keeps the broadcast slice tiny at ANY corpus size (a fixed
+    count would make most of the vocabulary 'hot' at 100 TB)."""
     tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         remote_fn(_QC, "tf_partial"), batch_format="pyarrow"
     ).materialize()  # df below derives from tf's plan; without this the
@@ -236,7 +244,25 @@ def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="df"))
         .rename_columns({"term": "term_r"})  # distinct key name for the join
     )
-    joined = safe_join(tf, df, on=("term",), right_on=("term_r",))
+    from ..joins import skew_join
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()  # parquet metadata, no scan
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+    joined = skew_join(
+        tf,
+        df,
+        key="term",
+        right_key="term_r",
+        out_schema=out_schema,
+        hot_count_threshold=max(2, n_docs // 2),
+    )
     assert joined is not None  # documents is never empty
     return (
         joined.map_batches(remote_fn(_QC, "top_term_partial"), batch_format="pyarrow")
