@@ -331,7 +331,10 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
     """Training docs contaminated by the eval split, with shared-trigram
     counts. Plan: explode both sides to per-doc distinct trigrams
     (map-only), distinct the eval side (slim groupby on the trigram),
-    hash-join on the trigram, count per training doc."""
+    hash-join on the trigram, count per training doc. Trigram keys are
+    far less skewed than unigrams (df decays fast with n); if a corpus
+    shows hot trigrams, joins.skew_join is the drop-in (tfidf_top_terms
+    demonstrates the routing)."""
     train = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         remote_fn(_QP, "trigram_explode", eval_side=False), batch_format="pyarrow"
     )
