@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "domain_classifier",    # distributed LR training (round 3)
     "ccnet_buckets",        # per-lang perplexity terciles (round 3)
     "gopher_repetition",    # per-doc repetition signals (round 3)
+    "skew_join_events",     # hot-key-aware join (round 3)
 ]
 
 
