@@ -44,6 +44,20 @@ def host_edge(url: str) -> Tuple[str, str]:
     return host_of(url), f"site{zlib.crc32(url.encode('utf-8')) % _N_SITES}.example.org"
 
 
+# deterministic blocklist (synthesize-on-read convention): every 7th site
+# host is banned outright, plus one path prefix everywhere
+BLOCK_HOSTS = tuple(f"site{n}.example.org" for n in range(0, 40, 7))
+BLOCK_PATH_PREFIX = "/p/1"
+
+
+def block_verdict(url: str) -> Tuple[str, bool]:
+    """(host, blocked) for one url under the host/path blocklist."""
+    h = host_of(url)
+    rest = url.split("://", 1)[1] if "://" in url else url
+    path = rest[rest.index("/"):] if "/" in rest else "/"
+    return h, (h in BLOCK_HOSTS or path.startswith(BLOCK_PATH_PREFIX))
+
+
 def pr_contrib(r_src: int, w: int, wout: int) -> int:
     """The per-edge damped contribution — THE shared fixed-point formula
     (single floor division; both engines pass identical operands)."""

@@ -600,6 +600,49 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- url blocklist filter -------------------------------------------------------
+def url_block_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch blocklist verdicts: (host, kept, blocked) combiner rows.
+    The blocklist is a broadcast set probe (functions/graph.py holds the
+    shared rule) — the standard robots/spam domain filter; no shuffle
+    touches page rows, only per-(host, batch) counts."""
+    from ..functions.graph import block_verdict
+
+    agg: dict = {}
+    for u in batch["url"].to_pylist():
+        h, blocked = block_verdict(u)
+        k, b = agg.get(h, (0, 0))
+        agg[h] = (k + (0 if blocked else 1), b + (1 if blocked else 0))
+    hosts = sorted(agg)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "kept": pa.array([agg[h][0] for h in hosts], pa.int64()),
+            "blocked": pa.array([agg[h][1] for h in hosts], pa.int64()),
+        }
+    )
+
+
+def q_url_blocklist(sf_dir: str) -> rd.Dataset:
+    """Crawl blocklist filtering: pages dropped by a broadcast host/path
+    blocklist, reported per host (kept vs blocked counts). The filter
+    itself is map-only (at 100 TB the blocklist is a ray.put set or a
+    Bloom filter per functions/bloom.py); the tiny per-host aggregate is
+    the only exchange."""
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return (
+        rd.read_parquet(pages_dir, columns=["url"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "url_block_batch"),
+            batch_format="pyarrow",
+        )
+        .groupby("host")
+        .aggregate(
+            Sum("kept", alias_name="kept"), Sum("blocked", alias_name="blocked")
+        )
+    )
+
+
 def pr_edges_partial(batch: pa.Table) -> pa.Table:
     """Per-batch (src, dst, w) edge combiner over the planted host links."""
     from collections import Counter
@@ -777,4 +820,5 @@ EXTRACT_QUERIES = {
     "url_template_topk": q_url_template_topk,
     "line_dedup": q_line_dedup,
     "host_pagerank": q_host_pagerank,
+    "url_blocklist": q_url_blocklist,
 }

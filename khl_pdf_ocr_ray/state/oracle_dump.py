@@ -375,6 +375,27 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "skew_seq.parquet"),
     )
 
+    # url-blocklist twin: the shared verdict kernel sequentially; the
+    # per-host aggregation is plain dict counting (the distributed side's
+    # combiner + groupby-Sum is what the gate certifies)
+    from ..functions.graph import block_verdict
+
+    blk: Dict[str, list] = {}
+    for _h, url, _nb in page_rows:
+        h, blocked = block_verdict(url)
+        a = blk.setdefault(h, [0, 0])
+        a[1 if blocked else 0] += 1
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(sorted(blk), pa.string()),
+                "kept": pa.array([blk[h][0] for h in sorted(blk)], pa.int64()),
+                "blocked": pa.array([blk[h][1] for h in sorted(blk)], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "url_block_seq.parquet"),
+    )
+
     # host-pagerank twin: planted edges + the shared integer formula in
     # one sequential pass (functions/graph.py:pagerank_sequential)
     from ..functions.graph import host_edge, pagerank_sequential
@@ -507,6 +528,9 @@ FROM read_parquet('{p("lineage_seq.parquet")}')
 """,
         "host_pagerank": f"""
 SELECT host, pagerank_fx FROM read_parquet('{p("pagerank_seq.parquet")}')
+""",
+        "url_blocklist": f"""
+SELECT host, kept, blocked FROM read_parquet('{p("url_block_seq.parquet")}')
 """,
         "line_dedup": f"""
 -- relational twin of the C4-style line dedup: winner = min pos_key per
