@@ -1267,6 +1267,16 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return ann_ivf(sf_dir, n_queries=8, k=5)[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ approximate top-5 — the compressed-index ANN path (Jegou et
+    al. 2011): candidates rank by ADC lookup-table sums over 8-byte PQ
+    codes, never raw vectors; the probed index partitions are 32x smaller
+    than the flat IVF lists. Recall vs brute force asserted in tests."""
+    from ..stages.knn import ann_ivfpq
+
+    return ann_ivfpq(sf_dir, n_queries=8, k=5)[["query_id", "neighbor_id", "rank"]]
+
+
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:
     """Exact embedding near-dup pairs (cosine >= 0.35)."""
     from ..stages.knn import embedding_dups
@@ -1375,6 +1385,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "ann_lsh_incremental": q_ann_lsh_incremental,  # oracle: ann_lsh's twin
     "ann_ivf": q_ann_ivf,
     "ann_ivf_incremental": q_ann_ivf_incremental,  # oracle: ann_ivf's twin
+    "ann_ivfpq": q_ann_ivfpq,  # dump-backed oracle
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "embedding_clusters": q_embedding_clusters,  # dump-backed oracle

@@ -206,6 +206,64 @@ def _ann_ivf_seq(emb: pd.DataFrame) -> pd.DataFrame:
     return knn_merge(partials, TOP_K)[["query_id", "neighbor_id", "rank"]]
 
 
+def _ann_ivfpq_seq(emb: pd.DataFrame) -> pd.DataFrame:
+    """IVF-PQ twin: the same coarse-quantizer/codebook/encode/ADC kernels
+    single-process. Per-row doubles match the distributed plan exactly —
+    codebooks train on the identical sorted sample, codes are per-row
+    argmins, and the ADC sum accumulates subspaces in the same fixed
+    order."""
+    from ..stages.knn import (
+        IVF_TRAIN_SAMPLE,
+        PQ_SHORTLIST,
+        _embed_matrix,
+        _ivf_centroids,
+        _normalize,
+        _pq_codebooks,
+        knn_merge,
+        knn_partial_batch,
+        pq_adc_partial,
+        pq_encode,
+        pq_query_luts,
+    )
+
+    sample = emb.sort_values("vec_id").head(IVF_TRAIN_SAMPLE)
+    xs = _embed_matrix(sample)
+    centroids = _ivf_centroids(xs)
+    books = _pq_codebooks(xs)
+    x = _embed_matrix(emb)
+    assign = np.argmax(_normalize(x) @ _normalize(centroids).T, axis=1).astype(np.int64)
+    codes = pq_encode(x, books)
+    qids, q = _queries(emb)
+    probe = set()
+    for row in q @ _normalize(centroids).T:
+        for c in np.argsort(-row)[:IVF_NPROBE]:
+            probe.add(int(c))
+    m = np.isin(assign, sorted(probe))
+    cands = pd.DataFrame(
+        {
+            "vec_id": emb["vec_id"].to_numpy()[m].astype(np.int64),
+            "code": pd.Series([c.tobytes() for c in codes[m]], dtype=object),
+        }
+    )
+    luts = pq_query_luts(q, books)
+    partials = pq_adc_partial(cands, [int(v) for v in qids], luts, PQ_SHORTLIST)
+    # refinement twin: exact rerank of the ADC shortlist, same allowed-set
+    # rule as the distributed path
+    short_ids = sorted(set(partials["neighbor_id"].astype("int64").tolist()))
+    cand = emb[emb["vec_id"].isin(short_ids)][["vec_id", "embedding"]]
+    exact = knn_partial_batch(cand, [int(v) for v in qids], q, len(cand))
+    allowed = set(
+        zip(partials["query_id"].astype("int64"), partials["neighbor_id"].astype("int64"))
+    )
+    exact = exact[
+        [
+            (int(a), int(b)) in allowed
+            for a, b in zip(exact["query_id"], exact["neighbor_id"])
+        ]
+    ]
+    return knn_merge(exact, TOP_K)[["query_id", "neighbor_id", "rank"]]
+
+
 def _emb_lsh_pairs(emb: pd.DataFrame) -> pd.DataFrame:
     from ..stages.knn import bucket_group_pairs, lsh_bucket_batch
 
@@ -267,6 +325,7 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     emb = _load_embeddings(sf_dir)
     _write("ann_lsh_seq.parquet", _ann_lsh_seq(emb))
     _write("ann_ivf_seq.parquet", _ann_ivf_seq(emb))
+    _write("ann_ivfpq_seq.parquet", _ann_ivfpq_seq(emb))
     _write("emb_lsh_pairs_seq.parquet", _emb_lsh_pairs(emb))
 
     # HLL sketch twin: the whole user_id column in one sequential partial
@@ -595,6 +654,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "ann_lsh_incremental": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
         "ann_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
         "ann_ivf_incremental": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivf_seq.parquet')}')",
+        "ann_ivfpq": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_ivfpq_seq.parquet')}')",
         "embedding_dups_lsh": f"SELECT vec_a, vec_b FROM read_parquet('{p('emb_lsh_pairs_seq.parquet')}')",
         "embedding_clusters": f"SELECT doc_id, cluster_id, cluster_size, keep FROM read_parquet('{p('emb_clusters_seq.parquet')}')",
         "hll_distinct_users": f"SELECT distinct_users_est FROM read_parquet('{p('hll_users_seq.parquet')}')",

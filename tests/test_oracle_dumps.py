@@ -33,6 +33,7 @@ DUMP_QUERIES = [
     "ann_lsh_incremental",
     "ann_ivf",
     "ann_ivf_incremental",
+    "ann_ivfpq",
     "embedding_dups_lsh",
     "embedding_clusters",
     "hll_distinct_users",
