@@ -64,6 +64,24 @@ def blocks_for_bytes(
     return max(lo, int(nbytes) // target_block_bytes)
 
 
+def coalesce_for_input(
+    nbytes: int,
+    fan_in: int = 16,
+    lo: int = 2,
+    target_block_bytes: int = 32 << 20,
+) -> int:
+    """Pre-groupby coalesce width for a per-block COMBINER output.
+
+    A combiner emits ~group-cardinality rows PER BLOCK, so its total size
+    grows with the input's block count; coalescing it to a literal 2
+    creates two giant blocks at high block counts (same failure class as
+    the fixed-repartition ceiling documented on blocks_for_bytes). One
+    reduce partition per ``fan_in`` input blocks bounds each coalesced
+    block at fan_in x cardinality rows at ANY scale, while the floor
+    keeps every reduce partition non-empty at toy scale."""
+    return max(lo, blocks_for_bytes(nbytes, target_block_bytes, lo=lo) // fan_in)
+
+
 def blocks_for_rows(nrows: int, rows_per_block: int = 200_000, lo: int = 2) -> int:
     """Block count sized from row count (for slim fixed-width intermediates
     whose byte size is rows x ~24 B): no ceiling, floor for toy scale."""

@@ -125,8 +125,10 @@ def safe_join(
 # --- skew-aware join ----------------------------------------------------------
 def _key_count_partial(batch, key: str):
     """Per-batch (key, n) combiner for exact probe-side key counts."""
+    from .functions.arrowkit import select_rename
+
     g = batch.select([key]).group_by([key]).aggregate([(key, "count")])
-    return g.rename_columns(["k_", "n_"])
+    return select_rename(g, k_=key, n_=f"{key}_count")
 
 
 def _keep_keys(batch, key: str, keys, invert: bool):

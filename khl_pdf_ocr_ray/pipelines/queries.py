@@ -25,6 +25,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
 
 _Q = "khl_pdf_ocr_ray.pipelines.queries"
@@ -94,8 +95,14 @@ def pricing_project(batch: pa.Table) -> pa.Table:
     g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
         [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"), ("qty", "count")]
     )
-    return g.rename_columns(
-        ["l_returnflag", "l_linestatus", "qty", "base_cents", "disc_cents", "n"]
+    return select_rename(
+        g,
+        l_returnflag="l_returnflag",
+        l_linestatus="l_linestatus",
+        qty="qty_sum",
+        base_cents="base_cents_sum",
+        disc_cents="disc_cents_sum",
+        n="qty_count",
     )
 
 
@@ -112,7 +119,13 @@ def events_project(batch: pa.Table) -> pa.Table:
     g = t.group_by(["event_type", "hour_bucket"]).aggregate(
         [("value_cents", "count"), ("value_cents", "sum")]
     )
-    return g.rename_columns(["event_type", "hour_bucket", "n", "value_cents"])
+    return select_rename(
+        g,
+        event_type="event_type",
+        hour_bucket="hour_bucket",
+        n="value_cents_count",
+        value_cents="value_cents_sum",
+    )
 
 
 def sessions_per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -438,7 +451,12 @@ def segment_partial(batch: pa.Table) -> pa.Table:
     g = batch.group_by("c_mktsegment").aggregate(
         [("price_cents", "count"), ("price_cents", "sum")]
     )
-    return g.rename_columns(["c_mktsegment", "n_orders", "revenue_cents"])
+    return select_rename(
+        g,
+        c_mktsegment="c_mktsegment",
+        n_orders="price_cents_count",
+        revenue_cents="price_cents_sum",
+    )
 
 
 SQL_ORDERS_BY_SEGMENT = """
@@ -786,7 +804,13 @@ def sliding_project(batch: pa.Table) -> pa.Table:
     g = both.group_by(["event_type", "win_start"]).aggregate(
         [("value_cents", "count"), ("value_cents", "sum")]
     )
-    return g.rename_columns(["event_type", "win_start", "n", "value_cents"])
+    return select_rename(
+        g,
+        event_type="event_type",
+        win_start="win_start",
+        n="value_cents_count",
+        value_cents="value_cents_sum",
+    )
 
 
 SQL_EVENTS_SLIDING = """
@@ -1032,7 +1056,9 @@ def split_partial(batch: pa.Table) -> pa.Table:
     )
     t = pa.table({"split": split, "n_chars": batch["n_chars"]})
     g = t.group_by(["split"]).aggregate([("n_chars", "count"), ("n_chars", "sum")])
-    return g.rename_columns(["split", "n_docs", "total_chars"])
+    return select_rename(
+        g, split="split", n_docs="n_chars_count", total_chars="n_chars_sum"
+    )
 
 
 SQL_TRAIN_TEST_SPLIT = f"""

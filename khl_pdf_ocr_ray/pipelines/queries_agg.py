@@ -65,6 +65,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
 
 _QA = "khl_pdf_ocr_ray.pipelines.queries_agg"
@@ -354,7 +355,7 @@ def spend_cents_project(batch: pa.Table) -> pa.Table:
 
     t = pa.table({"user_id": batch["user_id"], "cents": _cents(batch["value"])})
     g = t.group_by(["user_id"]).aggregate([("cents", "sum")])
-    return g.rename_columns(["user_id", "cents"])
+    return select_rename(g, user_id="user_id", cents="cents_sum")
 
 
 def recent_users_project(batch: pa.Table) -> pa.Table:
@@ -365,7 +366,7 @@ def recent_users_project(batch: pa.Table) -> pa.Table:
     )
     t = pa.table({"user_id": batch.filter(keep)["user_id"]})
     g = t.group_by(["user_id"]).aggregate([("user_id", "count")])
-    return g.rename_columns(["user_id", "_n"]).drop_columns(["_n"])
+    return g.select(["user_id"])
 
 
 def big_users_filter(batch: pa.Table) -> pa.Table:
@@ -737,7 +738,7 @@ def dow_hour_partial(batch: pa.Table) -> pa.Table:
     hour = pc.divide(rem, 3_600_000_000)
     t = pa.table({"dow": dow, "hour": hour})
     g = t.group_by(["dow", "hour"]).aggregate([("hour", "count")])
-    return g.rename_columns(["dow", "hour", "n"])
+    return select_rename(g, dow="dow", hour="hour", n="hour_count")
 
 
 def q_events_dow_hour(sf_dir: str) -> rd.Dataset:

@@ -56,6 +56,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..joins import safe_join
+from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
 
 _QC = "khl_pdf_ocr_ray.pipelines.queries_corpus"
@@ -192,6 +193,15 @@ def _docs(sf_dir: str, columns) -> rd.Dataset:
     from .queries import _t
 
     return _t(sf_dir, "documents", columns)
+
+
+def _docs_coalesce(sf_dir: str) -> int:
+    """Block-count-derived coalesce width for per-block combiner outputs
+    over the documents table (blocks x vocab rows grow with input size —
+    a literal repartition(2) would become two giant blocks at scale)."""
+    from ..io import coalesce_for_input, input_nbytes
+
+    return coalesce_for_input(input_nbytes(os.path.join(sf_dir, "documents.parquet")))
 
 
 def q_word_repetition(sf_dir: str) -> rd.Dataset:
@@ -574,7 +584,7 @@ def pivot_partial(batch: pa.Table) -> pa.Table:
     g = (
         t.group_by(["day", "event_type"])
         .aggregate([("event_type", "count")])
-        .rename_columns(["day", "event_type", "n"])
+        .rename_columns({"event_type_count": "n"})
         .to_pandas()
     )
     wide = (
@@ -645,7 +655,13 @@ def moments_partial(batch: pa.Table) -> pa.Table:
     g = t.group_by(["event_type"]).aggregate(
         [("cents", "count"), ("cents", "sum"), ("cents_sq", "sum")]
     )
-    return g.rename_columns(["event_type", "n", "sum_cents", "sum_sq_cents"])
+    return select_rename(
+        g,
+        event_type="event_type",
+        n="cents_count",
+        sum_cents="cents_sum",
+        sum_sq_cents="cents_sq_sum",
+    )
 
 
 def q_events_value_moments(sf_dir: str) -> rd.Dataset:
@@ -672,7 +688,12 @@ def seg_prio_partial(batch: pa.Table) -> pa.Table:
         .group_by(["c_mktsegment", "o_orderpriority"])
         .aggregate([("o_orderpriority", "count")])
     )
-    return g.rename_columns(["c_mktsegment", "o_orderpriority", "n_orders"])
+    return select_rename(
+        g,
+        c_mktsegment="c_mktsegment",
+        o_orderpriority="o_orderpriority",
+        n_orders="o_orderpriority_count",
+    )
 
 
 def q_segment_priority_matrix(sf_dir: str) -> pd.DataFrame:
@@ -723,7 +744,13 @@ def outer_counts_partial(batch: pa.Table) -> pa.Table:
     g = t.group_by(["c_mktsegment"]).aggregate(
         [("no_orders", "count"), ("no_orders", "sum"), ("n_orders", "sum")]
     )
-    return g.rename_columns(["c_mktsegment", "n_customers", "n_no_orders", "total_orders"])
+    return select_rename(
+        g,
+        c_mktsegment="c_mktsegment",
+        n_customers="no_orders_count",
+        n_no_orders="no_orders_sum",
+        total_orders="n_orders_sum",
+    )
 
 
 def null_orders_append(batch: pa.Table) -> pa.Table:
@@ -946,7 +973,7 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
     counts = (
         _docs(sf_dir, ["text"])
         .map_batches(remote_fn(_QC, "lm_count_partial"), batch_format="pyarrow")
-        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .repartition(_docs_coalesce(sf_dir))  # blocks x vocab combiner rows
         .groupby("term")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # vocabulary-sized
@@ -1163,7 +1190,7 @@ def q_domain_classifier(sf_dir: str) -> rd.Dataset:
                 remote_fn(_QC, "lr_grad_partial", w=w, b_fx=b_fx),
                 batch_format="pyarrow",
             )
-            .repartition(2)  # tiny combiner output; non-empty reduce partitions
+            .repartition(_docs_coalesce(sf_dir))  # blocks x DSIR_B rows
             .groupby("bucket")
             .aggregate(Sum("g_fx", alias_name="g_fx"), Sum("n", alias_name="n"))
             .to_pandas()  # <= DSIR_B + 1 rows
@@ -1255,7 +1282,7 @@ def q_ccnet_buckets(sf_dir: str) -> rd.Dataset:
     counts = (
         _docs(sf_dir, ["text"])
         .map_batches(remote_fn(_QC, "lm_count_partial"), batch_format="pyarrow")
-        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .repartition(_docs_coalesce(sf_dir))  # blocks x vocab combiner rows
         .groupby("term")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # vocabulary-sized
@@ -1287,7 +1314,7 @@ def ccnet_part_partial(batch: pa.Table) -> pa.Table:
     g = batch.select(["bkey", "lang"]).group_by(["bkey", "lang"]).aggregate(
         [("lang", "count")]
     )
-    return g.rename_columns(["bkey", "lang", "n"])
+    return select_rename(g, bkey="bkey", lang="lang", n="lang_count")
 
 
 def ccnet_offsets(parts: pd.DataFrame):
@@ -1512,7 +1539,7 @@ def q_dsir_topk(sf_dir: str) -> rd.Dataset:
     counts = (
         _docs(sf_dir, ["lang", "text"])
         .map_batches(remote_fn(_QC, "dsir_count_partial"), batch_format="pyarrow")
-        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        .repartition(_docs_coalesce(sf_dir))  # blocks x DSIR_B rows
         .groupby("bucket")
         .aggregate(Sum("n_tgt", alias_name="n_tgt"), Sum("n_src", alias_name="n_src"))
         .to_pandas()  # <= DSIR_B rows

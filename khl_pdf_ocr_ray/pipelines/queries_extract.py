@@ -20,6 +20,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
 from ..pipelines.extract_pipeline import run_extract, synthesize_pages
 
@@ -526,7 +527,7 @@ def line_win_partial(batch: pa.Table) -> pa.Table:
     occurring on every page contributes ONE row per block, not one per
     occurrence)."""
     g = batch.group_by(["line_md5"]).aggregate([("pos_key", "min")])
-    return g.rename_columns(["line_md5", "keep_key"])
+    return select_rename(g, line_md5="line_md5", keep_key="pos_key_min")
 
 
 def line_dedup_partial(batch: pa.Table) -> pa.Table:
@@ -545,7 +546,13 @@ def line_dedup_partial(batch: pa.Table) -> pa.Table:
     g = t.group_by(["url"]).aggregate(
         [("n_lines", "sum"), ("n_removed", "sum"), ("chars_kept", "sum")]
     )
-    return g.rename_columns(["url", "n_lines", "n_removed", "chars_kept"])
+    return select_rename(
+        g,
+        url="url",
+        n_lines="n_lines_sum",
+        n_removed="n_removed_sum",
+        chars_kept="chars_kept_sum",
+    )
 
 
 def q_line_dedup(sf_dir: str) -> rd.Dataset:

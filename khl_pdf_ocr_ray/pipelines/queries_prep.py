@@ -57,6 +57,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..joins import safe_join
+from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
 
 _QP = "khl_pdf_ocr_ray.pipelines.queries_prep"
@@ -421,7 +422,9 @@ def zscore_sums_partial(batch: pa.Table) -> pa.Table:
     g = t.group_by(["event_type"]).aggregate(
         [("cents", "count"), ("cents", "sum"), ("sq", "sum")]
     )
-    return g.rename_columns(["event_type", "n", "sx", "sxx"])
+    return select_rename(
+        g, event_type="event_type", n="cents_count", sx="cents_sum", sxx="sq_sum"
+    )
 
 
 def zscore_apply(batch: pa.Table, stats: dict) -> pa.Table:

@@ -174,7 +174,7 @@ def q_llm_corpus_recipe(sf_dir: str) -> rd.Dataset:
     accounting of the cleaned, deduplicated, decontaminated, chunked
     corpus (lang, n_docs, n_chunks, n_tokens)."""
     from .queries import _t
-    from .queries_corpus import lm_model_from_counts
+    from .queries_corpus import _docs_coalesce, lm_model_from_counts
 
     docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
         remote_fn(_QR, "recipe_input_batch"), batch_format="pyarrow"
@@ -186,7 +186,9 @@ def q_llm_corpus_recipe(sf_dir: str) -> rd.Dataset:
             remote_fn("khl_pdf_ocr_ray.pipelines.queries_corpus", "lm_count_partial"),
             batch_format="pyarrow",
         )
-        .repartition(2)
+        # blocks x vocab combiner rows: coalesce width must scale with the
+        # input's block count, never a literal 2
+        .repartition(_docs_coalesce(sf_dir))
         .groupby("term")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

@@ -56,6 +56,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
+from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
 
 _QR = "khl_pdf_ocr_ray.pipelines.queries_rel"
@@ -98,7 +99,7 @@ def funnel_user_reach(g: pd.DataFrame) -> pd.DataFrame:
 
 def reach_count_partial(batch: pa.Table) -> pa.Table:
     g = batch.group_by(["reach"]).aggregate([("reach", "count")])
-    return g.rename_columns(["reach", "n"])
+    return select_rename(g, reach="reach", n="reach_count")
 
 
 def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
@@ -179,7 +180,7 @@ def setop_partial(batch: pa.Table) -> pa.Table:
         }
     ).filter(keep)
     g = tagged.group_by(["user_id"]).aggregate([("a", "max"), ("b", "max")])
-    return g.rename_columns(["user_id", "a", "b"])
+    return select_rename(g, user_id="user_id", a="a_max", b="b_max")
 
 
 def intersect_filter(batch: pa.Table) -> pa.Table:
@@ -261,7 +262,16 @@ def corr_partial(batch: pa.Table) -> pa.Table:
             ("xy", "sum"),
         ]
     )
-    return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+    return select_rename(
+        g,
+        event_type="event_type",
+        n="x_count",
+        sx="x_sum",
+        sy="y_sum",
+        sxx="xx_sum",
+        syy="yy_sum",
+        sxy="xy_sum",
+    )
 
 
 def corr_from_sums(n: int, sx: int, sy: int, sxx: int, syy: int, sxy: int) -> float:
@@ -427,7 +437,7 @@ def iqr_hist_partial(batch: pa.Table) -> pa.Table:
 
     t = pa.table({"event_type": batch["event_type"], "cents": _cents(batch["value"])})
     g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
-    return g.rename_columns(["event_type", "cents", "n"])
+    return select_rename(g, event_type="event_type", cents="cents", n="cents_count")
 
 
 def iqr_bounds_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -539,7 +549,7 @@ def supp_part_distinct(batch: pa.Table, part_keys: list) -> pa.Table:
     keep = pc.is_in(batch["l_partkey"], value_set=pa.array(part_keys, pa.int64()))
     t = batch.filter(keep).select(["l_suppkey", "l_partkey"])
     g = t.group_by(["l_suppkey", "l_partkey"]).aggregate([("l_partkey", "count")])
-    return g.rename_columns(["l_suppkey", "l_partkey", "_n"]).drop_columns(["_n"])
+    return g.select(["l_suppkey", "l_partkey"])
 
 
 def part_project(batch: pa.Table) -> pa.Table:
@@ -646,7 +656,7 @@ def mad_dev_hist_partial(batch: pa.Table, medians: dict) -> pa.Table:
     dev = np.abs(_cents(batch["value"]).to_numpy() - med)
     t = pa.table({"event_type": batch["event_type"], "dev": pa.array(dev, pa.int64())})
     g = t.group_by(["event_type", "dev"]).aggregate([("dev", "count")])
-    return g.rename_columns(["event_type", "dev", "n"])
+    return select_rename(g, event_type="event_type", dev="dev", n="dev_count")
 
 
 def q_events_mad(sf_dir: str) -> pd.DataFrame:
@@ -715,7 +725,7 @@ def spend_sum_partial(batch: pa.Table) -> pa.Table:
 
     t = pa.table({"user_id": batch["user_id"], "cents": _cents(batch["value"])})
     g = t.group_by(["user_id"]).aggregate([("cents", "sum")])
-    return g.rename_columns(["user_id", "spend"])
+    return select_rename(g, user_id="user_id", spend="cents_sum")
 
 
 def gini_block_partial(batch: pa.Table) -> pa.Table:

@@ -57,6 +57,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
 
 _QW = "khl_pdf_ocr_ray.pipelines.queries_window"
@@ -144,7 +145,7 @@ def size_hist_partial(batch: pa.Table) -> pa.Table:
     g = batch.select(["n_chars"]).group_by(["n_chars"]).aggregate(
         [("n_chars", "count")]
     )
-    return g.rename_columns(["n_chars", "n"])
+    return select_rename(g, n_chars="n_chars", n="n_chars_count")
 
 
 def ntile_of_rank(rank: np.ndarray, n_total: int, k: int) -> np.ndarray:
@@ -316,7 +317,7 @@ WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 # --- resample_weighted ------------------------------------------------------
 def lang_count_partial(batch: pa.Table) -> pa.Table:
     g = batch.select(["lang"]).group_by(["lang"]).aggregate([("lang", "count")])
-    return g.rename_columns(["lang", "n"])
+    return select_rename(g, lang="lang", n="lang_count")
 
 
 def resample_filter_partial(batch: pa.Table, thresholds: dict) -> pa.Table:
@@ -335,7 +336,9 @@ def resample_filter_partial(batch: pa.Table, thresholds: dict) -> pa.Table:
         .group_by(["lang"])
         .aggregate([("n_chars", "count"), ("n_chars", "sum")])
     )
-    return g.rename_columns(["lang", "kept_docs", "kept_chars"])
+    return select_rename(
+        g, lang="lang", kept_docs="n_chars_count", kept_chars="n_chars_sum"
+    )
 
 
 def resample_thresholds(lang_counts: dict) -> dict:

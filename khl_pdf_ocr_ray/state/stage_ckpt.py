@@ -41,17 +41,21 @@ _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _code_fingerprint(rel_paths: List[str]) -> str:
     h = hashlib.sha256()
     for rel in rel_paths:
-        with open(os.path.join(_PKG_ROOT, rel), "rb") as f:
+        # absolute paths hash files OUTSIDE the package (job scripts)
+        p = rel if os.path.isabs(rel) else os.path.join(_PKG_ROOT, rel)
+        with open(p, "rb") as f:
             h.update(hashlib.md5(f.read()).digest())
     return h.hexdigest()[:16]
 
 
+def _stage_files(path: str) -> List[str]:
+    """All parquet fragments, including hive-partitioned subdirs."""
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
 def _dir_rows(path: str) -> int:
     """Row count from parquet footers (no data read)."""
-    return sum(
-        pq.read_metadata(p).num_rows
-        for p in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    return sum(pq.read_metadata(p).num_rows for p in _stage_files(path))
 
 
 class StageRunner:
@@ -96,7 +100,7 @@ class StageRunner:
                 "key": key,
                 "params": params,
                 "n_rows": _dir_rows(tmp_dir),
-                "n_files": len(glob.glob(os.path.join(tmp_dir, "*.parquet"))),
+                "n_files": len(_stage_files(tmp_dir)),
                 "wall_s": round(time.perf_counter() - t0, 3),
                 "built_by_pid": os.getpid(),
             }

@@ -35,6 +35,12 @@ RECIPE_CODE_FILES = [
     "pipelines/queries_recipe.py",
     "pipelines/queries_corpus.py",
     "pipelines/queries_prep.py",
+    # stage WIRING and plumbing: editing the composition in this script, the
+    # join semantics, or the checkpoint mechanics must also re-key every
+    # stage — otherwise a resume serves stale artifacts as current
+    "joins.py",
+    "state/stage_ckpt.py",
+    os.path.abspath(__file__),
 ]
 
 _QR = "khl_pdf_ocr_ray.pipelines.queries_recipe"
@@ -66,12 +72,17 @@ def run_job(input_path: str, work_dir: str) -> dict:
 
     input_dir = runner.stage("input", _input, params=input_params)
 
-    # 2. LM model: (term, n) counts table
+    # 2. LM model: (term, n) counts table (combiner output is blocks x
+    # vocab rows — coalesce width scales with the input's block count)
     def _model(tmp: str) -> None:
+        from khl_pdf_ocr_ray.io import coalesce_for_input, input_nbytes
+
         read_parquet_clean(input_dir, columns=["text"]).map_batches(
             remote_fn("khl_pdf_ocr_ray.pipelines.queries_corpus", "lm_count_partial"),
             batch_format="pyarrow",
-        ).repartition(2).groupby("term").aggregate(
+        ).repartition(coalesce_for_input(input_nbytes(input_dir))).groupby(
+            "term"
+        ).aggregate(
             Sum("n", alias_name="n")
         ).write_parquet(tmp)
 
