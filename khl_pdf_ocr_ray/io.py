@@ -51,6 +51,12 @@ def input_nbytes(path) -> int:
     return os.path.getsize(path)
 
 
+def table_nbytes(sf_dir: str, table: str) -> int:
+    """On-disk byte size of one named test table under ``sf_dir`` — the
+    sizing hint safe_join's streaming (barrier-free) path wants."""
+    return input_nbytes(os.path.join(sf_dir, f"{table}.parquet"))
+
+
 def blocks_for_bytes(
     nbytes: int, target_block_bytes: int = 32 << 20, lo: int = 8
 ) -> int:

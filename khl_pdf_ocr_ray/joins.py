@@ -11,10 +11,17 @@ side — tiny pair tables, sparse graphs, skewed keys.
 every partition is (overwhelmingly) populated: ``rows / 4096`` partitions,
 capped at 4x the cluster's cores (more partitions than runnable tasks only
 adds per-partition fixed cost), collapsing to a single partition for small
-inputs. Both sides are materialized once — the join consumes each side
-exactly once afterwards, so this is the single execution of each pipeline,
-and the row count comes free from the materialized metadata (counting an
-UN-materialized side would execute its pipeline a second time).
+inputs.
+
+Callers that KNOW both sides are non-empty (base tables, FK-backed
+aggregates) pass ``assume_non_empty=True`` plus byte sizes (or an explicit
+``num_partitions``) and get a fully STREAMING join: no materialization, no
+pipeline barrier, nothing pinned in the object store — the 100 TB default.
+The materialize+count path is the FALLBACK for data-dependent sides
+(dedup pair sets, decontamination hits, filtered intermediates) where
+emptiness must be detected to return the documented sentinel results; the
+join consumes each side exactly once afterwards, so the materialization is
+the single execution of each pipeline and its row count is free.
 
 Empty-side semantics (callers otherwise crash or silently lose rows):
 - either side empty + inner/left_semi  -> ``None`` (result is empty; an
@@ -74,7 +81,39 @@ def safe_join(
     join_type: str = "inner",
     rows_per_partition: int = _ROWS_PER_PARTITION,
     num_partitions: Optional[int] = None,
+    left_nbytes: Optional[int] = None,
+    right_nbytes: Optional[int] = None,
+    assume_non_empty: bool = False,
 ):
+    """See module docstring. Two execution regimes:
+
+    STREAMING (no barrier): when the caller asserts ``assume_non_empty``
+    (both sides structurally non-empty — base tables, FK-backed
+    aggregates) AND supplies sizing (``num_partitions`` directly, or
+    ``left_nbytes``/``right_nbytes`` from io.input_nbytes / upstream
+    metadata), the join runs without materializing either side — no
+    pipeline barrier, nothing pinned in the object store.
+
+    FALLBACK (materialize + count): when emptiness is data-dependent
+    (dedup pair sets, decontamination hits) or no sizing is known, both
+    sides are materialized once — the join consumes each side exactly
+    once afterwards, so this is the single execution of each pipeline,
+    and the row count comes free from the materialized metadata.
+    """
+    if assume_non_empty and (
+        num_partitions is not None or left_nbytes or right_nbytes
+    ):
+        if num_partitions is None:
+            num_partitions = join_partitions(
+                max(int(left_nbytes or 0), int(right_nbytes or 0))
+            )
+        return left.join(
+            right,
+            join_type=join_type,
+            num_partitions=num_partitions,
+            on=on,
+            right_on=right_on,
+        )
     left = left.materialize()
     right = right.materialize()
     n_left, n_right = left.count(), right.count()

@@ -830,13 +830,17 @@ def q_customers_semi(sf_dir: str) -> rd.Dataset:
     round-1 design broadcast the distinct-key set, which grows with the
     big side at 100 TB; a Bloom-filter prefilter would be the next
     refinement, not a replacement)."""
+    from ..io import table_nbytes
     from ..joins import safe_join
 
     customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders_keys = _t(sf_dir, "orders", ["o_custkey"])
+    # base tables: structurally non-empty -> streaming (barrier-free) join
     semi = safe_join(
         customer, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
-        join_type="left_semi",
+        join_type="left_semi", assume_non_empty=True,
+        left_nbytes=table_nbytes(sf_dir, "customer"),
+        right_nbytes=table_nbytes(sf_dir, "orders"),
     )
     if semi is None:  # either side empty -> no customer has an order
         return _empty_segment_counts()
@@ -863,6 +867,7 @@ def q_customers_anti(sf_dir: str) -> pd.DataFrame:
     ``left_anti`` join. Materialized to a schema-stable DataFrame because
     a fully-empty Ray aggregate loses its column schema (every customer
     has orders at small scale factors)."""
+    from ..io import table_nbytes
     from ..joins import safe_join
 
     customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -872,7 +877,9 @@ def q_customers_anti(sf_dir: str) -> pd.DataFrame:
     # customer itself is empty
     anti = safe_join(
         customer, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
-        join_type="left_anti",
+        join_type="left_anti", assume_non_empty=True,
+        left_nbytes=table_nbytes(sf_dir, "customer"),
+        right_nbytes=table_nbytes(sf_dir, "orders"),
     )
     if anti is None:
         return pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
@@ -900,6 +907,7 @@ def q_customers_semi_bloom(sf_dir: str) -> rd.Dataset:
     import ray as _ray
 
     from ..functions.bloom import DEFAULT_K, DEFAULT_M_BITS, build_bloom
+    from ..io import table_nbytes
     from ..joins import safe_join
 
     orders_keys = _t(sf_dir, "orders", ["o_custkey"]).materialize()
@@ -916,9 +924,13 @@ def q_customers_semi_bloom(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pandas",
     )
+    # prefiltered keeps every true match (Bloom has no false negatives) and
+    # orders' FK always lands, so both sides are structurally non-empty
     semi = safe_join(
         prefiltered, orders_keys, on=("c_custkey",), right_on=("o_custkey",),
-        join_type="left_semi",
+        join_type="left_semi", assume_non_empty=True,
+        left_nbytes=table_nbytes(sf_dir, "customer"),
+        right_nbytes=table_nbytes(sf_dir, "orders"),
     )
     if semi is None:
         return _empty_segment_counts()

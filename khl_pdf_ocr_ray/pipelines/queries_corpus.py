@@ -55,6 +55,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..io import table_nbytes
 from ..joins import safe_join
 from ..functions.arrowkit import select_rename
 from ..remote import remote_fn
@@ -474,8 +475,12 @@ def q_region_revenue(sf_dir: str) -> rd.Dataset:
         )
     )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = safe_join(per_cust, cust, on=("o_custkey",), right_on=("c_custkey",))
-    assert joined is not None  # orders/customer never empty
+    joined = safe_join(
+        per_cust, cust, on=("o_custkey",), right_on=("c_custkey",),
+        assume_non_empty=True,  # orders/customer never empty
+        left_nbytes=table_nbytes(sf_dir, "customer"),  # per-cust aggregate
+        right_nbytes=table_nbytes(sf_dir, "customer"),
+    )
 
     import pyarrow.parquet as pq
 
@@ -707,8 +712,12 @@ def q_segment_priority_matrix(sf_dir: str) -> pd.DataFrame:
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = safe_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
-    assert joined is not None  # both driver tables are non-empty
+    joined = safe_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+        assume_non_empty=True,  # both driver tables are non-empty
+        left_nbytes=table_nbytes(sf_dir, "orders"),
+        right_nbytes=table_nbytes(sf_dir, "customer"),
+    )
     obs = (
         joined.map_batches(remote_fn(_QC, "seg_prio_partial"), batch_format="pyarrow")
         .repartition(2)  # tiny combiner output; non-empty reduce partitions

@@ -43,6 +43,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..io import table_nbytes
 from ..joins import safe_join
 from ..remote import remote_fn
 
@@ -179,8 +180,12 @@ def q_lang_embedding_centroid(sf_dir: str) -> rd.Dataset:
         remote_fn(_QE, "emb_pack_batch"), batch_format="pandas"
     )
     docs = _t(sf_dir, "documents", ["doc_id", "lang"])
-    joined = safe_join(emb, docs, on=("vec_id",), right_on=("doc_id",))
-    assert joined is not None  # both tables are non-empty driver inputs
+    joined = safe_join(
+        emb, docs, on=("vec_id",), right_on=("doc_id",),
+        assume_non_empty=True,  # both tables are non-empty driver inputs
+        left_nbytes=table_nbytes(sf_dir, "embeddings"),
+        right_nbytes=table_nbytes(sf_dir, "documents"),
+    )
     return (
         joined.map_batches(
             remote_fn(_QE, "lang_centroid_partial"), batch_format="pandas"
@@ -411,8 +416,12 @@ def q_cluster_lang_purity(sf_dir: str) -> rd.Dataset:
 
     assigns = q_kmeans_clusters(sf_dir)
     docs = _t(sf_dir, "documents", ["doc_id", "lang"])
-    joined = safe_join(assigns, docs, on=("vec_id",), right_on=("doc_id",))
-    assert joined is not None  # both sides non-empty on the driver corpora
+    joined = safe_join(
+        assigns, docs, on=("vec_id",), right_on=("doc_id",),
+        assume_non_empty=True,  # both sides non-empty on the driver corpora
+        left_nbytes=table_nbytes(sf_dir, "embeddings"),  # slim assignment rows
+        right_nbytes=table_nbytes(sf_dir, "documents"),
+    )
     return (
         joined.groupby(["cluster", "lang"])
         .aggregate(Count(alias_name="n"))

@@ -569,7 +569,7 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
     partial, so no task ever holds a full dup group."""
     from ray.data.aggregate import Min
 
-    from ..joins import safe_join
+    from ..joins import join_partitions, safe_join
 
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     lines = (
@@ -589,8 +589,13 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
         .aggregate(Min("keep_key", alias_name="keep_key"))
         .rename_columns({"line_md5": "line_md5_r"})
     )
-    joined = safe_join(lines, winners, on=("line_md5",), right_on=("line_md5_r",))
-    assert joined is not None  # the html corpus always has kept lines
+    # lines is already materialized (reused twice): its metadata byte size
+    # prices the streaming join, and the winner aggregate never materializes
+    joined = safe_join(
+        lines, winners, on=("line_md5",), right_on=("line_md5_r",),
+        assume_non_empty=True,  # the html corpus always has kept lines
+        num_partitions=join_partitions(lines.size_bytes()),
+    )
     return (
         joined.map_batches(
             remote_fn(
@@ -736,7 +741,7 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Sum as _Sum
 
     from ..functions.graph import PR_ITERS
-    from ..joins import _max_partitions, safe_join
+    from ..joins import _max_partitions, join_partitions, safe_join
 
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     edges = (
@@ -754,8 +759,11 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
         .aggregate(_Sum("w", alias_name="wout"))
         .rename_columns({"src": "wsrc"})
     )
-    edges_w = safe_join(edges, wout, on=("src",), right_on=("wsrc",))
-    assert edges_w is not None  # every page plants one edge
+    edges_w = safe_join(
+        edges, wout, on=("src",), right_on=("wsrc",),
+        assume_non_empty=True,  # every page plants one edge
+        num_partitions=join_partitions(edges.size_bytes()),
+    )
     edges_w = edges_w.materialize()  # reused every iteration
     nodes = (
         edges.map_batches(

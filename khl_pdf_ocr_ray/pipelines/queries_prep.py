@@ -58,6 +58,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..joins import safe_join
 from ..functions.arrowkit import select_rename
+from ..io import table_nbytes
 from ..remote import remote_fn
 
 _QP = "khl_pdf_ocr_ray.pipelines.queries_prep"
@@ -349,13 +350,14 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
         .map_batches(remote_fn(_QP, "drop_count_col"), batch_format="pyarrow")
         .rename_columns({"ng": "ng_r"})
     )
-    hit = safe_join(train, ev, on=("ng",), right_on=("ng_r",))
-    if hit is None:  # empty corpus or no eval docs
-        return rd.from_arrow(
-            pa.table(
-                {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
-            )
-        )
+    # both sides are trigram explodes of the non-empty documents table
+    # (the eval split always exists: doc_id % DECON_EVAL_MOD == 0 hits) ->
+    # streaming join; sized from the source bytes x the explode factor
+    nb = table_nbytes(sf_dir, "documents")
+    hit = safe_join(
+        train, ev, on=("ng",), right_on=("ng_r",),
+        assume_non_empty=True, left_nbytes=3 * nb, right_nbytes=nb,
+    )
     return hit.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
 
 

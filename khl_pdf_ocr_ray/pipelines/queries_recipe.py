@@ -44,6 +44,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from ..io import table_nbytes
 from ..joins import safe_join
 from ..remote import remote_fn
 
@@ -235,20 +236,28 @@ def q_llm_corpus_recipe(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    hit = safe_join(train_ngs, eval_ngs, on=("ng",), right_on=("ng_eval",))
-    if hit is None:
-        clean = deduped
-    else:
-        flagged = (
-            hit.groupby("doc_id")
-            .aggregate(Count(alias_name="_n"))
-            .map_batches(remote_fn(_QR, "flagged_ids_only"), batch_format="pyarrow")
-        )
-        clean = safe_join(
-            deduped, flagged, on=("doc_id",), right_on=("flagged_doc_id",),
-            join_type="left_anti",
-        )
-        assert clean is not None
+    # both trigram explodes come from structurally non-empty inputs (the
+    # eval split always exists; the quality gate keeps most docs), so the
+    # big decontamination join streams — no materialized barrier on the
+    # exploded n-gram table. The anti join below KEEPS the fallback path:
+    # `flagged` is empty whenever nothing is contaminated, and left_anti
+    # against an empty right must return `deduped` unchanged (safe_join's
+    # documented sentinel), which requires emptiness detection.
+    nb = table_nbytes(sf_dir, "documents")
+    hit = safe_join(
+        train_ngs, eval_ngs, on=("ng",), right_on=("ng_eval",),
+        assume_non_empty=True, left_nbytes=3 * nb, right_nbytes=nb,
+    )
+    flagged = (
+        hit.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(remote_fn(_QR, "flagged_ids_only"), batch_format="pyarrow")
+    )
+    clean = safe_join(
+        deduped, flagged, on=("doc_id",), right_on=("flagged_doc_id",),
+        join_type="left_anti",
+    )
+    assert clean is not None
 
     # 5. chunk accounting -> |langs|-row result
     return (

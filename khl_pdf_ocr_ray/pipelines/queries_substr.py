@@ -55,6 +55,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count
 
+from ..io import table_nbytes
 from ..joins import safe_join
 from ..remote import remote_fn
 
@@ -315,8 +316,14 @@ def q_snapshot_dedup(sf_dir: str) -> rd.Dataset:
     new = docs.map_batches(
         remote_fn(_QS, "snapshot_hash", old_side=False), batch_format="pyarrow"
     )
-    out = safe_join(new, old, on=("text_hash",), right_on=("h_r",), join_type="left_anti")
-    assert out is not None  # new side is never empty (documents has odd ids)
+    # both snapshots are digests of the non-empty documents table ->
+    # streaming anti join sized from the source bytes
+    out = safe_join(
+        new, old, on=("text_hash",), right_on=("h_r",), join_type="left_anti",
+        assume_non_empty=True,
+        left_nbytes=table_nbytes(sf_dir, "documents"),
+        right_nbytes=table_nbytes(sf_dir, "documents"),
+    )
     return out
 
 
@@ -402,8 +409,12 @@ def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
     docs = _docs(sf_dir, ["doc_id", "text"])
     old = docs.map_batches(remote_fn(_QS, "diff_old_batch"), batch_format="pyarrow")
     new = docs.map_batches(remote_fn(_QS, "diff_new_batch"), batch_format="pyarrow")
-    joined = safe_join(old, new, on=("k",), right_on=("k_r",), join_type="full_outer")
-    assert joined is not None  # both snapshots are non-empty by construction
+    joined = safe_join(
+        old, new, on=("k",), right_on=("k_r",), join_type="full_outer",
+        assume_non_empty=True,  # both snapshots are non-empty by construction
+        left_nbytes=table_nbytes(sf_dir, "documents"),
+        right_nbytes=table_nbytes(sf_dir, "documents"),
+    )
     return joined.map_batches(
         remote_fn(_QS, "diff_status_batch"), batch_format="pyarrow"
     )
