@@ -86,98 +86,143 @@ def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
 
 
 # --- MinHash + LSH ----------------------------------------------------------
-def minhash_sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """doc -> (doc_id, sig[128]) signature rows."""
-    ids, sigs = [], []
-    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-        ids.append(doc_id)
-        sigs.append(_minhash_sig(_shingles(text)).astype("int64"))  # bit-identical reinterpret
-    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "sig": sigs})
+# Arrow-native kernels: every map_batches body below is pyarrow in /
+# pyarrow out (zero-copy from the object store) with numpy column math —
+# no Arrow->pandas->Arrow copy on the text/signature hot path. Only the
+# unavoidable per-doc tokenization loops over Python strings.
+def _i64(arr) -> np.ndarray:
+    """Arrow column -> int64 numpy (zero-copy when null-free)."""
+    return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.int64)
 
 
-def minhash_band_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """sig rows -> slim LSH band rows (band_id, band_hash, doc_id).
-
-    The 1 KB signature does NOT ride the shuffle (it would inflate the
-    exchange 16x); pairs are verified later against the broadcast sig
-    table."""
-    rows: Dict[str, list] = {"band_id": [], "band_hash": [], "doc_id": []}
-    for doc_id, sig in zip(df["doc_id"], df["sig"]):
-        sig = np.asarray(sig)
-        for b in range(LSH_BANDS):
-            chunk = sig[b * LSH_ROWS : (b + 1) * LSH_ROWS]
-            bh = _hash64("|".join(map(str, chunk.astype(np.int64).astype(np.uint64))))
-            rows["band_id"].append(b)
-            rows["band_hash"].append(np.int64(bh % (1 << 62)))
-            rows["doc_id"].append(doc_id)
-    out = pd.DataFrame(rows).astype(
-        {"band_id": "int64", "band_hash": "int64", "doc_id": "int64"}
+def _sig_matrix(col) -> np.ndarray:
+    """Packed-signature binary column -> (n, MINHASH_PERMS) int64 matrix."""
+    bufs = col.to_pylist()
+    if not bufs:
+        return np.empty((0, MINHASH_PERMS), dtype=np.int64)
+    return np.frombuffer(b"".join(bufs), dtype="<i8").reshape(
+        len(bufs), MINHASH_PERMS
     )
-    out["shard"] = (out["band_hash"] % BUCKET_SHARDS).astype("int64")
-    return out
 
 
-def bucket_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+def minhash_sig_batch(batch: pa.Table) -> pa.Table:
+    """doc -> (doc_id, sig_bin): the 128 minhashes packed little-endian
+    into one 1024-byte value. Packing at the source (a) lets the same
+    table feed BOTH the band explode and the verify joins (Acero hash
+    joins cannot carry list columns) and (b) drops the former separate
+    pack stage + its materialize."""
+    sig_bins = [
+        _minhash_sig(_shingles(t or "")).astype(np.int64).astype("<i8").tobytes()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "sig_bin": pa.array(sig_bins, pa.binary())}
+    )
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def minhash_band_batch(batch: pa.Table) -> pa.Table:
+    """sig rows -> slim LSH band rows (band_id, band_hash, doc_id, shard),
+    fully vectorized: signatures unpack into an (n, bands, rows) cube and
+    the band key is an FNV-1a fold over the band's row values (any
+    deterministic 64-bit mix satisfies the LSH contract — equal bands
+    collide, unequal bands split). The 1 KB signature does NOT ride the
+    shuffle (it would inflate the exchange 16x); pairs are verified later
+    by joining back to the sig table."""
+    ids = _i64(batch["doc_id"])
+    n = len(ids)
+    cube = _sig_matrix(batch["sig_bin"]).view(np.uint64).reshape(
+        n, LSH_BANDS, LSH_ROWS
+    )
+    h = np.full((n, LSH_BANDS), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(LSH_ROWS):
+            h = (h ^ cube[:, :, j]) * _FNV_PRIME
+    band_hash = (h % np.uint64(1 << 62)).astype(np.int64).reshape(-1)
+    return pa.table(
+        {
+            "band_id": np.tile(np.arange(LSH_BANDS, dtype=np.int64), n),
+            "band_hash": band_hash,
+            "doc_id": np.repeat(ids, LSH_BANDS),
+            "shard": band_hash % BUCKET_SHARDS,
+        }
+    )
+
+
+def _group_bounds(*keys: np.ndarray):
+    """Boundaries of equal-key runs in already-lexsorted key columns."""
+    n = len(keys[0])
+    change = np.zeros(n - 1, dtype=bool) if n > 1 else np.zeros(0, dtype=bool)
+    for k in keys:
+        change |= np.diff(k) != 0
+    cuts = np.flatnonzero(change) + 1
+    return np.concatenate(([0], cuts)), np.concatenate((cuts, [n]))
+
+
+_EMPTY_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+)
+
+
+def bucket_pairs(shard: pa.Table) -> pa.Table:
     """Candidate pairs within one bucket SHARD (many buckets per group —
     the coarse key keeps map_groups call count bounded; buckets above
     BUCKET_CAP truncate deterministically by doc_id order)."""
-    empty = pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
-        {"doc_a": "int64", "doc_b": "int64"}
-    )
-    if len(shard) < 2:
-        return empty
-    out_a: list = []
-    out_b: list = []
-    for (_b, _h), g in shard.groupby(["band_id", "band_hash"], sort=False):
-        if len(g) < 2:
+    if shard.num_rows < 2:
+        return _EMPTY_PAIRS
+    bid = _i64(shard["band_id"])
+    bh = _i64(shard["band_hash"])
+    did = _i64(shard["doc_id"])
+    order = np.lexsort((did, bh, bid))
+    bid, bh, did = bid[order], bh[order], did[order]
+    starts, ends = _group_bounds(bid, bh)
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
             continue
-        ids = np.sort(g["doc_id"].unique())[:BUCKET_CAP]
+        ids = np.unique(did[s:e])[:BUCKET_CAP]
         if len(ids) < 2:
             continue
         ia, ib = np.triu_indices(len(ids), k=1)
-        out_a.extend(ids[ia])
-        out_b.extend(ids[ib])
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
     if not out_a:
-        return empty
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).astype(
-        {"doc_a": "int64", "doc_b": "int64"}
+        return _EMPTY_PAIRS
+    return pa.table(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
     )
 
 
-def sig_pack_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, sig list) -> (doc_id, sig_bin) with the 128 hashes packed
-    little-endian into one 1024-byte value. Acero hash joins cannot carry
-    list/tensor payload columns, so the signature rides the join as plain
-    binary — unpacked with ``np.frombuffer`` on the far side."""
-    packed = [
-        np.asarray(s, dtype=np.int64).astype("<i8").tobytes() for s in df["sig"]
-    ]
-    return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "sig_bin": packed})
-
-
-def _unpack_sigs(col: pd.Series) -> np.ndarray:
-    return np.stack([np.frombuffer(b, dtype="<i8") for b in col])
-
-
-def pair_sig_agreement(df: pd.DataFrame, threshold_x100: int) -> pd.DataFrame:
+def pair_sig_agreement(batch: pa.Table, threshold_x100: int) -> pa.Table:
     """Join output (doc_a, doc_b, sig_a, sig_b packed) -> per-permutation
     agreement estimate, thresholded."""
-    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_x100": []}).astype(
-        {"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"}
-    )
-    if df.empty:
-        return empty
-    a = _unpack_sigs(df["sig_a"])
-    b = _unpack_sigs(df["sig_b"])
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard_x100": pa.array([], pa.int64()),
+            }
+        )
+    a = _sig_matrix(batch["sig_a"])
+    b = _sig_matrix(batch["sig_b"])
     est = (100 * (a == b).mean(axis=1)).astype(np.int64)
-    out = pd.DataFrame(
-        {"doc_a": df["doc_a"], "doc_b": df["doc_b"], "est_jaccard_x100": est}
-    ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard_x100": "int64"})
-    return out[out["est_jaccard_x100"] >= threshold_x100]
+    keep = est >= threshold_x100
+    return pa.table(
+        {
+            "doc_a": _i64(batch["doc_a"])[keep],
+            "doc_b": _i64(batch["doc_b"])[keep],
+            "est_jaccard_x100": est[keep],
+        }
+    )
 
 
-def rename_cols(df: pd.DataFrame, mapping: dict) -> pd.DataFrame:
-    return df.rename(columns=mapping)
+def rename_cols(batch: pa.Table, mapping: dict) -> pa.Table:
+    """BY-NAME column rename (order-independent), Arrow in/out."""
+    return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
 
 
 def minhash_dedup(docs, threshold_x100: int = 70):
@@ -197,8 +242,11 @@ def minhash_dedup(docs, threshold_x100: int = 70):
     from ..io import blocks_for_rows
 
     sigs = docs.map_batches(
-        _rfn("minhash_sig_batch"), batch_format="pandas", batch_size=512
-    ).materialize()
+        _rfn("minhash_sig_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+    ).materialize()  # probed by BOTH verify joins and the band explode
     # coalesce before the shuffles ONLY when the band table arrives as many
     # tiny blocks: Ray's sort-based groupby pays a per-block constant, so
     # hundreds of tiny blocks cost more than the data itself — but when the
@@ -208,37 +256,37 @@ def minhash_dedup(docs, threshold_x100: int = 70):
     # free off the materialized sig metadata), not a constant: at 100 TB
     # the band table is billions of rows and a fixed repartition(16) would
     # funnel the all-to-all into 16 giant blocks.
-    bands = sigs.map_batches(_rfn("minhash_band_batch"), batch_format="pandas")
+    bands = sigs.map_batches(
+        _rfn("minhash_band_batch"), batch_format="pyarrow", zero_copy_batch=True
+    )
     target = blocks_for_rows(sigs.count() * LSH_BANDS, lo=8)
     if sigs.num_blocks() > 2 * target:
         bands = bands.repartition(target)
     pairs = bands.groupby("shard").map_groups(
-        _rfn("bucket_pairs"), batch_format="pandas"
+        _rfn("bucket_pairs"), batch_format="pyarrow"
     )
     uniq = (
         pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
-        .map_batches(_rfn("drop_n_bands"), batch_format="pandas")
+        .map_batches(_rfn("drop_n_bands"), batch_format="pyarrow")
     )
-    # materialized once: both pair-side joins probe the same packed table
-    sig_bin = sigs.map_batches(_rfn("sig_pack_batch"), batch_format="pandas").materialize()
     from ..joins import safe_join
 
-    with_a = safe_join(uniq, sig_bin, on=("doc_a",), right_on=("doc_id",))
+    with_a = safe_join(uniq, sigs, on=("doc_a",), right_on=("doc_id",))
     if with_a is None:
         return _empty_pairs_ds("est_jaccard_x100")
     with_a = with_a.map_batches(
-        _rfn("rename_cols", mapping={"sig_bin": "sig_a"}), batch_format="pandas"
+        _rfn("rename_cols", mapping={"sig_bin": "sig_a"}), batch_format="pyarrow"
     )
-    with_ab = safe_join(with_a, sig_bin, on=("doc_b",), right_on=("doc_id",))
+    with_ab = safe_join(with_a, sigs, on=("doc_b",), right_on=("doc_id",))
     if with_ab is None:
         return _empty_pairs_ds("est_jaccard_x100")
     with_ab = with_ab.map_batches(
-        _rfn("rename_cols", mapping={"sig_bin": "sig_b"}), batch_format="pandas"
+        _rfn("rename_cols", mapping={"sig_bin": "sig_b"}), batch_format="pyarrow"
     )
     return with_ab.map_batches(
         _rfn("pair_sig_agreement", threshold_x100=threshold_x100),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
 
@@ -257,37 +305,49 @@ def _empty_pairs_ds(score_col: str):
     )
 
 
-def drop_n_bands(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop(columns=[c for c in df.columns if c == "n_bands"])
+def drop_n_bands(batch: pa.Table) -> pa.Table:
+    return batch.drop_columns(
+        [c for c in batch.column_names if c == "n_bands"]
+    )
 
 
 # --- SimHash ----------------------------------------------------------------
-def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """64-bit SimHash over unigram token hashes + 16-bit band keys."""
-    rows = {"doc_id": [], "simhash": [], "band_id": [], "band_key": []}
-    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-        toks = text.split()
-        if toks:
-            hs = np.array([_hash64(t) for t in toks], dtype=np.uint64)
-            bits = ((hs.reshape(-1, 1) >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
-                np.int32
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for i in np.nonzero(v > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(i)
-        else:
-            sh = np.uint64(0)
-        for b in range(SIMHASH_BANDS):
-            rows["doc_id"].append(doc_id)
-            rows["simhash"].append(np.int64(int(sh) - (1 << 63)))  # shift to int64 range
-            rows["band_id"].append(b)
-            rows["band_key"].append(int((int(sh) >> (16 * b)) & 0xFFFF))
-    df = pd.DataFrame(rows).astype(
-        {"doc_id": "int64", "simhash": "int64", "band_id": "int64", "band_key": "int64"}
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over unigram token hashes + 16-bit band keys.
+    Per-doc loop only for tokenization+vote; the 4-band explode is
+    vectorized (repeat/tile), and the int64 shift is the same
+    ``sh - 2^63`` value map as before (XOR of the top bit, reinterpreted)."""
+    ids = _i64(batch["doc_id"])
+    n = len(ids)
+    sh_arr = np.zeros(n, dtype=np.uint64)
+    for i, text in enumerate(batch["text"].to_pylist()):
+        toks = (text or "").split()
+        if not toks:
+            continue
+        hs = np.array([_hash64(t) for t in toks], dtype=np.uint64)
+        bits = (
+            (hs.reshape(-1, 1) >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1
+        ).astype(np.int32)
+        v = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for ix in np.nonzero(v > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(ix)
+        sh_arr[i] = sh
+    sim64 = (sh_arr ^ np.uint64(1 << 63)).view(np.int64)  # == int(sh) - 2^63
+    band_id = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+    band_key = (
+        (sh_arr.reshape(-1, 1) >> (np.uint64(16) * np.arange(SIMHASH_BANDS, dtype=np.uint64)))
+        & np.uint64(0xFFFF)
+    ).astype(np.int64).reshape(-1)
+    return pa.table(
+        {
+            "doc_id": np.repeat(ids, SIMHASH_BANDS),
+            "simhash": np.repeat(sim64, SIMHASH_BANDS),
+            "band_id": band_id,
+            "band_key": band_key,
+            "shard": (band_id * 65536 + band_key) % BUCKET_SHARDS,
+        }
     )
-    df["shard"] = ((df["band_id"] * 65536 + df["band_key"]) % BUCKET_SHARDS).astype("int64")
-    return df
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
@@ -302,33 +362,47 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
-def simhash_bucket_pairs(shard: pd.DataFrame) -> pd.DataFrame:
-    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
-    )
-    if len(shard) < 2:
-        return empty
-    out_a: list = []
-    out_b: list = []
-    out_h: list = []
-    for (_b, _k), g in shard.groupby(["band_id", "band_key"], sort=False):
-        if len(g) < 2:
+_EMPTY_HAM = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int64()),
+    }
+)
+
+
+def simhash_bucket_pairs(shard: pa.Table) -> pa.Table:
+    if shard.num_rows < 2:
+        return _EMPTY_HAM
+    bid = _i64(shard["band_id"])
+    bkey = _i64(shard["band_key"])
+    did = _i64(shard["doc_id"])
+    sh = _i64(shard["simhash"]).view(np.uint64) ^ np.uint64(1 << 63)  # back to raw
+    order = np.lexsort((did, bkey, bid))
+    bid, bkey, did, sh = bid[order], bkey[order], did[order], sh[order]
+    starts, ends = _group_bounds(bid, bkey)
+    out_a, out_b, out_h = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
             continue
-        g = g.sort_values("doc_id").head(BUCKET_CAP)
-        ids = g["doc_id"].to_numpy()
-        sh = (g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
+        g_ids = did[s:e][:BUCKET_CAP]
+        g_sh = sh[s:e][:BUCKET_CAP]
         # all unordered in-bucket pairs in one vectorized popcount (bucket
         # is capped at BUCKET_CAP=64, so the pair matrix is <= 2016 rows)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = popcount64(sh[ia] ^ sh[ib])
-        keep = (ham <= HAMMING_MAX) & (ids[ia] != ids[ib])
-        out_a.extend(ids[ia[keep]])
-        out_b.extend(ids[ib[keep]])
-        out_h.extend(ham[keep])
+        ia, ib = np.triu_indices(len(g_ids), k=1)
+        ham = popcount64(g_sh[ia] ^ g_sh[ib])
+        keep = (ham <= HAMMING_MAX) & (g_ids[ia] != g_ids[ib])
+        out_a.append(g_ids[ia[keep]])
+        out_b.append(g_ids[ib[keep]])
+        out_h.append(ham[keep])
     if not out_a:
-        return empty
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h}).astype(
-        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        return _EMPTY_HAM
+    return pa.table(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
     )
 
 
@@ -336,50 +410,86 @@ def simhash_dedup(docs):
     """documents Dataset -> pairs with Hamming(simhash) <= HAMMING_MAX."""
     from ray.data.aggregate import Min
 
-    bands = docs.map_batches(_rfn("simhash_batch"), batch_format="pandas", batch_size=512)
+    bands = docs.map_batches(
+        _rfn("simhash_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+    )
     pairs = bands.groupby("shard").map_groups(
-        _rfn("simhash_bucket_pairs"), batch_format="pandas"
+        _rfn("simhash_bucket_pairs"), batch_format="pyarrow"
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # --- exact n-gram Jaccard via inverted index --------------------------------
-def shingle_explode_batch(df: pd.DataFrame) -> pd.DataFrame:
-    rows = {"shingle": [], "doc_id": []}
-    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-        for h in _shingles(text):
-            rows["shingle"].append(np.int64(int(h) % (1 << 62)))
-            rows["doc_id"].append(doc_id)
-    df2 = pd.DataFrame(rows).astype({"shingle": "int64", "doc_id": "int64"})
-    df2["shard"] = (df2["shingle"] % BUCKET_SHARDS).astype("int64")
-    return df2
+def shingle_explode_batch(batch: pa.Table) -> pa.Table:
+    ids_out, sh_out = [], []
+    for doc_id, text in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+    ):
+        hs = _shingles(text or "")
+        if hs.size:
+            sh_out.append((hs % np.uint64(1 << 62)).astype(np.int64))
+            ids_out.append(np.full(hs.size, doc_id, dtype=np.int64))
+    if not ids_out:
+        return pa.table(
+            {
+                "shingle": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            }
+        )
+    shingle = np.concatenate(sh_out)
+    return pa.table(
+        {
+            "shingle": shingle,
+            "doc_id": np.concatenate(ids_out),
+            "shard": shingle % BUCKET_SHARDS,
+        }
+    )
 
 
-def shingle_doc_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+_EMPTY_COMMON = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "common": pa.array([], pa.int64()),
+    }
+)
+
+
+def shingle_doc_pairs(shard: pa.Table) -> pa.Table:
     """Co-occurrence pairs per shingle within one shard; hot shingles
     (doc freq > cap) dropped entirely — the deterministic frequency cap
     that guards the inverted index against quadratic hot keys."""
-    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "common": []}).astype(
-        {"doc_a": "int64", "doc_b": "int64", "common": "int64"}
-    )
-    if len(shard) < 2:
-        return empty
-    parts = []
-    for _s, g in shard.groupby("shingle", sort=False):
-        if len(g) < 2 or len(g) > SHINGLE_DOC_FREQ_CAP:
+    if shard.num_rows < 2:
+        return _EMPTY_COMMON
+    sh = _i64(shard["shingle"])
+    did = _i64(shard["doc_id"])
+    order = np.lexsort((did, sh))
+    sh, did = sh[order], did[order]
+    starts, ends = _group_bounds(sh)
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2 or e - s > SHINGLE_DOC_FREQ_CAP:
             continue
-        ids = np.sort(g["doc_id"].unique())
+        ids = np.unique(did[s:e])
         if len(ids) < 2:
             continue
         ia, ib = np.triu_indices(len(ids), k=1)
-        parts.append(
-            pd.DataFrame(
-                {"doc_a": ids[ia], "doc_b": ids[ib], "common": np.ones(len(ia), dtype=np.int64)}
-            )
-        )
-    if not parts:
-        return empty
-    return pd.concat(parts, ignore_index=True)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return _EMPTY_COMMON
+    doc_a = np.concatenate(out_a)
+    return pa.table(
+        {
+            "doc_a": doc_a,
+            "doc_b": np.concatenate(out_b),
+            "common": np.ones(len(doc_a), dtype=np.int64),
+        }
+    )
 
 
 def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0):
@@ -407,11 +517,14 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0
     # a separate cheap map over the docs (re-shingling once more is far
     # cheaper than pinning the exploded table in the object store)
     shingles = docs.map_batches(
-        _rfn("shingle_explode_batch"), batch_format="pandas", batch_size=512
+        _rfn("shingle_explode_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
     ).repartition(blocks_for_bytes(size_hint_bytes * 4))
     pair_counts = (
         shingles.groupby("shard")
-        .map_groups(_rfn("shingle_doc_pairs"), batch_format="pandas")
+        .map_groups(_rfn("shingle_doc_pairs"), batch_format="pyarrow")
         # coalesce tiny per-shard blocks before the aggregate; the pair
         # stream is sparse (co-occurring low-freq shingles only), ~source
         # bytes at the default cap
@@ -420,7 +533,10 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0
         .aggregate(Sum("common", alias_name="common"))
     )
     counts = docs.map_batches(
-        _rfn("shingle_count_batch"), batch_format="pandas", batch_size=512
+        _rfn("shingle_count_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
     )
     from ..joins import safe_join
 
@@ -428,41 +544,51 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0
     if with_a is None:
         return _empty_pairs_ds("jaccard_x100")
     with_a = with_a.map_batches(
-        _rfn("rename_cols", mapping={"n_shingles": "n_a"}), batch_format="pandas"
+        _rfn("rename_cols", mapping={"n_shingles": "n_a"}), batch_format="pyarrow"
     )
     with_ab = safe_join(with_a, counts, on=("doc_b",), right_on=("doc_id",))
     if with_ab is None:
         return _empty_pairs_ds("jaccard_x100")
     with_ab = with_ab.map_batches(
-        _rfn("rename_cols", mapping={"n_shingles": "n_b"}), batch_format="pandas"
+        _rfn("rename_cols", mapping={"n_shingles": "n_b"}), batch_format="pyarrow"
     )
     return with_ab.map_batches(
         _rfn("jaccard_finalize", threshold_x100=threshold_x100),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
 
-def shingle_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+def shingle_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) -> (doc_id, n_shingles): per-doc distinct-shingle
     counts computed directly from the text (no exploded index needed)."""
-    ids = df["doc_id"].astype("int64")
-    ns = [int(_shingles(t).size) for t in df["text"].fillna("")]
-    return pd.DataFrame({"doc_id": ids, "n_shingles": pd.Series(ns, dtype="int64")})
-
-
-def jaccard_finalize(df: pd.DataFrame, threshold_x100: int) -> pd.DataFrame:
-    if df.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_x100": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard_x100": "int64"}
-        )
-    na = df["n_a"].to_numpy()
-    nb = df["n_b"].to_numpy()
-    common = df["common"].to_numpy()
-    j = (100 * common) // np.maximum(na + nb - common, 1)
-    out = pd.DataFrame(
-        {"doc_a": df["doc_a"], "doc_b": df["doc_b"], "jaccard_x100": j.astype("int64")}
+    ns = np.array(
+        [int(_shingles(t or "").size) for t in batch["text"].to_pylist()],
+        dtype=np.int64,
     )
-    return out[out["jaccard_x100"] >= threshold_x100]
+    return pa.table({"doc_id": batch["doc_id"], "n_shingles": ns})
+
+
+def jaccard_finalize(batch: pa.Table, threshold_x100: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_x100": pa.array([], pa.int64()),
+            }
+        )
+    na = _i64(batch["n_a"])
+    nb = _i64(batch["n_b"])
+    common = _i64(batch["common"])
+    j = (100 * common) // np.maximum(na + nb - common, 1)
+    keep = j >= threshold_x100
+    return pa.table(
+        {
+            "doc_a": _i64(batch["doc_a"])[keep],
+            "doc_b": _i64(batch["doc_b"])[keep],
+            "jaccard_x100": j[keep],
+        }
+    )
 
 
 def _rfn(attr: str, **kw):
@@ -579,26 +705,25 @@ def union_find_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
     ).astype({"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"})
 
 
-def edges_undirected(df: pd.DataFrame) -> pd.DataFrame:
+def edges_undirected(batch: pa.Table) -> pa.Table:
     """(doc_a, doc_b) pairs -> both-direction (src, dst) message edges."""
-    src = np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()])
-    dst = np.concatenate([df["doc_b"].to_numpy(), df["doc_a"].to_numpy()])
-    return pd.DataFrame({"src": src, "dst": dst}).astype({"src": "int64", "dst": "int64"})
+    a, b = _i64(batch["doc_a"]), _i64(batch["doc_b"])
+    return pa.table(
+        {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+    )
 
 
-def edge_self_labels(df: pd.DataFrame) -> pd.DataFrame:
+def edge_self_labels(batch: pa.Table) -> pa.Table:
     """Initial labels: every node that appears in an edge, label = itself."""
     nodes = np.unique(
-        np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()])
-    ).astype(np.int64)
-    return pd.DataFrame({"node": nodes, "label": nodes})
-
-
-def messages_project(df: pd.DataFrame) -> pd.DataFrame:
-    """Join output (src, dst, label) -> (node=dst, label) message rows."""
-    return pd.DataFrame({"node": df["dst"], "label": df["label"]}).astype(
-        {"node": "int64", "label": "int64"}
+        np.concatenate([_i64(batch["doc_a"]), _i64(batch["doc_b"])])
     )
+    return pa.table({"node": nodes, "label": nodes})
+
+
+def messages_project(batch: pa.Table) -> pa.Table:
+    """Join output (src, dst, label) -> (node=dst, label) message rows."""
+    return pa.table({"node": batch["dst"], "label": batch["label"]})
 
 
 def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
@@ -619,12 +744,12 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
     from ray.data.aggregate import Count, Min, Sum
 
     edges = pairs_ds.map_batches(
-        _rfn("edges_undirected"), batch_format="pandas"
+        _rfn("edges_undirected"), batch_format="pyarrow"
     ).materialize()
-    # the identity maps normalize the aggregates' pandas blocks to Arrow:
+    # the identity maps normalize the aggregates' blocks to Arrow:
     # union requires homogeneous block types across its inputs
     labels = (
-        pairs_ds.map_batches(_rfn("edge_self_labels"), batch_format="pandas")
+        pairs_ds.map_batches(_rfn("edge_self_labels"), batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
         .map_batches(_ident(), batch_format="pyarrow", zero_copy_batch=True)
@@ -650,7 +775,7 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
     converged = False
     for _ in range(max_rounds):
         msgs = safe_join(edges, labels, on=("src",), right_on=("node",)).map_batches(
-            _rfn("messages_project"), batch_format="pandas"
+            _rfn("messages_project"), batch_format="pyarrow"
         )
         labels = (
             labels.union(msgs)
@@ -682,25 +807,25 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
         .aggregate(Count(alias_name="cluster_size"))
         .map_batches(
             _rfn("rename_cols", mapping={"label": "cluster_label"}),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
     joined = safe_join(labels, counts, on=("label",), right_on=("cluster_label",))
-    return joined.map_batches(_rfn("cluster_rows_project"), batch_format="pandas")
+    return joined.map_batches(_rfn("cluster_rows_project"), batch_format="pyarrow")
 
 
-def cluster_rows_project(df: pd.DataFrame) -> pd.DataFrame:
+def cluster_rows_project(batch: pa.Table) -> pa.Table:
     """Join output (node, label, cluster_size) -> per-doc cluster table."""
-    nodes = df["node"].to_numpy()
-    labs = df["label"].to_numpy()
-    return pd.DataFrame(
+    nodes = _i64(batch["node"])
+    labs = _i64(batch["label"])
+    return pa.table(
         {
             "doc_id": nodes,
             "cluster_id": labs,
-            "cluster_size": df["cluster_size"].to_numpy(),
+            "cluster_size": batch["cluster_size"],
             "keep": nodes == labs,
         }
-    ).astype({"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"})
+    )
 
 
 def minhash_clusters(docs, threshold_x100: int = 70):

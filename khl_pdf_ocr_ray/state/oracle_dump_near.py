@@ -87,12 +87,22 @@ def _docs_with_variants_df(sf_dir: str) -> pd.DataFrame:
 
 
 def _minhash_pairs(docs: pd.DataFrame) -> pd.DataFrame:
-    from ..stages.dedup import bucket_pairs, minhash_band_batch, minhash_sig_batch
+    from ..stages.dedup import (
+        MINHASH_PERMS,
+        bucket_pairs,
+        minhash_band_batch,
+        minhash_sig_batch,
+    )
 
-    sigs = minhash_sig_batch(docs)
+    docs_t = pa.Table.from_pandas(docs[["doc_id", "text"]], preserve_index=False)
+    sigs = minhash_sig_batch(docs_t)  # (doc_id, sig_bin) Arrow table
     bands = minhash_band_batch(sigs)
-    uniq = bucket_pairs(bands).drop_duplicates(["doc_a", "doc_b"])
-    sig_map = {int(d): np.asarray(s) for d, s in zip(sigs["doc_id"], sigs["sig"])}
+    uniq = bucket_pairs(bands).to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    sig_ids = sigs["doc_id"].to_pylist()
+    sig_mat = np.frombuffer(
+        b"".join(sigs["sig_bin"].to_pylist()), dtype="<i8"
+    ).reshape(len(sig_ids), MINHASH_PERMS)
+    sig_map = {int(d): sig_mat[i] for i, d in enumerate(sig_ids)}
     if uniq.empty:
         return pd.DataFrame(
             {"doc_a": [], "doc_b": [], "est_jaccard_x100": []}
@@ -110,8 +120,9 @@ def _minhash_pairs(docs: pd.DataFrame) -> pd.DataFrame:
 def _simhash_pairs(docs: pd.DataFrame) -> pd.DataFrame:
     from ..stages.dedup import simhash_batch, simhash_bucket_pairs
 
-    bands = simhash_batch(docs)
-    pairs = simhash_bucket_pairs(bands)
+    docs_t = pa.Table.from_pandas(docs[["doc_id", "text"]], preserve_index=False)
+    bands = simhash_batch(docs_t)
+    pairs = simhash_bucket_pairs(bands).to_pandas()
     if pairs.empty:
         return pairs
     return (
@@ -129,19 +140,22 @@ def _ngram_pairs(docs: pd.DataFrame) -> pd.DataFrame:
         shingle_explode_batch,
     )
 
-    exploded = shingle_explode_batch(docs)
-    raw = shingle_doc_pairs(exploded)
+    docs_t = pa.Table.from_pandas(docs[["doc_id", "text"]], preserve_index=False)
+    exploded = shingle_explode_batch(docs_t)
+    raw = shingle_doc_pairs(exploded).to_pandas()
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_x100": []}).astype(
         {"doc_a": "int64", "doc_b": "int64", "jaccard_x100": "int64"}
     )
     if raw.empty:
         return empty
     common = raw.groupby(["doc_a", "doc_b"], as_index=False)["common"].sum()
-    counts = shingle_count_batch(docs)
+    counts = shingle_count_batch(docs_t).to_pandas()
     m = common.merge(
         counts.rename(columns={"doc_id": "doc_a", "n_shingles": "n_a"}), on="doc_a"
     ).merge(counts.rename(columns={"doc_id": "doc_b", "n_shingles": "n_b"}), on="doc_b")
-    return jaccard_finalize(m, THRESHOLD_X100).reset_index(drop=True)
+    return jaccard_finalize(
+        pa.Table.from_pandas(m, preserve_index=False), THRESHOLD_X100
+    ).to_pandas().reset_index(drop=True)
 
 
 def _load_embeddings(sf_dir: str) -> pd.DataFrame:
