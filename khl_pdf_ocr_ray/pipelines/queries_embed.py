@@ -21,6 +21,12 @@ distributed k-means.
   matmul formulation is deliberately avoided: BLAS kernel choice varies
   with matrix shape), and (b) centroid updates are exact integer sums.
 
+All per-batch kernels are Arrow-native (pyarrow in/out, zero-copy from
+the object store): the embedding list column unpacks through its
+flattened values buffer into one (n, D) matrix — no per-row stacking, no
+Arrow->pandas->Arrow copies. Only the map_groups finalizers (per-cluster
+frames) remain pandas.
+
 Scale notes (100 TB):
 - lang_embedding_centroid joins embeddings to the doc table on id (hash
   join, both sides big) and then shuffles only |langs| x D combiner
@@ -30,6 +36,9 @@ Scale notes (100 TB):
   K x D x blocks combiner rows per pass; iterations scale linearly and
   independently of K-means' data size. Empty clusters keep their
   previous centroid (deterministic on both twins).
+- combiner outputs grow with BLOCK COUNT x group cardinality, so every
+  pre-groupby coalesce below derives its width from the input's block
+  count / byte size, never a literal constant.
 """
 
 from __future__ import annotations
@@ -43,7 +52,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from ..io import table_nbytes
+from ..io import coalesce_for_input, table_nbytes
 from ..joins import safe_join
 from ..remote import remote_fn
 
@@ -90,84 +99,118 @@ def km_update_from_sums(
 
 
 def _matrix(df: pd.DataFrame) -> np.ndarray:
+    """pandas embedding frame -> (n, D) float64 — driver-side / map_groups
+    path only; the per-batch kernels use the Arrow ``_matrix_t``."""
     if df.empty:  # empty shuffle partitions are legitimate (joins.py)
         return np.zeros((0, EMB_DIM), dtype=np.float64)
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
 
 
-# --- per-batch stages -------------------------------------------------------
-def emb_pack_batch(df: pd.DataFrame) -> pd.DataFrame:
+def _matrix_t(batch: pa.Table) -> np.ndarray:
+    """Arrow embedding list column -> (n, D) float64 via the flattened
+    values buffer (one reshape, no per-row stacking). float32 -> float64
+    is exact, so the doubles match the pandas path bit-for-bit."""
+    if batch.num_rows == 0:
+        return np.zeros((0, EMB_DIM), dtype=np.float64)
+    flat = batch["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    return flat.astype(np.float64).reshape(batch.num_rows, -1)
+
+
+def _ids_t(batch: pa.Table, col: str) -> np.ndarray:
+    return np.asarray(batch[col].to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+# --- per-batch stages (Arrow in / Arrow out) ---------------------------------
+def emb_pack_batch(batch: pa.Table) -> pa.Table:
     """embedding list<float> -> raw float32 bytes: Arrow's hash join
     rejects list-typed non-key payloads, and a fixed-width binary column
     shuffles tighter anyway."""
-    x = np.stack(df["embedding"].to_numpy()).astype(np.float32)
-    return pd.DataFrame(
+    flat = batch["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    x = np.ascontiguousarray(flat, dtype=np.float32).reshape(batch.num_rows, -1)
+    return pa.table(
         {
-            "vec_id": df["vec_id"].astype("int64"),
-            "emb_bin": pd.Series([row.tobytes() for row in x], dtype=object),
+            "vec_id": batch["vec_id"],
+            "emb_bin": pa.array([row.tobytes() for row in x], pa.binary()),
         }
     )
 
 
-def _unpack(df: pd.DataFrame) -> np.ndarray:
-    if df.empty:  # empty join/shuffle partitions are legitimate (joins.py)
+def _unpack(col) -> np.ndarray:
+    """Packed float32 binary column (Arrow array or any bytes iterable)
+    -> (n, D) float32 matrix."""
+    bufs = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+    if not bufs:  # empty join/shuffle partitions are legitimate (joins.py)
         return np.zeros((0, 1), dtype=np.float32)
-    return np.frombuffer(
-        b"".join(df["emb_bin"].tolist()), dtype=np.float32
-    ).reshape(len(df), -1)
+    return np.frombuffer(b"".join(bufs), dtype=np.float32).reshape(len(bufs), -1)
 
 
-def lang_centroid_partial(df: pd.DataFrame) -> pd.DataFrame:
+def lang_centroid_partial(batch: pa.Table) -> pa.Table:
     """Per-(lang, dim) int64 fixed sums + counts for one batch."""
-    fx = emb_fixed(_unpack(df))
-    langs, dims, sums, ns = [], [], [], []
-    for lang, idx in sorted(df.groupby("lang", sort=True).indices.items()):
-        s = fx[idx].sum(axis=0)
-        langs.extend([lang] * fx.shape[1])
-        dims.extend(range(fx.shape[1]))
-        sums.extend(s.tolist())
-        ns.extend([len(idx)] * fx.shape[1])
-    return pd.DataFrame(
+    fx = emb_fixed(_unpack(batch["emb_bin"]))
+    langs = np.asarray(batch["lang"].to_pylist())
+    uniq = np.unique(langs) if len(langs) else langs
+    d = fx.shape[1]
+    sums, ns = [], []
+    for lang in uniq:
+        m = langs == lang
+        sums.append(fx[m].sum(axis=0))
+        ns.append(int(m.sum()))
+    if not len(uniq):
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "dim": pa.array([], pa.int64()),
+                "sum_fx": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
         {
-            "lang": pd.Series(langs, dtype="string"),
-            "dim": pd.Series(dims, dtype="int64"),
-            "sum_fx": pd.Series(sums, dtype="int64"),
-            "n_vecs": pd.Series(ns, dtype="int64"),
+            "lang": pa.array(np.repeat(uniq, d), pa.string()),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "sum_fx": np.concatenate(sums),
+            "n_vecs": np.repeat(np.asarray(ns, dtype=np.int64), d),
         }
     )
 
 
-def km_partial(df: pd.DataFrame, cents: List[List[float]]) -> pd.DataFrame:
+def km_partial(batch: pa.Table, cents: List[List[float]]) -> pa.Table:
     """Assign one batch to centroids; emit (cluster, dim, sum_fx, n)."""
     c = np.asarray(cents, dtype=np.float64)
-    x = _matrix(df)
+    x = _matrix_t(batch)
     assign = km_assign(x, c)
     fx = emb_fixed(x)
-    rows = {"cluster": [], "dim": [], "sum_fx": [], "n": []}
-    for k in np.unique(assign):
-        s = fx[assign == k].sum(axis=0)
-        n = int((assign == k).sum())
-        rows["cluster"].extend([int(k)] * fx.shape[1])
-        rows["dim"].extend(range(fx.shape[1]))
-        rows["sum_fx"].extend(s.tolist())
-        rows["n"].extend([n] * fx.shape[1])
-    return pd.DataFrame(
+    d = fx.shape[1]
+    ks = np.unique(assign)
+    if not len(ks):
+        return pa.table(
+            {
+                "cluster": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "sum_fx": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    sums = np.stack([fx[assign == k].sum(axis=0) for k in ks])
+    ns = np.array([int((assign == k).sum()) for k in ks], dtype=np.int64)
+    return pa.table(
         {
-            "cluster": pd.Series(rows["cluster"], dtype="int64"),
-            "dim": pd.Series(rows["dim"], dtype="int64"),
-            "sum_fx": pd.Series(rows["sum_fx"], dtype="int64"),
-            "n": pd.Series(rows["n"], dtype="int64"),
+            "cluster": np.repeat(ks, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(ks)),
+            "sum_fx": sums.reshape(-1),
+            "n": np.repeat(ns, d),
         }
     )
 
 
-def km_assign_batch(df: pd.DataFrame, cents: List[List[float]]) -> pd.DataFrame:
+def km_assign_batch(batch: pa.Table, cents: List[List[float]]) -> pa.Table:
     c = np.asarray(cents, dtype=np.float64)
-    return pd.DataFrame(
-        {
-            "vec_id": df["vec_id"].astype("int64"),
-            "cluster": km_assign(_matrix(df), c),
-        }
+    return pa.table(
+        {"vec_id": batch["vec_id"], "cluster": km_assign(_matrix_t(batch), c)}
     )
 
 
@@ -177,7 +220,7 @@ def q_lang_embedding_centroid(sf_dir: str) -> rd.Dataset:
     from .queries import _t
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        remote_fn(_QE, "emb_pack_batch"), batch_format="pandas"
+        remote_fn(_QE, "emb_pack_batch"), batch_format="pyarrow", zero_copy_batch=True
     )
     docs = _t(sf_dir, "documents", ["doc_id", "lang"])
     joined = safe_join(
@@ -188,9 +231,11 @@ def q_lang_embedding_centroid(sf_dir: str) -> rd.Dataset:
     )
     return (
         joined.map_batches(
-            remote_fn(_QE, "lang_centroid_partial"), batch_format="pandas"
+            remote_fn(_QE, "lang_centroid_partial"), batch_format="pyarrow"
         )
-        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        # |langs| x D combiner rows PER BLOCK: coalesce width scales with
+        # the input's block count (never a literal 2)
+        .repartition(coalesce_for_input(table_nbytes(sf_dir, "embeddings")))
         .groupby(["lang", "dim"])
         .aggregate(
             Sum("sum_fx", alias_name="sum_fx"),
@@ -213,10 +258,11 @@ FROM ex GROUP BY lang, dim
 """
 
 
-def km_seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+def km_seed_partial(batch: pa.Table) -> pa.Table:
     """Per-batch bottom-KM_K by vec_id: only each block's K winners can
     win globally, so <= K rows per block reach the driver."""
-    return df.nsmallest(KM_K, "vec_id")
+    vid = _ids_t(batch, "vec_id")
+    return batch.take(np.argsort(vid, kind="stable")[:KM_K])
 
 
 def kmeans_init(ds: rd.Dataset) -> np.ndarray:
@@ -226,7 +272,7 @@ def kmeans_init(ds: rd.Dataset) -> np.ndarray:
     or non-zero-based id space and crash the iterate step) and never
     collects more than K rows per block."""
     parts = ds.map_batches(
-        remote_fn(_QE, "km_seed_partial"), batch_format="pandas"
+        remote_fn(_QE, "km_seed_partial"), batch_format="pyarrow"
     ).to_pandas()  # <= KM_K x blocks rows
     df = parts.nsmallest(KM_K, "vec_id").sort_values("vec_id")
     if len(df) < KM_K:
@@ -238,13 +284,17 @@ def kmeans_iterate(ds: rd.Dataset, cents: np.ndarray, iters: int) -> np.ndarray:
     """Fixed Lloyd iterations; each is one streaming pass + a K x D-row
     groupby. Drives both the production plan and (with a pandas 'dataset')
     nothing else — the dump twin uses the kernels directly."""
+    # K x D combiner rows per block: derive the coalesce from the cached
+    # working set's own block count (free metadata on a materialized ds)
+    width = max(2, ds.num_blocks() // 16)
     for _ in range(iters):
         agg = (
             ds.map_batches(
                 remote_fn(_QE, "km_partial", cents=cents.tolist()),
-                batch_format="pandas",
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-            .repartition(2)  # tiny combiner output
+            .repartition(width)
             .groupby(["cluster", "dim"])
             .aggregate(Sum("sum_fx", alias_name="sum_fx"), Sum("n", alias_name="n"))
             .to_pandas()  # K x D rows
@@ -260,19 +310,18 @@ def kmeans_iterate(ds: rd.Dataset, cents: np.ndarray, iters: int) -> np.ndarray:
 
 def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
     """Per-vector k-means assignment after KM_ITERS Lloyd iterations."""
-    from .queries import _t
-
     # iterative working set: materialized ONCE so the seed scan + 4 passes
     # (3 updates + final assign) don't re-read and re-partition the
     # parquet each time — the standard cache-the-iterate pattern; at
     # 100 TB the object store holds/spills the blocks and every pass is a
     # pure map over them
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    ds = _t_emb(sf_dir)
     cents = kmeans_init(ds)
     cents = kmeans_iterate(ds, cents, KM_ITERS)
     return ds.map_batches(
         remote_fn(_QE, "km_assign_batch", cents=cents.tolist()),
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -280,7 +329,7 @@ def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
 PCA_NC = 2  # components kept
 
 
-def pca_moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+def pca_moment_partial(batch: pa.Table) -> pa.Table:
     """Per-batch int64 fixed-point moments, one row per statistic:
     (i, j, v) = upper-triangle Gram sums over the fixed-point ints for
     i <= j; (i, -1, v) = per-dim first-moment sums; (-1, -1, n) = row
@@ -288,7 +337,7 @@ def pca_moment_partial(df: pd.DataFrame) -> pd.DataFrame:
     Sum reproduces the sequential twin's bits under any batching.
     Shuffle volume: D*(D+3)/2 + 1 rows per block (~2.1k for D=64) —
     independent of batch size."""
-    fx = emb_fixed(_matrix(df))
+    fx = emb_fixed(_matrix_t(batch))
     n, d = fx.shape
     # int64 matmul: exact for unit-norm embeddings (|fx| < 2^20, so each
     # Gram entry grows < 2^40 per row -> overflow headroom ~2^23 rows
@@ -296,16 +345,10 @@ def pca_moment_partial(df: pd.DataFrame) -> pd.DataFrame:
     # bit-reproducible; headroom 2^43 rows) or carry (hi, lo) int64 pairs.
     g = fx.T @ fx
     iu, ju = np.triu_indices(d)
-    i = np.concatenate([iu, np.arange(d), [-1]])
-    j = np.concatenate([ju, np.full(d, -1), [-1]])
-    v = np.concatenate([g[iu, ju], fx.sum(axis=0), [n]])
-    return pd.DataFrame(
-        {
-            "i": pd.Series(i, dtype="int64"),
-            "j": pd.Series(j, dtype="int64"),
-            "v": pd.Series(v, dtype="int64"),
-        }
-    )
+    i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+    j = np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64)
+    v = np.concatenate([g[iu, ju], fx.sum(axis=0), [n]]).astype(np.int64)
+    return pa.table({"i": i, "j": j, "v": v})
 
 
 def pca_model_from_sums(agg: pd.DataFrame):
@@ -338,8 +381,8 @@ def pca_model_from_sums(agg: pd.DataFrame):
 
 
 def pca_project_batch(
-    df: pd.DataFrame, mean: List[float], comps: List[List[float]]
-) -> pd.DataFrame:
+    batch: pa.Table, mean: List[float], comps: List[List[float]]
+) -> pa.Table:
     """Map-only projection onto the broadcast components, reported fixed-
     point (x 2^20). The dim accumulation runs in a fixed order (explicit
     loop over dims, vectorized across rows) — never a BLAS matmul, whose
@@ -347,16 +390,14 @@ def pca_project_batch(
     single-batch twin bit-for-bit."""
     m = np.asarray(mean, dtype=np.float64)
     cp = np.asarray(comps, dtype=np.float64)  # (D, NC)
-    x = _matrix(df)
+    x = _matrix_t(batch)
     y = np.zeros((len(x), cp.shape[1]), dtype=np.float64)
     for d in range(cp.shape[0]):
         y += (x[:, d] - m[d])[:, None] * cp[d]
-    # plain arrays, not Series: mixed indexes (a sliced frame + fresh
-    # RangeIndex series) would silently align-pad the output
-    out = {"vec_id": df["vec_id"].to_numpy(dtype=np.int64)}
+    out = {"vec_id": batch["vec_id"]}
     for c in range(cp.shape[1]):
         out[f"pc{c + 1}_fx"] = np.floor(y[:, c] * EMB_SCALE + 0.5).astype(np.int64)
-    return pd.DataFrame(out)
+    return pa.table(out)
 
 
 def q_pca_project(sf_dir: str) -> rd.Dataset:
@@ -368,12 +409,15 @@ def q_pca_project(sf_dir: str) -> rd.Dataset:
     sequential dump twin (state/oracle_dump_near.py). 100 TB: identical
     plan — pass 1 reduces to D^2/2 integer rows regardless of corpus
     size; pass 2 is embarrassingly parallel."""
-    from .queries import _t
-
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    ds = _t_emb(sf_dir)
     agg = (
-        ds.map_batches(remote_fn(_QE, "pca_moment_partial"), batch_format="pandas")
-        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        ds.map_batches(
+            remote_fn(_QE, "pca_moment_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # ~2.1k combiner rows per block: width scales with block count
+        .repartition(max(2, ds.num_blocks() // 16))
         .groupby(["i", "j"])
         .aggregate(Sum("v", alias_name="v"))
         .to_pandas()  # D*(D+3)/2 + 1 rows
@@ -381,7 +425,8 @@ def q_pca_project(sf_dir: str) -> rd.Dataset:
     mean, comps = pca_model_from_sums(agg)
     return ds.map_batches(
         remote_fn(_QE, "pca_project_batch", mean=mean.tolist(), comps=comps.tolist()),
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -425,7 +470,7 @@ def q_cluster_lang_purity(sf_dir: str) -> rd.Dataset:
     return (
         joined.groupby(["cluster", "lang"])
         .aggregate(Count(alias_name="n"))
-        .repartition(2)  # tiny contingency table; non-empty reduce partitions
+        .repartition(2)  # K x |langs| contingency table (bounded, tiny)
         .groupby("cluster")
         .map_groups(remote_fn(_QE, "purity_per_cluster"), batch_format="pandas")
     )
@@ -459,15 +504,15 @@ def semdedup_mark(x: np.ndarray) -> np.ndarray:
     return kept
 
 
-def sem_assign_batch(df: pd.DataFrame, cents: List[List[float]]) -> pd.DataFrame:
+def sem_assign_batch(batch: pa.Table, cents: List[List[float]]) -> pa.Table:
     """km_assign_batch, but CARRYING the embedding column: the per-cluster
     dedup needs the vectors co-located with their cluster id."""
     c = np.asarray(cents, dtype=np.float64)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "vec_id": df["vec_id"].astype("int64"),
-            "cluster": km_assign(_matrix(df), c),
-            "embedding": df["embedding"],
+            "vec_id": batch["vec_id"],
+            "cluster": km_assign(_matrix_t(batch), c),
+            "embedding": batch["embedding"],
         }
     )
 
@@ -504,7 +549,8 @@ def q_semdedup(sf_dir: str) -> rd.Dataset:
     return (
         ds.map_batches(
             remote_fn(_QE, "sem_assign_batch", cents=cents.tolist()),
-            batch_format="pandas",
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         .groupby("cluster")
         .map_groups(remote_fn(_QE, "semdedup_cluster"), batch_format="pandas")

@@ -527,11 +527,14 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         pca_project_batch,
     )
 
-    moments = pca_moment_partial(full)
+    full_t = pa.Table.from_pandas(
+        full[["vec_id", "embedding"]], preserve_index=False
+    )
+    moments = pca_moment_partial(full_t).to_pandas()
     mean, comps = pca_model_from_sums(moments)
     _write(
         "pca_seq.parquet",
-        pca_project_batch(full, mean.tolist(), comps.tolist()),
+        pca_project_batch(full_t, mean.tolist(), comps.tolist()).to_pandas(),
     )
 
     # unigram-LM twin: same kernels single-process (integer counts and

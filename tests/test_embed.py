@@ -60,10 +60,12 @@ def test_km_update_keeps_empty_cluster_centroid():
 
 
 def test_pack_unpack_roundtrip():
+    import pyarrow as pa
+
     x = _x(5)
     df = pd.DataFrame({"vec_id": range(5), "embedding": list(x)})
-    packed = emb_pack_batch(df)
-    back = _unpack(packed)
+    packed = emb_pack_batch(pa.Table.from_pandas(df, preserve_index=False))
+    back = _unpack(packed["emb_bin"])
     assert back.shape == x.shape and (back == x).all()
 
 
@@ -75,8 +77,15 @@ def _pca_df(n, seed=3):
     from khl_pdf_ocr_ray.pipelines.queries_embed import EMB_DIM
 
     x = rng.normal(size=(n, EMB_DIM)).astype(np.float32)
+    import pyarrow as pa
+
     x[:, 0] *= 5.0  # dominant variance direction = dim 0
-    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x)})
+    return pa.Table.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x)}
+        ),
+        preserve_index=False,
+    )
 
 
 def test_pca_moments_split_invariant():
@@ -85,9 +94,12 @@ def test_pca_moments_split_invariant():
     from khl_pdf_ocr_ray.pipelines.queries_embed import pca_moment_partial
 
     df = _pca_df(53)
-    whole = pca_moment_partial(df).set_index(["i", "j"])["v"]
+    whole = pca_moment_partial(df).to_pandas().set_index(["i", "j"])["v"]
     parts = pd.concat(
-        [pca_moment_partial(df.iloc[i : i + 17]) for i in range(0, len(df), 17)]
+        [
+            pca_moment_partial(df.slice(i, 17)).to_pandas()
+            for i in range(0, df.num_rows, 17)
+        ]
     )
     summed = parts.groupby(["i", "j"])["v"].sum()
     pd.testing.assert_series_equal(
@@ -102,7 +114,7 @@ def test_pca_model_finds_dominant_direction_and_fixed_sign():
     )
 
     df = _pca_df(400)
-    mean, comps = pca_model_from_sums(pca_moment_partial(df))
+    mean, comps = pca_model_from_sums(pca_moment_partial(df).to_pandas())
     # PC1 is (close to) the inflated axis, and the sign rule makes the
     # largest-magnitude component positive
     assert abs(comps[0, 0]) > 0.95
@@ -127,12 +139,14 @@ def test_pca_projection_batch_invariant():
     )
 
     df = _pca_df(60)
-    mean, comps = pca_model_from_sums(pca_moment_partial(df))
-    whole = pca_project_batch(df, mean.tolist(), comps.tolist())
+    mean, comps = pca_model_from_sums(pca_moment_partial(df).to_pandas())
+    whole = pca_project_batch(df, mean.tolist(), comps.tolist()).to_pandas()
     parts = pd.concat(
         [
-            pca_project_batch(df.iloc[i : i + 13], mean.tolist(), comps.tolist())
-            for i in range(0, len(df), 13)
+            pca_project_batch(
+                df.slice(i, 13), mean.tolist(), comps.tolist()
+            ).to_pandas()
+            for i in range(0, df.num_rows, 13)
         ]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, parts)
