@@ -29,12 +29,36 @@ LSH_TABLES = 8
 
 
 def _embed_matrix(df: pd.DataFrame) -> np.ndarray:
+    """pandas path (driver-side / map_groups / dump twin)."""
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _embed_matrix_t(batch: pa.Table) -> np.ndarray:
+    """Arrow path: the embedding list column -> (n, D) float64 through the
+    flattened values buffer (no per-row stacking; float32 -> float64 is
+    exact, so the doubles match the pandas path bit-for-bit)."""
+    flat = batch["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    return flat.astype(np.float64).reshape(batch.num_rows, -1)
+
+
+def _ids64(batch: pa.Table, col: str = "vec_id") -> np.ndarray:
+    return np.asarray(batch[col].to_numpy(zero_copy_only=False), dtype=np.int64)
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(x, axis=1, keepdims=True)
     return x / np.maximum(n, 1e-30)
+
+
+_EMPTY_PARTIAL = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    }
+)
 
 
 def load_queries(sf_dir: str, n_queries: int):
@@ -71,8 +95,8 @@ def load_queries(sf_dir: str, n_queries: int):
 
 
 def knn_partial_batch(
-    df: pd.DataFrame, query_ids: list, q_ref, k: int
-) -> pd.DataFrame:
+    batch: pa.Table, query_ids: list, q_ref, k: int
+) -> pa.Table:
     """Local top-k of one batch against the broadcast query matrix.
 
     The batch is deduped by vec_id first: LSH probe reads deliver a vector
@@ -80,26 +104,36 @@ def knn_partial_batch(
     the sort) could otherwise crowd a genuine top-k candidate out of this
     batch's local top-k — the union of per-batch top-k over DISTINCT
     candidates is guaranteed to contain the global top-k."""
+    if batch.num_rows == 0:
+        return _EMPTY_PARTIAL
     q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
-    df = df.drop_duplicates(subset=["vec_id"])
-    ids = df["vec_id"].to_numpy().astype(np.int64)
-    x = _normalize(_embed_matrix(df))
+    all_ids = _ids64(batch)
+    keep = np.sort(np.unique(all_ids, return_index=True)[1])  # first per id
+    if len(keep) < len(all_ids):
+        batch = batch.take(keep)
+    ids = all_ids[keep]
+    x = _normalize(_embed_matrix_t(batch))
     sims = q @ x.T  # (nq, batch)
     qids = np.asarray(query_ids, dtype=np.int64)
-    out: Dict[str, list] = {"query_id": [], "neighbor_id": [], "sim": []}
+    out_q, out_n, out_s = [], [], []
     for qi, qid in enumerate(qids):
         s = sims[qi]
-        mask = ids != qid
-        cand_idx = np.nonzero(mask)[0]
+        cand_idx = np.nonzero(ids != qid)[0]
         if cand_idx.size == 0:
             continue
         order = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))][:k]
-        out["query_id"].extend([qid] * len(order))
-        out["neighbor_id"].extend(ids[order])
-        out["sim"].extend(s[order])  # full precision: the merge must rank
+        out_q.append(np.full(len(order), qid, dtype=np.int64))
+        out_n.append(ids[order])
+        out_s.append(s[order])  # full precision: the merge must rank
         # exactly as the oracle's ORDER BY sim DESC, not on rounded values
-    return pd.DataFrame(out).astype(
-        {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+    if not out_q:
+        return _EMPTY_PARTIAL
+    return pa.table(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "sim": np.concatenate(out_s),
+        }
     )
 
 
@@ -150,7 +184,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
             q_ref=q_ref,
             k=k,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=256,
     ).to_pandas()
     return knn_merge(partials, k)
@@ -174,17 +208,15 @@ def _bucket_keys(x: np.ndarray) -> np.ndarray:
     return keys
 
 
-def lsh_bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Explode each embedding into its LSH_TABLES bucket rows."""
-    x = _embed_matrix(df)
-    keys = _bucket_keys(x)
-    return pd.DataFrame(
-        {
-            "vec_id": np.repeat(df["vec_id"].to_numpy().astype(np.int64), LSH_TABLES),
-            "bucket": keys.reshape(-1),
-            "embedding": np.repeat(df["embedding"].to_numpy(), LSH_TABLES),
-        }
+def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
+    """Explode each embedding into its LSH_TABLES bucket rows (an Arrow
+    take on the repeated row index — the list column is never unpacked
+    into Python objects)."""
+    keys = _bucket_keys(_embed_matrix_t(batch))
+    rep = batch.select(["vec_id", "embedding"]).take(
+        np.repeat(np.arange(batch.num_rows, dtype=np.int64), LSH_TABLES)
     )
+    return rep.append_column("bucket", pa.array(keys.reshape(-1), pa.int64()))
 
 
 def _index_dir(sf_dir: str, kind: str, params: str) -> str:
@@ -232,7 +264,7 @@ def ensure_lsh_index(sf_dir: str) -> str:
         )
         ds.map_batches(
             remote_fn("khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch"),
-            batch_format="pandas",
+            batch_format="pyarrow",
         ).write_parquet(tmp_dir, partition_cols=["bucket"])
 
     return ensure_published(out_dir, _build)
@@ -276,7 +308,7 @@ def ensure_lsh_index_snapshots(sf_dir: str) -> str:
                 )
                 .map_batches(
                     remote_fn("khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch"),
-                    batch_format="pandas",
+                    batch_format="pyarrow",
                 )
             )
             ds.write_parquet(tmp_dir, partition_cols=["bucket"])
@@ -355,7 +387,7 @@ def ann_lsh(
                 q_ref=q_ref,
                 k=k,
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
         .to_pandas()
     )
@@ -366,7 +398,7 @@ def ann_lsh(
 TRIANGLE_BLOCKS = 8  # B: replication factor of the all-pairs triangle join
 
 
-def triangle_replicate_batch(df: pd.DataFrame, n_blocks: int) -> pd.DataFrame:
+def triangle_replicate_batch(batch: pa.Table, n_blocks: int) -> pa.Table:
     """All-pairs triangle partitioning (the exact distributed form of a
     self cross-join): every vector in block g = vec_id % B is replicated to
     the B unordered block-pair keys {(min(g,o), max(g,o)) : o in 0..B-1},
@@ -374,7 +406,7 @@ def triangle_replicate_batch(df: pd.DataFrame, n_blocks: int) -> pd.DataFrame:
     stays O(n^2) (the semantics are all-pairs) but memory per task is
     2 blocks and nothing is broadcast or driver-materialized — the
     round-1 design shipped the full normalized matrix via ray.put."""
-    ids = df["vec_id"].to_numpy().astype(np.int64)
+    ids = _ids64(batch)
     n = len(ids)
     g = ids % n_blocks
     # fully vectorized replication (n x B): no per-row Python in the one
@@ -383,14 +415,17 @@ def triangle_replicate_batch(df: pd.DataFrame, n_blocks: int) -> pd.DataFrame:
     other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
     g1 = np.minimum(gi, other)
     g2 = np.maximum(gi, other)
-    return pd.DataFrame(
+    rep = batch.select(["vec_id", "embedding"]).take(
+        np.repeat(np.arange(n, dtype=np.int64), n_blocks)
+    )
+    return pa.table(
         {
             "pair_key": g1 * n_blocks + g2,
             "grp": gi,
-            "vec_id": np.repeat(ids, n_blocks),
-            "embedding": np.repeat(df["embedding"].to_numpy(), n_blocks),
+            "vec_id": rep["vec_id"],
+            "embedding": rep["embedding"],
         }
-    ).astype({"pair_key": "int64", "grp": "int64", "vec_id": "int64"})
+    )
 
 
 def triangle_block_pairs(group: pd.DataFrame, tau_e6: int, n_blocks: int) -> pd.DataFrame:
@@ -463,7 +498,7 @@ def embedding_dups(sf_dir: str, tau_e6: int = 350_000):
             "triangle_replicate_batch",
             n_blocks=TRIANGLE_BLOCKS,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=256,
     )
     return replicated.groupby("pair_key").map_groups(
@@ -536,13 +571,13 @@ def embedding_dups_lsh(sf_dir: str, tau_e6: int = 350_000):
         .aggregate(Count(alias_name="n_buckets"))
         .map_batches(
             remote_fn("khl_pdf_ocr_ray.stages.knn", "drop_n_buckets"),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
 
 
-def drop_n_buckets(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop(columns=[c for c in df.columns if c == "n_buckets"])
+def drop_n_buckets(batch: pa.Table) -> pa.Table:
+    return batch.drop_columns([c for c in batch.column_names if c == "n_buckets"])
 
 
 # --- IVF ANN (k-means coarse quantizer; the second scale path) --------------
@@ -566,12 +601,12 @@ def _ivf_centroids(x: np.ndarray) -> np.ndarray:
     return centroids
 
 
-def ivf_assign_batch(df: pd.DataFrame, centroids_ref) -> pd.DataFrame:
+def ivf_assign_batch(batch: pa.Table, centroids_ref) -> pa.Table:
     cents = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
-    x = _embed_matrix(df)
+    x = _embed_matrix_t(batch)
     assign = np.argmax(_normalize(x) @ _normalize(cents).T, axis=1).astype(np.int64)
-    return pd.DataFrame(
-        {"vec_id": df["vec_id"].astype("int64"), "ivf_list": assign, "embedding": df["embedding"]}
+    return pa.table(
+        {"vec_id": batch["vec_id"], "ivf_list": assign, "embedding": batch["embedding"]}
     )
 
 
@@ -636,7 +671,7 @@ def ensure_ivf_index(sf_dir: str) -> str:
         os.makedirs(tmp_dir, exist_ok=True)
         ds.map_batches(
             remote_fn("khl_pdf_ocr_ray.stages.knn", "ivf_assign_batch", centroids_ref=cents_ref),
-            batch_format="pandas",
+            batch_format="pyarrow",
         ).write_parquet(os.path.join(tmp_dir, "lists"), partition_cols=["ivf_list"])
         _pq.write_table(
             pa.table({"centroid": [c.tolist() for c in centroids]}),
@@ -700,7 +735,7 @@ def ensure_ivf_index_snapshots(sf_dir: str) -> str:
                         "ivf_assign_batch",
                         centroids_ref=cents_ref,
                     ),
-                    batch_format="pandas",
+                    batch_format="pyarrow",
                 )
                 .write_parquet(os.path.join(tmp_dir, "lists"), partition_cols=["ivf_list"])
             )
@@ -760,7 +795,7 @@ def ann_ivf(
                 q_ref=q_ref,
                 k=k,
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
         .to_pandas()
     )
@@ -818,19 +853,19 @@ def pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
-def ivfpq_encode_batch(df: pd.DataFrame, centroids_ref, books_ref) -> pd.DataFrame:
+def ivfpq_encode_batch(batch: pa.Table, centroids_ref, books_ref) -> pa.Table:
     """Distributed index-build map: coarse list + packed PQ code per row.
     Only (vec_id, list, 8-byte code) is written - vectors never persist."""
     cents = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
     books = ray.get(books_ref) if not isinstance(books_ref, np.ndarray) else books_ref
-    x = _embed_matrix(df)
+    x = _embed_matrix_t(batch)
     assign = np.argmax(_normalize(x) @ _normalize(cents).T, axis=1).astype(np.int64)
     codes = pq_encode(x, books)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "vec_id": df["vec_id"].astype("int64"),
+            "vec_id": batch["vec_id"],
             "ivf_list": assign,
-            "code": pd.Series([c.tobytes() for c in codes], dtype=object),
+            "code": pa.array([c.tobytes() for c in codes], pa.binary()),
         }
     )
 
@@ -890,7 +925,7 @@ def ensure_ivfpq_index(sf_dir: str) -> str:
                 centroids_ref=cents_ref,
                 books_ref=books_ref,
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
         ).write_parquet(os.path.join(tmp_dir, "lists"), partition_cols=["ivf_list"])
         _pq.write_table(
             pa.table({"centroid": [c.tolist() for c in centroids]}),
@@ -917,33 +952,43 @@ def ensure_ivfpq_index(sf_dir: str) -> str:
 
 
 def pq_adc_partial(
-    df: pd.DataFrame, query_ids: list, luts_ref, k: int
-) -> pd.DataFrame:
+    batch: pa.Table, query_ids: list, luts_ref, k: int
+) -> pa.Table:
     """Per-batch ADC partial top-k: decode each row's 8-byte code and rank
     by the per-query lookup-table sum, accumulated over subspaces in a
     FIXED order so the doubles match the sequential twin bit-for-bit."""
+    if batch.num_rows == 0:
+        return _EMPTY_PARTIAL
     luts = ray.get(luts_ref) if not isinstance(luts_ref, np.ndarray) else luts_ref
-    df = df.drop_duplicates(subset=["vec_id"])
-    ids = df["vec_id"].to_numpy().astype(np.int64)
-    codes = np.frombuffer(b"".join(df["code"].tolist()), dtype=np.uint8).reshape(
-        len(df), PQ_M
-    )
+    all_ids = _ids64(batch)
+    keep = np.sort(np.unique(all_ids, return_index=True)[1])  # first per id
+    if len(keep) < len(all_ids):
+        batch = batch.take(keep)
+    ids = all_ids[keep]
+    codes = np.frombuffer(
+        b"".join(batch["code"].to_pylist()), dtype=np.uint8
+    ).reshape(len(ids), PQ_M)
     qids = np.asarray(query_ids, dtype=np.int64)
-    out: Dict[str, list] = {"query_id": [], "neighbor_id": [], "sim": []}
+    out_q, out_n, out_s = [], [], []
     for qi, qid in enumerate(qids):
         s = np.zeros(len(codes), dtype=np.float64)
         for m in range(PQ_M):  # fixed accumulation order (both engines)
             s += luts[qi, m, codes[:, m]]
-        mask = ids != qid
-        cand_idx = np.nonzero(mask)[0]
+        cand_idx = np.nonzero(ids != qid)[0]
         if cand_idx.size == 0:
             continue
         order = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))][:k]
-        out["query_id"].extend([qid] * len(order))
-        out["neighbor_id"].extend(ids[order])
-        out["sim"].extend(s[order])
-    return pd.DataFrame(out).astype(
-        {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        out_q.append(np.full(len(order), qid, dtype=np.int64))
+        out_n.append(ids[order])
+        out_s.append(s[order])
+    if not out_q:
+        return _EMPTY_PARTIAL
+    return pa.table(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "sim": np.concatenate(out_s),
+        }
     )
 
 
@@ -1007,7 +1052,7 @@ def ann_ivfpq(
                 luts_ref=luts_ref,
                 k=PQ_SHORTLIST,
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
         .to_pandas()
     )
@@ -1043,7 +1088,12 @@ def ann_ivfpq(
     # exact sims for the WHOLE shortlist (no pre-cut: a top-k before the
     # allowed filter could discard one query's allowed candidate in favor
     # of ids another query surfaced)
-    exact = knn_partial_batch(cand, [int(v) for v in qids], q, len(cand))
+    exact = knn_partial_batch(
+        pa.Table.from_pandas(cand, preserve_index=False),
+        [int(v) for v in qids],
+        q,
+        len(cand),
+    ).to_pandas()
     # keep only (query, neighbor) pairs the ADC shortlist proposed: the
     # rerank must not smuggle in candidates PQ never surfaced
     allowed = set(zip(partials["query_id"].astype("int64"),

@@ -190,9 +190,14 @@ def _ann_lsh_seq(emb: pd.DataFrame) -> pd.DataFrame:
             # spill into the table-id bits
             for b in range(min(LSH_PROBES, LSH_PLANES)):
                 wanted.add(int(key) ^ (1 << b))
-    exploded = lsh_bucket_batch(emb)
+    exploded = lsh_bucket_batch(
+        pa.Table.from_pandas(emb[["vec_id", "embedding"]], preserve_index=False)
+    ).to_pandas()
     cands = exploded[exploded["bucket"].isin(wanted)][["vec_id", "embedding"]]
-    partials = knn_partial_batch(cands, [int(v) for v in qids], q, TOP_K)
+    partials = knn_partial_batch(
+        pa.Table.from_pandas(cands, preserve_index=False),
+        [int(v) for v in qids], q, TOP_K,
+    ).to_pandas()
     return knn_merge(partials, TOP_K)[["query_id", "neighbor_id", "rank"]]
 
 
@@ -216,7 +221,10 @@ def _ann_ivf_seq(emb: pd.DataFrame) -> pd.DataFrame:
         for c in np.argsort(-row)[:IVF_NPROBE]:
             probe.add(int(c))
     cands = emb[np.isin(assign, sorted(probe))][["vec_id", "embedding"]]
-    partials = knn_partial_batch(cands, [int(v) for v in qids], q, TOP_K)
+    partials = knn_partial_batch(
+        pa.Table.from_pandas(cands, preserve_index=False),
+        [int(v) for v in qids], q, TOP_K,
+    ).to_pandas()
     return knn_merge(partials, TOP_K)[["query_id", "neighbor_id", "rank"]]
 
 
@@ -260,12 +268,18 @@ def _ann_ivfpq_seq(emb: pd.DataFrame) -> pd.DataFrame:
         }
     )
     luts = pq_query_luts(q, books)
-    partials = pq_adc_partial(cands, [int(v) for v in qids], luts, PQ_SHORTLIST)
+    partials = pq_adc_partial(
+        pa.Table.from_pandas(cands, preserve_index=False),
+        [int(v) for v in qids], luts, PQ_SHORTLIST,
+    ).to_pandas()
     # refinement twin: exact rerank of the ADC shortlist, same allowed-set
     # rule as the distributed path
     short_ids = sorted(set(partials["neighbor_id"].astype("int64").tolist()))
     cand = emb[emb["vec_id"].isin(short_ids)][["vec_id", "embedding"]]
-    exact = knn_partial_batch(cand, [int(v) for v in qids], q, len(cand))
+    exact = knn_partial_batch(
+        pa.Table.from_pandas(cand, preserve_index=False),
+        [int(v) for v in qids], q, len(cand),
+    ).to_pandas()
     allowed = set(
         zip(partials["query_id"].astype("int64"), partials["neighbor_id"].astype("int64"))
     )
@@ -281,7 +295,9 @@ def _ann_ivfpq_seq(emb: pd.DataFrame) -> pd.DataFrame:
 def _emb_lsh_pairs(emb: pd.DataFrame) -> pd.DataFrame:
     from ..stages.knn import bucket_group_pairs, lsh_bucket_batch
 
-    exploded = lsh_bucket_batch(emb)
+    exploded = lsh_bucket_batch(
+        pa.Table.from_pandas(emb[["vec_id", "embedding"]], preserve_index=False)
+    ).to_pandas()
     parts = [
         bucket_group_pairs(g, TAU_E6) for _, g in exploded.groupby("bucket", sort=False)
     ]
