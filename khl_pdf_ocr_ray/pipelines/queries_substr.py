@@ -292,9 +292,128 @@ def q_substring_dup_spans(sf_dir: str) -> rd.Dataset:
 def q_phrase_hits(sf_dir: str) -> rd.Dataset:
     """Positional phrase search: docs containing the probe phrase as an
     exact word sequence, with occurrence count and first word offset.
-    Map-only — no shuffle."""
+    Map-only — no shuffle. Scan-time: every call re-reads the corpus;
+    repeated phrase queries over a static corpus use the persisted index
+    (``phrase_hits_indexed``)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         remote_fn(_QS, "phrase_scan"), batch_format="pyarrow"
+    )
+
+
+# --- persisted positional phrase index ----------------------------------------
+PHRASE_INDEX_BUCKETS = 256  # hive partition fan-out of the n-gram index
+
+
+def _ng_bucket(ng: str) -> int:
+    """Deterministic bucket of one n-gram (blake2b, same at build/probe)."""
+    return (
+        int.from_bytes(
+            hashlib.blake2b(ng.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        % PHRASE_INDEX_BUCKETS
+    )
+
+
+def ngram_index_batch(batch: pa.Table, n: int) -> pa.Table:
+    """Positional n-gram index rows (bucket, ng, doc_id, pos): bucket is a
+    blake2b hash of the n-gram mod PHRASE_INDEX_BUCKETS — the hive
+    partition key every probe prunes on."""
+    ids, poss, ngs, buckets = [], [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = _tokens(t)
+        for i in range(len(ws) - (n - 1)):
+            ng = " ".join(ws[i : i + n])
+            ids.append(d)
+            poss.append(i)
+            ngs.append(ng)
+            buckets.append(_ng_bucket(ng))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "ng": pa.array(ngs, pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+        }
+    )
+
+
+def ensure_phrase_index(sf_dir: str, n: int = PHRASE_N) -> str:
+    """Build (once, cached) the persisted positional phrase index: the
+    corpus' n-gram positional stream written as parquet HASH-PARTITIONED
+    BY ngram-hash bucket (hive layout, one directory per bucket — the
+    same persisted-index recipe as the LSH/IVF indexes in stages/knn.py).
+
+    The build pays the full tokenize+explode ONCE; every probe afterwards
+    reads only its phrase's bucket directory (1/PHRASE_INDEX_BUCKETS of
+    the index) instead of re-scanning the corpus. The cache key folds the
+    documents file's size+mtime fingerprint, so a regenerated corpus can
+    never serve a stale index (round-3 brief: caches key on content)."""
+    import os
+
+    from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
+    from ..state.atomic import ensure_published
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    key = hashlib.sha256(
+        f"{path}:{st.st_size}:{st.st_mtime_ns}:n{n}b{PHRASE_INDEX_BUCKETS}:v1".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join("/tmp/khlray_cache", f"phraseidx_{key}")
+
+    def _build(tmp_dir: str) -> None:
+        ds = read_parquet_clean(path, columns=["doc_id", "text"]).repartition(
+            blocks_for_bytes(input_nbytes(path))
+        )
+        ds.map_batches(
+            remote_fn(_QS, "ngram_index_batch", n=n), batch_format="pyarrow"
+        ).write_parquet(tmp_dir, partition_cols=["bucket"])
+
+    return ensure_published(out_dir, _build)
+
+
+def phrase_filter_batch(batch: pa.Table, phrase: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.equal(batch["ng"], phrase)).select(["doc_id", "pos"])
+
+
+def q_phrase_hits_indexed(sf_dir: str) -> rd.Dataset:
+    """Phrase search over the PERSISTED positional index: read ONLY the
+    probed bucket partition (a pruned read of 1/256 of the index), filter
+    to the exact phrase, and reduce per doc. Rows hash-equal the
+    scan-time ``phrase_hits`` oracle — the index is an access path, not a
+    different operator. 100 TB: the index build is one explode pass
+    (amortized over every later query); a probe touches one directory."""
+    import glob
+    import os
+
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    index_dir = ensure_phrase_index(sf_dir)
+    bucket_dir = os.path.join(index_dir, f"bucket={_ng_bucket(PHRASE)}")
+    files = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+    if not files:  # phrase absent from the corpus: typed empty result
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                    "first_pos": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return (
+        rd.read_parquet(files, columns=["doc_id", "pos", "ng"])
+        .map_batches(
+            remote_fn(_QS, "phrase_filter_batch", phrase=PHRASE),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(
+            _Count(alias_name="n_hits"),
+            _Min("pos", alias_name="first_pos"),
+        )
     )
 
 
@@ -444,6 +563,7 @@ FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k
 SUBSTR_QUERIES: Dict[str, object] = {
     "substring_dup_spans": q_substring_dup_spans,
     "phrase_hits": q_phrase_hits,
+    "phrase_hits_indexed": q_phrase_hits_indexed,
     "snapshot_dedup": q_snapshot_dedup,
     "snapshot_diff": q_snapshot_diff,
 }
@@ -469,6 +589,15 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
 FROM isl GROUP BY doc_id, island
 """,
     "phrase_hits": f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+g AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+{PHRASE_N - 1}], ' ') AS ng
+      FROM w, UNNEST(range(1, len(ws)-{PHRASE_N}+2)) AS t(i))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM g WHERE ng = '{PHRASE}' GROUP BY doc_id
+""",
+    # identical oracle: the persisted index is an access path, not a new op
+    "phrase_hits_indexed": f"""
 WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
 g AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+{PHRASE_N - 1}], ' ') AS ng
       FROM w, UNNEST(range(1, len(ws)-{PHRASE_N}+2)) AS t(i))
