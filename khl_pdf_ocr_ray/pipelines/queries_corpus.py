@@ -586,12 +586,12 @@ def pivot_partial(batch: pa.Table) -> pa.Table:
     day = pc.cast(_floordiv(us, 86_400_000_000), pa.int64())  # floored like
     # the oracle's // (pre-epoch timestamps bucket to day -1, not day 0)
     t = pa.table({"day": day, "event_type": batch["event_type"]})
-    g = (
-        t.group_by(["day", "event_type"])
-        .aggregate([("event_type", "count")])
-        .rename_columns({"event_type_count": "n"})
-        .to_pandas()
-    )
+    g = select_rename(
+        t.group_by(["day", "event_type"]).aggregate([("event_type", "count")]),
+        day="day",
+        event_type="event_type",
+        n="event_type_count",
+    ).to_pandas()
     wide = (
         g.pivot_table(index="day", columns="event_type", values="n",
                       aggfunc="sum", fill_value=0)

@@ -726,7 +726,13 @@ def messages_project(batch: pa.Table) -> pa.Table:
     return pa.table({"node": batch["dst"], "label": batch["label"]})
 
 
-def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
+def shortcut_project(batch: pa.Table) -> pa.Table:
+    """Pointer-jumping join output (src_node, via, label) -> (node, label):
+    src_node's new candidate label is its label's label."""
+    return pa.table({"node": batch["src_node"], "label": batch["label"]})
+
+
+def label_propagation_clusters(pairs_ds, max_rounds: int = 64, doubling: bool = False):
     """Distributed connected components: min-label propagation over the
     pair table (no driver-side union-find — the round-1 design collected
     every pair on the driver, which breaks on a duplication-heavy crawl).
@@ -737,6 +743,16 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
     fixed point is exactly each node's component minimum (what union-find
     computes). Rounds needed = graph diameter (near-dup clusters are
     shallow; max_rounds is a runaway guard).
+
+    ``doubling=True`` adds a POINTER-JUMPING step per round (label <-
+    label[label], a labels-on-labels self join): the effective diameter
+    halves every round, so convergence takes O(log d) rounds instead of
+    O(d) — the path for long dup CHAINS (boilerplate that mutates a
+    little per page). It costs one extra node-keyed join per round, so
+    the default stays the plain step: near-dup clusters are overwhelmingly
+    shallow (d <= 3) and the plain step converges in fewer total joins
+    there. The fixed point is identical (labels stay within the
+    component, only decrease, and stabilize only at the component min).
 
     Returns a Dataset (doc_id, cluster_id, cluster_size, keep) matching
     ``union_find_clusters`` row-for-row.
@@ -777,9 +793,19 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
         msgs = safe_join(edges, labels, on=("src",), right_on=("node",)).map_batches(
             _rfn("messages_project"), batch_format="pyarrow"
         )
+        merged = labels.union(msgs)
+        if doubling:
+            # pointer jumping: node's label <- label-of-its-label
+            lhs = labels.map_batches(
+                _rfn("rename_cols", mapping={"node": "src_node", "label": "via"}),
+                batch_format="pyarrow",
+            )
+            jumped = safe_join(lhs, labels, on=("via",), right_on=("node",))
+            merged = merged.union(
+                jumped.map_batches(_rfn("shortcut_project"), batch_format="pyarrow")
+            )
         labels = (
-            labels.union(msgs)
-            .groupby("node")
+            merged.groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .map_batches(_ident(), batch_format="pyarrow", zero_copy_batch=True)
             .materialize()
@@ -795,7 +821,8 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64):
         # from the union-find oracle) — fail loudly instead
         raise RuntimeError(
             f"label propagation did not converge in {max_rounds} rounds "
-            "(component diameter exceeds max_rounds; raise max_rounds)"
+            "(component diameter exceeds max_rounds; raise max_rounds or "
+            "pass doubling=True for O(log diameter) pointer jumping)"
         )
     # attach cluster sizes GIANT-CLUSTER-SAFE: a per-label aggregate Count
     # (combiner-backed, no task ever holds a whole cluster) joined back to

@@ -222,6 +222,64 @@ def test_label_propagation_giant_cluster(ray_session):
     assert (out["cluster_size"] == n).all() and set(out["cluster_id"]) == {0}
 
 
+def test_label_propagation_diameter_over_default_raises(ray_session):
+    """A chain LONGER than the default 64 max_rounds must fail LOUDLY at
+    default settings (exhaustion is never silently reported as converged),
+    and the same graph must converge with pointer doubling in O(log d)
+    rounds, matching the union-find oracle row-for-row."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from khl_pdf_ocr_ray.stages.dedup import (
+        label_propagation_clusters,
+        union_find_clusters,
+    )
+
+    n = 80  # diameter 80 > default max_rounds=64
+    chain = pd.DataFrame({"doc_a": range(n), "doc_b": range(1, n + 1)}).astype(
+        "int64"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_clusters(rd.from_pandas(chain))
+    # pointer doubling halves the diameter per round: log2(80) ~ 7 rounds
+    out = (
+        label_propagation_clusters(
+            rd.from_pandas(chain), max_rounds=16, doubling=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    uf = union_find_clusters(chain).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, uf)
+    assert set(out["cluster_id"]) == {0} and (out["cluster_size"] == n + 1).all()
+
+
+def test_label_propagation_doubling_matches_plain(ray_session, sf):
+    """doubling=True reaches the identical fixed point as the plain step
+    on the real near-dup pair graph."""
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries import q_minhash_dups
+    from khl_pdf_ocr_ray.stages.dedup import label_propagation_clusters
+
+    pairs = q_minhash_dups(sf)
+    plain = (
+        label_propagation_clusters(pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    doubled = (
+        label_propagation_clusters(pairs, doubling=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, doubled)
+
+
 def test_label_propagation_exhaustion_raises(ray_session):
     """max_rounds below the graph diameter must raise, never silently
     return split clusters."""
