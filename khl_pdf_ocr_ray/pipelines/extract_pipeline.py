@@ -155,10 +155,13 @@ def pages_cache_dir(
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
     # num_blocks is part of the key: its whole purpose is file LAYOUT, so
-    # an explicit value must never be silently served a cached other layout
+    # an explicit value must never be silently served a cached other layout.
+    # size AND mtime_ns: a regenerated source file of identical byte size
+    # must never serve a stale cached corpus (content-fingerprint
+    # convention shared with state/manifest.fragment_fingerprint)
     key = hashlib.sha256(
-        f"{doc_path}:{st.st_size}:{repeat}:{seed}:{giants_per_mille}"
-        f":{num_blocks}:v6".encode()
+        f"{doc_path}:{st.st_size}:{st.st_mtime_ns}:{repeat}:{seed}"
+        f":{giants_per_mille}:{num_blocks}:v6".encode()
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, f"pages_{key}")
 
