@@ -644,7 +644,7 @@ def q_lang_id(sf_dir: str) -> rd.Dataset:
     """Stopword-count language ID per doc (argmax, alphabetical tie-break,
     'und' when no stopword hits). Embarrassingly parallel map."""
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        remote_fn(_TQC, "lang_id_batch"), batch_format="pandas"
+        remote_fn(_TQC, "lang_id_batch"), batch_format="pyarrow"
     )
 
 
@@ -652,7 +652,7 @@ def q_text_quality(sf_dir: str) -> rd.Dataset:
     """Per-doc quality metrics (token/type/char counts, fixed-point mean
     token length) — the filter features of a training-data pipeline."""
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        remote_fn(_TQC, "quality_batch"), batch_format="pandas"
+        remote_fn(_TQC, "quality_batch"), batch_format="pyarrow"
     )
 
 
@@ -662,7 +662,7 @@ def q_token_stats(sf_dir: str) -> rd.Dataset:
     the combiner pattern that keeps the all-to-all small at 100 TB."""
     return (
         _t(sf_dir, "documents", ["doc_id", "text", "lang"])
-        .map_batches(remote_fn(_TQC, "token_stats_batch"), batch_format="pandas")
+        .map_batches(remote_fn(_TQC, "token_stats_batch"), batch_format="pyarrow")
         .repartition(2)  # tiny combiner output; non-empty reduce partitions
         .groupby("lang")
         .aggregate(
@@ -677,7 +677,7 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
     """md5 document fingerprint over normalized text (SQL-checkable)."""
     return (
         _t(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(remote_fn(_TQC, "fingerprint_batch"), batch_format="pandas")
+        .map_batches(remote_fn(_TQC, "fingerprint_batch"), batch_format="pyarrow")
         .select_columns(["doc_id", "fp_md5"])
     )
 
@@ -687,7 +687,7 @@ def q_fingerprint_rolling(sf_dir: str) -> rd.Dataset:
     hash used for shingling; not SQL-expressible, rows-only check."""
     return (
         _t(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(remote_fn(_TQC, "fingerprint_batch"), batch_format="pandas")
+        .map_batches(remote_fn(_TQC, "fingerprint_batch"), batch_format="pyarrow")
         .select_columns(["doc_id", "fp_roll"])
     )
 

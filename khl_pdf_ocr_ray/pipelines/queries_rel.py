@@ -827,7 +827,7 @@ def q_lang_confusion(sf_dir: str) -> rd.Dataset:
         _t(sf_dir, "documents", ["doc_id", "text", "lang"])
         .map_batches(
             remote_fn("khl_pdf_ocr_ray.stages.textqc", "lang_confusion_partial"),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
         .repartition(2)  # tiny combiner output; non-empty reduce partitions
         .groupby(["lang", "pred_lang"])

@@ -217,7 +217,11 @@ def test_lang_confusion_partial_counts_and_diagonal():
             ],
         }
     )
-    out = lang_confusion_partial(df)
+    import pyarrow as pa
+
+    out = lang_confusion_partial(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).to_pandas()
     m = {(r.lang, r.pred_lang): r.n for r in out.itertuples()}
     assert m == {("en", "en"): 1, ("en", "fr"): 1, ("fr", "fr"): 1, ("de", "und"): 1}
 
