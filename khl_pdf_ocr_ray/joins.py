@@ -64,6 +64,14 @@ def _max_partitions() -> int:
     return max(16, 4 * ncpu)
 
 
+def partitions_for_rows(nrows: int, rows_per_partition: int = _ROWS_PER_PARTITION) -> int:
+    """Join partition count from a FREE row count (materialized metadata,
+    parquet footers): same sizing rule as safe_join's fallback, without
+    the materialize. Collapses to 1 for small inputs — tiny dimension
+    tables must not pay multi-partition exchange fixed costs."""
+    return max(1, min(_max_partitions(), int(nrows) // rows_per_partition))
+
+
 def join_partitions(nbytes: int, per_partition_bytes: int = 32 << 20, lo: int = 8) -> int:
     """Join partition count sized from the (larger, pre-shuffle) side's
     input bytes — ~32 MB of shuffled input per partition, floored for toy

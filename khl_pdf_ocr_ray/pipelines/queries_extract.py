@@ -569,7 +569,7 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
     partial, so no task ever holds a full dup group."""
     from ray.data.aggregate import Min
 
-    from ..joins import join_partitions, safe_join
+    from ..joins import partitions_for_rows, safe_join
 
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     lines = (
@@ -589,12 +589,12 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
         .aggregate(Min("keep_key", alias_name="keep_key"))
         .rename_columns({"line_md5": "line_md5_r"})
     )
-    # lines is already materialized (reused twice): its metadata byte size
+    # lines is already materialized (reused twice): its FREE row count
     # prices the streaming join, and the winner aggregate never materializes
     joined = safe_join(
         lines, winners, on=("line_md5",), right_on=("line_md5_r",),
         assume_non_empty=True,  # the html corpus always has kept lines
-        num_partitions=join_partitions(lines.size_bytes()),
+        num_partitions=partitions_for_rows(lines.count()),
     )
     return (
         joined.map_batches(
@@ -741,7 +741,7 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Sum as _Sum
 
     from ..functions.graph import PR_ITERS
-    from ..joins import _max_partitions, join_partitions, safe_join
+    from ..joins import _max_partitions, partitions_for_rows, safe_join
 
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     edges = (
@@ -759,10 +759,13 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
         .aggregate(_Sum("w", alias_name="wout"))
         .rename_columns({"src": "wsrc"})
     )
+    # edges is HOST-PAIR cardinality (tiny): rows-derived sizing collapses
+    # to one partition — a byte floor of 8 here cost 9 exchanges x 8
+    # near-empty partitions per pagerank run (measured 8 -> 14 s)
     edges_w = safe_join(
         edges, wout, on=("src",), right_on=("wsrc",),
         assume_non_empty=True,  # every page plants one edge
-        num_partitions=join_partitions(edges.size_bytes()),
+        num_partitions=partitions_for_rows(edges.count()),
     )
     edges_w = edges_w.materialize()  # reused every iteration
     nodes = (
