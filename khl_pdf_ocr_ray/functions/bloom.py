@@ -16,7 +16,7 @@ key (vectorized numpy; deterministic, seedless).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 DEFAULT_M_BITS = 1 << 20  # 128 KiB bitmap
 DEFAULT_K = 4
@@ -41,16 +41,16 @@ def _bit_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
 
 
 def bloom_partial_batch(
-    df: pd.DataFrame, col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
-) -> pd.DataFrame:
+    batch: pa.Table, col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
+) -> pa.Table:
     """One batch -> a single row carrying this batch's partial bitmap
     (packed little-endian uint64 words as binary)."""
     words = np.zeros(m_bits // 64, dtype=np.uint64)
-    keys = df[col].to_numpy()
+    keys = batch[col].to_numpy(zero_copy_only=False)
     if len(keys):
         pos = _bit_positions(keys, m_bits, k).reshape(-1)
         np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
-    return pd.DataFrame({"bitmap": [words.astype("<u8").tobytes()]})
+    return pa.table({"bitmap": pa.array([words.astype("<u8").tobytes()], pa.binary())})
 
 
 def build_bloom(ds, col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K) -> np.ndarray:
@@ -61,18 +61,18 @@ def build_bloom(ds, col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K) 
     partials = ds.map_batches(
         remote_fn("khl_pdf_ocr_ray.functions.bloom", "bloom_partial_batch",
                   col=col, m_bits=m_bits, k=k),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     merged = np.zeros(m_bits // 64, dtype=np.uint64)
-    for batch in partials.iter_batches(batch_format="pandas"):
-        for raw in batch["bitmap"]:
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for raw in batch["bitmap"].to_pylist():
             merged |= np.frombuffer(raw, dtype="<u8")
     return merged
 
 
 def bloom_probe_batch(
-    df: pd.DataFrame, col: str, bloom_ref, m_bits: int, k: int
-) -> pd.DataFrame:
+    batch: pa.Table, col: str, bloom_ref, m_bits: int, k: int
+) -> pa.Table:
     """Map-side prefilter: keep rows whose key is POSSIBLY in the set (the
     only sound Bloom prefilter direction — false positives are removed by
     the exact join that follows, false negatives never occur). A
@@ -82,9 +82,9 @@ def bloom_probe_batch(
     import ray
 
     bloom = ray.get(bloom_ref) if not isinstance(bloom_ref, np.ndarray) else bloom_ref
-    keys = df[col].to_numpy()
+    keys = batch[col].to_numpy(zero_copy_only=False)
     if not len(keys):
-        return df
+        return batch
     pos = _bit_positions(keys, m_bits, k)
     bits = (bloom[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
-    return df[bits.all(axis=1)]
+    return batch.filter(pa.array(bits.all(axis=1)))

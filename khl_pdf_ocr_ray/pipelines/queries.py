@@ -922,7 +922,7 @@ def q_customers_semi_bloom(sf_dir: str) -> rd.Dataset:
             m_bits=DEFAULT_M_BITS,
             k=DEFAULT_K,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     # prefiltered keeps every true match (Bloom has no false negatives) and
     # orders' FK always lands, so both sides are structurally non-empty

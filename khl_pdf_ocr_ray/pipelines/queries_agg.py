@@ -664,17 +664,23 @@ FROM documents
 
 
 # --- user_first_last (ARG_MIN / ARG_MAX aggregate) ---------------------------
-def first_last_partial(g: pd.DataFrame) -> pd.DataFrame:
+def first_last_partial(batch: pa.Table) -> pa.Table:
     """Per-(user, batch-or-group) argmin/argmax rows under the total
     (ts, event_id) order. Emitting BOTH candidates per user makes this a
     mergeable combiner: applying it again to concatenated partials yields
     the same winners (idempotent under re-aggregation), so the shuffle
     carries <= 2 rows per user per block and the reduce reuses the same
     kernel."""
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    first = g.groupby("user_id", as_index=False, sort=False).head(1)
-    last = g.groupby("user_id", as_index=False, sort=False).tail(1)
-    return pd.concat([first, last], ignore_index=True).drop_duplicates()
+    ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch["event_id"].to_numpy(zero_copy_only=False)
+    user = batch["user_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts))
+    u_sorted = user[order]
+    _, first_pos = np.unique(u_sorted, return_index=True)
+    _, last_rev = np.unique(u_sorted[::-1], return_index=True)
+    last_pos = len(u_sorted) - 1 - last_rev
+    keep = np.unique(np.concatenate([order[first_pos], order[last_pos]]))
+    return batch.take(keep)
 
 
 def first_last_finalize(g: pd.DataFrame) -> pd.DataFrame:
@@ -697,7 +703,7 @@ def q_user_first_last(sf_dir: str) -> rd.Dataset:
 
     return (
         _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
-        .map_batches(remote_fn(_QA, "first_last_partial"), batch_format="pandas")
+        .map_batches(remote_fn(_QA, "first_last_partial"), batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(remote_fn(_QA, "first_last_finalize"), batch_format="pandas")
     )

@@ -152,8 +152,8 @@ def corpus_stats_partial(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def keyword_project(df: pd.DataFrame) -> pd.DataFrame:
-    return df[["doc_id", "term", "tf", "df", "dl"]]
+def keyword_project(batch: pa.Table) -> pa.Table:
+    return batch.select(["doc_id", "term", "tf", "df", "dl"])
 
 
 def bm25_score_batch(
@@ -201,7 +201,7 @@ def q_keyword_search(sf_dir: str) -> rd.Dataset:
     joined = safe_join(tf, df, on=("term",), right_on=("term_r",))
     assert joined is not None  # the fixed query terms occur in the corpus
     return joined.map_batches(
-        remote_fn(_QS, "keyword_project"), batch_format="pandas"
+        remote_fn(_QS, "keyword_project"), batch_format="pyarrow"
     )
 
 

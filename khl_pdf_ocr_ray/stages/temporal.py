@@ -240,10 +240,12 @@ def asof_shard_partial(g: pd.DataFrame, num_shards: int = DEFAULT_SHARDS) -> pd.
     return out[list(empty.columns)].astype({c: "int64" for c in empty.columns})
 
 
-def asof_carry_input(df: pd.DataFrame) -> pd.DataFrame:
+def asof_carry_input(batch: pa.Table) -> pa.Table:
     """Pre-shuffle filter: only the carry-relevant kinds (last-view /
     unmatched day summaries) enter the ushard exchange."""
-    return df[df["kind"] != 0]
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.not_equal(batch["kind"], 0))
 
 
 def asof_carry_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -285,24 +287,24 @@ def asof_carry_shard(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def asof_matched_project(df: pd.DataFrame) -> pd.DataFrame:
-    m = df[df["kind"] == 0]
-    return pd.DataFrame(
-        {"purchase_id": m["purchase_id"], "view_id": m["view_id"]}
-    ).astype({"purchase_id": "int64", "view_id": "int64"})
+def asof_matched_project(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    m = batch.filter(pc.equal(batch["kind"], 0))
+    return m.select(["purchase_id", "view_id"])
 
 
-def asof_unmatched_project(df: pd.DataFrame) -> pd.DataFrame:
-    u = df[df["kind"] == 1]
-    return pd.DataFrame(
-        {"user_id": u["user_id"], "day": u["day"], "purchase_id": u["purchase_id"]}
-    ).astype({"user_id": "int64", "day": "int64", "purchase_id": "int64"})
+def asof_unmatched_project(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    u = batch.filter(pc.equal(batch["kind"], 1))
+    return u.select(["user_id", "day", "purchase_id"])
 
 
-def asof_resolved_project(df: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {"purchase_id": df["purchase_id"], "view_id": df["carry_view_id"]}
-    ).astype({"purchase_id": "int64", "view_id": "int64"})
+def asof_resolved_project(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {"purchase_id": batch["purchase_id"], "view_id": batch["carry_view_id"]}
+    )
 
 
 def events_asof_bucketed(events, num_shards: int = DEFAULT_SHARDS):
@@ -324,24 +326,24 @@ def events_asof_bucketed(events, num_shards: int = DEFAULT_SHARDS):
                     batch_format="pandas")
         .materialize()  # consumed by three branches below: compute once
     )
-    matched = partials.map_batches(_rfn("asof_matched_project"), batch_format="pandas")
+    matched = partials.map_batches(_rfn("asof_matched_project"), batch_format="pyarrow")
     carries = (
         # kind=0 matched-purchase rows dominate partials and the carry
         # merge discards them — drop them BEFORE the ushard shuffle so the
         # exchange moves day summaries, not one row per matched purchase
-        partials.map_batches(_rfn("asof_carry_input"), batch_format="pandas")
+        partials.map_batches(_rfn("asof_carry_input"), batch_format="pyarrow")
         .groupby("ushard")
         .map_groups(_rfn("asof_carry_shard"), batch_format="pandas")
     )
     unmatched = partials.map_batches(
-        _rfn("asof_unmatched_project"), batch_format="pandas"
+        _rfn("asof_unmatched_project"), batch_format="pyarrow"
     )
     joined = safe_join(
         unmatched, carries, on=("user_id", "day"), right_on=("c_user", "c_day")
     )
     if joined is None:  # no unmatched purchases anywhere
         return matched
-    resolved = joined.map_batches(_rfn("asof_resolved_project"), batch_format="pandas")
+    resolved = joined.map_batches(_rfn("asof_resolved_project"), batch_format="pyarrow")
     # normalize both branches to Arrow blocks before the union
     ident = remote_fn("khl_pdf_ocr_ray.remote", "identity_batch")
     return matched.map_batches(ident, batch_format="pyarrow").union(
