@@ -1242,6 +1242,31 @@ def q_ngram_jaccard_dups(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_embedding_align(sf_dir: str) -> pd.DataFrame:
+    """Margin-based embedding alignment (bitext-mining shape): odd-id
+    queries matched to even-id candidates only when the best cosine beats
+    the runner-up by >= 0.02. Dump-twin oracle (same kernels run
+    single-process over the full candidate half)."""
+    from ..stages.knn import embedding_align
+
+    return embedding_align(sf_dir)
+
+
+def q_ngram_containment(sf_dir: str) -> rd.Dataset:
+    """Asymmetric n-gram containment dedup (Broder 1997): ordered pairs
+    where >= 80% of the contained doc's shingles occur in the container —
+    catches quote/wrapper duplication that symmetric Jaccard underscores.
+    Dump-twin oracle (hashed shingles are not SQL-expressible)."""
+    from ..io import input_nbytes
+    from ..stages.dedup import docs_with_variants, ngram_containment
+
+    return ngram_containment(
+        docs_with_variants(sf_dir),
+        threshold_x100=80,
+        size_hint_bytes=input_nbytes(os.path.join(sf_dir, "documents.parquet")),
+    )
+
+
 def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     """Exact cosine top-5 for the 8 lowest vec_ids: broadcast query matrix,
     per-batch partial top-k, driver merge of the tiny candidate set.
@@ -1418,6 +1443,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "minhash_clusters": q_minhash_clusters,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "ngram_containment": q_ngram_containment,
+    "embedding_align": q_embedding_align,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_incremental": q_ann_lsh_incremental,  # oracle: ann_lsh's twin

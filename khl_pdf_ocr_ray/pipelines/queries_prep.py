@@ -682,6 +682,58 @@ FROM documents
 """
 
 
+# --- source_quota_sample (per-domain quota cap) -------------------------------
+QUOTA_K = 5  # max docs kept per source
+
+
+def quota_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch bottom-QUOTA_K doc_ids per source: only a batch's K
+    winners can win globally, so <= K rows per (source, block) shuffle."""
+    src = np.asarray(batch["source"].to_pylist())
+    did = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((did, src))
+    src_s = src[order]
+    keep_idx = []
+    n = len(src_s)
+    run_start = 0
+    for i in range(1, n + 1):
+        if i == n or src_s[i] != src_s[run_start]:
+            keep_idx.extend(order[run_start : min(run_start + QUOTA_K, i)])
+            run_start = i
+    return batch.select(["doc_id", "source"]).take(
+        np.array(sorted(keep_idx), dtype=np.int64)
+    )
+
+
+def quota_final(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values("doc_id").head(QUOTA_K)
+    return g[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+
+def q_source_quota_sample(sf_dir: str) -> rd.Dataset:
+    """Per-domain quota sampling — the "cap any one site's share" step a
+    web corpus applies before training (C4/Gopher keep per-domain caps so
+    boilerplate-heavy hosts can't dominate): keep the QUOTA_K lowest
+    doc_ids per source. Plan: per-batch bottom-K combiner (<= K rows per
+    (source, block) shuffle) -> per-source head-K finalize. 100 TB: the
+    exchange is bounded by |sources| x K x blocks, never corpus rows."""
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(remote_fn(_QP, "quota_partial"), batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(remote_fn(_QP, "quota_final"), batch_format="pandas")
+    )
+
+
+SQL_SOURCE_QUOTA = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn <= {QUOTA_K}
+"""
+
+
 PREP_QUERIES: Dict[str, object] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "text_normalize": q_text_normalize,
@@ -694,10 +746,12 @@ PREP_QUERIES: Dict[str, object] = {
     "dedup_prefix_keep_best": q_dedup_prefix_keep_best,
     "lang_size_quantiles": q_lang_size_quantiles,
     "lang_size_percentiles_cont": q_lang_size_percentiles_cont,
+    "source_quota_sample": q_source_quota_sample,
 }
 
 
 PREP_ORACLES: Dict[str, str] = {
+    "source_quota_sample": SQL_SOURCE_QUOTA,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "events_zscore": ZSCORE_SQL,

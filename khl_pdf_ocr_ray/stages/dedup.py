@@ -492,15 +492,11 @@ def shingle_doc_pairs(shard: pa.Table) -> pa.Table:
     )
 
 
-def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0):
-    """Exact shingle-Jaccard pairs >= threshold.
-
-    inverted index -> per-shingle pairs -> pair co-count -> exact J via a
-    DISTRIBUTED join of the per-doc shingle-count table onto both pair
-    sides (the round-1 design collected the counts driver-side and
-    broadcast a dict; the join keeps driver memory O(1) at any corpus
-    size — the count table is one int per doc and the pair table is the
-    sparse LSH/co-occurrence output, so both join sides stay slim).
+def _ngram_common_join(docs, size_hint_bytes: int = 0):
+    """Shared plumbing of the shingle-overlap family: inverted index ->
+    per-shingle pairs -> pair co-count -> per-doc shingle counts joined
+    onto both pair sides. Returns the (doc_a, doc_b, common, n_a, n_b)
+    Dataset, or None when no pair co-occurs.
 
     ``size_hint_bytes`` = on-disk bytes of the source corpus (callers stat
     the input; 0 falls back to the parallelism floor): the exploded
@@ -542,18 +538,87 @@ def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0
 
     with_a = safe_join(pair_counts, counts, on=("doc_a",), right_on=("doc_id",))
     if with_a is None:
-        return _empty_pairs_ds("jaccard_x100")
+        return None
     with_a = with_a.map_batches(
         _rfn("rename_cols", mapping={"n_shingles": "n_a"}), batch_format="pyarrow"
     )
     with_ab = safe_join(with_a, counts, on=("doc_b",), right_on=("doc_id",))
     if with_ab is None:
-        return _empty_pairs_ds("jaccard_x100")
-    with_ab = with_ab.map_batches(
+        return None
+    return with_ab.map_batches(
         _rfn("rename_cols", mapping={"n_shingles": "n_b"}), batch_format="pyarrow"
     )
+
+
+def ngram_jaccard_dedup(docs, threshold_x100: int = 70, size_hint_bytes: int = 0):
+    """Exact shingle-Jaccard pairs >= threshold: common/(n_a+n_b-common)
+    over the shared inverted-index plumbing — a DISTRIBUTED join of the
+    per-doc shingle-count table onto both pair sides (the round-1 design
+    collected the counts driver-side and broadcast a dict; the join keeps
+    driver memory O(1) at any corpus size)."""
+    with_ab = _ngram_common_join(docs, size_hint_bytes)
+    if with_ab is None:
+        return _empty_pairs_ds("jaccard_x100")
     return with_ab.map_batches(
         _rfn("jaccard_finalize", threshold_x100=threshold_x100),
+        batch_format="pyarrow",
+    )
+
+
+def containment_finalize(batch: pa.Table, threshold_x100: int) -> pa.Table:
+    """(doc_a, doc_b, common, n_a, n_b) -> ORDERED containment rows:
+    (contained, container, containment_x100) for each direction whose
+    100*common // n_contained clears the threshold. Asymmetric by design
+    (Broder 1997's containment, not resemblance): a short doc embedded in
+    a long one scores ~100 one way and low the other — the case Jaccard
+    misses."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_sub": pa.array([], pa.int64()),
+                "doc_sup": pa.array([], pa.int64()),
+                "containment_x100": pa.array([], pa.int64()),
+            }
+        )
+    a = _i64(batch["doc_a"])
+    b = _i64(batch["doc_b"])
+    na = _i64(batch["n_a"])
+    nb = _i64(batch["n_b"])
+    common = _i64(batch["common"])
+    c_ab = (100 * common) // np.maximum(na, 1)  # a contained in b
+    c_ba = (100 * common) // np.maximum(nb, 1)  # b contained in a
+    ka = c_ab >= threshold_x100
+    kb = c_ba >= threshold_x100
+    return pa.table(
+        {
+            "doc_sub": np.concatenate([a[ka], b[kb]]),
+            "doc_sup": np.concatenate([b[ka], a[kb]]),
+            "containment_x100": np.concatenate([c_ab[ka], c_ba[kb]]),
+        }
+    )
+
+
+def ngram_containment(docs, threshold_x100: int = 80, size_hint_bytes: int = 0):
+    """Asymmetric shingle-containment pairs >= threshold — the
+    quote/embedding-document near-dup detector (a doc mostly CONTAINED in
+    another is a dup even when Jaccard is low because the container is
+    long). Same distributed plumbing and hot-shingle frequency cap as
+    ngram_jaccard_dedup; only the finalize differs."""
+    with_ab = _ngram_common_join(docs, size_hint_bytes)
+    if with_ab is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_sub": pa.array([], pa.int64()),
+                    "doc_sup": pa.array([], pa.int64()),
+                    "containment_x100": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return with_ab.map_batches(
+        _rfn("containment_finalize", threshold_x100=threshold_x100),
         batch_format="pyarrow",
     )
 

@@ -61,8 +61,9 @@ _EMPTY_PARTIAL = pa.table(
 )
 
 
-def load_queries(sf_dir: str, n_queries: int):
-    """The (tiny) query set = lowest n vec_ids.
+def load_queries(sf_dir: str, n_queries: int, parity: int = None):
+    """The (tiny) query set = lowest n vec_ids (optionally of one id
+    parity — the alignment operator's "foreign side").
 
     Scale shape: a distributed sort+limit over the SLIM vec_id column
     picks the ids, then a filter-pushdown read fetches just those
@@ -75,10 +76,19 @@ def load_queries(sf_dir: str, n_queries: int):
 
     from ..io import read_parquet_clean
 
+    from ..remote import remote_fn
+
     path = os.path.join(sf_dir, "embeddings.parquet")
+    id_ds = read_parquet_clean(path, columns=["vec_id"])
+    if parity is not None:
+        id_ds = id_ds.map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.stages.knn", "snapshot_filter_batch", parity=parity
+            ),
+            batch_format="pyarrow",
+        )
     ids = (
-        read_parquet_clean(path, columns=["vec_id"])
-        .sort("vec_id")
+        id_ds.sort("vec_id")
         .limit(n_queries)
         .to_pandas()["vec_id"]
         .astype("int64")
@@ -392,6 +402,77 @@ def ann_lsh(
         .to_pandas()
     )
     return knn_merge(partials, k)
+
+
+# --- margin-based embedding alignment (bitext-mining shape) ------------------
+ALIGN_QUERIES = 64
+ALIGN_MARGIN_E6 = 20_000  # absolute cosine margin: best - second >= 0.02
+
+
+def align_merge(partials: pd.DataFrame, margin_e6: int) -> pd.DataFrame:
+    """Driver-side merge of per-batch top-2 partials: global best + second
+    per query; keep pairs whose fixed-point margin clears the threshold.
+    The union of per-batch top-2 over distinct candidates contains the
+    global top-2, so the merge is batching-invariant."""
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.drop_duplicates(["neighbor_id"]).sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        )
+        if len(g) < 2:
+            continue
+        margin = np.floor((g["sim"].iloc[0] - g["sim"].iloc[1]) * 1e6 + 0.5)
+        if margin >= margin_e6:
+            out.append((int(qid), int(g["neighbor_id"].iloc[0]), int(margin)))
+    return pd.DataFrame(
+        out, columns=["query_id", "match_id", "margin_e6"]
+    ).astype({"query_id": "int64", "match_id": "int64", "margin_e6": "int64"})
+
+
+def embedding_align(
+    sf_dir: str,
+    n_queries: int = ALIGN_QUERIES,
+    margin_e6: int = ALIGN_MARGIN_E6,
+) -> pd.DataFrame:
+    """Margin-based alignment of two corpus halves (the bitext-mining /
+    cross-snapshot document-alignment recipe of Artetxe & Schwenk 2019,
+    "Margin-based parallel corpus mining"): for each query vector of the
+    odd-id half, its best even-id neighbor is a MATCH only when the best
+    cosine beats the runner-up by a margin — absolute-difference margin,
+    which needs exactly the top-2 the distributed partial top-k already
+    computes. Plan: broadcast the bounded query matrix, per-batch top-2
+    over the even half (the candidate corpus is never broadcast), tiny
+    driver merge. 100 TB: identical shape — the probe set is bounded by
+    construction (alignment runs query-side-batched), candidates stream."""
+    import os
+
+    import ray.data as rd
+
+    from ..io import read_parquet_clean
+    from ..remote import remote_fn
+
+    qids, q = load_queries(sf_dir, n_queries, parity=1)
+    q_ref = ray.put(q)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    partials = (
+        read_parquet_clean(path, columns=["vec_id", "embedding"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.stages.knn", "snapshot_filter_batch", parity=0),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.stages.knn",
+                "knn_partial_batch",
+                query_ids=[int(v) for v in qids],
+                q_ref=q_ref,
+                k=2,
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return align_merge(partials, margin_e6)
 
 
 # --- exact embedding near-dup (SQL-checkable) --------------------------------

@@ -68,7 +68,7 @@ def dumps_dir(sf_dir: str) -> str:
             parts.append(hashlib.md5(f.read()).hexdigest())
     for name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         parts.append(_fingerprint(os.path.join(sf_dir, name)))
-    key = hashlib.sha256(("|".join(parts) + "|v3").encode()).hexdigest()[:16]
+    key = hashlib.sha256(("|".join(parts) + "|v4").encode()).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_near_{key}")
 
 
@@ -156,6 +156,61 @@ def _ngram_pairs(docs: pd.DataFrame) -> pd.DataFrame:
     return jaccard_finalize(
         pa.Table.from_pandas(m, preserve_index=False), THRESHOLD_X100
     ).to_pandas().reset_index(drop=True)
+
+
+CONTAIN_X100 = 80  # matches q_ngram_containment
+
+
+def _containment_pairs(docs: pd.DataFrame) -> pd.DataFrame:
+    """Sequential twin of stages.dedup.ngram_containment: same capped
+    inverted index and co-counts, containment finalize in both
+    directions."""
+    from ..stages.dedup import (
+        containment_finalize,
+        shingle_count_batch,
+        shingle_doc_pairs,
+        shingle_explode_batch,
+    )
+
+    docs_t = pa.Table.from_pandas(docs[["doc_id", "text"]], preserve_index=False)
+    raw = shingle_doc_pairs(shingle_explode_batch(docs_t)).to_pandas()
+    empty = pd.DataFrame(
+        {"doc_sub": [], "doc_sup": [], "containment_x100": []}
+    ).astype({"doc_sub": "int64", "doc_sup": "int64", "containment_x100": "int64"})
+    if raw.empty:
+        return empty
+    common = raw.groupby(["doc_a", "doc_b"], as_index=False)["common"].sum()
+    counts = shingle_count_batch(docs_t).to_pandas()
+    m = common.merge(
+        counts.rename(columns={"doc_id": "doc_a", "n_shingles": "n_a"}), on="doc_a"
+    ).merge(counts.rename(columns={"doc_id": "doc_b", "n_shingles": "n_b"}), on="doc_b")
+    return containment_finalize(
+        pa.Table.from_pandas(m, preserve_index=False), CONTAIN_X100
+    ).to_pandas().reset_index(drop=True)
+
+
+def _embedding_align_seq(emb: pd.DataFrame) -> pd.DataFrame:
+    """Sequential twin of stages.knn.embedding_align: one-batch top-2 over
+    the full even half (the global top-2 by construction), same margin
+    merge."""
+    from ..stages.knn import (
+        ALIGN_MARGIN_E6,
+        ALIGN_QUERIES,
+        _embed_matrix,
+        _normalize,
+        align_merge,
+        knn_partial_batch,
+    )
+
+    odd = emb[emb["vec_id"] % 2 == 1].sort_values("vec_id").head(ALIGN_QUERIES)
+    qids = odd["vec_id"].to_numpy().astype(np.int64)
+    q = _normalize(_embed_matrix(odd))
+    cands = emb[emb["vec_id"] % 2 == 0][["vec_id", "embedding"]]
+    partials = knn_partial_batch(
+        pa.Table.from_pandas(cands, preserve_index=False),
+        [int(v) for v in qids], q, 2,
+    ).to_pandas()
+    return align_merge(partials, ALIGN_MARGIN_E6)
 
 
 def _load_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -334,6 +389,7 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     )
     _write("simhash_pairs_seq.parquet", _simhash_pairs(docs))
     _write("ngram_pairs_seq.parquet", _ngram_pairs(docs))
+    _write("ngram_containment_seq.parquet", _containment_pairs(docs))
 
     # embedding-cluster twin: union-find (the independent sequential CC
     # algorithm) over pairs derived by DuckDB's OWN cosine — both the pair
@@ -354,6 +410,7 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
 
     emb = _load_embeddings(sf_dir)
     _write("ann_lsh_seq.parquet", _ann_lsh_seq(emb))
+    _write("embedding_align_seq.parquet", _embedding_align_seq(emb))
     _write("ann_ivf_seq.parquet", _ann_ivf_seq(emb))
     _write("ann_ivfpq_seq.parquet", _ann_ivfpq_seq(emb))
     _write("emb_lsh_pairs_seq.parquet", _emb_lsh_pairs(emb))
@@ -681,7 +738,9 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "minhash_clusters": f"SELECT doc_id, cluster_id, cluster_size, keep FROM read_parquet('{p('minhash_clusters_seq.parquet')}')",
         "simhash_dups": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p('simhash_pairs_seq.parquet')}')",
         "ngram_jaccard_dups": f"SELECT doc_a, doc_b, jaccard_x100 FROM read_parquet('{p('ngram_pairs_seq.parquet')}')",
+        "ngram_containment": f"SELECT doc_sub, doc_sup, containment_x100 FROM read_parquet('{p('ngram_containment_seq.parquet')}')",
         "ann_lsh": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
+        "embedding_align": f"SELECT query_id, match_id, margin_e6 FROM read_parquet('{p('embedding_align_seq.parquet')}')",
         # the appended-snapshot index holds the same bucket content, so the
         # incremental query must reproduce the SAME sequential twin
         "ann_lsh_incremental": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",

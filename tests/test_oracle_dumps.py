@@ -29,6 +29,8 @@ DUMP_QUERIES = [
     "minhash_clusters",
     "simhash_dups",
     "ngram_jaccard_dups",
+    "ngram_containment",
+    "embedding_align",
     "ann_lsh",
     "ann_lsh_incremental",
     "ann_ivf",
