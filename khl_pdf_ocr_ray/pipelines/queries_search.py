@@ -43,7 +43,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count
 
-from ..joins import safe_join
+from ..joins import partitions_for_rows, safe_join
 from ..remote import remote_fn
 
 _QS = "khl_pdf_ocr_ray.pipelines.queries_search"
@@ -198,8 +198,14 @@ def q_keyword_search(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="df"))
         .rename_columns({"term": "term_r"})
     )
-    joined = safe_join(tf, df, on=("term",), right_on=("term_r",))
-    assert joined is not None  # the fixed query terms occur in the corpus
+    # tf is materialized (its FREE row count prices the join) and both
+    # sides are structurally non-empty -> streaming join, no barrier on
+    # the term-dictionary aggregate
+    joined = safe_join(
+        tf, df, on=("term",), right_on=("term_r",),
+        assume_non_empty=True,
+        num_partitions=partitions_for_rows(tf.count()),
+    )
     return joined.map_batches(
         remote_fn(_QS, "keyword_project"), batch_format="pyarrow"
     )
