@@ -45,23 +45,23 @@ REGISTRY: Dict[str, StageSpec] = {
         "salted host-hash partition key with giant-doc isolation",
     ),
     "lang_id": StageSpec(
-        "khl_pdf_ocr_ray.stages.textqc", "lang_id_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.textqc", "lang_id_batch", "task", "pyarrow",
         "stopword-count language identification",
     ),
     "quality": StageSpec(
-        "khl_pdf_ocr_ray.stages.textqc", "quality_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.textqc", "quality_batch", "task", "pyarrow",
         "token/type/char quality metrics",
     ),
     "fingerprint": StageSpec(
-        "khl_pdf_ocr_ray.stages.textqc", "fingerprint_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.textqc", "fingerprint_batch", "task", "pyarrow",
         "md5 + rolling-hash document fingerprints",
     ),
     "minhash_sig": StageSpec(
-        "khl_pdf_ocr_ray.stages.dedup", "minhash_sig_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.dedup", "minhash_sig_batch", "task", "pyarrow",
         "128-perm MinHash signatures",
     ),
     "simhash": StageSpec(
-        "khl_pdf_ocr_ray.stages.dedup", "simhash_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.dedup", "simhash_batch", "task", "pyarrow",
         "64-bit SimHash + band keys",
     ),
     "image_features": StageSpec(
@@ -81,15 +81,15 @@ REGISTRY: Dict[str, StageSpec] = {
         "HTTP fetch with per-actor session (transport-injectable)",
     ),
     "shingle_explode": StageSpec(
-        "khl_pdf_ocr_ray.stages.dedup", "shingle_explode_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.dedup", "shingle_explode_batch", "task", "pyarrow",
         "doc -> (shingle, doc_id) inverted-index rows",
     ),
     "lsh_bucket": StageSpec(
-        "khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.knn", "lsh_bucket_batch", "task", "pyarrow",
         "embedding -> LSH bucket rows (the persisted-index build map)",
     ),
     "triangle_replicate": StageSpec(
-        "khl_pdf_ocr_ray.stages.knn", "triangle_replicate_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.stages.knn", "triangle_replicate_batch", "task", "pyarrow",
         "all-pairs triangle replication for the distributed exact self-join",
     ),
     "fragment_extract": StageSpec(
@@ -97,11 +97,11 @@ REGISTRY: Dict[str, StageSpec] = {
         "resumable fragment-per-task extract: partition write + manifest per call",
     ),
     "bloom_partial": StageSpec(
-        "khl_pdf_ocr_ray.functions.bloom", "bloom_partial_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.functions.bloom", "bloom_partial_batch", "task", "pyarrow",
         "per-batch Bloom bitmap partial (semi-join prefilter build)",
     ),
     "bloom_probe": StageSpec(
-        "khl_pdf_ocr_ray.functions.bloom", "bloom_probe_batch", "task", "pandas",
+        "khl_pdf_ocr_ray.functions.bloom", "bloom_probe_batch", "task", "pyarrow",
         "map-side Bloom membership prefilter before an exact join",
     ),
 }

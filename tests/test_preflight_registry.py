@@ -69,7 +69,9 @@ def test_registry_builds_every_stage(ray_session):
     ds = rd.from_arrow(
         pa.table({"doc_id": [1], "text": ["the quick brown fox and the dog"]})
     )
-    out = ds.map_batches(build_stage("lang_id"), batch_format="pandas").to_pandas()
+    out = ds.map_batches(
+        build_stage("lang_id"), batch_format=REGISTRY["lang_id"].batch_format
+    ).to_pandas()
     assert out.loc[0, "pred_lang"] == "en"
 
     register("custom_noop", StageSpec("khl_pdf_ocr_ray.stages.extract", "meta_stage", "task", "pyarrow", "x"))

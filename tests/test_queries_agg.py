@@ -257,7 +257,12 @@ def test_first_last_combiner_is_mergeable():
         ignore_index=True,
     ).sort_values("user_id").reset_index(drop=True)
     parts = pd.concat(
-        [first_last_partial(df.iloc[i : i + 37]) for i in range(0, n, 37)],
+        [
+            first_last_partial(
+                pa.Table.from_pandas(df.iloc[i : i + 37], preserve_index=False)
+            ).to_pandas()
+            for i in range(0, n, 37)
+        ],
         ignore_index=True,
     )
     merged = pd.concat(
