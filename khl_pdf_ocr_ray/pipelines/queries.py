@@ -1242,6 +1242,16 @@ def q_ngram_jaccard_dups(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_minhash_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental MinHash dedup against a PERSISTED signature/band index:
+    the planted variant snapshot joins the base corpus' one-time index —
+    history is never re-signatured (the per-crawl dedup cost is O(new),
+    not O(corpus)). Dump-twin oracle."""
+    from ..stages.dedup import minhash_dedup_incremental
+
+    return minhash_dedup_incremental(sf_dir, threshold_x100=70)
+
+
 def q_embedding_align(sf_dir: str) -> pd.DataFrame:
     """Margin-based embedding alignment (bitext-mining shape): odd-id
     queries matched to even-id candidates only when the best cosine beats
@@ -1445,6 +1455,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ngram_containment": q_ngram_containment,
     "embedding_align": q_embedding_align,
+    "minhash_incremental": q_minhash_incremental,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_incremental": q_ann_lsh_incremental,  # oracle: ann_lsh's twin

@@ -929,6 +929,158 @@ def minhash_clusters(docs, threshold_x100: int = 70):
     return label_propagation_clusters(pairs).sort("doc_id")
 
 
+# --- incremental MinHash dedup against a persisted index ----------------------
+def sig_rename_index(batch: pa.Table) -> pa.Table:
+    return rename_cols(batch, {"doc_id": "idoc", "sig_bin": "sig_b"})
+
+
+def band_rename_index(batch: pa.Table) -> pa.Table:
+    return rename_cols(
+        batch, {"band_id": "iband_id", "band_hash": "iband_hash", "doc_id": "old_doc"}
+    )
+
+
+def cand_project(batch: pa.Table) -> pa.Table:
+    return pa.table({"new_doc": batch["doc_id"], "old_doc": batch["old_doc"]})
+
+
+def drop_count_col2(batch: pa.Table) -> pa.Table:
+    return batch.drop_columns([c for c in batch.column_names if c == "_n"])
+
+
+def ensure_minhash_index(sf_dir: str) -> str:
+    """Build (once, cached) the persisted MinHash index of the BASE corpus:
+
+    - ``sigs/``  — (doc_id, sig_bin) packed 128-perm signatures;
+    - ``bands/`` — slim (band_id, band_hash, doc_id) rows, parquet
+      hive-partitioned by shard.
+
+    This is how a crawl pipeline deduplicates EACH NEW SNAPSHOT against
+    everything already ingested without re-signaturing history: the base
+    corpus' signatures are computed exactly once, and every later crawl
+    joins its own (new, small) band table against the persisted one. The
+    cache key folds the source file's size+mtime fingerprint."""
+    import os
+
+    from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
+    from ..state.atomic import ensure_published
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    key = hashlib.sha256(
+        f"{path}:{st.st_size}:{st.st_mtime_ns}:p{MINHASH_PERMS}b{LSH_BANDS}:v1".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join("/tmp/khlray_cache", f"mhidx_{key}")
+
+    def _build(tmp_dir: str) -> None:
+        os.makedirs(tmp_dir, exist_ok=True)
+        docs = read_parquet_clean(path, columns=["doc_id", "text"]).repartition(
+            blocks_for_bytes(input_nbytes(path))
+        )
+        sigs = docs.map_batches(
+            _rfn("minhash_sig_batch"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=512,
+        ).materialize()  # consumed twice: sig sink + band explode
+        sigs.write_parquet(os.path.join(tmp_dir, "sigs"))
+        sigs.map_batches(
+            _rfn("minhash_band_batch"), batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(os.path.join(tmp_dir, "bands"), partition_cols=["shard"])
+
+    return ensure_published(out_dir, _build)
+
+
+def minhash_dedup_incremental(sf_dir: str, threshold_x100: int = 70):
+    """Near-dup pairs of a NEW snapshot against the persisted base index:
+    the planted variant docs (doc_id + VARIANT_OFFSET) are the new crawl,
+    the original documents table is the already-indexed history.
+
+    Plan: signature the new snapshot only (small) -> its slim band rows
+    join the PERSISTED band table on (band_id, band_hash) -> distinct
+    (new, old) candidates -> verify by joining the new sigs and the
+    persisted sig table, per-permutation agreement >= threshold. History
+    is never re-signatured; the exchanges carry band keys and packed
+    signatures of candidates only. Returns (doc_id, old_doc,
+    est_jaccard_x100) with doc_id = the new snapshot's id."""
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
+    from ..joins import safe_join
+    from ..remote import remote_fn as _remote_fn
+
+    index_dir = ensure_minhash_index(sf_dir)
+    path = os.path.join(sf_dir, "documents.parquet")
+    nb = input_nbytes(path)
+
+    new_docs = (
+        read_parquet_clean(path, columns=["doc_id", "text"])
+        .repartition(blocks_for_bytes(nb))
+        .map_batches(_rfn("mod3_filter"), batch_format="pyarrow")
+        .map_batches(_rfn("make_variant_batch"), batch_format="pyarrow")
+    )
+    new_sigs = new_docs.map_batches(
+        _rfn("minhash_sig_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+    ).materialize()  # probed by the verify join + the band explode
+    new_bands = new_sigs.map_batches(
+        _rfn("minhash_band_batch"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    index_bands = rd.read_parquet(
+        os.path.join(index_dir, "bands"), columns=["band_id", "band_hash", "doc_id"]
+    ).map_batches(_rfn("band_rename_index"), batch_format="pyarrow")
+
+    # both sides structurally non-empty (corpus + its own index)
+    cand = safe_join(
+        new_bands,
+        index_bands,
+        on=("band_id", "band_hash"),
+        right_on=("iband_id", "iband_hash"),
+        assume_non_empty=True,
+        left_nbytes=nb,
+        right_nbytes=nb,
+    ).map_batches(_rfn("cand_project"), batch_format="pyarrow")
+    uniq = (
+        cand.groupby(["new_doc", "old_doc"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(_rfn("drop_count_col2"), batch_format="pyarrow")
+    )
+
+    def _empty():
+        return _empty_pairs_ds("est_jaccard_x100").map_batches(
+            _rfn("rename_cols", mapping={"doc_a": "doc_id", "doc_b": "old_doc"}),
+            batch_format="pyarrow",
+        )
+
+    with_new = safe_join(uniq, new_sigs, on=("new_doc",), right_on=("doc_id",))
+    if with_new is None:
+        return _empty()
+    with_new = with_new.map_batches(
+        _rfn("rename_cols", mapping={"sig_bin": "sig_a"}), batch_format="pyarrow"
+    )
+    index_sigs = rd.read_parquet(os.path.join(index_dir, "sigs")).map_batches(
+        _rfn("sig_rename_index"), batch_format="pyarrow"
+    )
+    with_both = safe_join(with_new, index_sigs, on=("old_doc",), right_on=("idoc",))
+    if with_both is None:
+        return _empty()
+    return with_both.map_batches(
+        _rfn("rename_cols", mapping={"new_doc": "doc_a", "old_doc": "doc_b"}),
+        batch_format="pyarrow",
+    ).map_batches(
+        _rfn("pair_sig_agreement", threshold_x100=threshold_x100),
+        batch_format="pyarrow",
+    ).map_batches(
+        _rfn("rename_cols", mapping={"doc_a": "doc_id", "doc_b": "old_doc"}),
+        batch_format="pyarrow",
+    )
+
+
 # --- Edit-distance (fuzzy prefix) dedup --------------------------------------
 FUZZY_PREFIX = 40       # compare the first N characters of each doc
 FUZZY_MAXDIST = 5       # Levenshtein threshold for a candidate pair

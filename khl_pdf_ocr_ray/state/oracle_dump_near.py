@@ -68,7 +68,7 @@ def dumps_dir(sf_dir: str) -> str:
             parts.append(hashlib.md5(f.read()).hexdigest())
     for name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         parts.append(_fingerprint(os.path.join(sf_dir, name)))
-    key = hashlib.sha256(("|".join(parts) + "|v4").encode()).hexdigest()[:16]
+    key = hashlib.sha256(("|".join(parts) + "|v5").encode()).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_near_{key}")
 
 
@@ -211,6 +211,59 @@ def _embedding_align_seq(emb: pd.DataFrame) -> pd.DataFrame:
         [int(v) for v in qids], q, 2,
     ).to_pandas()
     return align_merge(partials, ALIGN_MARGIN_E6)
+
+
+def _minhash_incremental_seq(docs: pd.DataFrame) -> pd.DataFrame:
+    """Sequential twin of stages.dedup.minhash_dedup_incremental: base
+    corpus signatures + the variant snapshot's, band-key candidate merge,
+    same per-permutation verify."""
+    from ..stages.dedup import (
+        MINHASH_PERMS,
+        VARIANT_OFFSET,
+        minhash_band_batch,
+        minhash_sig_batch,
+    )
+
+    base_sigs = minhash_sig_batch(
+        pa.Table.from_pandas(docs[["doc_id", "text"]], preserve_index=False)
+    )
+    base_bands = minhash_band_batch(base_sigs).to_pandas()
+    var = docs[docs["doc_id"] % 3 == 0].copy()
+    var["doc_id"] = var["doc_id"] + VARIANT_OFFSET
+    var["text"] = var["text"].fillna("") + " near duplicate variant"
+    new_sigs = minhash_sig_batch(
+        pa.Table.from_pandas(var[["doc_id", "text"]], preserve_index=False)
+    )
+    new_bands = minhash_band_batch(new_sigs).to_pandas()
+    cand = new_bands.merge(
+        base_bands, on=["band_id", "band_hash"], suffixes=("_new", "_old")
+    )
+    uniq = cand[["doc_id_new", "doc_id_old"]].drop_duplicates()
+    empty = pd.DataFrame(
+        {"doc_id": [], "old_doc": [], "est_jaccard_x100": []}
+    ).astype({"doc_id": "int64", "old_doc": "int64", "est_jaccard_x100": "int64"})
+    if uniq.empty:
+        return empty
+
+    def _mat(sigs):
+        ids = sigs["doc_id"].to_pylist()
+        m = np.frombuffer(b"".join(sigs["sig_bin"].to_pylist()), "<i8").reshape(
+            len(ids), MINHASH_PERMS
+        )
+        return {int(d): m[i] for i, d in enumerate(ids)}
+
+    nm, om = _mat(new_sigs), _mat(base_sigs)
+    a = np.stack([nm[int(d)] for d in uniq["doc_id_new"]])
+    b = np.stack([om[int(d)] for d in uniq["doc_id_old"]])
+    est = (100 * (a == b).mean(axis=1)).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "doc_id": uniq["doc_id_new"].astype("int64").to_numpy(),
+            "old_doc": uniq["doc_id_old"].astype("int64").to_numpy(),
+            "est_jaccard_x100": est,
+        }
+    )
+    return out[out["est_jaccard_x100"] >= THRESHOLD_X100].reset_index(drop=True)
 
 
 def _load_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -390,6 +443,10 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     _write("simhash_pairs_seq.parquet", _simhash_pairs(docs))
     _write("ngram_pairs_seq.parquet", _ngram_pairs(docs))
     _write("ngram_containment_seq.parquet", _containment_pairs(docs))
+    raw_docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    _write("minhash_incr_seq.parquet", _minhash_incremental_seq(raw_docs))
 
     # embedding-cluster twin: union-find (the independent sequential CC
     # algorithm) over pairs derived by DuckDB's OWN cosine — both the pair
@@ -739,6 +796,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "simhash_dups": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p('simhash_pairs_seq.parquet')}')",
         "ngram_jaccard_dups": f"SELECT doc_a, doc_b, jaccard_x100 FROM read_parquet('{p('ngram_pairs_seq.parquet')}')",
         "ngram_containment": f"SELECT doc_sub, doc_sup, containment_x100 FROM read_parquet('{p('ngram_containment_seq.parquet')}')",
+        "minhash_incremental": f"SELECT doc_id, old_doc, est_jaccard_x100 FROM read_parquet('{p('minhash_incr_seq.parquet')}')",
         "ann_lsh": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
         "embedding_align": f"SELECT query_id, match_id, margin_e6 FROM read_parquet('{p('embedding_align_seq.parquet')}')",
         # the appended-snapshot index holds the same bucket content, so the

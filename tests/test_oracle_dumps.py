@@ -31,6 +31,7 @@ DUMP_QUERIES = [
     "ngram_jaccard_dups",
     "ngram_containment",
     "embedding_align",
+    "minhash_incremental",
     "ann_lsh",
     "ann_lsh_incremental",
     "ann_ivf",
