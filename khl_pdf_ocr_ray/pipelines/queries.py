@@ -1242,6 +1242,22 @@ def q_ngram_jaccard_dups(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_minhash_keep_best(sf_dir: str) -> rd.Dataset:
+    """Per-near-dup-cluster survivor selection by QUALITY (longest member,
+    ties to lowest id) — the keep-best dedup decision over the MinHash
+    clusters. Dump-twin oracle."""
+    from ..stages.dedup import (
+        cluster_keep_best,
+        docs_with_variants,
+        label_propagation_clusters,
+        minhash_dedup,
+    )
+
+    docs = docs_with_variants(sf_dir)
+    clusters = label_propagation_clusters(minhash_dedup(docs, threshold_x100=70))
+    return cluster_keep_best(clusters, docs)
+
+
 def q_minhash_incremental(sf_dir: str) -> rd.Dataset:
     """Incremental MinHash dedup against a PERSISTED signature/band index:
     the planted variant snapshot joins the base corpus' one-time index —
@@ -1456,6 +1472,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     "ngram_containment": q_ngram_containment,
     "embedding_align": q_embedding_align,
     "minhash_incremental": q_minhash_incremental,
+    "minhash_keep_best": q_minhash_keep_best,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_incremental": q_ann_lsh_incremental,  # oracle: ann_lsh's twin

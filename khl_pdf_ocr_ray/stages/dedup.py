@@ -929,6 +929,83 @@ def minhash_clusters(docs, threshold_x100: int = 70):
     return label_propagation_clusters(pairs).sort("doc_id")
 
 
+# --- cluster-aware survivor selection (keep-best) ------------------------------
+def doclen_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (ldoc, len_chars): codepoint length, identical to
+    Python len() (the twin's rule)."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "ldoc": batch["doc_id"],
+            "len_chars": pc.cast(
+                pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64()
+            ),
+        }
+    )
+
+
+def keep_best_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-cluster argmax by (len DESC, doc_id ASC): <= 1 row
+    per (cluster, block) reaches the shuffle — the combiner form of the
+    survivor argmax."""
+    if batch.num_rows == 0:
+        return batch.select(["cluster_id", "doc_id", "len_chars", "cluster_size"])
+    cid = _i64(batch["cluster_id"])
+    did = _i64(batch["doc_id"])
+    ln = _i64(batch["len_chars"])
+    order = np.lexsort((did, -ln, cid))
+    cid_s = cid[order]
+    _, first = np.unique(cid_s, return_index=True)
+    keep = np.sort(order[first])
+    return batch.select(["cluster_id", "doc_id", "len_chars", "cluster_size"]).take(
+        keep
+    )
+
+
+def keep_best_final(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["len_chars", "doc_id"], ascending=[False, True]).head(1)
+    return pd.DataFrame(
+        {
+            "cluster_id": g["cluster_id"].to_numpy(dtype=np.int64),
+            "survivor_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "survivor_chars": g["len_chars"].to_numpy(dtype=np.int64),
+            "n_members": g["cluster_size"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def cluster_keep_best(clusters_ds, docs):
+    """Quality-aware dedup DECISION: per near-dup cluster, the survivor is
+    the LONGEST member (ties to the lowest doc_id) — the keep-best rule a
+    production dedup applies instead of keep-lowest-id (the longest copy
+    usually carries the least-truncated text). Plan: cluster rows join the
+    per-doc lengths, a per-batch argmax combiner (<= 1 row per (cluster,
+    block)), then a per-cluster finalize over combiner winners only."""
+    lens = docs.map_batches(_rfn("doclen_batch"), batch_format="pyarrow")
+    from ..joins import safe_join
+
+    joined = safe_join(clusters_ds, lens, on=("doc_id",), right_on=("ldoc",))
+    if joined is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "survivor_id": pa.array([], pa.int64()),
+                    "survivor_chars": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return (
+        joined.map_batches(_rfn("keep_best_partial"), batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(_rfn("keep_best_final"), batch_format="pandas")
+    )
+
+
 # --- incremental MinHash dedup against a persisted index ----------------------
 def sig_rename_index(batch: pa.Table) -> pa.Table:
     return rename_cols(batch, {"doc_id": "idoc", "sig_bin": "sig_b"})

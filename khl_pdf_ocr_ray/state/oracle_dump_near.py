@@ -68,7 +68,7 @@ def dumps_dir(sf_dir: str) -> str:
             parts.append(hashlib.md5(f.read()).hexdigest())
     for name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         parts.append(_fingerprint(os.path.join(sf_dir, name)))
-    key = hashlib.sha256(("|".join(parts) + "|v5").encode()).hexdigest()[:16]
+    key = hashlib.sha256(("|".join(parts) + "|v6").encode()).hexdigest()[:16]
     return os.path.join("/tmp/khlray_cache", f"oracle_dumps_near_{key}")
 
 
@@ -266,6 +266,51 @@ def _minhash_incremental_seq(docs: pd.DataFrame) -> pd.DataFrame:
     return out[out["est_jaccard_x100"] >= THRESHOLD_X100].reset_index(drop=True)
 
 
+def _minhash_keep_best_seq(docs: pd.DataFrame) -> pd.DataFrame:
+    """Sequential twin of the keep-best survivor selection: union-find
+    clusters over the same pair set, then per-cluster argmax by
+    (len DESC, doc_id ASC)."""
+    from ..stages.dedup import union_find_clusters
+
+    pairs = _minhash_pairs(docs)
+    empty = pd.DataFrame(
+        {"cluster_id": [], "survivor_id": [], "survivor_chars": [], "n_members": []}
+    ).astype(
+        {
+            "cluster_id": "int64",
+            "survivor_id": "int64",
+            "survivor_chars": "int64",
+            "n_members": "int64",
+        }
+    )
+    if pairs.empty:
+        return empty
+    uf = union_find_clusters(pairs)
+    lens = {int(d): len(t or "") for d, t in zip(docs["doc_id"], docs["text"])}
+    uf = uf.assign(len_chars=[lens[int(d)] for d in uf["doc_id"]])
+    out = []
+    for cid, g in uf.groupby("cluster_id"):
+        g = g.sort_values(["len_chars", "doc_id"], ascending=[False, True])
+        out.append(
+            (
+                int(cid),
+                int(g["doc_id"].iloc[0]),
+                int(g["len_chars"].iloc[0]),
+                int(g["cluster_size"].iloc[0]),
+            )
+        )
+    return pd.DataFrame(
+        out, columns=["cluster_id", "survivor_id", "survivor_chars", "n_members"]
+    ).astype(
+        {
+            "cluster_id": "int64",
+            "survivor_id": "int64",
+            "survivor_chars": "int64",
+            "n_members": "int64",
+        }
+    )
+
+
 def _load_embeddings(sf_dir: str) -> pd.DataFrame:
     return pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -447,6 +492,7 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).to_pandas()
     _write("minhash_incr_seq.parquet", _minhash_incremental_seq(raw_docs))
+    _write("minhash_keepbest_seq.parquet", _minhash_keep_best_seq(docs))
 
     # embedding-cluster twin: union-find (the independent sequential CC
     # algorithm) over pairs derived by DuckDB's OWN cosine — both the pair
@@ -797,6 +843,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "ngram_jaccard_dups": f"SELECT doc_a, doc_b, jaccard_x100 FROM read_parquet('{p('ngram_pairs_seq.parquet')}')",
         "ngram_containment": f"SELECT doc_sub, doc_sup, containment_x100 FROM read_parquet('{p('ngram_containment_seq.parquet')}')",
         "minhash_incremental": f"SELECT doc_id, old_doc, est_jaccard_x100 FROM read_parquet('{p('minhash_incr_seq.parquet')}')",
+        "minhash_keep_best": f"SELECT cluster_id, survivor_id, survivor_chars, n_members FROM read_parquet('{p('minhash_keepbest_seq.parquet')}')",
         "ann_lsh": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{p('ann_lsh_seq.parquet')}')",
         "embedding_align": f"SELECT query_id, match_id, margin_e6 FROM read_parquet('{p('embedding_align_seq.parquet')}')",
         # the appended-snapshot index holds the same bucket content, so the

@@ -361,3 +361,31 @@ def test_ivfpq_recall_vs_bruteforce(ray_session, sf_smoke_dir):
         map(tuple, knn_bruteforce(sf_smoke_dir)[["query_id", "neighbor_id"]].values)
     )
     assert len(got & want) / len(want) >= 0.8
+
+
+def test_minhash_incremental_matches_planted_variants(ray_session, sf):
+    """Every planted variant (the 'new snapshot') must match its source
+    doc in the persisted base index, and the index must not be rebuilt on
+    a second call (cache hit)."""
+    import os
+    import time
+
+    from khl_pdf_ocr_ray.stages.dedup import (
+        VARIANT_OFFSET,
+        ensure_minhash_index,
+        minhash_dedup_incremental,
+    )
+
+    idx = ensure_minhash_index(sf)
+    mtime = os.path.getmtime(idx)
+    out = minhash_dedup_incremental(sf).to_pandas()
+    # each variant is its source + one appended token -> est ~ 100
+    planted = out[out["old_doc"] == out["doc_id"] - VARIANT_OFFSET]
+    n_variants = len(out["doc_id"].unique())
+    assert len(planted) > 0
+    # every new doc that matched anything matched its own source too
+    assert set(planted["doc_id"]) == set(out["doc_id"])
+    assert (planted["est_jaccard_x100"] >= 70).all()
+    # second call serves the published index (no rebuild)
+    assert ensure_minhash_index(sf) == idx
+    assert os.path.getmtime(idx) == mtime

@@ -32,6 +32,7 @@ DUMP_QUERIES = [
     "ngram_containment",
     "embedding_align",
     "minhash_incremental",
+    "minhash_keep_best",
     "ann_lsh",
     "ann_lsh_incremental",
     "ann_ivf",
