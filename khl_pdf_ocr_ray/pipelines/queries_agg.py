@@ -66,6 +66,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..functions.arrowkit import select_rename
+from ..io import coalesce_for_input, table_nbytes
 from ..remote import remote_fn
 
 _QA = "khl_pdf_ocr_ray.pipelines.queries_agg"
@@ -539,7 +540,9 @@ def q_corpus_cube(sf_dir: str) -> rd.Dataset:
     return (
         _t(sf_dir, "documents", ["lang", "source", "n_chars"])
         .map_batches(remote_fn(_QA, "cube_partial"), batch_format="pyarrow")
-        .repartition(2)  # few groups; non-empty reduce partitions
+        # blocks x (langs x SOURCES x levels) combiner rows — source
+        # cardinality grows with the corpus, so the coalesce width must too
+        .repartition(coalesce_for_input(table_nbytes(sf_dir, "documents")))
         .groupby(["lang", "source", "level"])
         .aggregate(
             _Sum("n_docs", alias_name="n_docs"),

@@ -58,6 +58,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..functions.arrowkit import select_rename
+from ..io import coalesce_for_input, table_nbytes
 from ..remote import remote_fn
 
 _QW = "khl_pdf_ocr_ray.pipelines.queries_window"
@@ -199,7 +200,8 @@ def q_doc_ntile(sf_dir: str) -> rd.Dataset:
     hist = (
         _t(sf_dir, "documents", ["n_chars"])
         .map_batches(remote_fn(_QW, "size_hist_partial"), batch_format="pyarrow")
-        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        # blocks x distinct-sizes combiner rows: width scales with blocks
+        .repartition(coalesce_for_input(table_nbytes(sf_dir, "documents")))
         .groupby("n_chars")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # bounded: one row per DISTINCT doc size
@@ -280,7 +282,8 @@ def q_pack_sequences(sf_dir: str) -> rd.Dataset:
     shard_sums = (
         _t(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(remote_fn(_QW, "pack_len_partial"), batch_format="pyarrow")
-        .repartition(2)  # tiny combiner output; non-empty reduce partitions
+        # one row per (shard, block): shard count grows with the corpus
+        .repartition(coalesce_for_input(table_nbytes(sf_dir, "documents")))
         .groupby("shard")
         .aggregate(Sum("tok", alias_name="tok"))
         .to_pandas()  # one row per 1024 docs; tree-reduce again at 10^12
