@@ -1612,6 +1612,13 @@ from .queries_recipe import RECIPE_QUERIES  # noqa: E402
 
 QUERIES.update(RECIPE_QUERIES)
 
+# training-engine widening: BPE merge learning, compression-ratio
+# signal, table profiling, MG heavy hitters, KREC source scan
+from .queries_train import TRAIN_ORACLES, TRAIN_QUERIES  # noqa: E402
+
+QUERIES.update(TRAIN_QUERIES)
+ORACLES.update(TRAIN_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -1622,8 +1629,10 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     target."""
     from ..state.oracle_dump import ORACLE_SF, extract_oracle_sqls
     from ..state.oracle_dump_near import near_oracle_sqls
+    from ..state.oracle_dump_train import train_oracle_sqls
 
     out = dict(ORACLES)
     out.update(extract_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(near_oracle_sqls(sf_dir or ORACLE_SF))
+    out.update(train_oracle_sqls(sf_dir or ORACLE_SF))
     return out

@@ -1,0 +1,749 @@
+"""Training-data engine operators, round-4 widening: distributed BPE
+merge learning, a compression-ratio quality signal, per-column table
+profiling, Misra-Gries heavy hitters, and the KREC framed-record source
+scan.
+
+- ``bpe_merges`` — byte-pair-encoding merge learning (Sennrich et al.
+  2016, the tokenizer-training step of an LLM data pipeline) run as a
+  Ray Data iteration: ONE corpus-sized pass reduces text to a
+  (word, freq) vocabulary (distinct-words-per-block combiner, the only
+  exchange that scales with the corpus); every merge round then runs
+  over the vocabulary Dataset only — a vectorized adjacent-pair count
+  combiner (pairs-per-block rows shuffle), a per-block top-1 partial
+  (<= 1 row per block to the driver), and a map-only greedy merge
+  application. The working vocabulary is materialized per round (the
+  cache-the-iterate pattern, same as kmeans_clusters). Checked against
+  a sequential twin built from the SAME kernels (Dq) — integer counts
+  and a deterministic (count desc, left asc, right asc) tie-break make
+  the result batching/layout-invariant.
+- ``compression_ratio`` — zlib compressibility permille per document:
+  the classic repetition/boilerplate signal (highly compressible text is
+  template/repeated content; used by RefinedWeb/Dolma-class quality
+  filters). Map-only; the per-row zlib call is one C call per document
+  (same cost class as the md5/crc paths). Sequential-twin checked (Dq;
+  zlib is not expressible in SQL).
+- ``table_profile`` — per-column data profiling (row count, null count,
+  exact distinct count, min, max) over the events table in long form:
+  the warehouse PROFILE/SUMMARIZE operator. One stats pass emits a
+  6-row partial per block; the exact-distinct pass shuffles per-block
+  DISTINCT canonical values (bounded by column cardinality — the exact
+  path; the engine's HLL sketch is the constant-memory estimate for
+  open-domain columns). Numeric min/max reduce in native int64
+  (epoch-us for timestamps, x100 fixed-point cents for doubles) and are
+  formatted only at the driver — never lexicographic on numbers.
+- ``heavy_hitters_mg`` — frequent-item detection with a Misra-Gries
+  candidate pass + exact verification: per-block MG(64) summaries
+  (<= 65 rows per block: top counts with the (k+1)-th-largest
+  subtracted — the deterministic batch form of the MG sketch) reduce to
+  per-key lower bounds whose guarantee (error <= n/(k+1) < n/32) makes
+  the candidate set a PROVABLE superset of every key above the n//32
+  threshold, and <= ~62 keys total by a counting bound; a second exact
+  pass counts only broadcast candidates. The final output (exact counts
+  above an exact threshold) is order/batching-independent, so a static
+  SQL GROUP BY/HAVING twin certifies it even though MG internals are
+  stream-order-dependent. Runs over the planted-skew stream (five hot
+  users at ~10% each — the same plant-the-signal convention as
+  skew_join_events; the raw events table is near-uniform).
+- ``recfile_scan`` — scan of the KREC framed-record shards
+  (sources/recfile.py, the WARC/TFRecord-family source): streaming
+  per-file datasource read -> per-batch (lang, crc_ok) combiner -> tiny
+  groupby. The shards derive deterministically from documents.parquet,
+  so a static SQL twin recomputes every aggregate (including the
+  planted doc_id % 37 == 5 crc corruption) from the table alone.
+
+Reference parity note: the reference service (/root/reference/app.py)
+has no tokenizer/profile/sketch surface — these are brief-mandated
+engine operators; the in-band crc_ok=0 rows in recfile_scan follow the
+reference's error-row convention (app.py error dicts).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.arrowkit import select_rename
+from ..io import coalesce_for_input, table_nbytes
+from ..remote import remote_fn
+
+_QT = "khl_pdf_ocr_ray.pipelines.queries_train"
+
+# --- BPE ---------------------------------------------------------------
+BPE_MERGES = 8
+EOW = "</w>"   # end-of-word marker (Sennrich et al. 2016 convention)
+
+# --- compression ratio -------------------------------------------------
+ZLEVEL = 6
+
+# --- heavy hitters -----------------------------------------------------
+MG_K = 64      # Misra-Gries capacity per block summary
+HH_DEN = 32    # heavy = count > n_total // HH_DEN  (needs MG_K + 1 > HH_DEN)
+
+# --- profile -----------------------------------------------------------
+# (column, kind): int = native int64; ts = epoch microseconds;
+# cents = x100 fixed-point double; str = binary-collated string
+PROFILE_COLS: List[Tuple[str, str]] = [
+    ("event_id", "int"),
+    ("ts", "ts"),
+    ("user_id", "int"),
+    ("event_type", "str"),
+    ("value", "cents"),
+    ("props", "str"),
+]
+
+
+# ======================================================================
+# BPE merge learning
+# ======================================================================
+def bpe_word_partial(batch: pa.Table) -> pa.Table:
+    """text -> lowercase alpha words -> per-block (word, n) counts.
+    Fully vectorized (utf8_lower / split_pattern_regex / list_flatten +
+    one Arrow group_by); the downstream groupby then moves only the
+    block's DISTINCT words — the single corpus-sized exchange of BPE."""
+    low = pc.utf8_lower(batch["text"])
+    flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    g = (
+        pa.table({"word": flat})
+        .group_by("word")
+        .aggregate([("word", "count")])
+    )
+    return select_rename(g, word="word", n="word_count")
+
+
+def bpe_symbolize(batch: pa.Table) -> pa.Table:
+    """(word, n) -> (syms: list<string>, n): characters + EOW marker.
+    The per-word Python loop runs over the VOCABULARY (distinct words),
+    never the corpus — the standard BPE working set."""
+    words = batch["word"].to_pylist()
+    syms = [list(w) + [EOW] for w in words]
+    return pa.table(
+        {
+            "syms": pa.array(syms, pa.list_(pa.string())),
+            "n": batch["n"].combine_chunks()
+            if isinstance(batch["n"], pa.ChunkedArray)
+            else batch["n"],
+        }
+    )
+
+
+def _syms_flat(batch: pa.Table):
+    """Flatten a syms batch: (values np, word-id per position np,
+    per-word lengths np, word freqs np)."""
+    col = batch["syms"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = arr.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    wid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return v, wid, lens, n
+
+
+def bpe_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-block adjacent-pair counts weighted by word frequency:
+    (left, right, n). Vectorized shift-compare over the flattened symbol
+    array; the per-block Arrow group_by is the map-side combiner, so the
+    shuffle moves the block's distinct pairs only."""
+    v, wid, lens, n = _syms_flat(batch)
+    if len(v) < 2:
+        return pa.table(
+            {
+                "left": pa.array([], pa.string()),
+                "right": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    same = wid[:-1] == wid[1:]
+    wt = n[wid[:-1][same]]
+    g = (
+        pa.table(
+            {
+                "left": pa.array(v[:-1][same], pa.string()),
+                "right": pa.array(v[1:][same], pa.string()),
+                "wt": pa.array(wt, pa.int64()),
+            }
+        )
+        .group_by(["left", "right"])
+        .aggregate([("wt", "sum")])
+    )
+    return select_rename(g, left="left", right="right", n="wt_sum")
+
+
+def bpe_top1_partial(batch: pa.Table) -> pa.Table:
+    """<= 1 row per block: the block's best (n desc, left asc, right asc)
+    pair — so the driver sees one candidate per reduce block, never the
+    pair vocabulary."""
+    if batch.num_rows == 0:
+        return batch
+    n = batch["n"].to_numpy(zero_copy_only=False)
+    left = batch["left"].to_numpy(zero_copy_only=False)
+    right = batch["right"].to_numpy(zero_copy_only=False)
+    i = int(np.lexsort((right, left, -n))[0])
+    return batch.slice(i, 1)
+
+
+def bpe_best_pair(t: pa.Table) -> Optional[Tuple[str, str, int]]:
+    """Deterministic global winner over a (left, right, n) table — shared
+    by the distributed driver pick and the sequential twin."""
+    if t.num_rows == 0:
+        return None
+    n = t["n"].to_numpy(zero_copy_only=False)
+    left = t["left"].to_numpy(zero_copy_only=False)
+    right = t["right"].to_numpy(zero_copy_only=False)
+    i = int(np.lexsort((right, left, -n))[0])
+    return str(left[i]), str(right[i]), int(n[i])
+
+
+def bpe_apply_merge(batch: pa.Table, left: str, right: str) -> pa.Table:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    pair (left, right) with the merged symbol, per word. The only
+    sequential scan runs over MATCH POSITIONS (np.nonzero output), not
+    symbols — overlap resolution ("aaa" + (a,a) -> (aa, a)) is inherently
+    order-dependent within a run; everything else is vectorized."""
+    v, wid, lens, n = _syms_flat(batch)
+    merged = left + right
+    if len(v) >= 2:
+        same = wid[:-1] == wid[1:]
+        match = same & (v[:-1] == left) & (v[1:] == right)
+        idx = np.nonzero(match)[0]
+    else:
+        idx = np.array([], dtype=np.int64)
+    accepted = []
+    last = -2
+    for i in idx:  # bounded by match count, not corpus size
+        if i > last + 1:
+            accepted.append(i)
+            last = i
+    acc = np.array(accepted, dtype=np.int64)
+    if len(acc):
+        v = v.copy()
+        v[acc] = merged
+        keep = np.ones(len(v), dtype=bool)
+        keep[acc + 1] = False
+        v = v[keep]
+        lens = lens - np.bincount(wid[acc], minlength=len(lens))
+    new_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    syms = pa.ListArray.from_arrays(
+        pa.array(new_offsets, pa.int32()), pa.array(v, pa.string())
+    )
+    return pa.table({"syms": syms, "n": pa.array(n, pa.int64())})
+
+
+def bpe_train_table(vocab_syms: rd.Dataset, width: int) -> pa.Table:
+    """Run BPE_MERGES rounds over a symbolized-vocabulary Dataset and
+    return the merge table. Each round: pair-count combiner -> pair
+    groupby -> per-block top-1 -> driver winner (<= num_blocks rows,
+    bounded) -> map-only merge application, re-materialized (the
+    cache-the-iterate pattern; at 100 TB the object store holds/spills
+    the vocabulary blocks and every round is a pure map over them)."""
+    ds = vocab_syms.materialize()
+    out_rank, out_left, out_right, out_merged, out_n = [], [], [], [], []
+    for r in range(1, BPE_MERGES + 1):
+        agg = (
+            ds.map_batches(
+                remote_fn(_QT, "bpe_pair_partial"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .repartition(width)
+            .groupby(["left", "right"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(
+                remote_fn(_QT, "bpe_top1_partial"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        cands = pa.Table.from_pylist(
+            agg.take_all(),  # <= 1 row per reduce block — driver-bounded
+            schema=pa.schema(
+                [("left", pa.string()), ("right", pa.string()), ("n", pa.int64())]
+            ),
+        )
+        best = bpe_best_pair(cands)
+        if best is None:
+            break
+        left, right, n = best
+        out_rank.append(r)
+        out_left.append(left)
+        out_right.append(right)
+        out_merged.append(left + right)
+        out_n.append(n)
+        ds = ds.map_batches(
+            remote_fn(_QT, "bpe_apply_merge", left=left, right=right),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    return pa.table(
+        {
+            "merge_rank": pa.array(out_rank, pa.int64()),
+            "lhs": pa.array(out_left, pa.string()),
+            "rhs": pa.array(out_right, pa.string()),
+            "merged": pa.array(out_merged, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def q_bpe_merges(sf_dir: str) -> pa.Table:
+    """First BPE_MERGES BPE merges learned from the documents corpus."""
+    from .queries import _t
+
+    width = coalesce_for_input(table_nbytes(sf_dir, "documents"))
+    vocab = (
+        _t(sf_dir, "documents", ["text"])
+        .map_batches(
+            remote_fn(_QT, "bpe_word_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            remote_fn(_QT, "bpe_symbolize"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return bpe_train_table(vocab, width)
+
+
+# ======================================================================
+# Compression-ratio quality signal
+# ======================================================================
+def compress_ratio_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc zlib compressibility: (doc_id, n_bytes, comp_permille).
+    The row loop's body is ONE C call (zlib.compress) per document — the
+    same per-record cost class as the crc/md5 kernels; there is no
+    vectorized zlib. comp_permille = compressed*1000 // raw (floor)."""
+    ids = batch["doc_id"]
+    texts = batch["text"].to_pylist()
+    n_bytes = np.empty(len(texts), dtype=np.int64)
+    permille = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        c = zlib.compress(b, ZLEVEL)
+        n_bytes[i] = len(b)
+        permille[i] = len(c) * 1000 // max(1, len(b))
+    return pa.table(
+        {
+            "doc_id": ids.combine_chunks()
+            if isinstance(ids, pa.ChunkedArray)
+            else ids,
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "comp_permille": pa.array(permille, pa.int64()),
+        }
+    )
+
+
+def q_compression_ratio(sf_dir: str) -> rd.Dataset:
+    """Map-only per-document compressibility signal."""
+    from .queries import _t
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        remote_fn(_QT, "compress_ratio_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ======================================================================
+# Table profiling
+# ======================================================================
+def _canon_num(arr: pa.ChunkedArray, kind: str) -> pa.ChunkedArray:
+    """Canonical int64 form whose order equals the source order: ints
+    as-is, timestamps as epoch us, doubles as x100 fixed-point (the
+    monotone floor(x*100+0.5) used engine-wide for cents)."""
+    if kind == "int":
+        return pc.cast(arr, pa.int64())
+    if kind == "ts":
+        return pc.cast(arr, pa.int64())  # timestamp[us] -> epoch us
+    if kind == "cents":
+        return pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.cast(arr, pa.float64()), 100.0), 0.5)),
+            pa.int64(),
+        )
+    raise ValueError(kind)
+
+
+def profile_stats_partial(batch: pa.Table) -> pa.Table:
+    """One row per profiled column per block: count, nulls, native-typed
+    min/max partials (numeric in int64, strings binary-collated)."""
+    cols, n, nulls, min_num, max_num, min_str, max_str = [], [], [], [], [], [], []
+    for name, kind in PROFILE_COLS:
+        arr = batch[name]
+        cols.append(name)
+        n.append(len(arr))
+        nulls.append(arr.null_count)
+        if kind == "str":
+            min_num.append(None)
+            max_num.append(None)
+            min_str.append(pc.min(arr).as_py())
+            max_str.append(pc.max(arr).as_py())
+        else:
+            num = _canon_num(arr, kind)
+            min_num.append(pc.min(num).as_py())
+            max_num.append(pc.max(num).as_py())
+            min_str.append(None)
+            max_str.append(None)
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "nulls": pa.array(nulls, pa.int64()),
+            "min_num": pa.array(min_num, pa.int64()),
+            "max_num": pa.array(max_num, pa.int64()),
+            "min_str": pa.array(min_str, pa.string()),
+            "max_str": pa.array(max_str, pa.string()),
+        }
+    )
+
+
+def profile_distinct_partial(batch: pa.Table) -> pa.Table:
+    """Per-block DISTINCT canonical values, long form (col, val). The
+    downstream dedup groupby's volume is bounded by true column
+    cardinality — the exact-distinct path (HLL is the sketch path for
+    open-domain columns; see hll_distinct_users)."""
+    cols: List[str] = []
+    vals: List[str] = []
+    for name, kind in PROFILE_COLS:
+        arr = batch[name].drop_null()
+        if kind == "str":
+            u = pc.unique(
+                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            ).to_pylist()
+        else:
+            u = [
+                str(x)
+                for x in pc.unique(
+                    _canon_num(arr, kind).combine_chunks()
+                    if isinstance(_canon_num(arr, kind), pa.ChunkedArray)
+                    else _canon_num(arr, kind)
+                ).to_pylist()
+            ]
+        cols.extend([name] * len(u))
+        vals.extend(u)
+    return pa.table(
+        {"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())}
+    )
+
+
+def profile_distinct_one(batch: pa.Table) -> pa.Table:
+    """(col, val) dedup output -> (col, one) for the per-column count."""
+    return pa.table(
+        {
+            "col": batch["col"].combine_chunks()
+            if isinstance(batch["col"], pa.ChunkedArray)
+            else batch["col"],
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def q_table_profile(sf_dir: str) -> pa.Table:
+    """Long-form profile of the events table: one row per column with
+    (n_rows, n_nulls, n_distinct, min_v, max_v). Driver-held state is
+    bounded by the COLUMN COUNT (two 6-row aggregates), never rows."""
+    from .queries import _t
+
+    width = coalesce_for_input(table_nbytes(sf_dir, "events"))
+    ev = _t(sf_dir, "events")
+    stats = (
+        ev.map_batches(
+            remote_fn(_QT, "profile_stats_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("nulls", alias_name="n_nulls"),
+            Min("min_num", alias_name="min_num"),
+            Max("max_num", alias_name="max_num"),
+            Min("min_str", alias_name="min_str"),
+            Max("max_str", alias_name="max_str"),
+        )
+        .to_pandas()  # one row per profiled column — bounded
+    )
+    distinct = (
+        ev.map_batches(
+            remote_fn(_QT, "profile_distinct_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby(["col", "val"])
+        .aggregate(Count(alias_name="c_"))
+        .map_batches(
+            remote_fn(_QT, "profile_distinct_one"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(2, width // 4))
+        .groupby("col")
+        .aggregate(Sum("one", alias_name="n_distinct"))
+        .to_pandas()  # one row per profiled column — bounded
+    )
+    kinds = dict(PROFILE_COLS)
+    stats = stats.merge(distinct, on="col", how="left").sort_values("col")
+
+    def _fmt(row, lo: bool) -> str:
+        if kinds[row["col"]] == "str":
+            return row["min_str"] if lo else row["max_str"]
+        return str(int(row["min_num"] if lo else row["max_num"]))
+
+    return pa.table(
+        {
+            "col": pa.array(stats["col"].tolist(), pa.string()),
+            "n_rows": pa.array(stats["n_rows"].astype("int64").tolist(), pa.int64()),
+            "n_nulls": pa.array(
+                stats["n_nulls"].astype("int64").tolist(), pa.int64()
+            ),
+            "n_distinct": pa.array(
+                stats["n_distinct"].astype("int64").tolist(), pa.int64()
+            ),
+            "min_v": pa.array(
+                [_fmt(r, True) for _, r in stats.iterrows()], pa.string()
+            ),
+            "max_v": pa.array(
+                [_fmt(r, False) for _, r in stats.iterrows()], pa.string()
+            ),
+        }
+    )
+
+
+def _profile_col_sql(name: str, kind: str) -> str:
+    if kind == "str":
+        mn, mx, dv = f"MIN({name})", f"MAX({name})", name
+    elif kind == "ts":
+        mn = f"CAST(epoch_us(MIN({name})) AS VARCHAR)"
+        mx = f"CAST(epoch_us(MAX({name})) AS VARCHAR)"
+        dv = name
+    elif kind == "cents":
+        mn = f"CAST(CAST(floor(MIN({name})*100+0.5) AS BIGINT) AS VARCHAR)"
+        mx = f"CAST(CAST(floor(MAX({name})*100+0.5) AS BIGINT) AS VARCHAR)"
+        dv = f"CAST(floor({name}*100+0.5) AS BIGINT)"
+    else:
+        mn, mx, dv = (
+            f"CAST(MIN({name}) AS VARCHAR)",
+            f"CAST(MAX({name}) AS VARCHAR)",
+            name,
+        )
+    return (
+        f"SELECT '{name}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {dv}) AS BIGINT) AS n_distinct, "
+        f"{mn} AS min_v, {mx} AS max_v FROM events"
+    )
+
+
+SQL_TABLE_PROFILE = " UNION ALL ".join(
+    _profile_col_sql(n, k) for n, k in PROFILE_COLS
+)
+
+
+# ======================================================================
+# Misra-Gries heavy hitters
+# ======================================================================
+def _hh_plant(batch: pa.Table) -> np.ndarray:
+    """Planted hot-key stream: events with event_id % 10 < 5 are assigned
+    user_id = event_id % 5 (five hot users, ~10% of the stream each);
+    the rest keep their organic near-uniform user — the engine-wide
+    plant-the-signal convention (the synthetic events table has no
+    natural heavy hitter; see skew_join_events)."""
+    eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.where(eid % 10 < 5, eid % 5, uid)
+
+
+def hh_mg_partial(batch: pa.Table) -> pa.Table:
+    """Deterministic batch Misra-Gries summary: exact block counts with
+    the (MG_K+1)-th largest count subtracted, entries > 0 kept — <= MG_K
+    rows with per-key undercount <= n_block/(MG_K+1), plus one sentinel
+    row (user_id = -1, w = n_block) carrying the block size."""
+    uid = _hh_plant(batch)
+    users, counts = np.unique(uid, return_counts=True)
+    if len(counts) > MG_K:
+        d = np.partition(counts, -(MG_K + 1))[-(MG_K + 1)]
+    else:
+        d = 0
+    keep = counts > d
+    out_u = np.concatenate([users[keep], [-1]])
+    out_w = np.concatenate([counts[keep] - d, [len(uid)]])
+    return pa.table(
+        {
+            "user_id": pa.array(out_u, pa.int64()),
+            "w": pa.array(out_w.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def hh_filter_partial(batch: pa.Table, lo: int, sentinel: bool) -> pa.Table:
+    """Arrow filter over the small MG aggregate: the sentinel row, or
+    candidate rows with w > lo."""
+    if sentinel:
+        mask = pc.equal(batch["user_id"], -1)
+    else:
+        mask = pc.and_(pc.greater_equal(batch["user_id"], 0), pc.greater(batch["w"], lo))
+    return batch.filter(mask)
+
+
+def hh_exact_partial(batch: pa.Table, cands: List[int]) -> pa.Table:
+    """Exact per-block counts for the broadcast candidate set only."""
+    uid = _hh_plant(batch)
+    uid = uid[np.isin(uid, np.asarray(cands, dtype=np.int64))]
+    users, counts = np.unique(uid, return_counts=True)
+    return pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def hh_threshold_partial(batch: pa.Table, thr: int) -> pa.Table:
+    return batch.filter(pc.greater(batch["n"], thr))
+
+
+def q_heavy_hitters_mg(sf_dir: str) -> rd.Dataset:
+    """Users above n_total // HH_DEN of the planted stream, exact counts.
+
+    Candidate math: summed MG weights satisfy w_sum(u) >= true(u) -
+    n_total/(MG_K+1), so every true heavy key lands above lb = n//HH_DEN
+    - n//(MG_K+1) - 1; and since block weights sum to <= n_total, at most
+    ~n/lb (~62) candidates exist — the broadcast list is driver-bounded
+    by construction, not by luck."""
+    from .queries import _t
+
+    width = coalesce_for_input(table_nbytes(sf_dir, "events"))
+    ev = _t(sf_dir, "events", ["event_id", "user_id"])
+    agg = (
+        ev.map_batches(
+            remote_fn(_QT, "hh_mg_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby("user_id")
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()  # <= (MG_K+1) x blocks rows, reused twice
+    )
+    total_rows = agg.map_batches(
+        remote_fn(_QT, "hh_filter_partial", lo=0, sentinel=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    n_total = int(total_rows[0]["w"])
+    lb = n_total // HH_DEN - n_total // (MG_K + 1) - 1
+    cand_rows = agg.map_batches(
+        remote_fn(_QT, "hh_filter_partial", lo=lb, sentinel=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # <= ~n/lb rows — counting-bound small
+    cands = sorted(int(r["user_id"]) for r in cand_rows)
+    return (
+        ev.map_batches(
+            remote_fn(_QT, "hh_exact_partial", cands=cands),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(2, width // 4))
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            remote_fn(_QT, "hh_threshold_partial", thr=n_total // HH_DEN),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+SQL_HEAVY_HITTERS_MG = f"""
+WITH ev AS (
+  SELECT CASE WHEN event_id % 10 < 5 THEN event_id % 5 ELSE user_id END
+           AS user_id
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM ev GROUP BY user_id
+HAVING COUNT(*) > (SELECT COUNT(*) // {HH_DEN} FROM ev)
+"""
+
+
+# ======================================================================
+# KREC source scan
+# ======================================================================
+def recfile_agg_partial(batch: pa.Table) -> pa.Table:
+    """Per-block (lang, crc_ok) doc/byte counts — the scan combiner."""
+    g = (
+        batch.select(["lang", "crc_ok", "n_bytes"])
+        .group_by(["lang", "crc_ok"])
+        .aggregate([("n_bytes", "count"), ("n_bytes", "sum")])
+    )
+    return select_rename(
+        g,
+        lang="lang",
+        crc_ok="crc_ok",
+        n_docs="n_bytes_count",
+        n_bytes="n_bytes_sum",
+    )
+
+
+def q_recfile_scan(sf_dir: str) -> rd.Dataset:
+    """Scan the KREC shards (streaming per-file datasource read) into
+    per-(lang, crc_ok) doc and payload-byte counts. crc failures are
+    in-band rows, never raises (reference error-row convention)."""
+    from ..sources.recfile import KrecDatasource, synthesize_recfiles
+
+    shard_dir = synthesize_recfiles(sf_dir)
+    ds = rd.read_datasource(KrecDatasource(shard_dir))
+    return (
+        ds.map_batches(
+            remote_fn(_QT, "recfile_agg_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(coalesce_for_input(table_nbytes(sf_dir, "documents")))
+        .groupby(["lang", "crc_ok"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_bytes", alias_name="n_bytes"),
+        )
+    )
+
+
+SQL_RECFILE_SCAN = """
+SELECT lang,
+       CAST(doc_id % 37 != 5 AS BIGINT) AS crc_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT)
+         AS n_bytes
+FROM documents
+GROUP BY lang, crc_ok
+"""
+
+
+TRAIN_QUERIES = {
+    "bpe_merges": q_bpe_merges,
+    "compression_ratio": q_compression_ratio,
+    "table_profile": q_table_profile,
+    "heavy_hitters_mg": q_heavy_hitters_mg,
+    "recfile_scan": q_recfile_scan,
+}
+
+# static-SQL oracles; bpe_merges / compression_ratio are dump-twin
+# checked (state/oracle_dump_train.py)
+TRAIN_ORACLES = {
+    "table_profile": SQL_TABLE_PROFILE,
+    "heavy_hitters_mg": SQL_HEAVY_HITTERS_MG,
+    "recfile_scan": SQL_RECFILE_SCAN,
+}

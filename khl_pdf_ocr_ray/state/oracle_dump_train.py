@@ -1,0 +1,117 @@
+"""Sequential-oracle dumps for the round-4 training-engine operators
+(pipelines/queries_train.py): ``bpe_merges`` and ``compression_ratio``.
+
+Same method as oracle_dump_near.py: a single-process, single-batch
+execution of the SAME kernels over the whole documents table, with the
+relational plumbing done by in-memory Arrow group_bys instead of Ray
+shuffles. Separate cache key (this module + queries_train.py + the
+documents fingerprint) so iterating on these operators never rebuilds
+the expensive near-dup/ANN dump family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .atomic import ensure_published
+
+
+def _fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def dumps_dir(sf_dir: str) -> str:
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = []
+    for rel in ("pipelines/queries_train.py", "state/oracle_dump_train.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            parts.append(hashlib.md5(f.read()).hexdigest())
+    parts.append(_fingerprint(os.path.join(sf_dir, "documents.parquet")))
+    key = hashlib.sha256(("|".join(parts) + "|v1").encode()).hexdigest()[:16]
+    return os.path.join("/tmp/khlray_cache", f"oracle_dumps_train_{key}")
+
+
+def _bpe_merges_seq(docs: pa.Table) -> pa.Table:
+    """Sequential twin: the distributed plan's kernels run single-batch;
+    the vocabulary groupby and per-round pair groupby collapse to one
+    in-memory Arrow group_by each — integer counts, identical bits."""
+    from ..functions.arrowkit import select_rename
+    from ..pipelines.queries_train import (
+        BPE_MERGES,
+        bpe_apply_merge,
+        bpe_best_pair,
+        bpe_pair_partial,
+        bpe_symbolize,
+        bpe_word_partial,
+    )
+
+    wt = bpe_word_partial(docs)
+    vocab = wt.group_by("word").aggregate([("n", "sum")])
+    syms = bpe_symbolize(select_rename(vocab, word="word", n="n_sum"))
+    rank, left, right, merged, n = [], [], [], [], []
+    for r in range(1, BPE_MERGES + 1):
+        pairs = bpe_pair_partial(syms)  # single batch == global counts
+        best = bpe_best_pair(pairs)
+        if best is None:
+            break
+        bl, br, bn = best
+        rank.append(r)
+        left.append(bl)
+        right.append(br)
+        merged.append(bl + br)
+        n.append(bn)
+        syms = bpe_apply_merge(syms, bl, br)
+    return pa.table(
+        {
+            "merge_rank": pa.array(rank, pa.int64()),
+            "lhs": pa.array(left, pa.string()),
+            "rhs": pa.array(right, pa.string()),
+            "merged": pa.array(merged, pa.string()),
+            "n": pa.array(n, pa.int64()),
+        }
+    )
+
+
+def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
+    from ..pipelines.queries_train import compress_ratio_batch
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pq.write_table(
+        compress_ratio_batch(docs), os.path.join(tmp_dir, "compress_seq.parquet")
+    )
+    pq.write_table(
+        _bpe_merges_seq(docs.select(["text"])),
+        os.path.join(tmp_dir, "bpe_merges_seq.parquet"),
+    )
+
+
+def ensure_dumps(sf_dir: str) -> str:
+    out_dir = dumps_dir(sf_dir)
+    return ensure_published(out_dir, lambda tmp: _build_dumps(sf_dir, tmp))
+
+
+def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
+    d = ensure_dumps(sf_dir)
+
+    def p(name: str) -> str:
+        return os.path.join(d, name)
+
+    return {
+        "bpe_merges": (
+            "SELECT merge_rank, lhs, rhs, merged, n "
+            f"FROM read_parquet('{p('bpe_merges_seq.parquet')}')"
+        ),
+        "compression_ratio": (
+            "SELECT doc_id, n_bytes, comp_permille "
+            f"FROM read_parquet('{p('compress_seq.parquet')}')"
+        ),
+    }

@@ -53,6 +53,9 @@ DUMP_QUERIES = [
     "llm_corpus_recipe",
     "cluster_lang_purity",
     "semdedup",
+    # training-engine widening (state/oracle_dump_train.py twins)
+    "bpe_merges",
+    "compression_ratio",
 ]
 
 
