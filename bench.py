@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "ccnet_buckets",        # per-lang perplexity terciles (round 3)
     "gopher_repetition",    # per-doc repetition signals (round 3)
     "skew_join_events",     # hot-key-aware join (round 3)
+    "bpe_merges",           # iterative BPE merge learning (round 4)
+    "compression_ratio",    # zlib repetition signal, map-only (round 4)
+    "heavy_hitters_mg",     # MG candidates + exact verify (round 4)
+    "recfile_scan",         # framed-record source scan (round 4)
 ]
 
 
