@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "compression_ratio",    # zlib repetition signal, map-only (round 4)
     "heavy_hitters_mg",     # MG candidates + exact verify (round 4)
     "recfile_scan",         # framed-record source scan (round 4)
+    "cdc_chunk_dedup",      # content-defined-chunking dedup (round 4)
+    "doc_graph_triangles",  # degree-oriented triangle counting (round 4)
 ]
 
 

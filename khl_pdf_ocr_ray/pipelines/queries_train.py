@@ -732,18 +732,388 @@ GROUP BY lang, crc_ok
 """
 
 
+# ======================================================================
+# Content-defined-chunking dedup (Gear/FastCDC-family rolling hash)
+# ======================================================================
+# CDC finds duplicate byte ranges across near-identical documents (crawl
+# re-fetches, template pages) without any alignment assumption: chunk
+# boundaries depend only on local content, so an insertion early in a doc
+# shifts NO downstream boundaries — unlike fixed-size blocks. The rolling
+# hash is the Gear recurrence h_i = (h_{i-1} << 1) + GEAR[b_i]; because a
+# 64-bit shift forgets bytes > 63 positions back, the recurrence equals
+# the 64-term convolution sum_{k<64} GEAR[b_{i-k}] << k, which is what
+# the vectorized kernel computes (64 shifted adds over the batch, no
+# per-byte Python). Runs over the planted-variant corpus
+# (stages.dedup.docs_with_variants) so true duplicate chunks exist.
+_M64 = (1 << 64) - 1
+CDC_MASK = 0x3F          # 6 bits -> expected chunk ~64 bytes at toy doc sizes
+CDC_MIN, CDC_MAX = 16, 256
+CDC_POS_SCALE = 1 << 20  # pos = doc_id * SCALE + chunk_idx (global order key)
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+GEAR = np.array([_splitmix64(b) for b in range(256)], dtype=np.uint64)
+
+
+def cdc_cuts(data: bytes) -> List[Tuple[int, int]]:
+    """(start, length) chunks of one document under Gear CDC with
+    min/max enforcement. The only Python walk runs over HASH HITS
+    (expected n / 2^mask_bits positions), not bytes."""
+    n = len(data)
+    if n == 0:
+        return []
+    gb = GEAR[np.frombuffer(data, dtype=np.uint8)]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(min(64, n)):
+        h[k:] += gb[: n - k] << np.uint64(k)
+    hits = np.nonzero((h & np.uint64(CDC_MASK)) == 0)[0]
+    out: List[Tuple[int, int]] = []
+    s = 0
+    for p in hits:
+        ln = int(p) + 1 - s
+        if ln < CDC_MIN:
+            continue
+        while ln > CDC_MAX:  # forced max-size cuts
+            out.append((s, CDC_MAX))
+            s += CDC_MAX
+            ln = int(p) + 1 - s
+        if ln >= CDC_MIN:
+            out.append((s, ln))
+            s = int(p) + 1
+    ln = n - s
+    while ln > CDC_MAX:
+        out.append((s, CDC_MAX))
+        s += CDC_MAX
+        ln = n - s
+    if ln > 0:
+        out.append((s, ln))
+    return out
+
+
+def cdc_occurrence_partial(batch: pa.Table) -> pa.Table:
+    """Per-doc CDC chunking -> occurrence rows (chash, doc_id, cidx,
+    clen, pos). chash is the top-63 bits of blake2b-64 of the chunk
+    bytes (int64-safe; a deployment would carry 128 bits — noted)."""
+    import hashlib
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    chash: List[int] = []
+    doc_id: List[int] = []
+    cidx: List[int] = []
+    clen: List[int] = []
+    for d, t in zip(ids, texts):
+        data = (t or "").encode("utf-8")
+        for i, (s, ln) in enumerate(cdc_cuts(data)):
+            hsh = int.from_bytes(
+                hashlib.blake2b(data[s : s + ln], digest_size=8).digest(), "big"
+            ) >> 1
+            chash.append(hsh)
+            doc_id.append(int(d))
+            cidx.append(i)
+            clen.append(ln)
+    pos = [d * CDC_POS_SCALE + i for d, i in zip(doc_id, cidx)]
+    return pa.table(
+        {
+            "chash": pa.array(chash, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "cidx": pa.array(cidx, pa.int64()),
+            "clen": pa.array(clen, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        }
+    )
+
+
+def cdc_doc_partial(batch: pa.Table) -> pa.Table:
+    """Joined occurrence rows -> per-(doc, block) dedup accounting
+    combiner. A chunk is a duplicate iff it is not its hash's globally
+    first occurrence (min pos)."""
+    dup = pc.cast(pc.not_equal(batch["pos"], batch["first_pos"]), pa.int64())
+    t = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64()),
+            "clen": batch["clen"],
+            "dup": dup,
+            "dup_len": pc.multiply(dup, batch["clen"]),
+        }
+    )
+    g = t.group_by("doc_id").aggregate(
+        [("one", "sum"), ("clen", "sum"), ("dup", "sum"), ("dup_len", "sum")]
+    )
+    return select_rename(
+        g,
+        doc_id="doc_id",
+        n_chunks="one_sum",
+        n_bytes="clen_sum",
+        dup_chunks="dup_sum",
+        dup_bytes="dup_len_sum",
+    )
+
+
+def q_cdc_chunk_dedup(sf_dir: str) -> rd.Dataset:
+    """Per-doc CDC dedup accounting over the planted-variant corpus:
+    (doc_id, n_chunks, n_bytes, dup_chunks, dup_bytes). Variant docs
+    share nearly every chunk with their base, so dup_bytes exposes the
+    redundancy CDC is built to find. Scale plan: the occurrence stream is
+    materialized ONCE (reused by the winner aggregate and the join
+    probe — the reused-working-set rule; a 100 TB run would stage-
+    checkpoint it instead), the winner exchange and the join move slim
+    (chash, ints) rows only — chunk BYTES never shuffle."""
+    from ..joins import partitions_for_rows, safe_join
+    from ..stages.dedup import docs_with_variants
+
+    occ = (
+        docs_with_variants(sf_dir)
+        .map_batches(
+            remote_fn(_QT, "cdc_occurrence_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    winners = (
+        occ.groupby("chash")
+        .aggregate(Min("pos", alias_name="first_pos"))
+        .rename_columns({"chash": "w_chash"})
+    )
+    joined = safe_join(
+        occ.select_columns(["chash", "doc_id", "clen", "pos"]),
+        winners,
+        on=("chash",),
+        right_on=("w_chash",),
+        assume_non_empty=True,  # every occurrence's hash has a winner row
+        num_partitions=partitions_for_rows(occ.count()),
+    )
+    width = coalesce_for_input(table_nbytes(sf_dir, "documents"))
+    return (
+        joined.map_batches(
+            remote_fn(_QT, "cdc_doc_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_bytes", alias_name="n_bytes"),
+            Sum("dup_chunks", alias_name="dup_chunks"),
+            Sum("dup_bytes", alias_name="dup_bytes"),
+        )
+    )
+
+
+# ======================================================================
+# Triangle counting over a planted doc-derived graph
+# ======================================================================
+# The degree-oriented ("forward") algorithm: orient every undirected edge
+# from its lower-(degree, id) endpoint to the higher one; generate wedge
+# pairs only among a vertex's oriented OUT-neighbors (out-degree is
+# O(sqrt(m)) after orientation — the hub-blowup guard); close each wedge
+# against the canonical undirected edge set. Each triangle is found
+# exactly once, at its lowest-(degree, id) vertex. Edges derive
+# deterministically from doc_ids (synthesize-on-read convention, same as
+# the pagerank planted outlinks) so a static SQL twin recomputes the
+# whole computation relationally.
+TRI_NODES = 100
+
+
+def tri_edges_partial(batch: pa.Table) -> pa.Table:
+    """doc_id -> canonical undirected edge (lo, hi), per-block distinct."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = d % TRI_NODES
+    v = (d // 7) % TRI_NODES
+    keep = u != v
+    lo = np.minimum(u[keep], v[keep])
+    hi = np.maximum(u[keep], v[keep])
+    return (
+        pa.table(
+            {"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())}
+        )
+        .group_by(["lo", "hi"])
+        .aggregate([])
+    )
+
+
+def tri_deg_partial(batch: pa.Table) -> pa.Table:
+    """Edge rows -> (node, 1) both endpoints (degree combiner feed)."""
+    lo = batch["lo"].to_numpy(zero_copy_only=False)
+    hi = batch["hi"].to_numpy(zero_copy_only=False)
+    node = np.concatenate([lo, hi]).astype(np.int64)
+    return pa.table(
+        {
+            "node": pa.array(node, pa.int64()),
+            "one": pa.array(np.ones(len(node), dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def tri_orient_partial(batch: pa.Table) -> pa.Table:
+    """Degree-joined edges -> oriented (src, dst): src is the endpoint
+    with the smaller (degree, node) pair."""
+    lo = batch["lo"].to_numpy(zero_copy_only=False)
+    hi = batch["hi"].to_numpy(zero_copy_only=False)
+    dlo = batch["deg_lo"].to_numpy(zero_copy_only=False)
+    dhi = batch["deg_hi"].to_numpy(zero_copy_only=False)
+    lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+    src = np.where(lo_first, lo, hi)
+    dst = np.where(lo_first, hi, lo)
+    return pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    )
+
+
+def tri_wedges_group(g) -> "object":
+    """One oriented-adjacency group -> wedge pairs among out-neighbors,
+    canonicalized (lo, hi) for closure against the undirected edge set.
+    Out-degree is orientation-bounded, so C(outdeg, 2) stays task-sized."""
+    import pandas as pd
+
+    nbrs = np.sort(g["dst"].to_numpy())
+    if len(nbrs) < 2:
+        return pd.DataFrame({"apex": [], "wlo": [], "whi": []}).astype("int64")
+    iu, ju = np.triu_indices(len(nbrs), k=1)
+    return pd.DataFrame(
+        {
+            "apex": np.full(len(iu), int(g["src"].iloc[0]), dtype=np.int64),
+            "wlo": nbrs[iu],
+            "whi": nbrs[ju],
+        }
+    )
+
+
+def tri_nodes_partial(batch: pa.Table) -> pa.Table:
+    """Closed wedges (triangles) -> (node, 1) x3 combiner feed."""
+    a = batch["apex"].to_numpy(zero_copy_only=False)
+    lo = batch["wlo"].to_numpy(zero_copy_only=False)
+    hi = batch["whi"].to_numpy(zero_copy_only=False)
+    node = np.concatenate([a, lo, hi]).astype(np.int64)
+    t = pa.table(
+        {
+            "node": pa.array(node, pa.int64()),
+            "one": pa.array(np.ones(len(node), dtype=np.int64), pa.int64()),
+        }
+    )
+    g = t.group_by("node").aggregate([("one", "sum")])
+    return select_rename(g, node="node", n_triangles="one_sum")
+
+
+def q_doc_graph_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-node triangle counts of the planted doc graph."""
+    from ..joins import partitions_for_rows, safe_join
+    from .queries import _t
+
+    width = coalesce_for_input(table_nbytes(sf_dir, "documents"))
+    edges = (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(
+            remote_fn(_QT, "tri_edges_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="c_"))
+        .select_columns(["lo", "hi"])
+        .materialize()  # reused: degree feed, orientation, wedge closure
+    )
+    n_edges = edges.count()
+    deg = (
+        edges.map_batches(
+            remote_fn(_QT, "tri_deg_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(2, width // 4))
+        .groupby("node")
+        .aggregate(Sum("one", alias_name="deg"))
+    )
+    e1 = safe_join(
+        edges,
+        deg.rename_columns({"node": "n_lo", "deg": "deg_lo"}),
+        on=("lo",),
+        right_on=("n_lo",),
+        assume_non_empty=True,  # every edge endpoint has a degree row
+        num_partitions=partitions_for_rows(n_edges),
+    )
+    e2 = safe_join(
+        e1,
+        deg.rename_columns({"node": "n_hi", "deg": "deg_hi"}),
+        on=("hi",),
+        right_on=("n_hi",),
+        assume_non_empty=True,
+        num_partitions=partitions_for_rows(n_edges),
+    )
+    wedges = (
+        e2.map_batches(
+            remote_fn(_QT, "tri_orient_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("src")
+        .map_groups(remote_fn(_QT, "tri_wedges_group"), batch_format="pandas")
+    )
+    closed = safe_join(
+        wedges,
+        edges.rename_columns({"lo": "e_lo", "hi": "e_hi"}),
+        on=("wlo", "whi"),
+        right_on=("e_lo", "e_hi"),
+        assume_non_empty=True,  # the planted graph always closes wedges
+        num_partitions=partitions_for_rows(n_edges),
+    )
+    return (
+        closed.map_batches(
+            remote_fn(_QT, "tri_nodes_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(2, width // 4))
+        .groupby("node")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+    )
+
+
+SQL_DOC_GRAPH_TRIANGLES = f"""
+WITH e AS (
+  SELECT DISTINCT
+         LEAST(doc_id % {TRI_NODES}, (doc_id // 7) % {TRI_NODES}) AS lo,
+         GREATEST(doc_id % {TRI_NODES}, (doc_id // 7) % {TRI_NODES}) AS hi
+  FROM documents
+  WHERE doc_id % {TRI_NODES} != (doc_id // 7) % {TRI_NODES}),
+t AS (
+  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+  FROM e a
+  JOIN e b ON b.lo = a.lo AND b.hi > a.hi
+  JOIN e c ON c.lo = a.hi AND c.hi = b.hi)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+GROUP BY node
+"""
+
+
 TRAIN_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "compression_ratio": q_compression_ratio,
     "table_profile": q_table_profile,
     "heavy_hitters_mg": q_heavy_hitters_mg,
     "recfile_scan": q_recfile_scan,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "doc_graph_triangles": q_doc_graph_triangles,
 }
 
-# static-SQL oracles; bpe_merges / compression_ratio are dump-twin
-# checked (state/oracle_dump_train.py)
+# static-SQL oracles; bpe_merges / compression_ratio / cdc_chunk_dedup
+# are dump-twin checked (state/oracle_dump_train.py)
 TRAIN_ORACLES = {
     "table_profile": SQL_TABLE_PROFILE,
     "heavy_hitters_mg": SQL_HEAVY_HITTERS_MG,
     "recfile_scan": SQL_RECFILE_SCAN,
+    "doc_graph_triangles": SQL_DOC_GRAPH_TRIANGLES,
 }

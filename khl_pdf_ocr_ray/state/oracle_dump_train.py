@@ -29,7 +29,11 @@ def _fingerprint(path: str) -> str:
 def dumps_dir(sf_dir: str) -> str:
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     parts = []
-    for rel in ("pipelines/queries_train.py", "state/oracle_dump_train.py"):
+    for rel in (
+        "pipelines/queries_train.py",
+        "state/oracle_dump_train.py",
+        "stages/dedup.py",  # variant-corpus rule (cdc twin input)
+    ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
     parts.append(_fingerprint(os.path.join(sf_dir, "documents.parquet")))
@@ -78,6 +82,37 @@ def _bpe_merges_seq(docs: pa.Table) -> pa.Table:
     )
 
 
+def _cdc_dedup_seq(sf_dir: str) -> pa.Table:
+    """Sequential CDC twin: same chunking/hash kernels over the planted-
+    variant corpus, winner pick + join as in-memory pandas merges."""
+    from ..pipelines.queries_train import cdc_doc_partial, cdc_occurrence_partial
+    from .oracle_dump_near import _docs_with_variants_df
+
+    dv = _docs_with_variants_df(sf_dir)
+    occ = cdc_occurrence_partial(
+        pa.table(
+            {
+                "doc_id": pa.array(dv["doc_id"].tolist(), pa.int64()),
+                "text": pa.array(dv["text"].tolist(), pa.string()),
+            }
+        )
+    ).to_pandas()
+    first = occ.groupby("chash", as_index=False)["pos"].min()
+    first = first.rename(columns={"pos": "first_pos"})
+    j = occ.merge(first, on="chash")
+    acc = cdc_doc_partial(
+        pa.table(
+            {
+                "doc_id": pa.array(j["doc_id"].tolist(), pa.int64()),
+                "clen": pa.array(j["clen"].tolist(), pa.int64()),
+                "pos": pa.array(j["pos"].tolist(), pa.int64()),
+                "first_pos": pa.array(j["first_pos"].tolist(), pa.int64()),
+            }
+        )
+    )  # single batch == global per-doc sums
+    return acc
+
+
 def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     from ..pipelines.queries_train import compress_ratio_batch
 
@@ -91,6 +126,9 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     pq.write_table(
         _bpe_merges_seq(docs.select(["text"])),
         os.path.join(tmp_dir, "bpe_merges_seq.parquet"),
+    )
+    pq.write_table(
+        _cdc_dedup_seq(sf_dir), os.path.join(tmp_dir, "cdc_dedup_seq.parquet")
     )
 
 
@@ -113,5 +151,9 @@ def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "compression_ratio": (
             "SELECT doc_id, n_bytes, comp_permille "
             f"FROM read_parquet('{p('compress_seq.parquet')}')"
+        ),
+        "cdc_chunk_dedup": (
+            "SELECT doc_id, n_chunks, n_bytes, dup_chunks, dup_bytes "
+            f"FROM read_parquet('{p('cdc_dedup_seq.parquet')}')"
         ),
     }

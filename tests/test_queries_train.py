@@ -264,3 +264,103 @@ def test_krec_datasource_end_to_end(ray_session, tmp_path):
     assert got["doc_id"].tolist() == list(range(10))
     assert got["crc_ok"].tolist() == [1, 0] * 5
     assert got["n_bytes"].tolist() == list(range(10))
+
+
+# --- CDC chunking ------------------------------------------------------------
+def test_cdc_cuts_cover_and_respect_bounds():
+    from khl_pdf_ocr_ray.pipelines.queries_train import (
+        CDC_MAX,
+        CDC_MIN,
+        cdc_cuts,
+    )
+
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(0, 256, 5000, dtype=np.uint8))
+    cuts = cdc_cuts(data)
+    # full coverage, in order, no overlap
+    pos = 0
+    for s, ln in cuts:
+        assert s == pos and ln > 0
+        pos += ln
+    assert pos == len(data)
+    # every chunk except possibly the last respects [CDC_MIN, CDC_MAX]
+    for s, ln in cuts[:-1]:
+        assert ln <= CDC_MAX
+    assert all(ln <= CDC_MAX for _, ln in cuts)
+    assert cdc_cuts(b"") == []
+
+
+def test_cdc_content_defined_shift_resistance():
+    """Insertion near the start must not move distant chunk boundaries —
+    the property that makes CDC dedup work (fixed-size blocks fail it)."""
+    from khl_pdf_ocr_ray.pipelines.queries_train import cdc_cuts
+
+    rng = np.random.default_rng(5)
+    base = bytes(rng.integers(0, 256, 4000, dtype=np.uint8))
+    shifted = b"INSERTED!" + base
+    cuts_a = {base[s : s + ln] for s, ln in cdc_cuts(base)}
+    cuts_b = {shifted[s : s + ln] for s, ln in cdc_cuts(shifted)}
+    # the vast majority of chunk CONTENTS survive the insertion
+    assert len(cuts_a & cuts_b) >= int(0.8 * len(cuts_a))
+
+
+def test_cdc_duplicate_accounting_on_planted_copy():
+    from khl_pdf_ocr_ray.pipelines.queries_train import (
+        cdc_doc_partial,
+        cdc_occurrence_partial,
+    )
+
+    rng = np.random.default_rng(9)
+    text = "".join(chr(97 + c) for c in rng.integers(0, 26, 3000))
+    occ = cdc_occurrence_partial(
+        pa.table({"doc_id": [1, 2], "text": [text, text]})
+    ).to_pandas()
+    first = occ.groupby("chash", as_index=False)["pos"].min()
+    j = occ.merge(first.rename(columns={"pos": "first_pos"}), on="chash")
+    acc = cdc_doc_partial(pa.Table.from_pandas(j)).to_pandas().set_index("doc_id")
+    # doc 1 owns every first occurrence; doc 2 is 100% duplicate bytes
+    assert acc.loc[1, "dup_bytes"] == 0
+    assert acc.loc[2, "dup_bytes"] == acc.loc[2, "n_bytes"]
+    assert acc.loc[2, "dup_chunks"] == acc.loc[2, "n_chunks"]
+
+
+# --- triangles ---------------------------------------------------------------
+def test_triangle_kernels_vs_bruteforce():
+    """Degree-oriented wedge closure == brute-force triangle enumeration
+    on a hand graph with hubs and ties."""
+    import itertools
+
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries_train import (
+        tri_orient_partial,
+        tri_wedges_group,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (0, 3), (4, 5)]
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: sum(1 for e in edges if n in e) for n in nodes}
+    eset = {tuple(sorted(e)) for e in edges}
+    batch = pa.table(
+        {
+            "lo": pa.array([e[0] for e in edges], pa.int64()),
+            "hi": pa.array([e[1] for e in edges], pa.int64()),
+            "deg_lo": pa.array([deg[e[0]] for e in edges], pa.int64()),
+            "deg_hi": pa.array([deg[e[1]] for e in edges], pa.int64()),
+        }
+    )
+    oriented = tri_orient_partial(batch).to_pandas()
+    tris = set()
+    for src, g in oriented.groupby("src"):
+        w = tri_wedges_group(
+            pd.DataFrame({"src": g["src"].tolist(), "dst": g["dst"].tolist()})
+        )
+        for _, r in w.iterrows():
+            if (int(r["wlo"]), int(r["whi"])) in eset:
+                tris.add(tuple(sorted((int(r["apex"]), int(r["wlo"]), int(r["whi"])))))
+    brute = {
+        t
+        for t in itertools.combinations(nodes, 3)
+        if all(tuple(sorted(p)) in eset for p in itertools.combinations(t, 2))
+    }
+    assert tris == brute and len(brute) == 4
