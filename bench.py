@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "recfile_scan",         # framed-record source scan (round 4)
     "cdc_chunk_dedup",      # content-defined-chunking dedup (round 4)
     "doc_graph_triangles",  # degree-oriented triangle counting (round 4)
+    "returned_revenue_topk",  # 4-table selective join rollup (round 4)
+    "temperature_sample",     # alpha language resampling (round 4)
 ]
 
 

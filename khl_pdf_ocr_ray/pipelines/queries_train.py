@@ -1099,6 +1099,217 @@ GROUP BY node
 """
 
 
+# ======================================================================
+# Returned-items revenue rollup (TPC-H Q10 shape: 4-table join chain)
+# ======================================================================
+def q10_rev_partial(batch: pa.Table) -> pa.Table:
+    """Returned lineitems -> per-(orderkey, block) revenue-cents combiner:
+    the fact table reduces to slim (orderkey, cents) BEFORE any join."""
+    flt = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+    rev = pc.cast(
+        pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        flt["l_extendedprice"], pc.subtract(1.0, flt["l_discount"])
+                    ),
+                    100.0,
+                ),
+                0.5,
+            )
+        ),
+        pa.int64(),
+    )
+    g = (
+        pa.table({"l_orderkey": flt["l_orderkey"], "rev": rev})
+        .group_by("l_orderkey")
+        .aggregate([("rev", "sum")])
+    )
+    return select_rename(g, l_orderkey="l_orderkey", rev_cents="rev_sum")
+
+
+def q10_cust_partial(batch: pa.Table) -> pa.Table:
+    """Order-joined revenue rows -> per-(custkey, block) combiner."""
+    g = (
+        batch.select(["o_custkey", "rev_cents"])
+        .group_by("o_custkey")
+        .aggregate([("rev_cents", "sum")])
+    )
+    return select_rename(g, o_custkey="o_custkey", revenue_cents="rev_cents_sum")
+
+
+def q_returned_revenue_topk(sf_dir: str) -> rd.Dataset:
+    """Top-20 customers by returned-item revenue with name and nation —
+    the classic selective-filter -> fact-rollup -> dimension-chain query
+    (TPC-H Q10 shape). Scale plan: the fact table collapses to
+    (orderkey, cents) map-side before the first join; both fact joins are
+    streaming (FK-backed, byte-sized); the dimension chain joins only the
+    20 winners. TPC-H's returnflag domain guarantees 'R' rows exist, so
+    the inner joins are structurally non-empty."""
+    from ..joins import partitions_for_rows, safe_join
+    from .queries import _t
+
+    li_nb = table_nbytes(sf_dir, "lineitem")
+    rev = (
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+        .map_batches(
+            remote_fn(_QT, "q10_rev_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(coalesce_for_input(li_nb))
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = safe_join(
+        rev,
+        orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        assume_non_empty=True,  # returnflag domain guarantees 'R' rows
+        left_nbytes=li_nb // 8,
+        right_nbytes=table_nbytes(sf_dir, "orders"),
+    )
+    top = (
+        joined.map_batches(
+            remote_fn(_QT, "q10_cust_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(coalesce_for_input(li_nb))
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .materialize()  # 20 rows; reused as the dimension-join probe
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    w = partitions_for_rows(20)
+    t1 = safe_join(
+        top, cust, on=("o_custkey",), right_on=("c_custkey",),
+        assume_non_empty=True, num_partitions=w,
+    )
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    t2 = safe_join(
+        t1, nation, on=("c_nationkey",), right_on=("n_nationkey",),
+        assume_non_empty=True, num_partitions=w,
+    )
+    return t2.select_columns(
+        ["o_custkey", "c_name", "n_name", "revenue_cents"]
+    ).rename_columns({"o_custkey": "c_custkey"}).sort(
+        ["revenue_cents", "c_custkey"], descending=[True, False]
+    )
+
+
+SQL_RETURNED_REVENUE_TOPK = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# ======================================================================
+# Temperature (alpha) language resampling — mC4 / XLM-R mix flattening
+# ======================================================================
+TEMP_ALPHA = 0.3
+TEMP_SCALE = 1_000_000
+
+
+def temperature_thresholds(counts: dict) -> dict:
+    """lang -> integer acceptance threshold in [0, TEMP_SCALE] for
+    alpha-temperature sampling: rate_l proportional to p_l^(alpha-1),
+    normalized so the rarest language keeps everything. Computed ONCE
+    from the |langs|-row count table (driver scalars, same doubles on
+    both engines since the operation order is fixed); SHARED by the
+    distributed plan and the sequential twin so every float is computed
+    exactly once, identically."""
+    total = sum(counts.values())
+    rates = {
+        lang: (n / total) ** (TEMP_ALPHA - 1.0) for lang, n in sorted(counts.items())
+    }
+    mx = max(rates.values())
+    return {
+        lang: min(TEMP_SCALE, int(r / mx * TEMP_SCALE)) for lang, r in rates.items()
+    }
+
+
+def temp_count_partial(batch: pa.Table) -> pa.Table:
+    g = batch.select(["lang"]).group_by("lang").aggregate([("lang", "count")])
+    return select_rename(g, lang="lang", n="lang_count")
+
+
+def temp_filter_partial(batch: pa.Table, thresholds: dict) -> pa.Table:
+    """Deterministic multiplicative-hash Bernoulli keep + re-aggregate
+    combiner (same rule family as resample_weighted / train_test_split)."""
+    from .queries_window import RESAMPLE_MULT
+
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lang = batch["lang"].to_numpy(zero_copy_only=False)
+    n_chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    thr = np.array([thresholds.get(str(x), 0) for x in lang], dtype=np.int64)
+    keep = ((doc_id % 2147483647) * RESAMPLE_MULT) % TEMP_SCALE < thr
+    t = pa.table(
+        {
+            "lang": pa.array(lang[keep], pa.string()),
+            "kept_docs": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            "kept_chars": pa.array(n_chars[keep], pa.int64()),
+        }
+    )
+    g = t.group_by("lang").aggregate(
+        [("kept_docs", "sum"), ("kept_chars", "sum")]
+    )
+    return select_rename(
+        g, lang="lang", kept_docs="kept_docs_sum", kept_chars="kept_chars_sum"
+    )
+
+
+def q_temperature_sample(sf_dir: str) -> rd.Dataset:
+    """Per-lang kept docs/chars after alpha=0.3 temperature sampling.
+    Pass 1 reduces to one count per language; pass 2 is map-only with
+    the broadcast integer thresholds — the corpus never shuffles."""
+    from .queries import _t
+
+    width = coalesce_for_input(table_nbytes(sf_dir, "documents"))
+    counts = (
+        _t(sf_dir, "documents", ["lang"])
+        .map_batches(
+            remote_fn(_QT, "temp_count_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(2, width // 4))
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # one row per language — bounded
+    )
+    thresholds = temperature_thresholds(
+        dict(zip(counts["lang"].tolist(), counts["n"].astype(int).tolist()))
+    )
+    return (
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(
+            remote_fn(_QT, "temp_filter_partial", thresholds=thresholds),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(2, width // 4))
+        .groupby("lang")
+        .aggregate(
+            Sum("kept_docs", alias_name="kept_docs"),
+            Sum("kept_chars", alias_name="kept_chars"),
+        )
+    )
+
+
 TRAIN_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "compression_ratio": q_compression_ratio,
@@ -1107,6 +1318,8 @@ TRAIN_QUERIES = {
     "recfile_scan": q_recfile_scan,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "doc_graph_triangles": q_doc_graph_triangles,
+    "returned_revenue_topk": q_returned_revenue_topk,
+    "temperature_sample": q_temperature_sample,
 }
 
 # static-SQL oracles; bpe_merges / compression_ratio / cdc_chunk_dedup
@@ -1116,4 +1329,5 @@ TRAIN_ORACLES = {
     "heavy_hitters_mg": SQL_HEAVY_HITTERS_MG,
     "recfile_scan": SQL_RECFILE_SCAN,
     "doc_graph_triangles": SQL_DOC_GRAPH_TRIANGLES,
+    "returned_revenue_topk": SQL_RETURNED_REVENUE_TOPK,
 }

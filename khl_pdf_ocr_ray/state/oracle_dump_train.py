@@ -130,6 +130,43 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     pq.write_table(
         _cdc_dedup_seq(sf_dir), os.path.join(tmp_dir, "cdc_dedup_seq.parquet")
     )
+    pq.write_table(
+        _temperature_sample_seq(sf_dir),
+        os.path.join(tmp_dir, "temperature_seq.parquet"),
+    )
+
+
+def _temperature_sample_seq(sf_dir: str) -> pa.Table:
+    """Sequential temperature-sampling twin: same threshold helper (the
+    ONE place the alpha doubles are computed) + same hash-keep rule."""
+    from ..pipelines.queries_train import (
+        TEMP_SCALE,
+        temperature_thresholds,
+    )
+    from ..pipelines.queries_window import RESAMPLE_MULT
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    ).to_pandas()
+    thresholds = temperature_thresholds(t["lang"].value_counts().to_dict())
+    thr = t["lang"].map(thresholds).astype("int64")
+    keep = ((t["doc_id"] % 2147483647) * RESAMPLE_MULT) % TEMP_SCALE < thr
+    kept = t[keep]
+    g = (
+        kept.groupby("lang", as_index=False)
+        .agg(kept_docs=("doc_id", "size"), kept_chars=("n_chars", "sum"))
+        .sort_values("lang")
+    )
+    return pa.table(
+        {
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+            "kept_docs": pa.array(g["kept_docs"].astype("int64").tolist(), pa.int64()),
+            "kept_chars": pa.array(
+                g["kept_chars"].astype("int64").tolist(), pa.int64()
+            ),
+        }
+    )
 
 
 def ensure_dumps(sf_dir: str) -> str:
@@ -155,5 +192,9 @@ def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "cdc_chunk_dedup": (
             "SELECT doc_id, n_chunks, n_bytes, dup_chunks, dup_bytes "
             f"FROM read_parquet('{p('cdc_dedup_seq.parquet')}')"
+        ),
+        "temperature_sample": (
+            "SELECT lang, kept_docs, kept_chars "
+            f"FROM read_parquet('{p('temperature_seq.parquet')}')"
         ),
     }

@@ -57,6 +57,7 @@ DUMP_QUERIES = [
     "bpe_merges",
     "compression_ratio",
     "cdc_chunk_dedup",
+    "temperature_sample",
 ]
 
 

@@ -364,3 +364,63 @@ def test_triangle_kernels_vs_bruteforce():
         if all(tuple(sorted(p)) in eset for p in itertools.combinations(t, 2))
     }
     assert tris == brute and len(brute) == 4
+
+
+# --- temperature sampling ------------------------------------------------------
+def test_temperature_thresholds_flatten_the_mix():
+    from khl_pdf_ocr_ray.pipelines.queries_train import (
+        TEMP_SCALE,
+        temperature_thresholds,
+    )
+
+    thr = temperature_thresholds({"en": 8000, "fr": 1000, "de": 1000})
+    # rarest languages keep everything; the dominant one is downsampled
+    assert thr["fr"] == TEMP_SCALE and thr["de"] == TEMP_SCALE
+    assert 0 < thr["en"] < TEMP_SCALE
+    # alpha=0.3: rate_en = (0.8/0.1)^(0.3-1) = 8^-0.7 ~ 0.233
+    assert abs(thr["en"] / TEMP_SCALE - 8 ** -0.7) < 1e-6
+    # uniform mix -> nothing dropped
+    assert set(temperature_thresholds({"a": 5, "b": 5}).values()) == {TEMP_SCALE}
+
+
+def test_temp_filter_partial_batching_invariance():
+    from khl_pdf_ocr_ray.pipelines.queries_train import (
+        temp_filter_partial,
+        temperature_thresholds,
+    )
+
+    rng = np.random.default_rng(13)
+    langs = np.array(["en"] * 800 + ["fr"] * 100 + ["de"] * 100)
+    doc_id = rng.permutation(len(langs)).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array(np.full(len(langs), 10, dtype=np.int64)),
+        }
+    )
+    thr = temperature_thresholds({"en": 800, "fr": 100, "de": 100})
+
+    def agg(tabs):
+        out = {}
+        for tab in tabs:
+            for lang, d, c in zip(
+                tab["lang"].to_pylist(),
+                tab["kept_docs"].to_pylist(),
+                tab["kept_chars"].to_pylist(),
+            ):
+                a, b = out.get(lang, (0, 0))
+                out[lang] = (a + d, b + c)
+        return out
+
+    whole = agg([temp_filter_partial(t, thr)])
+    split = agg(
+        [
+            temp_filter_partial(t.slice(0, 333), thr),
+            temp_filter_partial(t.slice(333, 333), thr),
+            temp_filter_partial(t.slice(666), thr),
+        ]
+    )
+    assert whole == split
+    assert whole["fr"] == (100, 1000)  # rarest lang kept whole
+    assert whole["en"][0] < 800  # dominant lang downsampled
