@@ -1619,6 +1619,13 @@ from .queries_train import TRAIN_ORACLES, TRAIN_QUERIES  # noqa: E402
 QUERIES.update(TRAIN_QUERIES)
 ORACLES.update(TRAIN_ORACLES)
 
+# out-of-order / late-data streaming: watermark accounting over the
+# arrival-ordered events stream (two-level distributed prefix max)
+from .queries_stream import STREAM_ORACLES, STREAM_QUERIES  # noqa: E402
+
+QUERIES.update(STREAM_QUERIES)
+ORACLES.update(STREAM_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
