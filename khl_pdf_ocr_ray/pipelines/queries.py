@@ -1626,6 +1626,13 @@ from .queries_stream import STREAM_ORACLES, STREAM_QUERIES  # noqa: E402
 QUERIES.update(STREAM_QUERIES)
 ORACLES.update(STREAM_ORACLES)
 
+# ingestion-side exactly-once accounting: TTL'd duplicate suppression
+# over planted at-least-once arrivals
+from .queries_ingest import INGEST_ORACLES, INGEST_QUERIES  # noqa: E402
+
+QUERIES.update(INGEST_QUERIES)
+ORACLES.update(INGEST_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
