@@ -1633,6 +1633,12 @@ from .queries_ingest import INGEST_ORACLES, INGEST_QUERIES  # noqa: E402
 QUERIES.update(INGEST_QUERIES)
 ORACLES.update(INGEST_ORACLES)
 
+# collocation mining: exact-integer PMI bigram scoring (tokenizer prep)
+from .queries_colloc import COLLOC_ORACLES, COLLOC_QUERIES  # noqa: E402
+
+QUERIES.update(COLLOC_QUERIES)
+ORACLES.update(COLLOC_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
