@@ -1639,6 +1639,12 @@ from .queries_colloc import COLLOC_ORACLES, COLLOC_QUERIES  # noqa: E402
 QUERIES.update(COLLOC_QUERIES)
 ORACLES.update(COLLOC_ORACLES)
 
+# graph degeneracy: coreness by distributed H-index iteration (dump
+# twin: independent Batagelj-Zaversnik peel in oracle_dump_train)
+from .queries_graph import GRAPH_QUERIES  # noqa: E402
+
+QUERIES.update(GRAPH_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -31,6 +31,7 @@ def dumps_dir(sf_dir: str) -> str:
     parts = []
     for rel in (
         "pipelines/queries_train.py",
+        "pipelines/queries_graph.py",  # coreness twin shares the edge rule
         "state/oracle_dump_train.py",
         "stages/dedup.py",  # variant-corpus rule (cdc twin input)
     ):
@@ -134,6 +135,57 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
         _temperature_sample_seq(sf_dir),
         os.path.join(tmp_dir, "temperature_seq.parquet"),
     )
+    pq.write_table(
+        _coreness_seq(sf_dir), os.path.join(tmp_dir, "coreness_seq.parquet")
+    )
+
+
+def _coreness_seq(sf_dir: str) -> pa.Table:
+    """INDEPENDENT coreness oracle: the classic Batagelj-Zaversnik peel
+    (repeatedly remove the minimum-degree node), a different algorithm
+    from the production H-index iteration — their agreement checks the
+    math, not just the plumbing. Sequential over the planted graph,
+    which is CORE_NODES-bounded by construction."""
+    from collections import defaultdict
+
+    from ..pipelines.queries_graph import CORE_NODES
+
+    d = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    a = d % CORE_NODES
+    b = (d // 7) % CORE_NODES
+    u = (a * a) // CORE_NODES
+    v = (b * b) // CORE_NODES
+    adj = defaultdict(set)
+    for x, y in zip(u.tolist(), v.tolist()):
+        if x != y:
+            adj[x].add(y)
+            adj[y].add(x)
+    deg = {n: len(s) for n, s in adj.items()}
+    alive = set(adj)
+    core: Dict[int, int] = {}
+    while alive:
+        k = min(deg[n] for n in alive)
+        stack = [n for n in alive if deg[n] <= k]
+        while stack:
+            n = stack.pop()
+            if n not in alive:
+                continue
+            core[n] = k
+            alive.discard(n)
+            for w in adj[n]:
+                if w in alive:
+                    deg[w] -= 1
+                    if deg[w] <= k:
+                        stack.append(w)
+    nodes = sorted(core)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "coreness": pa.array([core[n] for n in nodes], pa.int64()),
+        }
+    )
 
 
 def _temperature_sample_seq(sf_dir: str) -> pa.Table:
@@ -196,5 +248,9 @@ def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "temperature_sample": (
             "SELECT lang, kept_docs, kept_chars "
             f"FROM read_parquet('{p('temperature_seq.parquet')}')"
+        ),
+        "doc_graph_coreness": (
+            "SELECT node, coreness "
+            f"FROM read_parquet('{p('coreness_seq.parquet')}')"
         ),
     }

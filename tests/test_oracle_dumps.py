@@ -58,6 +58,7 @@ DUMP_QUERIES = [
     "compression_ratio",
     "cdc_chunk_dedup",
     "temperature_sample",
+    "doc_graph_coreness",
 ]
 
 
