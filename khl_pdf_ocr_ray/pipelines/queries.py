@@ -1645,6 +1645,12 @@ from .queries_graph import GRAPH_QUERIES  # noqa: E402
 
 QUERIES.update(GRAPH_QUERIES)
 
+# leak-free group split: source-integrity train/val/test assignment
+from .queries_split import SPLIT_ORACLES, SPLIT_QUERIES  # noqa: E402
+
+QUERIES.update(SPLIT_QUERIES)
+ORACLES.update(SPLIT_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
