@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "doc_graph_triangles",  # degree-oriented triangle counting (round 4)
     "returned_revenue_topk",  # 4-table selective join rollup (round 4)
     "temperature_sample",     # alpha language resampling (round 4)
+    "events_watermark",       # two-level prefix-max late-data accounting (round 4)
+    "events_ingest_dedup",    # TTL'd exactly-once ingestion dedup (round 4)
+    "collocations_pmi",       # gram-count exchange + bigint PMI (round 4)
+    "doc_graph_coreness",     # iterative H-index coreness (round 4)
 ]
 
 

@@ -70,7 +70,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.arrowkit import select_rename
-from ..io import coalesce_for_input, table_nbytes
+from ..io import coalesce_for_input, coalesce_for_keys, table_nbytes, table_nrows
 from ..remote import remote_fn
 
 _QT = "khl_pdf_ocr_ray.pipelines.queries_train"
@@ -1150,6 +1150,12 @@ def q_returned_revenue_topk(sf_dir: str) -> rd.Dataset:
     from .queries import _t
 
     li_nb = table_nbytes(sf_dir, "lineitem")
+    # orderkey/custkey rollups are HIGH-CARDINALITY: Ray's aggregate pays
+    # per-key Python cost in the reduce, so width follows key count
+    # (orders/customer footer rows, free), not just bytes — 12 s -> 2 s
+    # at sf0.1 (measured, io.coalesce_for_keys)
+    w_ord = coalesce_for_keys(li_nb, table_nrows(sf_dir, "orders"))
+    w_cust = coalesce_for_keys(li_nb, table_nrows(sf_dir, "customer"))
     rev = (
         _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
         .map_batches(
@@ -1157,7 +1163,7 @@ def q_returned_revenue_topk(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .repartition(coalesce_for_input(li_nb))
+        .repartition(w_ord)
         .groupby("l_orderkey")
         .aggregate(Sum("rev_cents", alias_name="rev_cents"))
     )
@@ -1177,7 +1183,7 @@ def q_returned_revenue_topk(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .repartition(coalesce_for_input(li_nb))
+        .repartition(w_cust)
         .groupby("o_custkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
         .sort(["revenue_cents", "o_custkey"], descending=[True, False])
