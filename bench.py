@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "events_ingest_dedup",    # TTL'd exactly-once ingestion dedup (round 4)
     "collocations_pmi",       # gram-count exchange + bigint PMI (round 4)
     "doc_graph_coreness",     # iterative H-index coreness (round 4)
+    "allpairs_cosine",        # prefix-filtered set-similarity join (round 4)
+    "html_link_degree",       # link-graph extraction + degree rollup (round 4)
 ]
 
 

@@ -1651,6 +1651,19 @@ from .queries_split import SPLIT_ORACLES, SPLIT_QUERIES  # noqa: E402
 QUERIES.update(SPLIT_QUERIES)
 ORACLES.update(SPLIT_ORACLES)
 
+# prefix-filtered all-pairs cosine set-similarity self-join (independent
+# naive-exact DuckDB oracle — checks the AllPairs/PPJoin filter math)
+from .queries_simjoin import SIMJOIN_ORACLES, SIMJOIN_QUERIES  # noqa: E402
+
+QUERIES.update(SIMJOIN_QUERIES)
+ORACLES.update(SIMJOIN_ORACLES)
+
+# link-graph + page-metadata extraction over the pages corpus
+# (dump-twin oracles: state/oracle_dump_links.py, added by oracles())
+from .queries_links import LINKS_QUERIES  # noqa: E402
+
+QUERIES.update(LINKS_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -1660,6 +1673,7 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     The driver runs its gate at sf=0.01, so that is the default dump
     target."""
     from ..state.oracle_dump import ORACLE_SF, extract_oracle_sqls
+    from ..state.oracle_dump_links import links_oracle_sqls
     from ..state.oracle_dump_near import near_oracle_sqls
     from ..state.oracle_dump_train import train_oracle_sqls
 
@@ -1667,4 +1681,5 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     out.update(extract_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(near_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(train_oracle_sqls(sf_dir or ORACLE_SF))
+    out.update(links_oracle_sqls(sf_dir or ORACLE_SF))
     return out

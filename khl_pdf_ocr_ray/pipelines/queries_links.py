@@ -1,0 +1,147 @@
+"""Link-graph + page-metadata extraction queries over the pages corpus.
+
+The outgoing-edge surface of the extraction tier (functions/links.py):
+the reference extracts one document's content (/root/reference/app.py:
+86-117); at web scale the SAME parse must also emit the page's hyperlink
+rows (href, anchor text, structural container) and its metadata header
+(title, paragraph/link counts) — the inputs to mirror detection, anchor-
+text corpora and host ranking.
+
+Three queries, all checked against sequential dump twins built by the
+SAME kernels (state/oracle_dump_links.py):
+
+- ``html_links``      — exploded (url, link_id, href, anchor, container)
+                        rows, map-only; HTML pages only (PDF/WBOX payloads
+                        carry no markup and emit nothing).
+- ``html_link_degree``— in-degree of every link TARGET: total anchors and
+                        distinct referring pages. Two slim exchanges
+                        ((href, url) pre-collapse, then href rollup) so a
+                        site-wide boilerplate link never forms a giant
+                        group anywhere.
+- ``html_meta``       — per-page (title, n_paras, n_links, footer_year),
+                        map-only.
+
+100 TB notes: link rows are slim strings (the html payload is dropped at
+the parse task); the degree rollup's first exchange is keyed by
+(href, url) — cardinality <= link rows, collapsing map-side per batch —
+and the second by href alone over already-collapsed rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.arrowkit import select_rename
+from ..remote import remote_fn
+
+_QL = "khl_pdf_ocr_ray.pipelines.queries_links"
+
+_REPEAT = 2  # matches queries_extract._REPEAT / the dump corpora
+
+
+def _pages(sf_dir: str) -> rd.Dataset:
+    from .extract_pipeline import synthesize_pages
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return rd.read_parquet(pages_dir, columns=["url", "html"])
+
+
+def links_explode(batch: pa.Table) -> pa.Table:
+    """One row per <a> tag of every HTML page; payload never leaves."""
+    from ..functions.links import extract_links
+    from ..sources.wordbox import sniff_content_type
+
+    urls, lids, hrefs, anchors, containers = [], [], [], [], []
+    for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        if sniff_content_type(payload) != "text/html":
+            continue
+        for lid, href, anchor, container in extract_links(payload):
+            urls.append(url)
+            lids.append(lid)
+            hrefs.append(href)
+            anchors.append(anchor)
+            containers.append(container)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "link_id": pa.array(lids, pa.int64()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+            "container": pa.array(containers, pa.string()),
+        }
+    )
+
+
+def meta_explode(batch: pa.Table) -> pa.Table:
+    """One row per HTML page: (url, title, n_paras, n_links, footer_year)."""
+    from ..functions.links import extract_meta
+    from ..sources.wordbox import sniff_content_type
+
+    urls, titles, nps, nls, yrs = [], [], [], [], []
+    for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        if sniff_content_type(payload) != "text/html":
+            continue
+        title, n_paras, n_links, year = extract_meta(payload)
+        urls.append(url)
+        titles.append(title)
+        nps.append(n_paras)
+        nls.append(n_links)
+        yrs.append(year)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "n_paras": pa.array(nps, pa.int64()),
+            "n_links": pa.array(nls, pa.int64()),
+            "footer_year": pa.array(yrs, pa.int64()),
+        }
+    )
+
+
+def degree_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (href, url) pre-collapse. A page's link rows may split
+    across combiner batches, so this is a partial for the (href, url)
+    groupby, NOT for the final href rollup — exactness does not depend on
+    page-to-batch alignment."""
+    g = batch.group_by(["href", "url"]).aggregate([("link_id", "count")])
+    return select_rename(g, href="href", url="url", n_refs="link_id_count")
+
+
+def q_html_links(sf_dir: str) -> rd.Dataset:
+    return _pages(sf_dir).map_batches(
+        remote_fn(_QL, "links_explode"), batch_format="pyarrow"
+    )
+
+
+def q_html_link_degree(sf_dir: str) -> rd.Dataset:
+    per_page = (
+        _pages(sf_dir)
+        .map_batches(remote_fn(_QL, "links_explode"), batch_format="pyarrow")
+        .map_batches(
+            remote_fn(_QL, "degree_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["href", "url"])
+        .aggregate(Sum("n_refs", alias_name="n_refs"))
+    )
+    return per_page.groupby("href").aggregate(
+        Sum("n_refs", alias_name="n_refs"),
+        Count(alias_name="n_pages"),
+    )
+
+
+def q_html_meta(sf_dir: str) -> rd.Dataset:
+    return _pages(sf_dir).map_batches(
+        remote_fn(_QL, "meta_explode"), batch_format="pyarrow"
+    )
+
+
+LINKS_QUERIES = {
+    "html_links": q_html_links,
+    "html_link_degree": q_html_link_degree,
+    "html_meta": q_html_meta,
+}

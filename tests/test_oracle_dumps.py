@@ -59,6 +59,10 @@ DUMP_QUERIES = [
     "cdc_chunk_dedup",
     "temperature_sample",
     "doc_graph_coreness",
+    # link-graph extraction (state/oracle_dump_links.py twins)
+    "html_links",
+    "html_link_degree",
+    "html_meta",
 ]
 
 
