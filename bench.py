@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "doc_graph_coreness",     # iterative H-index coreness (round 4)
     "allpairs_cosine",        # prefix-filtered set-similarity join (round 4)
     "html_link_degree",       # link-graph extraction + degree rollup (round 4)
+    "bloom_line_dedup",       # dup-Bloom prefiltered exact line dedup (round 4)
 ]
 
 

@@ -612,6 +612,86 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def line_unique_partial(batch: pa.Table) -> pa.Table:
+    """Accounting partial for PROVABLY-unique lines (Bloom misses): every
+    such line keeps itself, so keep_key == pos_key by construction."""
+    return line_dedup_partial(batch.append_column("keep_key", batch["pos_key"]))
+
+
+def q_bloom_line_dedup(sf_dir: str) -> rd.Dataset:
+    """line_dedup with a Dolma/BFF-style duplicate-Bloom prefilter — SAME
+    RESULT, different physical plan (the oracle is literally line_dedup's):
+
+      pass 1: per-block (once, twice) Bloom pair, associative fold on the
+              driver (O(m_bits) memory regardless of corpus size);
+      pass 2: `twice`-bitmap misses are provably unique -> map-side
+              accounting, NO shuffle; hits (true dups + fp_rate * uniques)
+              run the exact min-winner groupby + join, which removes the
+              false positives.
+
+    100 TB: the exact path's exchanges shrink from |all lines| to
+    |duplicated lines| + fp_rate * |unique lines| — on mostly-unique web
+    corpora that is the bulk of the shuffle gone for the price of one
+    extra streaming pass and a broadcast bitmap (m_bits sized to the
+    expected distinct-line count; 2^20 here for the test corpus)."""
+    from ray.data.aggregate import Min
+
+    from ..functions.bloom import DEFAULT_K, DEFAULT_M_BITS, build_dup_bloom
+    from ..joins import partitions_for_rows, safe_join
+
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    lines = (
+        rd.read_parquet(pages_dir, columns=["url", "html"])
+        .map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "lines_explode"),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed 3x: bloom build, hit path, miss path
+    )
+    twice_ref = ray.put(build_dup_bloom(lines, "line_md5"))
+    probe_kw = dict(
+        col="line_md5", bloom_ref=twice_ref, m_bits=DEFAULT_M_BITS, k=DEFAULT_K
+    )
+    hits = lines.map_batches(
+        remote_fn("khl_pdf_ocr_ray.functions.bloom", "dup_probe_batch",
+                  keep_hits=True, **probe_kw),
+        batch_format="pyarrow",
+    )
+    winners = (
+        hits.map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_win_partial"),
+            batch_format="pyarrow",
+        )
+        .groupby("line_md5")
+        .aggregate(Min("keep_key", alias_name="keep_key"))
+        .rename_columns({"line_md5": "line_md5_r"})
+    )
+    # inner join: an empty hit set (dup-free corpus) yields an empty exact
+    # path, which is correct — the miss path then carries every line
+    joined = safe_join(
+        hits, winners, on=("line_md5",), right_on=("line_md5_r",),
+        assume_non_empty=True,
+        num_partitions=partitions_for_rows(lines.count()),
+    )
+    acc_dup = joined.map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_dedup_partial"),
+        batch_format="pyarrow",
+    )
+    acc_uniq = lines.map_batches(
+        remote_fn("khl_pdf_ocr_ray.functions.bloom", "dup_probe_batch",
+                  keep_hits=False, **probe_kw),
+        batch_format="pyarrow",
+    ).map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_unique_partial"),
+        batch_format="pyarrow",
+    )
+    return acc_dup.union(acc_uniq).groupby("url").aggregate(
+        Sum("n_lines", alias_name="n_lines"),
+        Sum("n_removed", alias_name="n_removed"),
+        Sum("chars_kept", alias_name="chars_kept"),
+    )
+
+
 # --- url blocklist filter -------------------------------------------------------
 def url_block_batch(batch: pa.Table) -> pa.Table:
     """Per-batch blocklist verdicts: (host, kept, blocked) combiner rows.
@@ -837,6 +917,7 @@ EXTRACT_QUERIES = {
     "url_dedup": q_url_dedup,
     "url_template_topk": q_url_template_topk,
     "line_dedup": q_line_dedup,
+    "bloom_line_dedup": q_bloom_line_dedup,
     "host_pagerank": q_host_pagerank,
     "url_blocklist": q_url_blocklist,
 }

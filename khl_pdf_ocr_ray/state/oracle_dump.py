@@ -462,7 +462,7 @@ def extract_oracle_sqls(sf_dir: str) -> Dict[str, str]:
     def p(name: str) -> str:
         return os.path.join(d, name)
 
-    return {
+    return _alias_same_result({
         "extract_pages": f"""
 SELECT url, host, content_type, engine, ok, error, n_bytes, n_chars
 FROM read_parquet('{p("extracted_seq.parquet")}')
@@ -551,4 +551,13 @@ GROUP BY l.url
         "media_image_features": f"SELECT * FROM read_parquet('{p('media_image_seq.parquet')}')",
         "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",
         "media_frame_sample": f"SELECT * FROM read_parquet('{p('media_frames_seq.parquet')}')",
-    }
+    })
+
+
+def _alias_same_result(sqls: Dict[str, str]) -> Dict[str, str]:
+    """Queries whose PHYSICAL plan differs but whose result is defined to
+    be identical to an existing query share that query's oracle — the
+    gate then checks plan-equivalence (e.g. the Bloom-prefiltered line
+    dedup against the exact line dedup)."""
+    sqls["bloom_line_dedup"] = sqls["line_dedup"]
+    return sqls

@@ -63,6 +63,8 @@ DUMP_QUERIES = [
     "html_links",
     "html_link_degree",
     "html_meta",
+    # Bloom-prefiltered plan twin (shares line_dedup's oracle)
+    "bloom_line_dedup",
 ]
 
 
