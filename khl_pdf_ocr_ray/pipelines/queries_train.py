@@ -317,6 +317,71 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     return bpe_train_table(vocab, width)
 
 
+BPE_ENCODE_TOP_K = 50
+
+
+def bpe_encode_partial(batch: pa.Table, merges: list) -> pa.Table:
+    """(word, n) vocabulary rows -> (token, n) partial counts after
+    applying the learned merges in rank order. Reuses the training
+    kernels (bpe_symbolize + bpe_apply_merge) so encode semantics are the
+    merge semantics by construction; the per-word work runs over the
+    VOCABULARY, never the corpus."""
+    t = bpe_symbolize(batch)
+    for lhs, rhs in merges:
+        t = bpe_apply_merge(t, lhs, rhs)
+    syms = t["syms"].combine_chunks()
+    flat = pc.list_flatten(syms)
+    reps = pc.list_value_length(syms).to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    g = (
+        pa.table(
+            {
+                "token": flat,
+                "n": pa.array(np.repeat(n, reps), pa.int64()),
+            }
+        )
+        .group_by("token")
+        .aggregate([("n", "sum")])
+    )
+    return select_rename(g, token="token", n="n_sum")
+
+
+def q_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Apply the learned BPE merge table to the whole corpus and report
+    the top-50 subword tokens by total occurrence count (count DESC,
+    token ASC) — the broadcast-small-model application pattern: the merge
+    table (BPE_MERGES rows) ships once in the task closure; the only
+    corpus-sized exchange is the word-count combiner the training pass
+    needs anyway. Encoding touches each DISTINCT word once."""
+    from .queries import _t
+
+    merges_t = q_bpe_merges(sf_dir)  # small: BPE_MERGES rows
+    merges = list(
+        zip(merges_t["lhs"].to_pylist(), merges_t["rhs"].to_pylist())
+    )
+    width = coalesce_for_input(table_nbytes(sf_dir, "documents"))
+    return (
+        _t(sf_dir, "documents", ["text"])
+        .map_batches(
+            remote_fn(_QT, "bpe_word_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            remote_fn(_QT, "bpe_encode_partial", merges=merges),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(BPE_ENCODE_TOP_K)
+    )
+
+
 # ======================================================================
 # Compression-ratio quality signal
 # ======================================================================
@@ -1318,6 +1383,7 @@ def q_temperature_sample(sf_dir: str) -> rd.Dataset:
 
 TRAIN_QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "compression_ratio": q_compression_ratio,
     "table_profile": q_table_profile,
     "heavy_hitters_mg": q_heavy_hitters_mg,

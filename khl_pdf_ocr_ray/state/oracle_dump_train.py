@@ -114,6 +114,30 @@ def _cdc_dedup_seq(sf_dir: str) -> pa.Table:
     return acc
 
 
+def _bpe_encode_seq(docs: pa.Table, merges_t: pa.Table) -> pa.Table:
+    """Sequential encode twin: same vocabulary + encode kernels, single
+    batch, deterministic (n desc, token asc) top-k on the driver."""
+    import numpy as np
+
+    from ..functions.arrowkit import select_rename
+    from ..pipelines.queries_train import (
+        BPE_ENCODE_TOP_K,
+        bpe_encode_partial,
+        bpe_word_partial,
+    )
+
+    wt = bpe_word_partial(docs)
+    vocab = select_rename(
+        wt.group_by("word").aggregate([("n", "sum")]), word="word", n="n_sum"
+    )
+    merges = list(zip(merges_t["lhs"].to_pylist(), merges_t["rhs"].to_pylist()))
+    tok = bpe_encode_partial(vocab, merges)  # single batch == global counts
+    n = tok["n"].to_numpy(zero_copy_only=False)
+    t = tok["token"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((t, -n))[:BPE_ENCODE_TOP_K]
+    return tok.take(order)
+
+
 def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     from ..pipelines.queries_train import compress_ratio_batch
 
@@ -124,9 +148,11 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     pq.write_table(
         compress_ratio_batch(docs), os.path.join(tmp_dir, "compress_seq.parquet")
     )
+    merges_t = _bpe_merges_seq(docs.select(["text"]))
+    pq.write_table(merges_t, os.path.join(tmp_dir, "bpe_merges_seq.parquet"))
     pq.write_table(
-        _bpe_merges_seq(docs.select(["text"])),
-        os.path.join(tmp_dir, "bpe_merges_seq.parquet"),
+        _bpe_encode_seq(docs.select(["text"]), merges_t),
+        os.path.join(tmp_dir, "bpe_encode_seq.parquet"),
     )
     pq.write_table(
         _cdc_dedup_seq(sf_dir), os.path.join(tmp_dir, "cdc_dedup_seq.parquet")
@@ -236,6 +262,10 @@ def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "bpe_merges": (
             "SELECT merge_rank, lhs, rhs, merged, n "
             f"FROM read_parquet('{p('bpe_merges_seq.parquet')}')"
+        ),
+        "bpe_encode": (
+            "SELECT token, n "
+            f"FROM read_parquet('{p('bpe_encode_seq.parquet')}')"
         ),
         "compression_ratio": (
             "SELECT doc_id, n_bytes, comp_permille "

@@ -55,6 +55,7 @@ DUMP_QUERIES = [
     "semdedup",
     # training-engine widening (state/oracle_dump_train.py twins)
     "bpe_merges",
+    "bpe_encode",
     "compression_ratio",
     "cdc_chunk_dedup",
     "temperature_sample",
