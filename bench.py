@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "allpairs_cosine",        # prefix-filtered set-similarity join (round 4)
     "html_link_degree",       # link-graph extraction + degree rollup (round 4)
     "bloom_line_dedup",       # dup-Bloom prefiltered exact line dedup (round 4)
+    "snm_dups",               # sorted-neighborhood window dedup (round 4)
 ]
 
 

@@ -1664,6 +1664,12 @@ from .queries_links import LINKS_QUERIES  # noqa: E402
 
 QUERIES.update(LINKS_QUERIES)
 
+# sorted-neighborhood near-dup blocking (window self-join oracle)
+from .queries_snm import SNM_ORACLES, SNM_QUERIES  # noqa: E402
+
+QUERIES.update(SNM_QUERIES)
+ORACLES.update(SNM_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
