@@ -48,6 +48,34 @@ def _aligned_cols(xs: Sequence[float], template: Sequence[float], x_tol: float) 
     return n
 
 
+def _table_runs(
+    rows, x_tol: float, min_rows: int, min_cols: int
+) -> List[Tuple[int, int, List[float]]]:
+    """Maximal runs of consecutive tabular rows over the y-clustered row
+    list: [(start, end, column template)] — the single run finder both
+    the region surface and the cell surface derive from."""
+    runs: List[Tuple[int, int, List[float]]] = []
+    i = 0
+    while i < len(rows):
+        _ky, members = rows[i]
+        template = sorted(x for x, _t in members)
+        if len(template) < min_cols:
+            i += 1
+            continue
+        j = i + 1
+        while j < len(rows):
+            xs = [x for x, _t in rows[j][1]]
+            if _aligned_cols(xs, template, x_tol) < min_cols:
+                break
+            j += 1
+        if j - i >= min_rows:
+            runs.append((i, j, template))
+            i = j
+        else:
+            i += 1
+    return runs
+
+
 def detect_table_regions(
     words: Sequence[Word],
     y_tol: float = DEFAULT_Y_TOL,
@@ -62,38 +90,52 @@ def detect_table_regions(
     """
     rows = cluster_rows(words, y_tol)  # [(key_y, [(x, tok), ...])] sorted by y
     regions: List[Dict] = []
-    i = 0
-    while i < len(rows):
-        _ky, members = rows[i]
-        template = sorted(x for x, _t in members)
-        if len(template) < min_cols:
-            i += 1
-            continue
-        j = i + 1
-        while j < len(rows):
-            xs = [x for x, _t in rows[j][1]]
-            if _aligned_cols(xs, template, x_tol) < min_cols:
-                break
-            j += 1
-        n_rows = j - i
-        if n_rows >= min_rows:
-            run = rows[i:j]
-            n_words = sum(len(m) for _y, m in run)
-            n_chars = sum(len(t) for _y, m in run for _x, t in m)
-            regions.append(
-                {
-                    "y0": float(run[0][0]),
-                    "y1": float(run[-1][0]),
-                    "n_rows": n_rows,
-                    "n_cols": len(template),
-                    "n_words": n_words,
-                    "n_chars": n_chars,
-                }
-            )
-            i = j
-        else:
-            i += 1
+    for i, j, template in _table_runs(rows, x_tol, min_rows, min_cols):
+        run = rows[i:j]
+        n_words = sum(len(m) for _y, m in run)
+        n_chars = sum(len(t) for _y, m in run for _x, t in m)
+        regions.append(
+            {
+                "y0": float(run[0][0]),
+                "y1": float(run[-1][0]),
+                "n_rows": j - i,
+                "n_cols": len(template),
+                "n_words": n_words,
+                "n_chars": n_chars,
+            }
+        )
     return regions
+
+
+def table_cells(
+    words: Sequence[Word],
+    y_tol: float = DEFAULT_Y_TOL,
+    x_tol: float = DEFAULT_X_TOL,
+    min_rows: int = MIN_ROWS,
+    min_cols: int = MIN_COLS,
+) -> List[Tuple[int, int, int, str]]:
+    """Word boxes -> structured cells: (table_id, row, col, text).
+
+    Every word of a tabular run is assigned to its NEAREST template
+    column (ties to the lower index — deterministic); words sharing a
+    cell concatenate in x order. Rows keep their run-relative index, so a
+    downstream consumer can rebuild the grid exactly."""
+    rows = cluster_rows(words, y_tol)
+    out: List[Tuple[int, int, int, str]] = []
+    for tid, (i, j, template) in enumerate(
+        _table_runs(rows, x_tol, min_rows, min_cols)
+    ):
+        for r, (_y, members) in enumerate(rows[i:j]):
+            cells: Dict[int, List[str]] = {}
+            for x, tok in sorted(members, key=lambda m: (m[0], m[1])):
+                c = min(
+                    range(len(template)),
+                    key=lambda k: (abs(template[k] - x), k),
+                )
+                cells.setdefault(c, []).append(tok)
+            for c in sorted(cells):
+                out.append((tid, r, c, " ".join(cells[c])))
+    return out
 
 
 def table_block_rows(url: str, payload: bytes) -> List[Dict]:
@@ -126,4 +168,34 @@ def table_block_rows(url: str, payload: bytes) -> List[Dict]:
                 }
             )
             block_id += 1
+    return out
+
+
+def table_cell_rows(url: str, payload: bytes) -> List[Dict]:
+    """Structured-cell rows for a WBOX/PDF payload — the table regions
+    resolved to their (page, table, row, col, text) grid. Shared verbatim
+    by the distributed cells query and its sequential oracle twin."""
+    from ..sources import wordbox as wb
+
+    try:
+        doc = wb.parse_payload(payload)
+    except wb.PayloadError:
+        return []
+    out: List[Dict] = []
+    tid_base = 0
+    for pno, page in enumerate(doc.pages):
+        cells = table_cells(page.words)
+        for tid, r, c, text in cells:
+            out.append(
+                {
+                    "url": url,
+                    "page": pno,
+                    "table_id": tid_base + tid,
+                    "row": r,
+                    "col": c,
+                    "cell_text": text,
+                }
+            )
+        if cells:
+            tid_base += 1 + max(t for t, _r, _c, _x in cells)
     return out

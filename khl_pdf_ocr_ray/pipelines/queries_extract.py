@@ -408,6 +408,40 @@ def blocks_explode(batch: pa.Table) -> pa.Table:
     )
 
 
+def table_cells_explode(batch: pa.Table) -> pa.Table:
+    """One row per structured table CELL of every WBOX/PDF page — the
+    north_star's table-region segmentation resolved to its grid (the
+    blocks surface reports regions; this surface reports contents)."""
+    from ..functions.tables import table_cell_rows
+    from ..sources.wordbox import sniff_content_type
+
+    cols = {k: [] for k in ("url", "page", "table_id", "row", "col", "cell_text")}
+    for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        if sniff_content_type(payload) not in ("application/x-wbox", "application/pdf"):
+            continue
+        for r in table_cell_rows(url, payload):
+            for k in cols:
+                cols[k].append(r[k])
+    return pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "page": pa.array(cols["page"], pa.int64()),
+            "table_id": pa.array(cols["table_id"], pa.int64()),
+            "row": pa.array(cols["row"], pa.int64()),
+            "col": pa.array(cols["col"], pa.int64()),
+            "cell_text": pa.array(cols["cell_text"], pa.string()),
+        }
+    )
+
+
+def q_pdf_table_cells(sf_dir: str) -> rd.Dataset:
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "table_cells_explode"),
+        batch_format="pyarrow",
+    )
+
+
 def url_variants_batch(batch: pa.Table) -> pa.Table:
     """Plant deterministic messy-URL variants (same pattern as
     stages.dedup.docs_with_variants plants near-dup texts): every url with
@@ -918,6 +952,7 @@ EXTRACT_QUERIES = {
     "url_template_topk": q_url_template_topk,
     "line_dedup": q_line_dedup,
     "bloom_line_dedup": q_bloom_line_dedup,
+    "pdf_table_cells": q_pdf_table_cells,
     "host_pagerank": q_host_pagerank,
     "url_blocklist": q_url_blocklist,
 }

@@ -113,6 +113,10 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         "url": [], "block_id": [], "kind": [], "text_len": [],
         "link_density_x1e6": [], "text_density_x100": [], "kept": [],
     }
+    cells_rows: Dict[str, list] = {
+        "url": [], "page": [], "table_id": [], "row": [], "col": [],
+        "cell_text": [],
+    }
     # line-dedup twin: the shared identity kernel sequentially; DuckDB
     # does the winner/accounting relational part (extract_oracle_sqls)
     from ..functions.lines import kept_line_rows, pos_key
@@ -185,11 +189,14 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
                             words_rows["y_x10"].append(int(y * 10 + 0.5))
                             words_rows["x_x10"].append(int(x * 10 + 0.5))
                             words_rows["token"].append(tok)
-                    from ..functions.tables import table_block_rows
+                    from ..functions.tables import table_block_rows, table_cell_rows
 
                     for r in table_block_rows(url, payload):
                         for k in blocks_rows:
                             blocks_rows[k].append(r[k])
+                    for r in table_cell_rows(url, payload):
+                        for k in cells_rows:
+                            cells_rows[k].append(r[k])
             elif ctype == "text/html":
                 from ..functions.html_extract import extract_main_content
 
@@ -243,6 +250,17 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     )
 
     _write("lines_seq.parquet", lines_rows, {"n_chars": pa.int64()})
+
+    _write(
+        "table_cells_seq.parquet",
+        cells_rows,
+        {
+            "page": pa.int64(),
+            "table_id": pa.int64(),
+            "row": pa.int64(),
+            "col": pa.int64(),
+        },
+    )
 
     _write(
         "lineage_seq.parquet",
@@ -551,6 +569,10 @@ GROUP BY l.url
         "media_image_features": f"SELECT * FROM read_parquet('{p('media_image_seq.parquet')}')",
         "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",
         "media_frame_sample": f"SELECT * FROM read_parquet('{p('media_frames_seq.parquet')}')",
+        "pdf_table_cells": (
+            "SELECT url, page, table_id, row, col, cell_text "
+            f"FROM read_parquet('{p('table_cells_seq.parquet')}')"
+        ),
     })
 
 

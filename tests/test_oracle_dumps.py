@@ -66,6 +66,8 @@ DUMP_QUERIES = [
     "html_meta",
     # Bloom-prefiltered plan twin (shares line_dedup's oracle)
     "bloom_line_dedup",
+    # table-region cells (oracle_dump.py pages surface)
+    "pdf_table_cells",
 ]
 
 

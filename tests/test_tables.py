@@ -101,3 +101,54 @@ if __name__ == "__main__":
     with open(FIXTURE, "wb") as f:
         f.write(_build_roster_pdf())
     print(f"wrote {FIXTURE}")
+
+
+def test_table_cells_grid_roundtrip():
+    from khl_pdf_ocr_ray.functions.tables import table_cells
+
+    words = _grid(100.0, [60.0, 160.0, 260.0], 4)
+    cells = table_cells(words)
+    # full 4x3 grid, each cell holding exactly its planted token
+    assert len(cells) == 12
+    assert all(t == 0 for t, _r, _c, _x in cells)
+    got = {(r, c): x for _t, r, c, x in cells}
+    for r in range(4):
+        for c in range(3):
+            assert got[(r, c)] == f"c{r}{c}"
+
+
+def test_table_cells_multiword_cell_and_nearest_column():
+    from khl_pdf_ocr_ray.functions.tables import table_cells
+
+    words = _grid(100.0, [60.0, 160.0], 3)
+    # extra word just right of column 1 in ROW 1 (the template is fixed by
+    # row 0): nearest-column assignment concatenates it into that cell in
+    # x order
+    words.append((112.0, 161.5, "extra"))
+    cells = {(r, c): x for _t, r, c, x in table_cells(words)}
+    assert cells[(1, 1)] == "c11 extra"
+
+
+def test_table_cells_two_tables_ids():
+    from khl_pdf_ocr_ray.functions.tables import table_cells
+
+    words = _grid(100.0, [60.0, 160.0], 3) + _grid(
+        400.0, [80.0, 300.0, 500.0], 3, prefix="d"
+    )
+    tids = sorted({t for t, _r, _c, _x in table_cells(words)})
+    assert tids == [0, 1]
+
+
+def test_table_cell_rows_fixture_consistent_with_regions():
+    """Cell rows must cover exactly the words the region surface counts."""
+    with open(FIXTURE, "rb") as f:
+        payload = f.read()
+    blocks = table_block_rows("u", payload)
+    from khl_pdf_ocr_ray.functions.tables import table_cell_rows
+
+    cells = table_cell_rows("u", payload)
+    assert blocks and cells
+    n_words_regions = sum(b["text_len"] for b in blocks)
+    n_chars_cells = sum(len(c["cell_text"].replace(" ", "")) for c in cells)
+    # text_len counts chars; cell text joins words with single spaces
+    assert n_chars_cells == n_words_regions
