@@ -25,25 +25,53 @@ dot >= t*sqrt(|x||y|):
   a contradiction.)
 
 Distributed plan (slim string/int columns only; document text never
-shuffles past the first tokenize pass):
+shuffles past the first tokenize pass; NO per-group Python and NO
+vocabulary-sized Ray groupby anywhere on the corpus-sized paths — the
+round-4 profiles showed per-token map_groups costing 289 s of remote
+time and a 200k-group Ray aggregate costing ~6.5 s at sf0.1, so both
+are replaced by sort + vectorized segment kernels with exact batch-edge
+repair):
 
-    shingle explode (distinct per doc)                  [map]
-    -> df per shingle (per-batch combiner + groupby)    [token exchange]
-    -> df joined back to shingle rows                   [token exchange]
-    -> per-doc prefix selection                         [doc exchange]
-    -> candidate pairs per prefix token (+ size filter) [token exchange]
-    -> pair dedup                                       [pair exchange]
-    -> exact dot via two joins over candidate docs only [pair-sized]
-    -> integer threshold + cos2_ppm finalize            [map]
+    shingle explode, carrying |x| per row + a 64-bit
+    token hash (vectorized polars hash)                  [map]
+    -> sort by thash; df = contiguous-segment length,
+       computed vectorized per batch; the <= 2 segments
+       touching each batch edge are repaired exactly by
+       a TINY aggregate + join over edge rows only       [int exchange]
+    -> global sort by (doc_id, df, token)                [doc exchange]
+    -> VECTORIZED prefix pick per batch: docs fully
+       inside a batch are handled by pure numpy
+       (position-within-run < prefix length); the <= 2
+       batch-EDGE docs per batch are flagged and
+       repaired by a tiny map_groups over edge docs
+       only (O(#blocks) groups, never O(docs))           [map]
+    -> candidate pairs = prefix SELF-JOIN on thash +
+       vectorized (id order, size filter) batch filter   [int exchange]
+    -> pair dedup                                        [pair exchange]
+    -> exact dot via two joins over candidate docs only  [pair-sized]
+    -> integer threshold + cos2_ppm finalize             [map]
 
-100 TB notes: every exchange is keyed by shingle / doc_id / pair — the
-widest is the shingle explode (corpus tokens, ~doc_len rows per doc).
-Prefix groups hold only the RAREST shingles of each doc, so candidate
-groups stay small on natural corpora; a degenerate corpus (tiny shingle
-vocabulary) degrades toward the exact quadratic join and the pair kernel
-logs loudly past PAIR_GROUP_WARN docs per group. The verify stage probes
-only docs that appear in some candidate pair (broadcast sorted-id filter,
-bounded by candidate count, never the corpus).
+CORRECTNESS UNDER HASHING: the prefix-filter completeness lemma holds
+for ANY globally consistent total token order — df-ascending is a
+performance heuristic (rare shingles first), not a correctness
+requirement. Keying df and the candidate join on the 64-bit hash can
+therefore only (a) perturb the order on hash collisions (still one
+consistent global order: (df(hash), token)) or (b) add false candidate
+pairs on cross-token collisions — and every candidate is verified by an
+EXACT string-intersection count before the threshold. Result bits are
+collision-independent; the independent naive oracle certifies it.
+
+100 TB notes: every exchange is keyed by shingle-hash / doc_id / pair —
+the widest is the shingle explode (corpus tokens, ~doc_len rows per
+doc). Prefixes hold only the RAREST shingles of each doc, so the
+self-join's per-token groups stay small on natural corpora; a degenerate
+corpus (tiny shingle vocabulary) degrades toward the exact quadratic
+join — structurally visible as the join's output volume, not a task
+OOM. The df map is never broadcast or driver-held (vocabulary-sized);
+batch-edge repair state is O(#blocks). The verify stage probes only docs
+that appear in some candidate pair (broadcast sorted-id filter, bounded
+by candidate count). Exchange widths use TOKEN_ROWS_PER_PART (slim rows)
+rather than the document-row default.
 
 The DuckDB oracle is an INDEPENDENT algorithm — the naive exact all-pairs
 join with no prefix/size filtering — so agreement checks the filter math
@@ -52,9 +80,6 @@ state/oracle_dump_train.py:143).
 """
 
 from __future__ import annotations
-
-import logging
-import re
 
 import numpy as np
 import pandas as pd
@@ -68,13 +93,13 @@ from ..functions.arrowkit import select_rename
 from ..joins import partitions_for_rows, safe_join
 from ..remote import remote_fn
 
-logger = logging.getLogger(__name__)
-
 _QJ = "khl_pdf_ocr_ray.pipelines.queries_simjoin"
 
 SHINGLE_W = 4
 COS_T2_PPM = 640_000  # t = 0.8 -> t^2 in parts-per-million
-PAIR_GROUP_WARN = 4096
+TOKEN_ROWS_PER_PART = 65536  # slim (id, token) rows per exchange partition
+
+import re
 
 _RE_NONALPHA = re.compile(r"[^a-z]+")
 
@@ -92,66 +117,150 @@ def doc_shingles(text: str) -> list:
 
 
 def shingle_explode(batch: pa.Table) -> pa.Table:
-    """(doc_id, token) rows, distinct per doc. Per-doc string assembly is
-    inherently per-record work (same cost class as the zlib/crc kernels);
-    everything downstream of this pass is vectorized or grouped."""
-    ids, toks = [], []
+    """(doc_id, token, n, thash) rows, distinct per doc, n = |doc's
+    shingle set|, thash = vectorized 64-bit token hash (polars; int64
+    bit-view). Per-doc string assembly is inherently per-record work
+    (same cost class as the zlib/crc kernels); everything downstream is
+    vectorized."""
+    import polars as pl
+
+    ids, toks, ns = [], [], []
     for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        for s in doc_shingles(t):
+        ss = doc_shingles(t)
+        for s in ss:
             ids.append(d)
             toks.append(s)
+            ns.append(len(ss))
+    tok_arr = pa.array(toks, pa.string())
+    h = (
+        pl.from_arrow(tok_arr).hash(seed=7).to_numpy().view(np.int64)
+        if len(toks)
+        else np.zeros(0, np.int64)
+    )
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
-            "token": pa.array(toks, pa.string()),
+            "token": tok_arr,
+            "n": pa.array(ns, pa.int64()),
+            "thash": pa.array(h, pa.int64()),
         }
     )
 
 
-def df_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch document-frequency combiner. (doc_id, token) rows are
-    globally distinct, so a within-batch count is a valid Sum partial."""
-    g = batch.group_by(["token"]).aggregate([("doc_id", "count")])
-    return select_rename(g, token="token", df="doc_id_count")
+def _segments(keys: np.ndarray):
+    """starts, per-row segment length, per-row edge flag (first/last key
+    of the batch) for a batch sorted by `keys`."""
+    starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+    seg_len = np.diff(np.append(starts, len(keys)))
+    row_len = np.repeat(seg_len, seg_len)
+    edge = (keys == keys[0]) | (keys == keys[-1])
+    return starts, row_len, edge
+
+
+def df_attach_batch(batch: pa.Table) -> pa.Table:
+    """One batch of the thash-sorted token table -> rows with df attached.
+    A segment fully inside the batch is globally complete (the sort is
+    global), so its length IS the token's exact df; the <= 2 segments
+    touching the batch edges get df from the exact repair stage (their
+    in-batch length here is a placeholder, flagged `edge`)."""
+    if len(batch) == 0:
+        return batch.append_column("df", pa.array([], pa.int64())) \
+                    .append_column("edge", pa.array([], pa.bool_()))
+    keys = batch["thash"].to_numpy(zero_copy_only=False)
+    _starts, row_len, edge = _segments(keys)
+    return batch.append_column("df", pa.array(row_len, pa.int64())) \
+                .append_column("edge", pa.array(edge))
+
+
+def df_interior_project(batch: pa.Table) -> pa.Table:
+    return batch.filter(pa.compute.invert(batch["edge"])).select(
+        ["doc_id", "token", "n", "thash", "df"]
+    )
+
+
+def df_edge_project(batch: pa.Table) -> pa.Table:
+    return batch.filter(batch["edge"]).select(["doc_id", "token", "n", "thash"])
+
+
+def df_edge_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the edge-segment df repair: rows are
+    globally distinct (doc, token) pairs, so counts are Sum partials."""
+    g = batch.group_by(["thash"]).aggregate([("doc_id", "count")])
+    return select_rename(g, thash="thash", df="doc_id_count")
+
+
+def prefix_len_of(n: np.ndarray) -> np.ndarray:
+    """prefix_len = n - ceil(t2*n) + 1 (>= 1 for all n >= 1), t2 = 0.64."""
+    return n - (64 * n + 99) // 100 + 1
+
+
+def ap_select_batch(batch: pa.Table) -> pa.Table:
+    """One batch of the (doc_id, df, token) global sort -> prefix rows.
+
+    Docs FULLY INSIDE the batch are resolved vectorized: position within
+    the doc's run < prefix length. The first and last doc of the batch
+    may continue in neighboring batches, so their raw rows are passed
+    through flagged `edge` for the tiny exact repair stage (every edge
+    doc's rows are flagged in every batch that holds them, so the repair
+    group always sees the complete doc)."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "thash": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "edge": pa.array([], pa.bool_()),
+            }
+        )
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n = batch["n"].to_numpy(zero_copy_only=False)
+    starts, seg_row_len, edge = _segments(ids)
+    pos = np.arange(len(ids)) - np.repeat(starts, np.diff(np.append(starts, len(ids))))
+    keep = (~edge) & (pos < prefix_len_of(n))
+    out = batch.filter(pa.array(keep | edge))
+    return out.append_column("edge", pa.array(edge[keep | edge]))
 
 
 def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
-    """One doc's shingles -> its prefix rows under the global (df, token)
-    order. prefix_len = n - ceil(t2*n) + 1 (>= 1 for all n >= 1)."""
+    """Exact per-doc prefix pick — used ONLY for batch-edge docs (O(#blocks)
+    groups). Output schema matches the vectorized path."""
     df = df.sort_values(["df", "token"], kind="mergesort")
     n = len(df)
     pref = n - (64 * n + 99) // 100 + 1
-    out = df.iloc[:pref][["token", "doc_id"]].copy()
-    out["n"] = np.int64(n)
+    out = df.iloc[:pref][["doc_id", "thash", "n"]].copy()
     return out
 
 
-def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
-    """One prefix-token group -> candidate pairs passing the size filter
-    (16*max <= 25*min, i.e. t2*max <= min). Vectorized over the triangle."""
-    m = len(df)
-    if m > PAIR_GROUP_WARN:
-        logger.warning(
-            "allpairs_cosine: prefix group of %d docs for token %r — "
-            "degenerate (tiny-vocabulary) corpus; candidate generation is "
-            "quadratic in this group",
-            m,
-            df["token"].iloc[0],
-        )
-    df = df.sort_values("doc_id", kind="mergesort")
-    ids = df["doc_id"].to_numpy(dtype=np.int64)
-    ns = df["n"].to_numpy(dtype=np.int64)
-    ii, jj = np.triu_indices(m, k=1)
-    na, nb = ns[ii], ns[jj]
+def ap_interior_project(batch: pa.Table) -> pa.Table:
+    return batch.filter(pa.compute.invert(batch["edge"])).select(
+        ["doc_id", "thash", "n"]
+    )
+
+
+def ap_edge_project(batch: pa.Table) -> pa.Table:
+    return batch.filter(batch["edge"]).select(
+        ["doc_id", "token", "df", "n", "thash"]
+    )
+
+
+def pair_filter_batch(batch: pa.Table) -> pa.Table:
+    """Joined prefix rows -> candidate pairs: canonical id order plus the
+    size filter 16*max <= 25*min (t2*max <= min). Vectorized."""
+    a = batch["doc_id"].to_numpy(zero_copy_only=False)
+    b = batch["doc_id_r"].to_numpy(zero_copy_only=False)
+    na = batch["n"].to_numpy(zero_copy_only=False)
+    nb = batch["n_r"].to_numpy(zero_copy_only=False)
     lo = np.minimum(na, nb)
     hi = np.maximum(na, nb)
-    keep = 16 * hi <= 25 * lo
-    return pd.DataFrame(
+    keep = (a < b) & (16 * hi <= 25 * lo)
+    return pa.table(
         {
-            "doc_a": ids[ii][keep],
-            "doc_b": ids[jj][keep],
-            "size_a": na[keep],
-            "size_b": nb[keep],
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "size_a": pa.array(na[keep], pa.int64()),
+            "size_b": pa.array(nb[keep], pa.int64()),
         }
     )
 
@@ -219,33 +328,87 @@ def q_allpairs_cosine(sf_dir: str) -> rd.Dataset:
         .materialize()  # reused 3x: df build, prefix assembly, verify probe
     )
     n_tok = toks.count()  # free from materialized metadata
-    width = partitions_for_rows(n_tok)
-    df = (
-        toks.map_batches(
-            remote_fn(_QJ, "df_partial"),
+    width = partitions_for_rows(n_tok, TOKEN_ROWS_PER_PART)
+    # df via ONE int sort + vectorized segment counts; only segments
+    # touching a batch edge pay the (tiny) aggregate + join repair
+    by_hash = (
+        toks.sort("thash")
+        .map_batches(
+            remote_fn(_QJ, "df_attach_batch"),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("token")
+        .materialize()  # consumed twice: interior pass-through + edge repair
+    )
+    df_interior = by_hash.map_batches(
+        remote_fn(_QJ, "df_interior_project"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edges_raw = by_hash.map_batches(
+        remote_fn(_QJ, "df_edge_project"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edge_df = (
+        edges_raw.map_batches(
+            remote_fn(_QJ, "df_edge_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("thash")
         .aggregate(Sum("df", alias_name="df"))
-        .rename_columns({"token": "token_r"})
+        .rename_columns({"thash": "thash_r"})
     )
-    with_df = safe_join(
-        toks,
-        df,
-        on=("token",),
-        right_on=("token_r",),
-        assume_non_empty=True,  # every shingle has df >= 1 by construction
-        num_partitions=width,
-    ).select_columns(["doc_id", "token", "df"])
-    cands = (
-        with_df.groupby("doc_id")
+    df_edges = safe_join(
+        edges_raw,
+        edge_df,
+        on=("thash",),
+        right_on=("thash_r",),
+        assume_non_empty=True,  # inner join; empty edge set is fine
+        num_partitions=max(8, width // 8),
+    ).select_columns(["doc_id", "token", "n", "thash", "df"])
+    with_df = df_interior.union(df_edges)
+    selected = (
+        with_df.sort(["doc_id", "df", "token"])
+        .map_batches(
+            remote_fn(_QJ, "ap_select_batch"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()  # consumed twice: interior pass-through + edge repair
+    )
+    interior = selected.map_batches(
+        remote_fn(_QJ, "ap_interior_project"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edge_pref = (
+        selected.map_batches(
+            remote_fn(_QJ, "ap_edge_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("doc_id")
         .map_groups(remote_fn(_QJ, "prefix_rows"), batch_format="pandas")
-        .groupby("token")
-        .map_groups(remote_fn(_QJ, "pair_rows"), batch_format="pandas")
     )
-    # pair dedup; emptiness is data-dependent -> safe_join's materialize
-    # regime would apply anyway, so take the count explicitly and exit
+    pref = interior.union(edge_pref).materialize()  # self-join: both sides
+    pref_r = pref.rename_columns(
+        {"doc_id": "doc_id_r", "thash": "thash_r", "n": "n_r"}
+    )
+    cands = safe_join(
+        pref,
+        pref_r,
+        on=("thash",),
+        right_on=("thash_r",),
+        assume_non_empty=True,  # self join of a non-empty prefix table
+        num_partitions=max(8, partitions_for_rows(pref.count(), TOKEN_ROWS_PER_PART)),
+    ).map_batches(
+        remote_fn(_QJ, "pair_filter_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # pair dedup; emptiness is data-dependent -> count explicitly and exit
     # early on pair-free corpora
     pairs = (
         cands.groupby(["doc_a", "doc_b"])
@@ -270,7 +433,7 @@ def q_allpairs_cosine(sf_dir: str) -> rd.Dataset:
         remote_fn(_QJ, "filter_cand_docs", ids_ref=ids_ref, col="doc_id"),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).select_columns(["doc_id", "token"])
     pw = partitions_for_rows(n_pairs)
     a_rows = safe_join(
         pairs,

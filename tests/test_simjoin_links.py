@@ -12,11 +12,14 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import pyarrow as pa
+
 from khl_pdf_ocr_ray.functions.links import extract_links, extract_meta
 from khl_pdf_ocr_ray.pipelines.queries_simjoin import (
     COS_T2_PPM,
+    ap_select_batch,
     doc_shingles,
-    pair_rows,
+    pair_filter_batch,
     prefix_rows,
 )
 
@@ -83,23 +86,38 @@ def _naive_pairs(sets, t2_ppm):
 
 def _filtered_pairs(sets, t2_ppm):
     """Drive the prefix/size-filter kernels exactly as the pipeline wires
-    them (df order -> per-doc prefixes -> per-token candidate pairs),
-    then verify candidates exactly."""
+    them (df order -> per-doc prefixes -> token self-join -> vectorized
+    pair filter), then verify candidates exactly."""
     df = {}
     for s in sets.values():
         for tok in s:
             df[tok] = df.get(tok, 0) + 1
+    thash = {t: i for i, t in enumerate(sorted(df))}  # any injective map
     prefixes = []
     for doc_id, s in sets.items():
         g = pd.DataFrame(
-            {"doc_id": doc_id, "token": sorted(s), "df": [df[t] for t in sorted(s)]}
+            {
+                "doc_id": doc_id,
+                "token": sorted(s),
+                "thash": [thash[t] for t in sorted(s)],
+                "df": [df[t] for t in sorted(s)],
+                "n": len(s),
+            }
         )
         prefixes.append(prefix_rows(g))
     pref = pd.concat(prefixes, ignore_index=True)
-    cands = set()
-    for _, grp in pref.groupby("token"):
-        for _, r in pair_rows(grp).iterrows():
-            cands.add((int(r["doc_a"]), int(r["doc_b"])))
+    joined = pref.merge(pref, on="thash", suffixes=("", "_r"))
+    filt = pair_filter_batch(
+        pa.table(
+            {
+                "doc_id": pa.array(joined["doc_id"], pa.int64()),
+                "doc_id_r": pa.array(joined["doc_id_r"], pa.int64()),
+                "n": pa.array(joined["n"], pa.int64()),
+                "n_r": pa.array(joined["n_r"], pa.int64()),
+            }
+        )
+    )
+    cands = set(zip(filt["doc_a"].to_pylist(), filt["doc_b"].to_pylist()))
     verified = set()
     for a, b in cands:
         dot = len(sets[a] & sets[b])
@@ -126,23 +144,78 @@ def test_prefix_filter_finds_every_matching_pair(seed):
 
 def test_prefix_length_edges():
     # n=1: prefix must still be non-empty
-    g = pd.DataFrame({"doc_id": 7, "token": ["x"], "df": [1]})
+    g = pd.DataFrame(
+        {"doc_id": 7, "token": ["x"], "thash": [3], "df": [1], "n": [1]}
+    )
     out = prefix_rows(g)
     assert len(out) == 1 and int(out["n"].iloc[0]) == 1
     # prefix length formula: n - ceil(0.64 n) + 1
     for n in (1, 2, 3, 10, 25, 100):
         g = pd.DataFrame(
-            {"doc_id": 1, "token": [f"t{i:03d}" for i in range(n)], "df": [1] * n}
+            {
+                "doc_id": 1,
+                "token": [f"t{i:03d}" for i in range(n)],
+                "thash": list(range(n)),
+                "df": [1] * n,
+                "n": [n] * n,
+            }
         )
         assert len(prefix_rows(g)) == n - math.ceil(0.64 * n) + 1
 
 
-def test_pair_rows_size_filter():
+def test_pair_filter_size_gate():
     # 16*max <= 25*min: (10,20) 320>250 filtered; (10,15) 240<=250 kept;
-    # (20,15) 320<=375 kept
-    g = pd.DataFrame(
-        {"token": ["z"] * 3, "doc_id": [1, 2, 3], "n": [10, 20, 15]}
+    # (15,20) 320<=375 kept; id order (a<b) enforced
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "doc_id_r": pa.array([2, 3, 3, 2], pa.int64()),
+            "n": pa.array([10, 10, 20, 15], pa.int64()),
+            "n_r": pa.array([20, 15, 15, 20], pa.int64()),
+        }
     )
-    got = pair_rows(g)
-    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    got = pair_filter_batch(t)
+    pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
     assert pairs == {(1, 3), (2, 3)}
+
+
+def test_ap_select_batch_matches_exact_prefix_for_interior_docs():
+    """The vectorized interior path must agree with the exact per-doc pick;
+    batch-edge docs must be flagged raw."""
+    rows = []
+    for d in (1, 2, 3, 4):
+        n = 5 + d
+        toks = [f"t{d}{i:02d}" for i in range(n)]
+        for i, tok in enumerate(toks):
+            # df ascending == token order; thash = any injective stand-in
+            rows.append((d, tok, i + 1, n, d * 100 + i))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "token": pa.array([r[1] for r in rows], pa.string()),
+            "df": pa.array([r[2] for r in rows], pa.int64()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+            "thash": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    out = ap_select_batch(t).to_pandas()
+    # docs 1 and 4 are batch edges -> all their rows flagged
+    edge = out[out["edge"]]
+    assert set(edge["doc_id"]) == {1, 4}
+    assert len(edge[edge["doc_id"] == 1]) == 6  # full doc passes through
+    # interior docs carry exactly their prefix
+    for d in (2, 3):
+        n = 5 + d
+        want = prefix_rows(
+            pd.DataFrame(
+                {
+                    "doc_id": d,
+                    "token": [f"t{d}{i:02d}" for i in range(n)],
+                    "thash": [d * 100 + i for i in range(n)],
+                    "df": list(range(1, n + 1)),
+                    "n": [n] * n,
+                }
+            )
+        )
+        got = out[(out["doc_id"] == d) & (~out["edge"])]
+        assert list(got["thash"]) == list(want["thash"])
