@@ -1203,6 +1203,15 @@ def q10_cust_partial(batch: pa.Table) -> pa.Table:
     return select_rename(g, o_custkey="o_custkey", revenue_cents="rev_cents_sum")
 
 
+def q10_recombine(batch: pa.Table) -> pa.Table:
+    """Re-collapse already-partial (custkey, revenue) rows after the
+    coalescing repartition — partials of partials sum exactly."""
+    g = batch.group_by("o_custkey").aggregate([("revenue_cents", "sum")])
+    return select_rename(
+        g, o_custkey="o_custkey", revenue_cents="revenue_cents_sum"
+    )
+
+
 def q_returned_revenue_topk(sf_dir: str) -> rd.Dataset:
     """Top-20 customers by returned-item revenue with name and nation —
     the classic selective-filter -> fact-rollup -> dimension-chain query
@@ -1215,22 +1224,23 @@ def q_returned_revenue_topk(sf_dir: str) -> rd.Dataset:
     from .queries import _t
 
     li_nb = table_nbytes(sf_dir, "lineitem")
-    # orderkey/custkey rollups are HIGH-CARDINALITY: Ray's aggregate pays
-    # per-key Python cost in the reduce, so width follows key count
-    # (orders/customer footer rows, free), not just bytes — 12 s -> 2 s
-    # at sf0.1 (measured, io.coalesce_for_keys)
-    w_ord = coalesce_for_keys(li_nb, table_nrows(sf_dir, "orders"))
+    # custkey rollup is HIGH-CARDINALITY: Ray's aggregate pays per-key
+    # cost in the reduce, so width follows key count (customer footer
+    # rows, free), not just bytes (io.coalesce_for_keys)
     w_cust = coalesce_for_keys(li_nb, table_nrows(sf_dir, "customer"))
-    rev = (
-        _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
-        .map_batches(
-            remote_fn(_QT, "q10_rev_partial"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .repartition(w_ord)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    # NO orderkey pre-rollup: Ray's aggregate cost scales with KEY COUNT
+    # (orders-cardinality), so collapsing per-order before the join costs
+    # more than it saves — the map-side combiner partials join directly
+    # and the single custkey aggregate sums them exactly (integer cents,
+    # order-independent). Measured 9.7 s -> see BENCH (round 4).
+    rev = _t(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(
+        remote_fn(_QT, "q10_rev_partial"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = safe_join(
@@ -1249,6 +1259,14 @@ def q_returned_revenue_topk(sf_dir: str) -> rd.Dataset:
             zero_copy_batch=True,
         )
         .repartition(w_cust)
+        # second combiner pass over the coalesced blocks: Ray's aggregate
+        # costs scale with INPUT ROWS, so shrinking per-block partials
+        # from (#join blocks x keys) to (w_cust x keys) pays directly
+        .map_batches(
+            remote_fn(_QT, "q10_recombine"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("o_custkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
         .sort(["revenue_cents", "o_custkey"], descending=[True, False])
