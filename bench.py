@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "html_link_degree",       # link-graph extraction + degree rollup (round 4)
     "bloom_line_dedup",       # dup-Bloom prefiltered exact line dedup (round 4)
     "snm_dups",               # sorted-neighborhood window dedup (round 4)
+    "graph_bfs_depths",       # iterative frontier traversal (round 4)
 ]
 
 

@@ -1670,6 +1670,12 @@ from .queries_snm import SNM_ORACLES, SNM_QUERIES  # noqa: E402
 QUERIES.update(SNM_QUERIES)
 ORACLES.update(SNM_ORACLES)
 
+# distributed BFS frontier traversal (recursive-CTE oracle)
+from .queries_bfs import BFS_ORACLES, BFS_QUERIES  # noqa: E402
+
+QUERIES.update(BFS_QUERIES)
+ORACLES.update(BFS_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

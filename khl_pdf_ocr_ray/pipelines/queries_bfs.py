@@ -1,0 +1,209 @@
+"""Distributed breadth-first traversal: single-source shortest hop depths.
+
+The missing graph-algorithm family next to PageRank (fixed-point
+iteration), coreness (monotone value iteration), triangles (join
+counting) and connected components (label propagation): FRONTIER
+EXPANSION. Crawl-graph uses: hop distance from a seed whitelist
+(trust/spam propagation radius, crawl-depth budgeting, link-farm
+neighborhood probes).
+
+Graph: a planted ring-with-chords over BFS_NODES ids (ring edge
+(u, u+1 mod N) from every doc, chord (u, u+8 mod N) from every 5th doc)
+— diameter ~7 on the test corpora, so the frontier loop genuinely
+iterates (the denser coreness graph collapses in 2 hops).
+
+Plan, per round (classic distributed BFS — e.g. Pregel-style frontier
+semantics, reimplemented):
+
+    frontier  ⋈  edges (src)      -> neighbor candidates   [join]
+    per-batch distinct            -> combiner, no exchange  [map]
+    candidates LEFT OUTER visited -> keep depth-null rows   [join]
+    visited := visited ∪ new      (materialized iterate)
+    stop when new is empty; loud RuntimeError at the cap
+
+Driver state per round: ONE row count (the new-frontier size) — never
+nodes or edges. The final (node, min depth) aggregate is one tiny
+groupby (nodes are unique in `visited` by construction; the groupby
+collapses within-round duplicates only).
+
+The ORACLE is an INDEPENDENT algorithm: DuckDB's recursive CTE explores
+(node, depth) pairs with UNION-distinct semantics and takes min(depth)
+per node — no frontier/anti-join machinery shared with the engine.
+
+100 TB notes: frontier and visited are node-keyed Datasets (never
+driver-collected); each round is two slim keyed joins; round count =
+graph diameter (small for web graphs). BFS_MAX_ROUNDS caps runaway
+diameters loudly (pointer-doubling is the documented upgrade if a real
+corpus ever trips it, same policy as label propagation).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from ..joins import safe_join
+from ..remote import remote_fn
+
+_QB = "khl_pdf_ocr_ray.pipelines.queries_bfs"
+
+BFS_NODES = 64
+BFS_CHORD = 8
+BFS_CHORD_EVERY = 5
+BFS_SEED = 0
+BFS_MAX_ROUNDS = 40
+
+
+def _mod(x, d: int):
+    return pc.subtract(x, pc.multiply(pc.divide(x, d), d))
+
+
+def bfs_edge_partial(batch: pa.Table) -> pa.Table:
+    """doc_id -> planted ring/chord edges, both directions, per-batch
+    distinct (the global distinct happens in the edge groupby)."""
+    import numpy as np
+
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = d % BFS_NODES
+    ring_v = (u + 1) % BFS_NODES
+    cu = u[d % BFS_CHORD_EVERY == 0]
+    cv = (cu + BFS_CHORD) % BFS_NODES
+    src = np.concatenate([u, ring_v, cu, cv])
+    dst = np.concatenate([ring_v, u, cv, cu])
+    g = (
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+        .group_by(["src", "dst"])
+        .aggregate([([], "count_all")])
+    )
+    return g.select(["src", "dst"])
+
+
+def bfs_nbr_project(batch: pa.Table) -> pa.Table:
+    """Joined (frontier x edges) rows -> per-batch-distinct neighbor
+    candidates (map-side combiner; global dedup is the anti-join +
+    final min-aggregate, so no Ray aggregate runs per round)."""
+    g = batch.group_by("dst").aggregate([([], "count_all")])
+    return pa.table({"node": g["dst"]})
+
+
+def bfs_new_only(batch: pa.Table) -> pa.Table:
+    """Keep candidates the visited set does not contain (depth_r null
+    after the left outer join)."""
+    t = batch.filter(pc.is_null(batch["depth_r"]))
+    return pa.table({"node": pc.cast(t["node"], pa.int64())})
+
+
+def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
+    """See module docstring."""
+    from .queries import _t
+
+    edges = (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(
+            remote_fn(_QB, "bfs_edge_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["src", "dst"])
+        .aggregate(Min("src", alias_name="_one"))
+        .select_columns(["src", "dst"])
+        .materialize()  # iterated against every round
+    )
+    seed = pa.table(
+        {
+            "node": pa.array([BFS_SEED], pa.int64()),
+            "depth": pa.array([0], pa.int64()),
+        }
+    )
+    visited = rd.from_arrow(seed).materialize()
+    frontier = visited.select_columns(["node"])
+    for depth in range(1, BFS_MAX_ROUNDS + 1):
+        nbrs = safe_join(
+            frontier,
+            edges,
+            on=("node",),
+            right_on=("src",),
+            assume_non_empty=True,  # frontier checked non-empty below
+            num_partitions=1,  # node-id keyed; tiny at the planted scale
+        ).map_batches(
+            remote_fn(_QB, "bfs_nbr_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        vis_r = visited.select_columns(["node", "depth"]).rename_columns(
+            {"node": "node_r", "depth": "depth_r"}
+        )
+        new = (
+            safe_join(
+                nbrs,
+                vis_r,
+                on=("node",),
+                right_on=("node_r",),
+                join_type="left_outer",
+                assume_non_empty=True,
+                num_partitions=1,
+            )
+            .map_batches(
+                remote_fn(_QB, "bfs_new_only"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        n_new = new.count()  # the ONLY per-round driver state
+        if n_new == 0:
+            break
+        new_d = new.map_batches(
+            remote_fn(_QB, "bfs_stamp_depth", depth=depth),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        visited = visited.union(new_d).materialize()
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"graph_bfs_depths: frontier still non-empty after "
+            f"{BFS_MAX_ROUNDS} rounds — diameter exceeds the cap; raise "
+            f"BFS_MAX_ROUNDS or switch to a doubling traversal"
+        )
+    # collapse within-round duplicates (anti-join guarantees cross-round
+    # uniqueness); tiny: |reached nodes| rows
+    return visited.groupby("node").aggregate(Min("depth", alias_name="depth"))
+
+
+def bfs_stamp_depth(batch: pa.Table, depth: int) -> pa.Table:
+    return batch.append_column(
+        "depth", pa.array([depth] * len(batch), pa.int64())
+    )
+
+
+SQL_GRAPH_BFS_DEPTHS = f"""
+WITH RECURSIVE base AS (
+  SELECT DISTINCT doc_id % {BFS_NODES} AS u,
+                  (doc_id % {BFS_NODES} + 1) % {BFS_NODES} AS v
+  FROM documents
+  UNION
+  SELECT DISTINCT doc_id % {BFS_NODES} AS u,
+                  (doc_id % {BFS_NODES} + {BFS_CHORD}) % {BFS_NODES} AS v
+  FROM documents WHERE doc_id % {BFS_CHORD_EVERY} = 0
+), e AS (
+  SELECT u AS src, v AS dst FROM base UNION SELECT v, u FROM base
+), walk(node, depth) AS (
+  SELECT CAST({BFS_SEED} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < {BFS_MAX_ROUNDS}
+)
+SELECT node, min(depth) AS depth FROM walk GROUP BY node
+"""
+
+BFS_QUERIES = {"graph_bfs_depths": q_graph_bfs_depths}
+BFS_ORACLES = {"graph_bfs_depths": SQL_GRAPH_BFS_DEPTHS}
