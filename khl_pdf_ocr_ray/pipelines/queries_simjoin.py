@@ -434,7 +434,11 @@ def q_allpairs_cosine(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).select_columns(["doc_id", "token"])
-    pw = partitions_for_rows(n_pairs)
+    # the verify joins' BIG side is the candidate-doc token table, not the
+    # pair table — size partitions by its upper bound (the full token
+    # count); a pair-count-sized width put 375k-row joins in ONE partition
+    # on a 10x corpus and the Join operator degrades superlinearly there
+    pw = max(8, partitions_for_rows(n_tok, TOKEN_ROWS_PER_PART))
     a_rows = safe_join(
         pairs,
         tok_cand,
