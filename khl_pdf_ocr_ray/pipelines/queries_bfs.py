@@ -13,11 +13,13 @@ Graph: a planted ring-with-chords over BFS_NODES ids (ring edge
 iterates (the denser coreness graph collapses in 2 hops).
 
 Plan, per round (classic distributed BFS — e.g. Pregel-style frontier
-semantics, reimplemented):
+semantics, reimplemented; expansion is frontier-size-adaptive per the
+skew_join convention):
 
-    frontier  ⋈  edges (src)      -> neighbor candidates   [join]
-    per-batch distinct            -> combiner, no exchange  [map]
-    candidates LEFT OUTER visited -> keep depth-null rows   [join]
+    frontier small: broadcast sorted ids -> map-side edge
+                    filter + per-batch distinct      [map, no join]
+    frontier large: frontier ⋈ edges (src) + distinct [shuffle join]
+    candidates LEFT ANTI visited  -> new nodes        [join]
     visited := visited ∪ new      (materialized iterate)
     stop when new is empty; loud RuntimeError at the cap
 
@@ -55,6 +57,12 @@ BFS_CHORD = 8
 BFS_CHORD_EVERY = 5
 BFS_SEED = 0
 BFS_MAX_ROUNDS = 40
+# frontier-size-adaptive expansion (the skew_join convention): below this
+# the frontier broadcasts (ray.put sorted ids, map-side edge filter — no
+# Join operator and no driver state beyond the frontier itself); above it
+# the expansion is a keyed shuffle join. Web-graph BFS frontiers start and
+# end small; the shuffle path carries the big middle rounds at scale.
+BFS_BROADCAST_MAX = 1 << 20
 
 
 def _mod(x, d: int):
@@ -94,11 +102,20 @@ def bfs_nbr_project(batch: pa.Table) -> pa.Table:
     return pa.table({"node": g["dst"]})
 
 
-def bfs_new_only(batch: pa.Table) -> pa.Table:
-    """Keep candidates the visited set does not contain (depth_r null
-    after the left outer join)."""
-    t = batch.filter(pc.is_null(batch["depth_r"]))
-    return pa.table({"node": pc.cast(t["node"], pa.int64())})
+def bfs_expand_broadcast(batch: pa.Table, fr_ref) -> pa.Table:
+    """Map-side frontier expansion for SMALL frontiers (the skew_join
+    convention: hot/small side broadcast, no Join operator): keep edge
+    rows whose src is in the broadcast sorted frontier, emit per-batch
+    distinct dst."""
+    import numpy as np
+    import ray
+
+    fr = ray.get(fr_ref) if not isinstance(fr_ref, np.ndarray) else fr_ref
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.minimum(np.searchsorted(fr, src), len(fr) - 1)
+    hit = batch.filter(pa.array(fr[pos] == src))
+    g = hit.group_by("dst").aggregate([([], "count_all")])
+    return pa.table({"node": g["dst"]})
 
 
 def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
@@ -117,6 +134,10 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
         .select_columns(["src", "dst"])
         .materialize()  # iterated against every round
     )
+    import numpy as np
+
+    import ray
+
     seed = pa.table(
         {
             "node": pa.array([BFS_SEED], pa.int64()),
@@ -124,40 +145,50 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
         }
     )
     visited = rd.from_arrow(seed).materialize()
-    frontier = visited.select_columns(["node"])
+    frontier = visited.select_columns(["node"]).materialize()
+    n_frontier = 1
     for depth in range(1, BFS_MAX_ROUNDS + 1):
-        nbrs = safe_join(
-            frontier,
-            edges,
-            on=("node",),
-            right_on=("src",),
-            assume_non_empty=True,  # frontier checked non-empty below
-            num_partitions=1,  # node-id keyed; tiny at the planted scale
-        ).map_batches(
-            remote_fn(_QB, "bfs_nbr_project"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        vis_r = visited.select_columns(["node", "depth"]).rename_columns(
-            {"node": "node_r", "depth": "depth_r"}
-        )
-        new = (
-            safe_join(
-                nbrs,
-                vis_r,
-                on=("node",),
-                right_on=("node_r",),
-                join_type="left_outer",
-                assume_non_empty=True,
-                num_partitions=1,
+        if n_frontier <= BFS_BROADCAST_MAX:
+            # small frontier: broadcast sorted ids, expand map-side over
+            # the distributed edge table — no Join operator this round
+            ids = np.sort(
+                np.concatenate(
+                    [
+                        b["node"].to_numpy(zero_copy_only=False)
+                        for b in frontier.iter_batches(batch_format="pyarrow")
+                    ]
+                ).astype(np.int64)
             )
-            .map_batches(
-                remote_fn(_QB, "bfs_new_only"),
+            nbrs = edges.map_batches(
+                remote_fn(_QB, "bfs_expand_broadcast", fr_ref=ray.put(ids)),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            .materialize()
+        else:  # large frontier: keyed shuffle join (the 100 TB path)
+            nbrs = safe_join(
+                frontier,
+                edges,
+                on=("node",),
+                right_on=("src",),
+                assume_non_empty=True,
+                num_partitions=8,
+            ).map_batches(
+                remote_fn(_QB, "bfs_nbr_project"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        vis_r = visited.select_columns(["node"]).rename_columns(
+            {"node": "node_r"}
         )
+        new = safe_join(
+            nbrs,
+            vis_r,
+            on=("node",),
+            right_on=("node_r",),
+            join_type="left_anti",
+            assume_non_empty=True,
+            num_partitions=1,
+        ).materialize()
         n_new = new.count()  # the ONLY per-round driver state
         if n_new == 0:
             break
@@ -168,6 +199,7 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
         )
         visited = visited.union(new_d).materialize()
         frontier = new
+        n_frontier = n_new
     else:
         raise RuntimeError(
             f"graph_bfs_depths: frontier still non-empty after "

@@ -8,7 +8,7 @@ from khl_pdf_ocr_ray.pipelines.queries_bfs import (
     BFS_CHORD_EVERY,
     BFS_NODES,
     bfs_edge_partial,
-    bfs_new_only,
+    bfs_expand_broadcast,
     bfs_stamp_depth,
 )
 
@@ -36,16 +36,15 @@ def test_edge_rule_batch_distinct():
     assert len(rows) == len(set(rows)) == 2  # (7,8) and (8,7)
 
 
-def test_new_only_filters_visited():
-    t = pa.table(
+def test_expand_broadcast_filters_and_dedups():
+    edges = pa.table(
         {
-            "node": pa.array([1, 2, 3], pa.int64()),
-            "node_r": pa.array([1, None, 3], pa.int64()),
-            "depth_r": pa.array([0, None, 2], pa.int64()),
+            "src": pa.array([1, 1, 2, 3, 3], pa.int64()),
+            "dst": pa.array([5, 5, 6, 7, 8], pa.int64()),
         }
     )
-    out = bfs_new_only(t)
-    assert out["node"].to_pylist() == [2]
+    out = bfs_expand_broadcast(edges, np.array([1, 3], dtype=np.int64))
+    assert sorted(out["node"].to_pylist()) == [5, 7, 8]  # src 2 dropped, dst 5 deduped
 
 
 def test_stamp_depth():
