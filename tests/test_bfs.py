@@ -88,3 +88,17 @@ def test_bfs_matches_networkx_style_reference(ray_session, sf_smoke_dir):
                 q.append(m)
     got = q_graph_bfs_depths(sf_smoke_dir).to_pandas()
     assert dict(zip(got["node"], got["depth"])) == want
+
+
+def test_bfs_shuffle_path_matches_broadcast_path(ray_session, sf_smoke_dir, monkeypatch):
+    """Force the large-frontier keyed-join branch (the 100 TB path) and
+    check it produces the identical depth table. The branch is selected
+    driver-side, so a module monkeypatch reaches it."""
+    import khl_pdf_ocr_ray.pipelines.queries_bfs as qb
+
+    broadcast = qb.q_graph_bfs_depths(sf_smoke_dir).to_pandas()
+    monkeypatch.setattr(qb, "BFS_BROADCAST_MAX", 0)
+    shuffled = qb.q_graph_bfs_depths(sf_smoke_dir).to_pandas()
+    a = broadcast.sort_values("node").reset_index(drop=True)
+    b = shuffled.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
