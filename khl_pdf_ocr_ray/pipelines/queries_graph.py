@@ -57,6 +57,7 @@ _QG = "khl_pdf_ocr_ray.pipelines.queries_graph"
 
 CORE_NODES = 100       # planted node-id space (shared with the doc graph)
 CORE_MAX_ROUNDS = 64   # loud-failure cap on H-index iterations
+CORE_BROADCAST_MAX = 1 << 20  # value tables below this attach map-side
 CORE_SHARDS = 32       # coarse node shards for the H-index pass
 _MULT_U = 2654435761   # Knuth multiplicative constant (repo-wide)
 
@@ -127,6 +128,28 @@ def nval_project(batch: pa.Table) -> pa.Table:
     )
 
 
+def attach_vals_broadcast(batch: pa.Table, vals_ref) -> pa.Table:
+    """Map-side value attach for SMALL value tables (the skew_join /
+    BFS-frontier convention: broadcast the small side, skip the per-round
+    Join operator). vals_ref -> (sorted nodes, vals) numpy pair; every
+    dst is a positive-degree node, so the probe always hits."""
+    import ray
+
+    nodes, vals = (
+        ray.get(vals_ref) if not isinstance(vals_ref, tuple) else vals_ref
+    )
+    dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(nodes, dst)
+    assert (nodes[pos] == dst).all(), "dst outside the value table"
+    return pa.table(
+        {
+            "src": batch["src"],
+            "ushard": batch["ushard"],
+            "nval": pa.array(vals[pos], pa.int64()),
+        }
+    )
+
+
 def q_doc_graph_coreness(sf_dir: str) -> rd.Dataset:
     """(node, coreness) for every node of the planted skewed doc graph,
     by distributed H-index iteration. See module docstring."""
@@ -155,18 +178,41 @@ def q_doc_graph_coreness(sf_dir: str) -> rd.Dataset:
     )
     prev_sum = int(values.sum("val") or 0)
 
+    import ray
+
     for _ in range(CORE_MAX_ROUNDS):
-        joined = safe_join(
-            adj,
-            values,
-            on=("dst",),
-            right_on=("node",),
-            assume_non_empty=True,
-            num_partitions=nparts,
-        )
+        n_vals = values.count()  # free from materialized metadata
+        if n_vals <= CORE_BROADCAST_MAX:
+            # small value table: broadcast (sorted node, val) arrays and
+            # attach map-side — no Join operator this round (the
+            # BFS-frontier / skew_join convention). At web scale |V| is
+            # corpus-sized and the keyed join below carries the rounds.
+            nd, vl = [], []
+            for b in values.iter_batches(batch_format="pyarrow"):
+                nd.append(b["node"].to_numpy(zero_copy_only=False))
+                vl.append(b["val"].to_numpy(zero_copy_only=False))
+            nodes_np = np.concatenate(nd).astype(np.int64)
+            vals_np = np.concatenate(vl).astype(np.int64)
+            order = np.argsort(nodes_np)
+            ref = ray.put((nodes_np[order], vals_np[order]))
+            nvals = adj.map_batches(
+                remote_fn(_QG, "attach_vals_broadcast", vals_ref=ref),
+                batch_format="pyarrow",
+            )
+        else:
+            joined = safe_join(
+                adj,
+                values,
+                on=("dst",),
+                right_on=("node",),
+                assume_non_empty=True,
+                num_partitions=nparts,
+            )
+            nvals = joined.map_batches(
+                remote_fn(_QG, "nval_project"), batch_format="pyarrow"
+            )
         values = (
-            joined.map_batches(remote_fn(_QG, "nval_project"), batch_format="pyarrow")
-            .groupby("ushard")
+            nvals.groupby("ushard")
             .map_groups(remote_fn(_QG, "hindex_shard"), batch_format="pandas")
             .materialize()  # |V| rows; consumed by the sum and next join
         )

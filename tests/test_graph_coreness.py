@@ -84,3 +84,16 @@ def test_hindex_iteration_equals_peel_on_adversarial_graphs():
         assert _coreness_iterate(edges) == _coreness_peel(edges)
     got = _coreness_iterate(tail)
     assert got[0] == 4 and got[12] == 1  # layered, not all-or-nothing
+
+
+def test_coreness_join_path_matches_broadcast_path(ray_session, sf_smoke_dir, monkeypatch):
+    """Force the large-|V| keyed-join branch (the 100 TB path) and check
+    it produces the identical coreness table (branch picked driver-side)."""
+    import khl_pdf_ocr_ray.pipelines.queries_graph as qg
+
+    broadcast = qg.q_doc_graph_coreness(sf_smoke_dir).to_pandas()
+    monkeypatch.setattr(qg, "CORE_BROADCAST_MAX", 0)
+    joined = qg.q_doc_graph_coreness(sf_smoke_dir).to_pandas()
+    a = broadcast.sort_values("node").reset_index(drop=True)
+    b = joined.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
