@@ -25,6 +25,7 @@ from ..remote import remote_fn
 from ..pipelines.extract_pipeline import run_extract, synthesize_pages
 
 _REPEAT = 2  # rep>0 rows are near-duplicate variants (dedup-friendly corpus)
+PR_BROADCAST_MAX = 1 << 20  # host tables below this broadcast per round
 
 
 def _extracted(sf_dir: str) -> rd.Dataset:
@@ -823,6 +824,50 @@ def pr_rank_coalesce(batch: pa.Table) -> pa.Table:
     )
 
 
+def pr_contrib_broadcast(batch: pa.Table, rank_ref) -> pa.Table:
+    """pr_contrib_partial with the src rank probed from a BROADCAST
+    host->rank map instead of a join column (small-|hosts| rounds)."""
+    import ray
+
+    from ..functions.graph import pr_contrib
+
+    rmap = ray.get(rank_ref) if not isinstance(rank_ref, dict) else rank_ref
+    sums: dict = {}
+    for s, d, w, wo in zip(
+        batch["src"].to_pylist(),
+        batch["dst"].to_pylist(),
+        batch["w"].to_pylist(),
+        batch["wout"].to_pylist(),
+    ):
+        sums[d] = sums.get(d, 0) + pr_contrib(rmap[s], w, wo)
+    ks = sorted(sums)
+    return pa.table(
+        {
+            "dst": pa.array(ks, pa.string()),
+            "c": pa.array([sums[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def pr_rank_broadcast(batch: pa.Table, mass_ref) -> pa.Table:
+    """pr_rank_coalesce with the incoming mass probed from a BROADCAST
+    dst->mass map instead of a left join (small-|hosts| rounds)."""
+    import ray
+
+    from ..functions.graph import PR_TELEPORT
+
+    mmap = ray.get(mass_ref) if not isinstance(mass_ref, dict) else mass_ref
+    hosts = batch["host"].to_pylist()
+    return pa.table(
+        {
+            "host": batch["host"],
+            "r": pa.array(
+                [PR_TELEPORT + mmap.get(h, 0) for h in hosts], pa.int64()
+            ),
+        }
+    )
+
+
 def pr_nodes_partial(batch: pa.Table) -> pa.Table:
     hosts = sorted(set(batch["src"].to_pylist()) | set(batch["dst"].to_pylist()))
     return pa.table({"host": pa.array(hosts, pa.string())})
@@ -902,8 +947,40 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
     rank = nodes.map_batches(
         remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_init_rank"),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    n_hosts = nodes.count()  # free from materialized metadata
+    small = n_hosts <= PR_BROADCAST_MAX
     for _ in range(PR_ITERS):
+        if small:
+            # host table under the cap: rank and mass broadcast as dicts
+            # and both per-round joins + the aggregate become map passes
+            # (the skew_join / BFS-frontier convention). Driver state is
+            # two host-cardinality dicts per round, bounded by the cap;
+            # the join path below is the web-scale (|hosts| ~ 10^7) path.
+            rmap: dict = {}
+            for b in rank.iter_batches(batch_format="pyarrow"):
+                rmap.update(zip(b["host"].to_pylist(), b["r"].to_pylist()))
+            contribs = edges_w.map_batches(
+                remote_fn(
+                    "khl_pdf_ocr_ray.pipelines.queries_extract",
+                    "pr_contrib_broadcast",
+                    rank_ref=ray.put(rmap),
+                ),
+                batch_format="pyarrow",
+            )
+            mmap: dict = {}
+            for b in contribs.iter_batches(batch_format="pyarrow"):
+                for d, c in zip(b["dst"].to_pylist(), b["c"].to_pylist()):
+                    mmap[d] = mmap.get(d, 0) + c
+            rank = nodes.map_batches(
+                remote_fn(
+                    "khl_pdf_ocr_ray.pipelines.queries_extract",
+                    "pr_rank_broadcast",
+                    mass_ref=ray.put(mmap),
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            continue
         j = edges_w.join(
             rank.rename_columns({"host": "rhost"}),
             join_type="inner",

@@ -263,3 +263,16 @@ def test_host_pagerank_invariants(ray_session, sf_smoke_dir):
     hot = df[df["host"] == "hot.example.com"]
     assert len(hot) == 1 and int(hot["pagerank_fx"].iloc[0]) == PR_TELEPORT
     assert int(df["pagerank_fx"].sum()) <= len(df) * PR_SCALE
+
+
+def test_pagerank_join_path_matches_broadcast_path(ray_session, sf_smoke_dir, monkeypatch):
+    """Force the large-|hosts| keyed-join branch (the 100 TB path) and
+    check bit-identical ranks (integer fixed-point, order-independent)."""
+    import khl_pdf_ocr_ray.pipelines.queries_extract as qe
+
+    broadcast = qe.q_host_pagerank(sf_smoke_dir).to_pandas()
+    monkeypatch.setattr(qe, "PR_BROADCAST_MAX", 0)
+    joined = qe.q_host_pagerank(sf_smoke_dir).to_pandas()
+    a = broadcast.sort_values("host").reset_index(drop=True)
+    b = joined.sort_values("host").reset_index(drop=True)
+    assert a.equals(b)
