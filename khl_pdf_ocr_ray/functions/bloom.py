@@ -206,3 +206,32 @@ def dup_probe_batch(
         axis=1
     )
     return batch.filter(pa.array(hit if keep_hits else ~hit))
+
+
+def dup_flag_batch(
+    batch: pa.Table, col: str, bloom_ref, m_bits: int, k: int
+) -> pa.Table:
+    """dup_probe_batch as ONE pass: append an int64 `dup_flag` column
+    (1 = possibly duplicate, 0 = provably unique) instead of filtering,
+    so the hit and miss consumers share a single hash/probe computation."""
+    import ray
+
+    bloom = ray.get(bloom_ref) if not isinstance(bloom_ref, np.ndarray) else bloom_ref
+    keys = hex16_to_u64(batch[col])
+    if len(keys) == 0:
+        return batch.append_column("dup_flag", pa.array([], pa.int64()))
+    pos = _bit_positions(keys.astype(np.int64), m_bits, k)
+    hit = ((bloom[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)).all(
+        axis=1
+    )
+    return batch.append_column("dup_flag", pa.array(hit.astype(np.int64), pa.int64()))
+
+
+def flag_take(batch: pa.Table, keep_hits: bool) -> pa.Table:
+    """Split a dup_flag-carrying table into its hit or miss half."""
+    import pyarrow.compute as pc
+
+    want = 1 if keep_hits else 0
+    return batch.filter(pc.equal(batch["dup_flag"], want)).drop_columns(
+        ["dup_flag"]
+    )

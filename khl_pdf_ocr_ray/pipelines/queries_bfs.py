@@ -42,8 +42,6 @@ corpus ever trips it, same policy as label propagation).
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
-
 import ray.data as rd
 from ray.data.aggregate import Min
 
@@ -63,10 +61,6 @@ BFS_MAX_ROUNDS = 40
 # the expansion is a keyed shuffle join. Web-graph BFS frontiers start and
 # end small; the shuffle path carries the big middle rounds at scale.
 BFS_BROADCAST_MAX = 1 << 20
-
-
-def _mod(x, d: int):
-    return pc.subtract(x, pc.multiply(pc.divide(x, d), d))
 
 
 def bfs_edge_partial(batch: pa.Table) -> pa.Table:

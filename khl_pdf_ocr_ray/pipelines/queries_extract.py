@@ -590,6 +590,54 @@ def line_dedup_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def _lines_table(sf_dir: str) -> rd.Dataset:
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
+    return rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "lines_explode"),
+        batch_format="pyarrow",
+    )
+
+
+def _line_exact_accounting(lines_ds: rd.Dataset, n_rows: int) -> rd.Dataset:
+    """The exact first-occurrence accounting path, shared by the full-
+    corpus plan (q_line_dedup) and the Bloom-hit subset
+    (q_bloom_line_dedup): per-batch min combiner -> line_md5 groupby Min
+    (winner) -> hash join back -> per-batch per-url partial. The join
+    width derives from THE INPUT's row count — sizing a hit subset by
+    the full corpus would hash a tiny key set across mostly-empty
+    partitions."""
+    from ray.data.aggregate import Min
+
+    from ..joins import partitions_for_rows, safe_join
+
+    winners = (
+        lines_ds.map_batches(
+            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_win_partial"),
+            batch_format="pyarrow",
+        )
+        .groupby("line_md5")
+        .aggregate(Min("keep_key", alias_name="keep_key"))
+        .rename_columns({"line_md5": "line_md5_r"})
+    )
+    joined = safe_join(
+        lines_ds, winners, on=("line_md5",), right_on=("line_md5_r",),
+        assume_non_empty=True,  # callers guarantee a non-empty line set
+        num_partitions=partitions_for_rows(n_rows),
+    )
+    return joined.map_batches(
+        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_dedup_partial"),
+        batch_format="pyarrow",
+    )
+
+
+def _line_url_rollup(acc: rd.Dataset) -> rd.Dataset:
+    return acc.groupby("url").aggregate(
+        Sum("n_lines", alias_name="n_lines"),
+        Sum("n_removed", alias_name="n_removed"),
+        Sum("chars_kept", alias_name="chars_kept"),
+    )
+
+
 def q_line_dedup(sf_dir: str) -> rd.Dataset:
     """C4-style corpus-wide LINE dedup over the extracted web text: a kept
     HTML block whose whitespace-collapsed text already occurred earlier in
@@ -602,49 +650,10 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
     100 TB: the winner table is |distinct lines| rows; hot boilerplate
     lines pre-collapse map-side in BOTH the combiner and the final
     partial, so no task ever holds a full dup group."""
-    from ray.data.aggregate import Min
-
-    from ..joins import partitions_for_rows, safe_join
-
-    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
-    lines = (
-        rd.read_parquet(pages_dir, columns=["url", "html"])
-        .map_batches(
-            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "lines_explode"),
-            batch_format="pyarrow",
-        )
-        .materialize()  # consumed twice: winner aggregate + join probe
-    )
-    winners = (
-        lines.map_batches(
-            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_win_partial"),
-            batch_format="pyarrow",
-        )
-        .groupby("line_md5")
-        .aggregate(Min("keep_key", alias_name="keep_key"))
-        .rename_columns({"line_md5": "line_md5_r"})
-    )
-    # lines is already materialized (reused twice): its FREE row count
-    # prices the streaming join, and the winner aggregate never materializes
-    joined = safe_join(
-        lines, winners, on=("line_md5",), right_on=("line_md5_r",),
-        assume_non_empty=True,  # the html corpus always has kept lines
-        num_partitions=partitions_for_rows(lines.count()),
-    )
-    return (
-        joined.map_batches(
-            remote_fn(
-                "khl_pdf_ocr_ray.pipelines.queries_extract", "line_dedup_partial"
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("url")
-        .aggregate(
-            Sum("n_lines", alias_name="n_lines"),
-            Sum("n_removed", alias_name="n_removed"),
-            Sum("chars_kept", alias_name="chars_kept"),
-        )
-    )
+    # materialized: consumed twice (winner aggregate + join probe), and
+    # the FREE row count prices the streaming join
+    lines = _lines_table(sf_dir).materialize()
+    return _line_url_rollup(_line_exact_accounting(lines, lines.count()))
 
 
 def line_unique_partial(batch: pa.Table) -> pa.Table:
@@ -659,71 +668,49 @@ def q_bloom_line_dedup(sf_dir: str) -> rd.Dataset:
 
       pass 1: per-block (once, twice) Bloom pair, associative fold on the
               driver (O(m_bits) memory regardless of corpus size);
-      pass 2: `twice`-bitmap misses are provably unique -> map-side
-              accounting, NO shuffle; hits (true dups + fp_rate * uniques)
-              run the exact min-winner groupby + join, which removes the
-              false positives.
+      pass 2: ONE probe pass stamps a dup_flag column; misses are
+              provably unique -> map-side accounting, NO shuffle; hits
+              (true dups + fp_rate * uniques) run the shared exact
+              min-winner path, which removes the false positives — with
+              its join width sized by the HIT count, and skipped
+              entirely on a hit-free corpus.
 
     100 TB: the exact path's exchanges shrink from |all lines| to
     |duplicated lines| + fp_rate * |unique lines| — on mostly-unique web
     corpora that is the bulk of the shuffle gone for the price of one
     extra streaming pass and a broadcast bitmap (m_bits sized to the
     expected distinct-line count; 2^20 here for the test corpus)."""
-    from ray.data.aggregate import Min
-
     from ..functions.bloom import DEFAULT_K, DEFAULT_M_BITS, build_dup_bloom
-    from ..joins import partitions_for_rows, safe_join
 
-    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
-    lines = (
-        rd.read_parquet(pages_dir, columns=["url", "html"])
-        .map_batches(
-            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "lines_explode"),
-            batch_format="pyarrow",
-        )
-        .materialize()  # consumed 3x: bloom build, hit path, miss path
-    )
+    lines = _lines_table(sf_dir).materialize()  # bloom build + probe
     twice_ref = ray.put(build_dup_bloom(lines, "line_md5"))
-    probe_kw = dict(
-        col="line_md5", bloom_ref=twice_ref, m_bits=DEFAULT_M_BITS, k=DEFAULT_K
-    )
-    hits = lines.map_batches(
-        remote_fn("khl_pdf_ocr_ray.functions.bloom", "dup_probe_batch",
-                  keep_hits=True, **probe_kw),
+    probed = lines.map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.functions.bloom",
+            "dup_flag_batch",
+            col="line_md5",
+            bloom_ref=twice_ref,
+            m_bits=DEFAULT_M_BITS,
+            k=DEFAULT_K,
+        ),
         batch_format="pyarrow",
-    )
-    winners = (
-        hits.map_batches(
-            remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_win_partial"),
-            batch_format="pyarrow",
-        )
-        .groupby("line_md5")
-        .aggregate(Min("keep_key", alias_name="keep_key"))
-        .rename_columns({"line_md5": "line_md5_r"})
-    )
-    # inner join: an empty hit set (dup-free corpus) yields an empty exact
-    # path, which is correct — the miss path then carries every line
-    joined = safe_join(
-        hits, winners, on=("line_md5",), right_on=("line_md5_r",),
-        assume_non_empty=True,
-        num_partitions=partitions_for_rows(lines.count()),
-    )
-    acc_dup = joined.map_batches(
-        remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_dedup_partial"),
-        batch_format="pyarrow",
-    )
-    acc_uniq = lines.map_batches(
-        remote_fn("khl_pdf_ocr_ray.functions.bloom", "dup_probe_batch",
-                  keep_hits=False, **probe_kw),
+    ).materialize()  # consumed 3x: hit count, hit path, miss path
+    n_hits = int(probed.sum("dup_flag") or 0)
+    acc_uniq = probed.map_batches(
+        remote_fn("khl_pdf_ocr_ray.functions.bloom", "flag_take", keep_hits=False),
         batch_format="pyarrow",
     ).map_batches(
         remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "line_unique_partial"),
         batch_format="pyarrow",
     )
-    return acc_dup.union(acc_uniq).groupby("url").aggregate(
-        Sum("n_lines", alias_name="n_lines"),
-        Sum("n_removed", alias_name="n_removed"),
-        Sum("chars_kept", alias_name="chars_kept"),
+    if n_hits == 0:  # dup-free corpus: no exact path at all
+        return _line_url_rollup(acc_uniq)
+    hits = probed.map_batches(
+        remote_fn("khl_pdf_ocr_ray.functions.bloom", "flag_take", keep_hits=True),
+        batch_format="pyarrow",
+    )
+    return _line_url_rollup(
+        _line_exact_accounting(hits, n_hits).union(acc_uniq)
     )
 
 

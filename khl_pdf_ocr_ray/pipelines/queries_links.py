@@ -39,7 +39,7 @@ from ..remote import remote_fn
 
 _QL = "khl_pdf_ocr_ray.pipelines.queries_links"
 
-_REPEAT = 2  # matches queries_extract._REPEAT / the dump corpora
+from .queries_extract import _REPEAT  # noqa: E402  (the ONE repeat constant)
 
 
 def _pages(sf_dir: str) -> rd.Dataset:

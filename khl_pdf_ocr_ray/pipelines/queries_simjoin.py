@@ -227,8 +227,7 @@ def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
     """Exact per-doc prefix pick — used ONLY for batch-edge docs (O(#blocks)
     groups). Output schema matches the vectorized path."""
     df = df.sort_values(["df", "token"], kind="mergesort")
-    n = len(df)
-    pref = n - (64 * n + 99) // 100 + 1
+    pref = int(prefix_len_of(np.int64(len(df))))  # the ONE formula
     out = df.iloc[:pref][["doc_id", "thash", "n"]].copy()
     return out
 
@@ -291,10 +290,21 @@ def dot_partial(batch: pa.Table) -> pa.Table:
 
 
 def cosine_finalize(batch: pa.Table) -> pa.Table:
-    """Exact integer threshold + scaled score."""
+    """Exact integer threshold + scaled score. int64 headroom: the
+    predicate computes dot^2 * 1e6, exact while dot <= ~3.0e6 shingles
+    (a ~12 MB document); beyond that numpy would WRAP silently where the
+    SQL twin errors loudly, so fail loudly here too (the pagerank
+    'documented headroom' convention — switch to object-dtype math if a
+    real corpus ever trips this)."""
     dot = batch["dot"].to_numpy(zero_copy_only=False).astype(np.int64)
     sa = batch["size_a"].to_numpy(zero_copy_only=False).astype(np.int64)
     sb = batch["size_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(dot) and int(dot.max()) > 3_000_000:
+        raise RuntimeError(
+            f"allpairs_cosine: dot={int(dot.max())} exceeds the int64 "
+            "headroom of the dot^2*1e6 predicate (documents of ~3e6+ "
+            "shingles); use object-dtype scoring for this corpus"
+        )
     keep = dot * dot * 1_000_000 >= COS_T2_PPM * sa * sb
     t = batch.filter(pa.array(keep))
     dk = dot[keep]

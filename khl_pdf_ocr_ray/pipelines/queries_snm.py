@@ -53,26 +53,28 @@ SNM_MAX_DIST = 8
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Plain unit-cost edit distance (must agree with DuckDB's
-    ``levenshtein``). Row-rolling DP, numpy inner minimum."""
-    if a == b:
-        return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    """Plain unit-cost edit distance over UTF-8 BYTES — DuckDB's
+    ``levenshtein`` is byte-level (levenshtein('é','a') = 2), so the
+    engine must be too; identical on ASCII. Row-rolling DP, prefix-min
+    insertion telescope. This scalar form is the SPEC (fuzz-matched to
+    DuckDB in tests); the batch path below uses the shared banded
+    vectorized kernel (stages.dedup.levenshtein_pairs) over byte codes."""
+    av = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    bv = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    if len(av) == 0:
+        return len(bv)
+    if len(bv) == 0:
+        return len(av)
     m = len(bv)
     idx = np.arange(m + 1, dtype=np.int64)
     prev = idx.copy()
-    for i, ca in enumerate(a):
-        cau = np.uint32(ord(ca))
+    for ca in av:
         # c[j] = min(substitution, deletion) for j = 1..m; the insertion
         # recurrence cur[j] = min(c[j], cur[j-1]+1) telescopes to
         # cur[j] = j + min_{i<=j}(v[i]-i) with v = [cur[0], c[1..m]],
         # which one prefix-min computes without a sequential scan
-        c = np.minimum(prev[:-1] + (bv != cau), prev[1:] + 1)
-        v = np.concatenate(([np.int64(i + 1)], c - idx[1:]))
+        c = np.minimum(prev[:-1] + (bv != ca), prev[1:] + 1)
+        v = np.concatenate(([prev[0] + 1], c - idx[1:]))
         prev = idx + np.minimum.accumulate(v)
     return int(prev[-1])
 
@@ -110,6 +112,17 @@ def snm_tag_batch(batch: pa.Table) -> pa.Table:
                 .append_column("local_rank", pa.array(np.arange(n), pa.int64()))
 
 
+def snm_runlen_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (bkey, row count) combiner so the driver's run-offset
+    pass reads O(#batches) rows, never the corpus (a batch may span two
+    tag runs after re-batching, so this groups rather than assuming one
+    bkey per batch)."""
+    from ..functions.arrowkit import select_rename
+
+    g = batch.group_by("bkey").aggregate([([], "count_all")])
+    return select_rename(g, bkey="bkey", n="count_all")
+
+
 def snm_fanout_batch(batch: pa.Table, offsets: Dict[str, int]) -> pa.Table:
     """rank = run offset + local rank; emit the native chunk row plus a
     ghost copy into the previous chunk (rank // w - 1) so every window
@@ -143,29 +156,54 @@ def snm_fanout_batch(batch: pa.Table, offsets: Dict[str, int]) -> pa.Table:
 def snm_pairs_group(df: pd.DataFrame) -> pd.DataFrame:
     """One chunk (<= 2w rows) -> its window pairs. A pair is emitted iff
     its LOWER-rank row is native to this chunk, so each global pair
-    appears exactly once."""
+    appears exactly once. Distances run through the SHARED banded
+    vectorized DP (stages.dedup.levenshtein_pairs) over UTF-8 byte codes
+    — exact wherever dist <= SNM_MAX_DIST, byte-identical to DuckDB's
+    byte-level levenshtein. NULL prefixes never pair (the SQL twin's
+    levenshtein(NULL, x) predicate is NULL -> row dropped)."""
+    from ..stages.dedup import levenshtein_pairs
+
     df = df.sort_values("rank", kind="mergesort")
     ranks = df["rank"].to_numpy(dtype=np.int64)
     ids = df["doc_id"].to_numpy(dtype=np.int64)
     pfx = df["pfx"].to_numpy(dtype=object)
     native = df["native"].to_numpy(dtype=bool)
-    da, db, dist = [], [], []
+    valid = np.array([p is not None for p in pfx], dtype=bool)
+    ii, jj = [], []
     for i in range(len(df)):
-        if not native[i]:
+        if not native[i] or not valid[i]:
             continue
         for j in range(i + 1, len(df)):
             if ranks[j] - ranks[i] >= SNM_WINDOW:
                 break
-            d = levenshtein(pfx[i], pfx[j])
-            if d <= SNM_MAX_DIST:
-                da.append(ids[i])
-                db.append(ids[j])
-                dist.append(d)
+            if valid[j]:
+                ii.append(i)
+                jj.append(j)
+    if not ii:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+    enc = [p.encode("utf-8") if p is not None else b"" for p in pfx]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    width = max(1, int(lens.max()))
+    codes = np.zeros((len(enc), width), dtype=np.int32)
+    for r, e in enumerate(enc):
+        codes[r, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    ia = np.asarray(ii, dtype=np.int64)
+    ja = np.asarray(jj, dtype=np.int64)
+    d = levenshtein_pairs(
+        codes[ia], lens[ia], codes[ja], lens[ja], max_dist=SNM_MAX_DIST
+    )
+    keep = d <= SNM_MAX_DIST
     return pd.DataFrame(
         {
-            "doc_a": pd.Series(da, dtype="int64"),
-            "doc_b": pd.Series(db, dtype="int64"),
-            "dist": pd.Series(dist, dtype="int64"),
+            "doc_a": pd.Series(ids[ia][keep], dtype="int64"),
+            "doc_b": pd.Series(ids[ja][keep], dtype="int64"),
+            "dist": pd.Series(d[keep], dtype="int64"),
         }
     )
 
@@ -189,11 +227,16 @@ def q_snm_dups(sf_dir: str) -> rd.Dataset:
             zero_copy_batch=True,
         )
     )
-    # driver state: one (bkey, run length) row per sorted run
+    # driver state: one (bkey, run length) row per sorted run, delivered
+    # by a per-batch combiner — O(#batches) rows, never per-row pulls
     run_lens: Dict[str, int] = {}
-    for b in tagged.select_columns(["bkey"]).iter_batches(batch_format="pyarrow"):
-        for k in b["bkey"].to_pylist():
-            run_lens[k] = run_lens.get(k, 0) + 1
+    for b in tagged.map_batches(
+        remote_fn(_QN, "snm_runlen_partial"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b["bkey"].to_pylist(), b["n"].to_pylist()):
+            run_lens[k] = run_lens.get(k, 0) + n
     offsets: Dict[str, int] = {}
     acc = 0
     for k in sorted(run_lens):

@@ -24,8 +24,9 @@ from .atomic import ensure_published
 
 def dumps_dir(sf_dir: str) -> str:
     from ..pipelines.extract_pipeline import synthesize_pages
+    from ..pipelines.queries_extract import _REPEAT
 
-    pages_dir = synthesize_pages(sf_dir, repeat=2)
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     parts = []
     for rel in (
@@ -44,10 +45,11 @@ def dumps_dir(sf_dir: str) -> str:
 
 def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     from ..pipelines.extract_pipeline import synthesize_pages
+    from ..pipelines.queries_extract import _REPEAT
     from ..pipelines.queries_links import links_explode, meta_explode
 
     os.makedirs(tmp_dir, exist_ok=True)
-    pages_dir = synthesize_pages(sf_dir, repeat=2)
+    pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
     pages = pq.read_table(pages_dir, columns=["url", "html"])
     pq.write_table(
         links_explode(pages), os.path.join(tmp_dir, "links_seq.parquet")

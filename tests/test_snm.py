@@ -21,17 +21,66 @@ from khl_pdf_ocr_ray.pipelines.queries_snm import (
 
 @pytest.mark.parametrize("seed", range(4))
 def test_levenshtein_matches_duckdb(seed):
+    # alphabet includes multi-byte codepoints: DuckDB's levenshtein is
+    # BYTE-level (levenshtein('é','a') = 2) and the engine must agree
+    alphabet = string.ascii_lowercase + " éшз"
     rng = random.Random(seed)
     con = duckdb.connect()
     for _ in range(100):
-        a = "".join(
-            rng.choices(string.ascii_lowercase + " ", k=rng.randint(0, 24))
-        )
-        b = "".join(
-            rng.choices(string.ascii_lowercase + " ", k=rng.randint(0, 24))
-        )
+        a = "".join(rng.choices(alphabet, k=rng.randint(0, 24)))
+        b = "".join(rng.choices(alphabet, k=rng.randint(0, 24)))
         want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert levenshtein(a, b) == want, (a, b)
+
+
+def test_levenshtein_bytes_not_codepoints():
+    con = duckdb.connect()
+    assert levenshtein("é", "a") == con.execute(
+        "SELECT levenshtein('é', 'a')"
+    ).fetchone()[0]
+    assert levenshtein("é", "a") == 2  # 2-byte codepoint vs 1-byte
+
+
+def test_pairs_group_matches_scalar_spec():
+    """The banded vectorized batch path must agree with the scalar spec
+    on every emitted distance (incl. unicode prefixes)."""
+    rows = [
+        (0, 10, "héllo wörld aaa", True),
+        (1, 11, "hello world aaa", True),
+        (2, 12, "hello world aab", True),
+        (3, 13, "zzz yyy xxx www vvv uuu ttt sss", True),
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "rank": [r[1] for r in rows],
+            "pfx": [r[2] for r in rows],
+            "native": [r[3] for r in rows],
+        }
+    )
+    out = snm_pairs_group(df)
+    got = {(a, b): d for a, b, d in zip(out["doc_a"], out["doc_b"], out["dist"])}
+    for (a, b), d in got.items():
+        pa_ = rows[a][2]
+        pb_ = rows[b][2]
+        assert levenshtein(pa_, pb_) == d
+    assert (0, 1) in got and got[(0, 1)] == 4  # é,ö are 2 bytes each
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert all(3 not in k for k in got)
+
+
+def test_pairs_group_null_prefix_never_pairs():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "rank": [5, 6, 7],
+            "pfx": ["same text", None, "same text"],
+            "native": [True, True, True],
+        }
+    )
+    out = snm_pairs_group(df)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert pairs == {(0, 2)}
 
 
 def test_levenshtein_edges():
