@@ -382,6 +382,143 @@ def q_bpe_encode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def lang_word_partial(batch: pa.Table) -> pa.Table:
+    """(lang, text) -> per-batch (lang, word, n) counts, vectorized
+    (utf8_lower / split / flatten with the lang column repeated by each
+    row's word count)."""
+    low = pc.utf8_lower(batch["text"])
+    lists = pc.split_pattern_regex(low, "[^a-z]+")
+    flat = pc.list_flatten(lists)
+    reps = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    langs = np.repeat(
+        np.asarray(batch["lang"].to_pylist(), dtype=object), reps
+    )
+    t = pa.table({"lang": pa.array(langs, pa.string()), "word": flat})
+    t = t.filter(pc.not_equal(t["word"], ""))
+    g = t.group_by(["lang", "word"]).aggregate([([], "count_all")])
+    return select_rename(g, lang="lang", word="word", n="count_all")
+
+
+def bpe_word_tokens(batch: pa.Table, merges: list) -> pa.Table:
+    """Distinct words -> (word, n_subwords) after the learned merges
+    (training kernels reused; vocabulary-sized work)."""
+    t = bpe_symbolize(
+        pa.table(
+            {
+                "word": batch["word"],
+                "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+    )
+    for lhs, rhs in merges:
+        t = bpe_apply_merge(t, lhs, rhs)
+    n_sub = pc.list_value_length(t["syms"])
+    return pa.table(
+        {
+            "word": batch["word"],
+            "n_subwords": pc.cast(n_sub, pa.int64()),
+        }
+    )
+
+
+def fertility_partial(batch: pa.Table) -> pa.Table:
+    """(lang, n, n_subwords) joined rows -> per-batch (lang, words,
+    subwords) sums — globally distinct (lang, word) rows, valid partials."""
+    n = batch["n"].to_numpy(zero_copy_only=False)
+    ns = batch["n_subwords"].to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "lang": batch["lang"],
+            "words": pa.array(n, pa.int64()),
+            "subwords": pa.array(n * ns, pa.int64()),
+        }
+    )
+    g = t.group_by("lang").aggregate([("words", "sum"), ("subwords", "sum")])
+    return select_rename(
+        g, lang="lang", words="words_sum", subwords="subwords_sum"
+    )
+
+
+def fertility_finalize(batch: pa.Table) -> pa.Table:
+    w = batch["words"].to_numpy(zero_copy_only=False)
+    s = batch["subwords"].to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "fertility_x1000", pa.array(s * 1000 // np.maximum(w, 1), pa.int64())
+    )
+
+
+def q_bpe_fertility(sf_dir: str) -> rd.Dataset:
+    """Tokenizer FERTILITY per language (mean subword tokens per word
+    under the learned BPE merges) — the standard tokenizer-quality /
+    language-equity metric for multilingual training corpora.
+
+    Plan: per-batch (lang, word) combiner -> (lang, word) Sum (the one
+    corpus-sized exchange, pre-collapsed map-side) -> distinct-word
+    encode (vocabulary-sized, merges in the task closure) -> word-keyed
+    join -> per-batch lang partial -> |langs|-row Sum -> integer
+    fertility. Exact int math end-to-end."""
+    from ..joins import partitions_for_rows, safe_join
+    from .queries import _t
+
+    merges_t = q_bpe_merges(sf_dir)
+    merges = list(zip(merges_t["lhs"].to_pylist(), merges_t["rhs"].to_pylist()))
+    width = coalesce_for_input(table_nbytes(sf_dir, "documents"))
+    lw = (
+        _t(sf_dir, "documents", ["lang", "text"])
+        .map_batches(
+            remote_fn(_QT, "lang_word_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby(["lang", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # reused: row count prices the join; join probe
+    )
+    wordtok = (
+        _t(sf_dir, "documents", ["text"])
+        .map_batches(
+            remote_fn(_QT, "bpe_word_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(width)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            remote_fn(_QT, "bpe_word_tokens", merges=merges),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .rename_columns({"word": "word_r"})
+    )
+    joined = safe_join(
+        lw,
+        wordtok,
+        on=("word",),
+        right_on=("word_r",),
+        assume_non_empty=True,  # both sides derive from the same corpus
+        num_partitions=partitions_for_rows(lw.count()),
+    )
+    return (
+        joined.map_batches(
+            remote_fn(_QT, "fertility_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("lang")
+        .aggregate(
+            Sum("words", alias_name="words"),
+            Sum("subwords", alias_name="subwords"),
+        )
+        .map_batches(
+            remote_fn(_QT, "fertility_finalize"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
 # ======================================================================
 # Compression-ratio quality signal
 # ======================================================================
@@ -1402,6 +1539,7 @@ def q_temperature_sample(sf_dir: str) -> rd.Dataset:
 TRAIN_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "bpe_fertility": q_bpe_fertility,
     "compression_ratio": q_compression_ratio,
     "table_profile": q_table_profile,
     "heavy_hitters_mg": q_heavy_hitters_mg,

@@ -155,6 +155,10 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
         os.path.join(tmp_dir, "bpe_encode_seq.parquet"),
     )
     pq.write_table(
+        _bpe_fertility_seq(sf_dir, merges_t),
+        os.path.join(tmp_dir, "bpe_fertility_seq.parquet"),
+    )
+    pq.write_table(
         _cdc_dedup_seq(sf_dir), os.path.join(tmp_dir, "cdc_dedup_seq.parquet")
     )
     pq.write_table(
@@ -247,6 +251,55 @@ def _temperature_sample_seq(sf_dir: str) -> pa.Table:
     )
 
 
+def _bpe_fertility_seq(sf_dir: str, merges_t: pa.Table) -> pa.Table:
+    """Sequential fertility twin: same kernels, single batch, with the
+    relational plumbing as in-memory Arrow group_bys + a pandas merge."""
+    from ..functions.arrowkit import select_rename
+    from ..pipelines.queries_train import (
+        bpe_word_partial,
+        bpe_word_tokens,
+        fertility_finalize,
+        fertility_partial,
+        lang_word_partial,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    lw = lang_word_partial(docs)  # single batch == global counts
+    vocab = select_rename(
+        bpe_word_partial(docs.select(["text"]))
+        .group_by("word")
+        .aggregate([("n", "sum")]),
+        word="word",
+        n="n_sum",
+    )
+    merges = list(zip(merges_t["lhs"].to_pylist(), merges_t["rhs"].to_pylist()))
+    wt = bpe_word_tokens(vocab, merges).to_pandas()
+    j = lw.to_pandas().merge(wt, on="word")
+    part = fertility_partial(
+        pa.table(
+            {
+                "lang": pa.array(j["lang"].tolist(), pa.string()),
+                "n": pa.array(j["n"].astype("int64").tolist(), pa.int64()),
+                "n_subwords": pa.array(
+                    j["n_subwords"].astype("int64").tolist(), pa.int64()
+                ),
+            }
+        )
+    )
+    return fertility_finalize(
+        select_rename(
+            part.group_by("lang").aggregate(
+                [("words", "sum"), ("subwords", "sum")]
+            ),
+            lang="lang",
+            words="words_sum",
+            subwords="subwords_sum",
+        )
+    )
+
+
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
     return ensure_published(out_dir, lambda tmp: _build_dumps(sf_dir, tmp))
@@ -266,6 +319,10 @@ def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "bpe_encode": (
             "SELECT token, n "
             f"FROM read_parquet('{p('bpe_encode_seq.parquet')}')"
+        ),
+        "bpe_fertility": (
+            "SELECT lang, words, subwords, fertility_x1000 "
+            f"FROM read_parquet('{p('bpe_fertility_seq.parquet')}')"
         ),
         "compression_ratio": (
             "SELECT doc_id, n_bytes, comp_permille "

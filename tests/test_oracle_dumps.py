@@ -56,6 +56,7 @@ DUMP_QUERIES = [
     # training-engine widening (state/oracle_dump_train.py twins)
     "bpe_merges",
     "bpe_encode",
+    "bpe_fertility",
     "compression_ratio",
     "cdc_chunk_dedup",
     "temperature_sample",
