@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "bloom_line_dedup",       # dup-Bloom prefiltered exact line dedup (round 4)
     "snm_dups",               # sorted-neighborhood window dedup (round 4)
     "graph_bfs_depths",       # iterative frontier traversal (round 4)
+    "curriculum_order",       # two-sort run-tagged global rank (round 4)
+    "events_ewma",            # top-16-per-user decayed-state combiner (round 4)
 ]
 
 

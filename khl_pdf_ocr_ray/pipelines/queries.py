@@ -1676,6 +1676,13 @@ from .queries_bfs import BFS_ORACLES, BFS_QUERIES  # noqa: E402
 QUERIES.update(BFS_QUERIES)
 ORACLES.update(BFS_ORACLES)
 
+# evaluation / training-order operators (AUC, shard shuffle, decayed
+# per-user state, curriculum interleave)
+from .queries_eval import EVAL_ORACLES, EVAL_QUERIES  # noqa: E402
+
+QUERIES.update(EVAL_QUERIES)
+ORACLES.update(EVAL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -140,8 +140,63 @@ def q_html_meta(sf_dir: str) -> rd.Dataset:
     )
 
 
+def anchor_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (href, anchor, n) collapse — partial for the pair
+    groupby, so page-to-batch alignment never matters."""
+    g = batch.group_by(["href", "anchor"]).aggregate([("link_id", "count")])
+    return select_rename(g, href="href", anchor="anchor", n="link_id_count")
+
+
+def anchor_rollup(g) -> "object":
+    """One row per link target: its anchor-text vocabulary. The '|' join
+    separator must not occur in anchors (they are whitespace-normalized
+    words) — assert loudly rather than hash-mismatch silently."""
+    import pandas as pd
+
+    assert not g["anchor"].str.contains("|", regex=False).any()
+    srt = g.sort_values(["n", "anchor"], ascending=[False, True])
+    alpha = sorted(g["anchor"].tolist())
+    return pd.DataFrame(
+        {
+            "href": [g["href"].iloc[0]],
+            "n_anchors": pd.array([len(g)], dtype="int64"),
+            "n_refs": pd.array([int(g["n"].sum())], dtype="int64"),
+            "anchor_texts": ["|".join(alpha)],
+            "top_anchor": [srt["anchor"].iloc[0]],
+        }
+    )
+
+
+def q_anchor_text_agg(sf_dir: str) -> rd.Dataset:
+    """Anchor-text corpus per link TARGET (the classic web-search /
+    LLM-pretraining signal: what the web calls a page): distinct anchor
+    count, total references, the alphabetical anchor vocabulary, and the
+    most frequent anchor (ties to the lexicographically smallest).
+
+    Plan: link explode (map-only, payload dropped) -> per-batch
+    (href, anchor) collapse -> pair-keyed Sum -> per-href assembly over
+    the ALREADY-COLLAPSED pair rows (groups are anchor-vocabulary-sized,
+    never reference-count-sized — a boilerplate 'home' link referenced
+    from every page of a site arrives as one row per distinct anchor)."""
+    pairs = (
+        _pages(sf_dir)
+        .map_batches(remote_fn(_QL, "links_explode"), batch_format="pyarrow")
+        .map_batches(
+            remote_fn(_QL, "anchor_pair_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["href", "anchor"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return pairs.groupby("href").map_groups(
+        remote_fn(_QL, "anchor_rollup"), batch_format="pandas"
+    )
+
+
 LINKS_QUERIES = {
     "html_links": q_html_links,
     "html_link_degree": q_html_link_degree,
     "html_meta": q_html_meta,
+    "anchor_text_agg": q_anchor_text_agg,
 }

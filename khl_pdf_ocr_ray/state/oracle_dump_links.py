@@ -82,4 +82,24 @@ def links_oracle_sqls(sf_dir: str) -> Dict[str, str]:
             "SELECT url, title, n_paras, n_links, footer_year "
             f"FROM read_parquet('{p('meta_seq.parquet')}')"
         ),
+        # independent rollup: window row_number + ordered string_agg in
+        # DuckDB vs the engine's combiner + per-target assembly
+        "anchor_text_agg": f"""
+WITH pairs AS (
+  SELECT href, anchor, CAST(count(*) AS BIGINT) AS n
+  FROM read_parquet('{p('links_seq.parquet')}') GROUP BY href, anchor),
+top AS (
+  SELECT href, anchor AS top_anchor FROM (
+    SELECT href, anchor,
+           ROW_NUMBER() OVER (PARTITION BY href
+                              ORDER BY n DESC, anchor) AS rn
+    FROM pairs) WHERE rn = 1),
+agg AS (
+  SELECT href, CAST(count(*) AS BIGINT) AS n_anchors,
+         CAST(sum(n) AS BIGINT) AS n_refs,
+         string_agg(anchor, '|' ORDER BY anchor) AS anchor_texts
+  FROM pairs GROUP BY href)
+SELECT a.href, a.n_anchors, a.n_refs, a.anchor_texts, t.top_anchor
+FROM agg a JOIN top t ON a.href = t.href
+""",
     }

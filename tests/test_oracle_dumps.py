@@ -65,6 +65,7 @@ DUMP_QUERIES = [
     "html_links",
     "html_link_degree",
     "html_meta",
+    "anchor_text_agg",
     # Bloom-prefiltered plan twin (shares line_dedup's oracle)
     "bloom_line_dedup",
     # table-region cells (oracle_dump.py pages surface)
