@@ -483,14 +483,88 @@ FROM r
 """
 
 
+# ======================================================================
+# top_k_per_group — grouped top-k (k > 1; arg-min/max covers k = 1)
+# ======================================================================
+TOPK_K = 3
+
+
+def topk_candidates(batch: pa.Table) -> pa.Table:
+    """Per-batch per-type top-K superset (same vectorized run filter as
+    ewma_candidates, keyed on (cents desc, event_id asc))."""
+    etype = batch["event_type"].to_pylist()
+    eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = batch["value"].to_numpy(zero_copy_only=False)
+    cents = np.floor(val * 100 + 0.5).astype(np.int64)
+    codes, _ = pd.factorize(np.asarray(etype))
+    order = np.lexsort((eid, -cents, codes))
+    c = codes[order]
+    starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+    run_start = np.repeat(starts, np.diff(np.r_[starts, len(c)]))
+    keep = (np.arange(len(c)) - run_start) < TOPK_K
+    sel = order[keep]
+    return pa.table(
+        {
+            "event_type": pa.array([etype[i] for i in sel], pa.string()),
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "cents": pa.array(cents[sel], pa.int64()),
+        }
+    )
+
+
+def topk_per_type(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["cents", "event_id"], ascending=[False, True]).head(TOPK_K)
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"].astype("string"),
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "event_id": g["event_id"].astype("int64"),
+            "cents": g["cents"].astype("int64"),
+        }
+    )
+
+
+def q_top_k_per_group(sf_dir: str) -> rd.Dataset:
+    """Top-3 events by value per event type (grouped top-k): the
+    per-batch superset combiner bounds the shuffle at K rows per
+    (type, block); the final groups hold <= K x blocks rows."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(
+            remote_fn(_QE, "topk_candidates"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("event_type")
+        .map_groups(remote_fn(_QE, "topk_per_type"), batch_format="pandas")
+    )
+
+
+SQL_TOP_K_PER_GROUP = f"""
+WITH o AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC,
+                       event_id) AS BIGINT) AS rnk
+  FROM events)
+SELECT event_type, rnk, event_id, cents
+FROM o WHERE rnk <= {TOPK_K}
+"""
+
+
 EVAL_QUERIES = {
     "score_auc": q_score_auc,
     "shuffle_shards": q_shuffle_shards,
     "events_ewma": q_events_ewma,
     "curriculum_order": q_curriculum_order,
+    "top_k_per_group": q_top_k_per_group,
 }
 
 EVAL_ORACLES = {
+    "top_k_per_group": SQL_TOP_K_PER_GROUP,
     "score_auc": SQL_SCORE_AUC,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "events_ewma": SQL_EVENTS_EWMA,

@@ -734,7 +734,71 @@ WHERE rn <= {QUOTA_K}
 """
 
 
+# --- T5-style span corruption (Raffel et al. 2020) ---------------------------
+SPAN_MASK_MOD = 1000
+SPAN_MASK_PERMILLE = 60  # ~6% of token positions START a mask span
+SPAN_MIN_LEN, SPAN_LEN_CHOICES = 2, 3  # span length in {2, 3, 4}
+
+
+def span_corrupt_doc(doc_id: int, text: str):
+    """(input_text, target_text, n_spans) for one document: greedy
+    deterministic span masking — position i starts a span iff its
+    multiplicative hash lands under the permille threshold and i is not
+    already inside a span; masked spans become <extra_id_k> sentinels in
+    the input and (sentinel + tokens) in the target, the T5 denoising
+    objective. Python-int hash arithmetic (no overflow at any id)."""
+    from .queries_window import RESAMPLE_MULT
+
+    words = [w for w in (text or "").split(" ") if w]
+    inp, tgt = [], []
+    i, k, n = 0, 0, len(words)
+    while i < n:
+        h = ((doc_id * 1_000_003 + i) * RESAMPLE_MULT) % SPAN_MASK_MOD
+        if h < SPAN_MASK_PERMILLE and n - i >= SPAN_MIN_LEN:
+            length = min(
+                SPAN_MIN_LEN + ((doc_id + i) % SPAN_LEN_CHOICES), n - i
+            )
+            sentinel = f"<extra_id_{k}>"
+            inp.append(sentinel)
+            tgt.append(sentinel)
+            tgt.extend(words[i : i + length])
+            i += length
+            k += 1
+        else:
+            inp.append(words[i])
+            i += 1
+    return " ".join(inp), " ".join(tgt), k
+
+
+def span_corruption_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    outs = [span_corrupt_doc(int(d), t) for d, t in zip(ids, texts)]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d) for d in ids], pa.int64()),
+            "n_spans": pa.array([o[2] for o in outs], pa.int64()),
+            "input_text": pa.array([o[0] for o in outs], pa.string()),
+            "target_text": pa.array([o[1] for o in outs], pa.string()),
+        }
+    )
+
+
+def q_span_corruption(sf_dir: str) -> rd.Dataset:
+    """T5 span-corruption pretraining pairs over the corpus — map-only,
+    embarrassingly parallel; the denoising-objective data-prep step
+    between chunking and tokenization. Sequential-twin checked (the mask
+    rule is hash-deterministic, so the dump certifies batching/layout
+    invariance end-to-end)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QP, "span_corruption_batch"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 PREP_QUERIES: Dict[str, object] = {
+    "span_corruption": q_span_corruption,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "text_normalize": q_text_normalize,
     "events_zscore": q_events_zscore,

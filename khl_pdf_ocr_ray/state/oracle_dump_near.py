@@ -823,6 +823,14 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     ).to_pandas()
     _write("llm_recipe_seq.parquet", stats)
 
+    # T5 span corruption: ONE sequential pass of the same batch kernel
+    from ..pipelines.queries_prep import span_corruption_batch
+
+    span_docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    _write("span_corruption_seq.parquet", span_corruption_batch(span_docs).to_pandas())
+
 
 def ensure_dumps(sf_dir: str) -> str:
     out_dir = dumps_dir(sf_dir)
@@ -876,6 +884,7 @@ FROM read_parquet('{p('unigram_lm_seq.parquet')}') s
 JOIN documents d ON s.doc_id = d.doc_id
 """,
         "llm_corpus_recipe": f"SELECT lang, n_docs, n_chunks, n_tokens FROM read_parquet('{p('llm_recipe_seq.parquet')}')",
+        "span_corruption": f"SELECT doc_id, n_spans, input_text, target_text FROM read_parquet('{p('span_corruption_seq.parquet')}')",
         # purity: the contingency recomputed in SQL over the kmeans twin's
         # assignments joined to the documents view — an INDEPENDENT
         # relational derivation of what the distributed join+Count builds

@@ -61,6 +61,7 @@ DUMP_QUERIES = [
     "cdc_chunk_dedup",
     "temperature_sample",
     "doc_graph_coreness",
+    "span_corruption",
     # link-graph extraction (state/oracle_dump_links.py twins)
     "html_links",
     "html_link_degree",

@@ -236,3 +236,75 @@ class TestGlobalRank:
         offsets = curr_offsets(pd.concat([p1, p2]).sort_values("bkey"))
         out = curr_assign_batch(t, "source", offsets, "rnk").to_pandas()
         assert out["rnk"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+class TestTopKPerGroup:
+    def test_candidates_are_superset_and_exact_after_merge(self):
+        from khl_pdf_ocr_ray.pipelines.queries_eval import (
+            topk_candidates,
+            topk_per_type,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 80
+        types = rng.choice(["a", "b", "c"], size=n).tolist()
+        vals = (rng.integers(0, 50, size=n) / 7.0).tolist()
+        b = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        whole = pd.concat(
+            [
+                topk_per_type(g)
+                for _, g in topk_candidates(b).to_pandas().groupby("event_type")
+            ]
+        ).reset_index(drop=True)
+        # split into two batches, merge candidates, re-reduce
+        parts = pd.concat(
+            [
+                topk_candidates(b.slice(0, 31)).to_pandas(),
+                topk_candidates(b.slice(31)).to_pandas(),
+            ]
+        )
+        split = pd.concat(
+            [topk_per_type(g) for _, g in parts.groupby("event_type")]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            whole.sort_values(["event_type", "rnk"]).reset_index(drop=True),
+            split.sort_values(["event_type", "rnk"]).reset_index(drop=True),
+        )
+
+
+class TestSpanCorruption:
+    def test_tokens_conserved_and_deterministic(self):
+        from khl_pdf_ocr_ray.pipelines.queries_prep import span_corrupt_doc
+
+        text = " ".join(f"w{i}" for i in range(200))
+        inp, tgt, k = span_corrupt_doc(42, text)
+        assert (inp, tgt, k) == span_corrupt_doc(42, text)
+        assert k > 0  # 200 positions at ~6 permille-start -> spans exist
+        # reconstruct: splice each sentinel's target span back in
+        tgt_parts = tgt.split(" ")
+        spans = {}
+        cur = None
+        for tok in tgt_parts:
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in inp.split(" "):
+            rebuilt.extend(spans[tok] if tok.startswith("<extra_id_") else [tok])
+        assert " ".join(rebuilt) == text
+        assert len(spans) == k
+
+    def test_empty_and_short_docs(self):
+        from khl_pdf_ocr_ray.pipelines.queries_prep import span_corrupt_doc
+
+        assert span_corrupt_doc(7, "") == ("", "", 0)
+        inp, tgt, k = span_corrupt_doc(7, "one")
+        assert inp == "one" and tgt == "" and k == 0
