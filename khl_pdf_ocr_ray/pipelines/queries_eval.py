@@ -555,16 +555,117 @@ FROM o WHERE rnk <= {TOPK_K}
 """
 
 
+# ======================================================================
+# scd2_intervals — slowly-changing-dimension (type 2) build over crawls
+# ======================================================================
+SCD_SNAPS = 4  # synthetic crawl snapshots 0..3
+SCD_CHG_MOD = 3  # doc changes at snapshot s >= 1 iff (doc_id + s) % 3 == 0
+
+
+def scd2_observe(batch: pa.Table) -> pa.Table:
+    """Explode each doc into its per-crawl observations (doc_id, snap,
+    content digest). The digest is computed from the observation content
+    (text + cumulative revision), exactly like a recrawl pipeline would
+    hash each fetched page — downstream sees opaque digests only."""
+    import hashlib
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_id, out_snap, out_h = [], [], []
+    for d, t in zip(ids, texts):
+        d = int(d)
+        rev = 0
+        for s in range(SCD_SNAPS):
+            if s >= 1 and (d + s) % SCD_CHG_MOD == 0:
+                rev += 1
+            h = hashlib.md5(f"{t or ''}|{rev}".encode()).hexdigest()
+            out_id.append(d)
+            out_snap.append(s)
+            out_h.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "snap": pa.array(out_snap, pa.int64()),
+            "h": pa.array(out_h, pa.string()),
+        }
+    )
+
+
+def scd2_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+    """Collapse one key's snapshot observations into validity intervals:
+    a new version starts wherever the digest differs from the previous
+    snapshot's; the open (current) interval gets valid_to = -1."""
+    g = g.sort_values("snap")
+    h = g["h"].to_numpy()
+    snap = g["snap"].to_numpy().astype(np.int64)
+    starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1]
+    ends = np.r_[starts[1:], len(h)]
+    valid_to = snap[ends - 1] + 1
+    valid_to[-1] = -1  # newest version is current
+    return pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].to_numpy()[starts].astype(np.int64),
+            "h": h[starts],
+            "valid_from": snap[starts],
+            "valid_to": valid_to,
+        }
+    )
+
+
+def q_scd2_intervals(sf_dir: str) -> rd.Dataset:
+    """SCD type-2 dimension build over crawl history: per url key, the
+    content-version validity intervals [valid_from, valid_to) derived
+    from per-crawl digests (valid_to = -1 marks the current version) —
+    the warehouse operator a recrawl pipeline runs to answer "what did
+    this page say at crawl t". Only (key, snap, digest) rows shuffle
+    (never page content); groups hold |snapshots| rows per key."""
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            remote_fn(_QE, "scd2_observe"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("doc_id")
+        .map_groups(remote_fn(_QE, "scd2_per_doc"), batch_format="pandas")
+    )
+
+
+SQL_SCD2_INTERVALS = f"""
+WITH s AS (SELECT CAST(i AS BIGINT) AS snap FROM range({SCD_SNAPS}) t(i)),
+c AS (
+  SELECT d.doc_id, s.snap, d.text,
+         CASE WHEN s.snap >= 1 AND (d.doc_id + s.snap) % {SCD_CHG_MOD} = 0
+              THEN 1 ELSE 0 END AS chg
+  FROM documents d CROSS JOIN s),
+r AS (
+  SELECT doc_id, snap,
+         md5(coalesce(text, '') || '|' ||
+             CAST(CAST(SUM(chg) OVER (PARTITION BY doc_id ORDER BY snap)
+                       AS BIGINT) AS VARCHAR)) AS h
+  FROM c)
+SELECT doc_id, h,
+       CAST(min(snap) AS BIGINT) AS valid_from,
+       CAST(CASE WHEN max(snap) = {SCD_SNAPS - 1} THEN -1
+                 ELSE max(snap) + 1 END AS BIGINT) AS valid_to
+FROM r GROUP BY doc_id, h
+"""
+
+
 EVAL_QUERIES = {
     "score_auc": q_score_auc,
     "shuffle_shards": q_shuffle_shards,
     "events_ewma": q_events_ewma,
     "curriculum_order": q_curriculum_order,
     "top_k_per_group": q_top_k_per_group,
+    "scd2_intervals": q_scd2_intervals,
 }
 
 EVAL_ORACLES = {
     "top_k_per_group": SQL_TOP_K_PER_GROUP,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
     "score_auc": SQL_SCORE_AUC,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "events_ewma": SQL_EVENTS_EWMA,

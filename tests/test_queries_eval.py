@@ -308,3 +308,41 @@ class TestSpanCorruption:
         assert span_corrupt_doc(7, "") == ("", "", 0)
         inp, tgt, k = span_corrupt_doc(7, "one")
         assert inp == "one" and tgt == "" and k == 0
+
+
+class TestScd2:
+    def test_interval_collapse(self):
+        from khl_pdf_ocr_ray.pipelines.queries_eval import (
+            scd2_observe,
+            scd2_per_doc,
+        )
+
+        # doc_id=2: changes at snap s where (2+s)%3==0 -> s=1 only
+        b = pa.table(
+            {"doc_id": pa.array([2], pa.int64()),
+             "text": pa.array(["hello world"], pa.string())}
+        )
+        obs = scd2_observe(b).to_pandas()
+        assert len(obs) == 4
+        out = scd2_per_doc(obs).reset_index(drop=True)
+        assert out["valid_from"].tolist() == [0, 1]
+        assert out["valid_to"].tolist() == [1, -1]
+        assert out["h"].nunique() == 2
+
+    def test_never_changing_doc_is_one_open_interval(self):
+        from khl_pdf_ocr_ray.pipelines.queries_eval import (
+            scd2_observe,
+            scd2_per_doc,
+        )
+
+        # doc_id=1: (1+s)%3==0 at s=2 -> changes once; doc_id=0 changes
+        # at s=3; pick one with no change in 1..3: (d+s)%3 != 0 for all
+        # s in 1..3 is impossible mod 3 — so verify the multi-change one
+        b = pa.table(
+            {"doc_id": pa.array([0], pa.int64()),
+             "text": pa.array(["x"], pa.string())}
+        )
+        out = scd2_per_doc(scd2_observe(b).to_pandas()).reset_index(drop=True)
+        # doc 0 changes at s=3 only -> intervals [0,3) and [3, current)
+        assert out["valid_from"].tolist() == [0, 3]
+        assert out["valid_to"].tolist() == [3, -1]
