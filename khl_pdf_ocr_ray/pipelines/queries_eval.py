@@ -654,6 +654,254 @@ FROM r GROUP BY doc_id, h
 """
 
 
+# ======================================================================
+# quantile_normalize — map each source's score distribution onto the
+# global distribution (cross-source calibration before mixing corpora)
+# ======================================================================
+def qn_rank_key(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "_const", pa.array(["x"] * len(batch), pa.string())
+    )
+
+
+def qn_target_rank(
+    batch: pa.Table, m_by_source: Dict[str, int], n_total: int
+) -> pa.Table:
+    """Midpoint-rule target global rank: rank r of m maps to
+    ((2r-1)*N) // (2m) + 1 — exact ints, same expression as the SQL."""
+    r = batch["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = batch["source"].to_pylist()
+    m = np.asarray([m_by_source[s] for s in src], dtype=np.int64)
+    tr = ((2 * r - 1) * n_total) // (2 * m) + 1
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+            "tr": pa.array(tr, pa.int64()),
+        }
+    )
+
+
+def qn_gval_project(batch: pa.Table) -> pa.Table:
+    return pa.table({"q": batch["pos"], "gval": batch["n_chars"]})
+
+
+def qn_final_project(batch: pa.Table) -> pa.Table:
+    t = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+            "norm_chars": batch["gval"],
+        }
+    )
+    return t
+
+
+def qn_count_partial(batch: pa.Table) -> pa.Table:
+    g = batch.select(["source"]).group_by("source").aggregate(
+        [("source", "count")]
+    )
+    return select_rename(g, source="source", m="source_count")
+
+
+def q_quantile_normalize(sf_dir: str) -> rd.Dataset:
+    """Quantile normalization across sources: each doc's score is
+    replaced by the GLOBAL score found at its within-source rank's
+    midpoint position — so every source's calibrated distribution is the
+    corpus distribution (the cross-source calibration step before corpus
+    mixing weights are applied).
+
+    Plan: two global-rank passes (the sort + run-tag + offset machinery
+    — per-source and corpus-wide, both ascending so tie order matches
+    the SQL exactly), a |sources|-row driver count, and ONE slim
+    (doc_id, target_rank) x (rank, value) integer join. Page text never
+    moves; both exchanges carry 3-4 int columns."""
+    from ..joins import partitions_for_rows, safe_join
+    from .queries import _t
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    counts = (
+        docs.map_batches(
+            remote_fn(_QE, "qn_count_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("source")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()  # one row per source — bounded
+    )
+    m_by_source = dict(zip(counts["source"], counts["m"].astype(int)))
+    n_total = int(counts["m"].sum())
+
+    ranked = _global_rank(
+        docs,
+        sort_cols=["source", "n_chars", "doc_id"],
+        part_col="source",
+        key_cols=["source", "n_chars", "doc_id"],
+        out_col="rnk",
+    )
+    targets = ranked.map_batches(
+        remote_fn(_QE, "qn_target_rank", m_by_source=m_by_source, n_total=n_total),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    gtable = _global_rank(
+        docs.map_batches(
+            remote_fn(_QE, "qn_rank_key"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        sort_cols=["n_chars", "doc_id"],
+        part_col="_const",
+        key_cols=["n_chars", "doc_id"],
+        out_col="pos",
+    ).map_batches(
+        remote_fn(_QE, "qn_gval_project"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    width = partitions_for_rows(n_total)
+    joined = safe_join(
+        targets, gtable, on=("tr",), right_on=("q",),
+        assume_non_empty=True, num_partitions=width,
+    )
+    return joined.map_batches(
+        remote_fn(_QE, "qn_final_project"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS m,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents),
+g AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS q,
+         n_chars AS gval
+  FROM documents)
+SELECT w.doc_id, w.source, w.n_chars, g.gval AS norm_chars
+FROM w JOIN g ON ((2 * w.r - 1) * w.n) // (2 * w.m) + 1 = g.q
+"""
+
+
+# ======================================================================
+# lang_ols_slope — grouped closed-form least squares (per-language OLS
+# of token count on char count), exact integer moments
+# ======================================================================
+OLS_SCALE = 1_000_000
+
+
+def ols_moment_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-lang integer moment sums (n, Sx, Sy, Sxx, Sxy) with
+    x = n_chars, y = whitespace token count."""
+    import pyarrow.compute as pc
+
+    x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = pc.fill_null(batch["text"], "")
+    y = pc.list_value_length(pc.split_pattern(texts, " ")).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    t = pa.table(
+        {
+            "lang": batch["lang"],
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sx": pa.array(x, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxx": pa.array(x * x, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+        }
+    )
+    g = t.group_by("lang").aggregate(
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxx", "sum"), ("sxy", "sum")]
+    )
+    return select_rename(
+        g, lang="lang", n="n_sum", sx="sx_sum", sy="sy_sum",
+        sxx="sxx_sum", sxy="sxy_sum",
+    )
+
+
+def ols_finalize(batch: pa.Table) -> pa.Table:
+    """slope_x1e6 = floor((n*Sxy - Sx*Sy) * 1e6 / (n*Sxx - Sx^2)) —
+    Python-int math (moment products overflow int64 at corpus scale)."""
+    n = batch["n"].to_pylist()
+    sx = batch["sx"].to_pylist()
+    sy = batch["sy"].to_pylist()
+    sxx = batch["sxx"].to_pylist()
+    sxy = batch["sxy"].to_pylist()
+    slopes = []
+    for ni, xi, yi, xxi, xyi in zip(n, sx, sy, sxx, sxy):
+        num = (int(ni) * int(xyi) - int(xi) * int(yi)) * OLS_SCALE
+        den = int(ni) * int(xxi) - int(xi) * int(xi)
+        slopes.append(num // den)
+    return pa.table(
+        {
+            "lang": batch["lang"],
+            "n_docs": pa.array([int(v) for v in n], pa.int64()),
+            "slope_x1e6": pa.array(slopes, pa.int64()),
+        }
+    )
+
+
+def q_lang_ols_slope(sf_dir: str) -> rd.Dataset:
+    """Per-language closed-form OLS slope of token count on char count
+    (grouped linear regression): one combiner pass reduces the corpus to
+    |langs| x blocks moment rows; no second pass, no shuffle of docs."""
+    from .queries import _t
+
+    width = coalesce_for_input(table_nbytes(sf_dir, "documents"))
+    return (
+        _t(sf_dir, "documents", ["lang", "text", "n_chars"])
+        .map_batches(
+            remote_fn(_QE, "ols_moment_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(max(2, width // 4))
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .map_batches(
+            remote_fn(_QE, "ols_finalize"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+SQL_LANG_OLS_SLOPE = f"""
+WITH m AS (
+  SELECT lang,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_chars) AS HUGEINT) AS sx,
+         CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS HUGEINT)
+           AS sy,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(n_chars AS HUGEINT)
+                  * len(string_split(coalesce(text, ''), ' ')))
+              AS HUGEINT) AS sxy
+  FROM documents GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST((n * sxy - sx * sy) * {OLS_SCALE} // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_x1e6
+FROM m
+"""
+
+
 EVAL_QUERIES = {
     "score_auc": q_score_auc,
     "shuffle_shards": q_shuffle_shards,
@@ -661,11 +909,15 @@ EVAL_QUERIES = {
     "curriculum_order": q_curriculum_order,
     "top_k_per_group": q_top_k_per_group,
     "scd2_intervals": q_scd2_intervals,
+    "quantile_normalize": q_quantile_normalize,
+    "lang_ols_slope": q_lang_ols_slope,
 }
 
 EVAL_ORACLES = {
     "top_k_per_group": SQL_TOP_K_PER_GROUP,
     "scd2_intervals": SQL_SCD2_INTERVALS,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "lang_ols_slope": SQL_LANG_OLS_SLOPE,
     "score_auc": SQL_SCORE_AUC,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "events_ewma": SQL_EVENTS_EWMA,

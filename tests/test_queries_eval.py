@@ -346,3 +346,85 @@ class TestScd2:
         # doc 0 changes at s=3 only -> intervals [0,3) and [3, current)
         assert out["valid_from"].tolist() == [0, 3]
         assert out["valid_to"].tolist() == [3, -1]
+
+
+class TestQuantileNormalize:
+    def test_single_source_is_identity_mapping(self):
+        from khl_pdf_ocr_ray.pipelines.queries_eval import qn_target_rank
+
+        n = 37
+        b = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array(range(n), pa.int64()),
+                "rnk": pa.array(range(1, n + 1), pa.int64()),
+            }
+        )
+        out = qn_target_rank(b, {"s": n}, n).to_pandas()
+        # one source spanning the corpus: midpoint rule maps rank r -> r
+        assert out["tr"].tolist() == list(range(1, n + 1))
+
+    def test_target_ranks_stay_in_bounds_and_monotone(self):
+        from khl_pdf_ocr_ray.pipelines.queries_eval import qn_target_rank
+
+        n_total, m = 1000, 7
+        b = pa.table(
+            {
+                "doc_id": pa.array(range(m), pa.int64()),
+                "source": pa.array(["s"] * m, pa.string()),
+                "n_chars": pa.array(range(m), pa.int64()),
+                "rnk": pa.array(range(1, m + 1), pa.int64()),
+            }
+        )
+        tr = qn_target_rank(b, {"s": m}, n_total).to_pandas()["tr"].tolist()
+        assert all(1 <= t <= n_total for t in tr)
+        assert tr == sorted(tr) and len(set(tr)) == m
+
+
+class TestOlsSlope:
+    def test_split_moments_match_whole_and_closed_form(self):
+        from khl_pdf_ocr_ray.pipelines.queries_eval import (
+            OLS_SCALE,
+            ols_finalize,
+            ols_moment_partial,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 60
+        x = rng.integers(10, 500, size=n).astype(np.int64)
+        words = [" ".join("w" * 1 for _ in range(max(1, xi // 10))) for xi in x]
+        langs = ["en" if i % 2 == 0 else "de" for i in range(n)]
+        b = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(words, pa.string()),
+                "n_chars": pa.array(x, pa.int64()),
+            }
+        )
+        whole = (
+            ols_moment_partial(b)
+            .to_pandas()
+            .groupby("lang", as_index=False)
+            .sum()
+        )
+        parts = pd.concat(
+            [
+                ols_moment_partial(b.slice(0, 23)).to_pandas(),
+                ols_moment_partial(b.slice(23)).to_pandas(),
+            ]
+        ).groupby("lang", as_index=False).sum()
+        pd.testing.assert_frame_equal(
+            whole.sort_values("lang").reset_index(drop=True),
+            parts.sort_values("lang").reset_index(drop=True),
+        )
+        out = ols_finalize(pa.Table.from_pandas(whole)).to_pandas()
+        for _, row in out.iterrows():
+            lg = row["lang"]
+            xs = np.array([xi for xi, l in zip(x, langs) if l == lg], dtype=float)
+            ys = np.array(
+                [len(w.split(" ")) for w, l in zip(words, langs) if l == lg],
+                dtype=float,
+            )
+            want = np.polyfit(xs, ys, 1)[0]
+            assert abs(row["slope_x1e6"] / OLS_SCALE - want) < 1e-4
