@@ -231,5 +231,191 @@ WITH RECURSIVE base AS (
 SELECT node, min(depth) AS depth FROM walk GROUP BY node
 """
 
-BFS_QUERIES = {"graph_bfs_depths": q_graph_bfs_depths}
-BFS_ORACLES = {"graph_bfs_depths": SQL_GRAPH_BFS_DEPTHS}
+# ======================================================================
+# Weighted single-source shortest paths (Bellman-Ford / min-plus
+# relaxation) over the same planted graph with deterministic edge
+# weights w(u, v) = 1 + (u + v) % 5 (symmetric by construction).
+# ======================================================================
+SSSP_MAX_ROUNDS = 80
+# adaptive compare/expand: below this the dist table broadcasts
+# (ray.put) and each round is MAP-ONLY over the materialized edge
+# table; above it both the expansion and the improvement compare run as
+# node-keyed shuffle joins (the 100 TB path — dist is host-cardinality
+# there). Same convention as BFS_BROADCAST_MAX / skew_join.
+SSSP_BROADCAST_MAX = 1 << 20
+
+
+def sssp_edge_partial(batch: pa.Table) -> pa.Table:
+    """Planted edges with weights, per-batch distinct."""
+    import numpy as np
+
+    e = bfs_edge_partial(batch)
+    src = e["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = e["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return e.append_column("w", pa.array(1 + (src + dst) % 5, pa.int64()))
+
+
+def sssp_relax_broadcast(batch: pa.Table, dist_ref) -> pa.Table:
+    """One relaxation sweep, map-side: for edge rows whose src has a
+    current distance, emit (dst, src_dist + w); per-batch min per dst."""
+    import numpy as np
+    import ray
+
+    nodes, dists = (
+        ray.get(dist_ref) if not isinstance(dist_ref, tuple) else dist_ref
+    )
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.minimum(np.searchsorted(nodes, src), len(nodes) - 1)
+    hit = nodes[pos] == src
+    if not hit.any():
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+        )
+    dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+    w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+    cand = dists[pos[hit]] + w
+    t = pa.table(
+        {"node": pa.array(dst, pa.int64()), "dist": pa.array(cand, pa.int64())}
+    )
+    g = t.group_by("node").aggregate([("dist", "min")])
+    return pa.table({"node": g["node"], "dist": g["dist_min"]})
+
+
+def q_graph_sssp(sf_dir: str) -> rd.Dataset:
+    """Weighted SSSP by distributed Bellman-Ford (min-plus relaxation):
+    per round, relax every edge out of the current dist table, min-merge
+    the candidates back in, converged when the (node count, dist sum)
+    fingerprint stops moving — dists only ever decrease and reach-counts
+    only grow, so the pair is invariant iff nothing changed. Driver
+    state per round: two scalars (and, under the broadcast cap, the
+    node-sized dist arrays — the keyed-join path above the cap never
+    collects them). The compare step is deliberately JOIN-FREE: Ray's
+    Join operator emits schema-less blocks for empty hash partitions,
+    which poison a downstream join when the dist table is smaller than
+    the partition count; the union + min-merge + fingerprint form needs
+    one less exchange anyway. Weighted complement of graph_bfs_depths'
+    hop metric."""
+    import numpy as np
+
+    import ray
+
+    from .queries import _t
+    from ray.data.aggregate import Count as _Count, Min as _Min, Sum as _Sum
+
+    edges = (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(
+            remote_fn(_QB, "sssp_edge_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["src", "dst"])
+        .aggregate(_Min("w", alias_name="w"))
+        .materialize()  # iterated against every round; edge-distinct
+    )
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([BFS_SEED], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    ).materialize()
+    fp = (1, 0)  # (reached nodes, dist sum) convergence fingerprint
+    for _ in range(SSSP_MAX_ROUNDS):
+        if fp[0] <= SSSP_BROADCAST_MAX:
+            rows = dist.take_all()  # <= SSSP_BROADCAST_MAX rows by guard
+            nodes = np.array([r["node"] for r in rows], dtype=np.int64)
+            order = np.argsort(nodes)
+            nodes = nodes[order]
+            dvals = np.array([r["dist"] for r in rows], dtype=np.int64)[order]
+            ref = ray.put((nodes, dvals))
+            cand_min = edges.map_batches(
+                remote_fn(_QB, "sssp_relax_broadcast", dist_ref=ref),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        else:  # node-keyed join path (the 100 TB branch)
+            # partitions from the KNOWN dist row count (the fingerprint):
+            # collapses to 1 for small tables — which also sidesteps the
+            # Join operator's schema-less empty-partition blocks
+            from ..joins import partitions_for_rows
+
+            cand_min = safe_join(
+                dist, edges, on=("node",), right_on=("src",),
+                assume_non_empty=True,
+                num_partitions=max(partitions_for_rows(fp[0]), 1),
+            ).map_batches(
+                remote_fn(_QB, "sssp_relax_join"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        dist = (
+            dist.union(cand_min)
+            .groupby("node")
+            .aggregate(_Min("dist", alias_name="dist"))
+            .materialize()
+        )
+        agg = dist.aggregate(
+            _Count(alias_name="n"), _Sum("dist", alias_name="s")
+        )
+        new_fp = (int(agg["n"]), int(agg["s"]))
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"graph_sssp: still improving after {SSSP_MAX_ROUNDS} rounds — "
+            f"negative-weight-like divergence or a pathological diameter; "
+            f"raise SSSP_MAX_ROUNDS"
+        )
+    return dist
+
+
+def sssp_relax_join(batch: pa.Table) -> pa.Table:
+    """Joined (dist x edges) rows -> candidate (dst, dist + w), per-batch
+    min per dst."""
+    import numpy as np
+
+    d = batch["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table(
+        {
+            "node": batch["dst"],
+            "dist": pa.array(d + w, pa.int64()),
+        }
+    )
+    g = t.group_by("node").aggregate([("dist", "min")])
+    return pa.table({"node": g["node"], "dist": g["dist_min"]})
+
+
+SQL_GRAPH_SSSP = f"""
+WITH RECURSIVE base AS (
+  SELECT DISTINCT doc_id % {BFS_NODES} AS u,
+                  (doc_id % {BFS_NODES} + 1) % {BFS_NODES} AS v
+  FROM documents
+  UNION
+  SELECT DISTINCT doc_id % {BFS_NODES} AS u,
+                  (doc_id % {BFS_NODES} + {BFS_CHORD}) % {BFS_NODES} AS v
+  FROM documents WHERE doc_id % {BFS_CHORD_EVERY} = 0
+), e AS (
+  SELECT u AS src, v AS dst, 1 + (u + v) % 5 AS w FROM base
+  UNION SELECT v, u, 1 + (u + v) % 5 FROM base
+), walk(node, dist, hops) AS (
+  SELECT CAST({BFS_SEED} AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.dist + e.w, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < {BFS_NODES}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+BFS_QUERIES = {
+    "graph_bfs_depths": q_graph_bfs_depths,
+    "graph_sssp": q_graph_sssp,
+}
+BFS_ORACLES = {
+    "graph_bfs_depths": SQL_GRAPH_BFS_DEPTHS,
+    "graph_sssp": SQL_GRAPH_SSSP,
+}

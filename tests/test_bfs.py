@@ -102,3 +102,73 @@ def test_bfs_shuffle_path_matches_broadcast_path(ray_session, sf_smoke_dir, monk
     a = broadcast.sort_values("node").reset_index(drop=True)
     b = shuffled.sort_values("node").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_sssp_weights_symmetric_and_planted():
+    from khl_pdf_ocr_ray.pipelines.queries_bfs import sssp_edge_partial
+
+    t = pa.table({"doc_id": pa.array([0, 1, 5, 63], pa.int64())})
+    out = sssp_edge_partial(t)
+    w = {
+        (s, d): wt
+        for s, d, wt in zip(
+            out["src"].to_pylist(), out["dst"].to_pylist(), out["w"].to_pylist()
+        )
+    }
+    for (s, d), wt in w.items():
+        assert wt == 1 + (s + d) % 5
+        assert w[(d, s)] == wt  # symmetric
+
+
+def test_sssp_matches_pure_python_dijkstra(ray_session, sf_smoke_dir):
+    import heapq
+
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.pipelines.queries_bfs import (
+        BFS_CHORD,
+        BFS_CHORD_EVERY,
+        BFS_NODES,
+        BFS_SEED,
+        q_graph_sssp,
+    )
+
+    ids = pq.read_table(
+        f"{sf_smoke_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    adj = {}
+
+    def add(u, v):
+        wt = 1 + (u + v) % 5
+        adj.setdefault(u, {})[v] = wt
+        adj.setdefault(v, {})[u] = wt
+
+    for d in ids:
+        u = d % BFS_NODES
+        add(u, (u + 1) % BFS_NODES)
+        if d % BFS_CHORD_EVERY == 0:
+            add(u, (u + BFS_CHORD) % BFS_NODES)
+    want = {BFS_SEED: 0}
+    h = [(0, BFS_SEED)]
+    while h:
+        dist, n = heapq.heappop(h)
+        if dist > want.get(n, 1 << 60):
+            continue
+        for m, wt in adj.get(n, {}).items():
+            nd = dist + wt
+            if nd < want.get(m, 1 << 60):
+                want[m] = nd
+                heapq.heappush(h, (nd, m))
+    got = q_graph_sssp(sf_smoke_dir).to_pandas()
+    assert dict(zip(got["node"], got["dist"])) == want
+
+
+def test_sssp_join_path_matches_broadcast_path(ray_session, sf_smoke_dir, monkeypatch):
+    import khl_pdf_ocr_ray.pipelines.queries_bfs as qb
+
+    broadcast = qb.q_graph_sssp(sf_smoke_dir).to_pandas()
+    monkeypatch.setattr(qb, "SSSP_BROADCAST_MAX", 0)
+    joined = qb.q_graph_sssp(sf_smoke_dir).to_pandas()
+    a = broadcast.sort_values("node").reset_index(drop=True)
+    b = joined.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
