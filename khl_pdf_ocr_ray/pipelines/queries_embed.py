@@ -563,12 +563,105 @@ def _t_emb(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
 
 
+# --- cluster topic labeling: distinctive terms per k-means cluster ----------
+TOPTERMS_K = 5
+TOPTERMS_SCALE = 1_000_000
+
+
+def topterms_cw_partial(batch: pa.Table) -> pa.Table:
+    """(cluster, term, n) combiner over the joined (cluster, text) rows;
+    whitespace tokens, empties dropped (both engines)."""
+    clusters = batch["cluster"].to_pylist()
+    texts = batch["text"].to_pylist()
+    oc, ow = [], []
+    for c, t in zip(clusters, texts):
+        for w in (t or "").split(" "):
+            if w:
+                oc.append(int(c))
+                ow.append(w)
+    t2 = pa.table(
+        {"cluster": pa.array(oc, pa.int64()), "term": pa.array(ow, pa.string())}
+    )
+    g = t2.group_by(["cluster", "term"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "cluster": g["cluster"],
+            "term": g["term"],
+            "n": g["count_all"],
+        }
+    )
+
+
+def q_cluster_top_terms(sf_dir: str) -> pa.Table:
+    """Topic labels for the k-means clusters (the c-TF-IDF / BERTopic
+    labeling step, with an exact integer lift score): for each cluster,
+    the TOPTERMS_K terms maximizing lift = (tf_cw / T_c) / (gf_w / G),
+    i.e. within-cluster frequency over corpus frequency, as
+    floor(tf * G * 1e6 / (gf * T_c)); ties to the lexicographically
+    smaller term.
+
+    Plan: the certified k-means assignment pass -> a slim (vec_id,
+    cluster) x (doc_id, text) join -> per-batch (cluster, term) count
+    combiner -> ONE (cluster, term)-keyed Sum. The reduced table is
+    (K x vocabulary)-sized, so the lift/top-k finalize folds on the
+    driver in exact Python ints (same bounded-pull class as the LM
+    vocabulary) — at web scale the vocab cap (top-M terms by gf) is the
+    documented knob."""
+    from ..io import table_nbytes
+    from ..joins import safe_join
+    from .queries import _t
+
+    assign = q_kmeans_clusters(sf_dir).select_columns(["vec_id", "cluster"])
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    joined = safe_join(
+        assign, docs, on=("vec_id",), right_on=("doc_id",),
+        assume_non_empty=True,
+        left_nbytes=table_nbytes(sf_dir, "embeddings"),
+        right_nbytes=table_nbytes(sf_dir, "documents"),
+    )
+    cw = (
+        joined.map_batches(
+            remote_fn(_QE, "topterms_cw_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["cluster", "term"])
+        .aggregate(Sum("n", alias_name="tf"))
+        .to_pandas()  # K x vocabulary rows — bounded
+    )
+    gf = cw.groupby("term")["tf"].sum().to_dict()
+    tc = cw.groupby("cluster")["tf"].sum().to_dict()
+    gtot = int(cw["tf"].sum())
+    rows = []
+    for c, t, tf in cw[["cluster", "term", "tf"]].itertuples(index=False):
+        lift = int(tf) * gtot * TOPTERMS_SCALE // (int(gf[t]) * int(tc[c]))
+        rows.append((int(c), str(t), int(tf), lift))
+    rows.sort(key=lambda r: (r[0], -r[3], r[1]))
+    out = []
+    rnk, prev = 0, None
+    for c, t, tf, lift in rows:
+        rnk = rnk + 1 if c == prev else 1
+        prev = c
+        if rnk <= TOPTERMS_K:
+            out.append((c, rnk, t, tf, lift))
+    return pa.table(
+        {
+            "cluster": pa.array([r[0] for r in out], pa.int64()),
+            "rnk": pa.array([r[1] for r in out], pa.int64()),
+            "term": pa.array([r[2] for r in out], pa.string()),
+            "tf": pa.array([r[3] for r in out], pa.int64()),
+            "lift_x1e6": pa.array([r[4] for r in out], pa.int64()),
+        }
+    )
+
+
 EMBED_QUERIES = {
     "lang_embedding_centroid": q_lang_embedding_centroid,
     "kmeans_clusters": q_kmeans_clusters,
     "pca_project": q_pca_project,
     "cluster_lang_purity": q_cluster_lang_purity,  # dump-backed oracle
     "semdedup": q_semdedup,  # dump-backed oracle
+    "cluster_top_terms": q_cluster_top_terms,  # dump-backed oracle
 }
 
 EMBED_ORACLES = {

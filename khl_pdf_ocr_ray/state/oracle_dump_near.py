@@ -867,6 +867,33 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "hll_users_by_type": f"SELECT event_type, distinct_users_est FROM read_parquet('{p('hll_by_type_seq.parquet')}')",
         "bm25_topk": f"SELECT doc_id, n_terms, score_x1m FROM read_parquet('{p('bm25_topk_seq.parquet')}')",
         "kmeans_clusters": f"SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')",
+        # cluster topic labels: independent relational derivation (UNNEST
+        # + windows) over the kmeans twin's assignments
+        "cluster_top_terms": f"""
+WITH a AS (SELECT vec_id, cluster FROM read_parquet('{p('kmeans_seq.parquet')}')),
+words AS (
+  SELECT a.cluster, t.w AS term
+  FROM a JOIN documents d ON d.doc_id = a.vec_id,
+       UNNEST(string_split(coalesce(d.text, ''), ' ')) AS t(w)
+  WHERE t.w <> ''),
+cw AS (SELECT cluster, term, CAST(count(*) AS HUGEINT) AS tf
+       FROM words GROUP BY 1, 2),
+gf AS (SELECT term, CAST(sum(tf) AS HUGEINT) AS gf FROM cw GROUP BY 1),
+tc AS (SELECT cluster, CAST(sum(tf) AS HUGEINT) AS tc FROM cw GROUP BY 1),
+g AS (SELECT CAST(sum(tf) AS HUGEINT) AS gtot FROM cw),
+s AS (
+  SELECT cw.cluster, cw.term, CAST(cw.tf AS BIGINT) AS tf,
+         CAST(cw.tf * g.gtot * 1000000 // (gf.gf * tc.tc) AS BIGINT)
+           AS lift_x1e6
+  FROM cw
+  JOIN gf ON cw.term = gf.term
+  JOIN tc ON cw.cluster = tc.cluster
+  CROSS JOIN g)
+SELECT cluster, rnk, term, tf, lift_x1e6 FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY lift_x1e6 DESC, term) AS BIGINT) AS rnk
+  FROM s) WHERE rnk <= 5
+""",
         "semdedup": f"SELECT vec_id, cluster, kept FROM read_parquet('{p('semdedup_seq.parquet')}')",
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",

@@ -53,6 +53,7 @@ DUMP_QUERIES = [
     "llm_corpus_recipe",
     "cluster_lang_purity",
     "semdedup",
+    "cluster_top_terms",
     # training-engine widening (state/oracle_dump_train.py twins)
     "bpe_merges",
     "bpe_encode",
