@@ -248,10 +248,156 @@ GROUP BY event_type, hour
 """
 
 
+# ======================================================================
+# markov_transitions — first-order event-type transition counts
+# ======================================================================
+def transitions_per_user(g) -> "pd.DataFrame":
+    """One user's (ts, event_id)-ordered stream -> (prev, cur, n) pair
+    counts (a per-user partial for the pair groupby)."""
+    import pandas as pd
+
+    g = g.sort_values(["ts", "event_id"])
+    et = g["event_type"].to_numpy()
+    if len(et) < 2:
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series(dtype="string"),
+                "cur_type": pd.Series(dtype="string"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    df = pd.DataFrame({"prev_type": et[:-1], "cur_type": et[1:]})
+    out = df.groupby(["prev_type", "cur_type"], as_index=False).size()
+    return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+
+def q_markov_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition counts over per-user event streams
+    (session-model estimation / next-action prediction feed): per-user
+    ordered pair counting (groups = one user's stream), then ONE
+    |types|^2-keyed Sum. The pair exchange carries <= |types|^2 rows per
+    user — never the stream itself."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .queries import _t
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(
+            remote_fn(_QS, "transitions_per_user"), batch_format="pandas"
+        )
+        .groupby(["prev_type", "cur_type"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS prev_type, event_type AS cur_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# ======================================================================
+# daily_new_users — first-seen cohorting + cumulative distinct growth
+# ======================================================================
+US_PER_DAY = 86_400_000_000
+
+
+def first_seen_partial(batch: "pa.Table") -> "pa.Table":
+    """Per-batch (user, min event-day) — partial for the per-user Min."""
+    import numpy as np
+    import pyarrow as pa_
+
+    ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    day = ts.astype(np.int64) // US_PER_DAY
+    t = pa_.table(
+        {
+            "user_id": batch["user_id"],
+            "day": pa_.array(day, pa_.int64()),
+        }
+    )
+    g = t.group_by("user_id").aggregate([("day", "min")])
+    return pa_.table({"user_id": g["user_id"], "day": g["day_min"]})
+
+
+def newuser_day_partial(batch: "pa.Table") -> "pa.Table":
+    import pyarrow as pa_
+
+    g = batch.group_by("day").aggregate([([], "count_all")])
+    return pa_.table({"day": g["day"], "new_users": g["count_all"]})
+
+
+def q_daily_new_users(sf_dir: str) -> "pa.Table":
+    """User-growth accounting: per-day NEW (first-seen) users and the
+    cumulative distinct-user curve — the expanding-window COUNT(DISTINCT)
+    expressed shuffle-free: a per-user Min (first-seen day), a per-day
+    count, and a |days|-row driver cumsum. The corpus-sized exchanges are
+    both combiner-backed and user-/day-keyed."""
+    import pyarrow as pa_
+
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    from .queries import _t
+
+    days = (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(
+            remote_fn(_QS, "first_seen_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .aggregate(_Min("day", alias_name="day"))
+        .map_batches(
+            remote_fn(_QS, "newuser_day_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("day")
+        .aggregate(_Sum("new_users", alias_name="new_users"))
+        .to_pandas()  # one row per active day — bounded
+        .sort_values("day")
+    )
+    cum = days["new_users"].astype("int64").cumsum()
+    return pa_.table(
+        {
+            "day": pa_.array(days["day"].astype("int64"), pa_.int64()),
+            "new_users": pa_.array(
+                days["new_users"].astype("int64"), pa_.int64()
+            ),
+            "cum_users": pa_.array(cum, pa_.int64()),
+        }
+    )
+
+
+SQL_DAILY_NEW_USERS = f"""
+WITH f AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts) // {US_PER_DAY}) AS BIGINT) AS day
+  FROM events GROUP BY 1),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM d
+"""
+
+
 STREAM_QUERIES = {
     "events_watermark": q_events_watermark,
+    "markov_transitions": q_markov_transitions,
+    "daily_new_users": q_daily_new_users,
 }
 
 STREAM_ORACLES = {
     "events_watermark": SQL_EVENTS_WATERMARK,
+    "markov_transitions": SQL_MARKOV_TRANSITIONS,
+    "daily_new_users": SQL_DAILY_NEW_USERS,
 }
