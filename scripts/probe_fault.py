@@ -47,7 +47,7 @@ def fingerprint_batch(batch):
     )
 
 
-def task_worker_pids() -> list:
+def task_worker_pids(pattern: str = "ray::MapBatches") -> list:
     pids = []
     me = os.getpid()
     for pid in os.listdir("/proc"):
@@ -58,7 +58,7 @@ def task_worker_pids() -> list:
                 cmd = f.read().decode(errors="replace")
         except OSError:
             continue
-        if "ray::MapBatches" in cmd:
+        if pattern in cmd:
             pids.append(int(pid))
     return pids
 
@@ -71,6 +71,9 @@ def run_once(pages_dir: str, kill: bool) -> tuple:
     killed = []
 
     def killer():
+        # wave 1..n: task workers; final wave: one OCR POOL ACTOR — Ray
+        # Data actor pools run with max_restarts > 0, so the pool
+        # respawns the actor and resubmits its in-flight batch
         t0 = time.time()
         for delay in KILL_DELAYS:
             time.sleep(max(0.0, t0 + delay - time.time()))
@@ -81,6 +84,12 @@ def run_once(pages_dir: str, kill: bool) -> tuple:
                     killed.append(pid)
                 except OSError:
                     pass
+        for pid in task_worker_pids("ray::OcrFallbackStage")[:1]:
+            try:
+                os.kill(pid, signal.SIGKILL)
+                killed.append(pid)
+            except OSError:
+                pass
 
     th = threading.Thread(target=killer, daemon=True) if kill else None
     fp = run_extract(pages_dir).map_batches(
