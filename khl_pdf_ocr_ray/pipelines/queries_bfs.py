@@ -19,9 +19,17 @@ skew_join convention):
     frontier small: broadcast sorted ids -> map-side edge
                     filter + per-batch distinct      [map, no join]
     frontier large: frontier ⋈ edges (src) + distinct [shuffle join]
-    candidates LEFT ANTI visited  -> new nodes        [join]
+    visited small:  broadcast sorted visited -> map-side
+                    anti-filter                       [map, no join]
+    visited large:  candidates LEFT ANTI visited      [keyed join]
     visited := visited ∪ new      (materialized iterate)
     stop when new is empty; loud RuntimeError at the cap
+
+    Under the broadcast cap a round is therefore JOIN-OPERATOR-FREE
+    (two map passes over the materialized edge table) — the Join
+    operator's per-run fixed cost times 8 rounds was the dominant
+    toy-scale term (10.6 s -> see BENCH). Above the cap both steps are
+    the keyed-join plans, and the driver holds no node state.
 
 Driver state per round: ONE row count (the new-frontier size) — never
 nodes or edges. The final (node, min depth) aggregate is one tiny
@@ -112,6 +120,25 @@ def bfs_expand_broadcast(batch: pa.Table, fr_ref) -> pa.Table:
     return pa.table({"node": g["dst"]})
 
 
+def bfs_expand_unvisited_broadcast(batch: pa.Table, fr_ref, vis_ref) -> pa.Table:
+    """ONE map pass for the fully-under-cap round: expand the broadcast
+    frontier over the edge batch AND anti-filter against the broadcast
+    visited set; emits per-batch-distinct new nodes (cross-batch dedup
+    on the driver — the candidate set is cap-bounded by the guard)."""
+    import numpy as np
+    import ray
+
+    fr = ray.get(fr_ref) if not isinstance(fr_ref, np.ndarray) else fr_ref
+    vis = ray.get(vis_ref) if not isinstance(vis_ref, np.ndarray) else vis_ref
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.minimum(np.searchsorted(fr, src), len(fr) - 1)
+    hit = batch.filter(pa.array(fr[pos] == src))
+    dst = hit["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vpos = np.minimum(np.searchsorted(vis, dst), len(vis) - 1)
+    new = np.unique(dst[vis[vpos] != dst])
+    return pa.table({"node": pa.array(new, pa.int64())})
+
+
 def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
     """See module docstring."""
     from .queries import _t
@@ -138,39 +165,87 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
             "depth": pa.array([0], pa.int64()),
         }
     )
+    # Under the broadcast cap the traversal state (depth per reached
+    # node) lives DRIVER-SIDE — the frontier/visited arrays are the
+    # broadcast payloads anyway — and a round is ONE fused
+    # expand+anti-filter map over the materialized edge table. Past the
+    # cap the state moves into Datasets for good and every step is the
+    # keyed distributed plan (frontier ⋈ edges, candidates LEFT ANTI
+    # visited); the driver then holds one row count per round only.
     visited = rd.from_arrow(seed).materialize()
     frontier = visited.select_columns(["node"]).materialize()
     n_frontier = 1
+    depth_of = {BFS_SEED: 0}
+    frontier_ids = np.array([BFS_SEED], dtype=np.int64)
+    visited_ids = frontier_ids.copy()
     for depth in range(1, BFS_MAX_ROUNDS + 1):
-        if n_frontier <= BFS_BROADCAST_MAX:
-            # small frontier: broadcast sorted ids, expand map-side over
-            # the distributed edge table — no Join operator this round
-            ids = np.sort(
-                np.concatenate(
-                    [
-                        b["node"].to_numpy(zero_copy_only=False)
-                        for b in frontier.iter_batches(batch_format="pyarrow")
-                    ]
-                ).astype(np.int64)
-            )
-            nbrs = edges.map_batches(
-                remote_fn(_QB, "bfs_expand_broadcast", fr_ref=ray.put(ids)),
+        if visited_ids is not None and len(visited_ids) <= BFS_BROADCAST_MAX \
+                and n_frontier <= BFS_BROADCAST_MAX:
+            cand = edges.map_batches(
+                remote_fn(
+                    _QB,
+                    "bfs_expand_unvisited_broadcast",
+                    fr_ref=ray.put(frontier_ids),
+                    vis_ref=ray.put(visited_ids),
+                ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-        else:  # large frontier: keyed shuffle join (the 100 TB path)
-            nbrs = safe_join(
-                frontier,
-                edges,
-                on=("node",),
-                right_on=("src",),
-                assume_non_empty=True,
-                num_partitions=8,
-            ).map_batches(
-                remote_fn(_QB, "bfs_nbr_project"),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+            # collect per-batch candidates (cap-bounded by the guard);
+            # Ray skips the UDF on empty input blocks, which then pass
+            # through with the EDGE schema — filter those out by name
+            parts = [
+                b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                for b in cand.iter_batches(batch_format="pyarrow")
+                if "node" in b.schema.names and len(b)
+            ]
+            new_ids = np.unique(
+                np.concatenate(parts + [np.array([], dtype=np.int64)])
             )
+            n_new = len(new_ids)
+            if n_new == 0:
+                break
+            for n in new_ids:
+                depth_of[int(n)] = depth
+            frontier_ids = new_ids
+            visited_ids = np.union1d(visited_ids, new_ids)
+            n_frontier = n_new
+            if len(visited_ids) > BFS_BROADCAST_MAX:
+                # state outgrew the cap: move it into Datasets for good
+                visited = rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(
+                                list(depth_of), pa.int64()
+                            ),
+                            "depth": pa.array(
+                                list(depth_of.values()), pa.int64()
+                            ),
+                        }
+                    )
+                ).materialize()
+                frontier = rd.from_arrow(
+                    pa.table({"node": pa.array(new_ids, pa.int64())})
+                ).materialize()
+                frontier_ids = visited_ids = None
+            continue
+
+        if visited_ids is not None:
+            # entering distributed mode round 1 (forced or cap=0): the
+            # seed Datasets already hold the same state
+            frontier_ids = visited_ids = None
+        nbrs = safe_join(
+            frontier,
+            edges,
+            on=("node",),
+            right_on=("src",),
+            assume_non_empty=True,
+            num_partitions=8,
+        ).map_batches(
+            remote_fn(_QB, "bfs_nbr_project"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         vis_r = visited.select_columns(["node"]).rename_columns(
             {"node": "node_r"}
         )
@@ -183,7 +258,7 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
             assume_non_empty=True,
             num_partitions=1,
         ).materialize()
-        n_new = new.count()  # the ONLY per-round driver state
+        n_new = new.count()  # the ONLY per-round driver state above cap
         if n_new == 0:
             break
         new_d = new.map_batches(
@@ -199,6 +274,16 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
             f"graph_bfs_depths: frontier still non-empty after "
             f"{BFS_MAX_ROUNDS} rounds — diameter exceeds the cap; raise "
             f"BFS_MAX_ROUNDS or switch to a doubling traversal"
+        )
+    if visited_ids is not None:  # converged while under the broadcast cap
+        ns = sorted(depth_of)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ns, pa.int64()),
+                    "depth": pa.array([depth_of[n] for n in ns], pa.int64()),
+                }
+            )
         )
     # collapse within-round duplicates (anti-join guarantees cross-round
     # uniqueness); tiny: |reached nodes| rows
@@ -321,21 +406,64 @@ def q_graph_sssp(sf_dir: str) -> rd.Dataset:
             }
         )
     ).materialize()
+    # under the broadcast cap the dist table lives DRIVER-SIDE as two
+    # sorted arrays (they are the per-round broadcast payload anyway),
+    # so a round is ONE distributed relax map over the materialized edge
+    # table + a local min-merge — no union/groupby/aggregate exchanges.
+    # Past the cap the state moves into a Dataset for good and every
+    # step is the keyed distributed plan.
+    nodes = np.array([BFS_SEED], dtype=np.int64)
+    dvals = np.array([0], dtype=np.int64)
     fp = (1, 0)  # (reached nodes, dist sum) convergence fingerprint
     for _ in range(SSSP_MAX_ROUNDS):
-        if fp[0] <= SSSP_BROADCAST_MAX:
-            rows = dist.take_all()  # <= SSSP_BROADCAST_MAX rows by guard
-            nodes = np.array([r["node"] for r in rows], dtype=np.int64)
-            order = np.argsort(nodes)
-            nodes = nodes[order]
-            dvals = np.array([r["dist"] for r in rows], dtype=np.int64)[order]
+        if nodes is not None and fp[0] <= SSSP_BROADCAST_MAX:
             ref = ray.put((nodes, dvals))
-            cand_min = edges.map_batches(
+            cand_ds = edges.map_batches(
                 remote_fn(_QB, "sssp_relax_broadcast", dist_ref=ref),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+            # <= |reached nodes| x edge-blocks rows (cap-bounded); Ray
+            # skips the UDF on empty input blocks, which pass through
+            # with the EDGE schema — filter those out by name
+            cparts = [
+                b.select(["node", "dist"]).to_pandas()
+                for b in cand_ds.iter_batches(batch_format="pyarrow")
+                if "node" in b.schema.names and len(b)
+            ]
+            import pandas as _pd
+
+            cand = (
+                _pd.concat(cparts)
+                if cparts
+                else _pd.DataFrame({"node": [], "dist": []})
+            )
+            cm = cand.groupby("node", as_index=False)["dist"].min()
+            merged = {int(n): int(d) for n, d in zip(nodes, dvals)}
+            for n, d in zip(cm["node"], cm["dist"]):
+                n, d = int(n), int(d)
+                if n not in merged or d < merged[n]:
+                    merged[n] = d
+            nodes = np.array(sorted(merged), dtype=np.int64)
+            dvals = np.array([merged[n] for n in nodes], dtype=np.int64)
+            new_fp = (len(nodes), int(dvals.sum()))
+            if new_fp[0] > SSSP_BROADCAST_MAX:
+                # state outgrew the cap: move it into a Dataset for good
+                dist = rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(nodes, pa.int64()),
+                            "dist": pa.array(dvals, pa.int64()),
+                        }
+                    )
+                ).materialize()
+                nodes = dvals = None
         else:  # node-keyed join path (the 100 TB branch)
+            if nodes is not None:
+                # entering distributed mode round 1 (forced or cap=0):
+                # the Dataset `dist` already holds the same state; the
+                # driver arrays are dead from here on
+                nodes = dvals = None
             # partitions from the KNOWN dist row count (the fingerprint):
             # collapses to 1 for small tables — which also sidesteps the
             # Join operator's schema-less empty-partition blocks
@@ -350,16 +478,16 @@ def q_graph_sssp(sf_dir: str) -> rd.Dataset:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-        dist = (
-            dist.union(cand_min)
-            .groupby("node")
-            .aggregate(_Min("dist", alias_name="dist"))
-            .materialize()
-        )
-        agg = dist.aggregate(
-            _Count(alias_name="n"), _Sum("dist", alias_name="s")
-        )
-        new_fp = (int(agg["n"]), int(agg["s"]))
+            dist = (
+                dist.union(cand_min)
+                .groupby("node")
+                .aggregate(_Min("dist", alias_name="dist"))
+                .materialize()
+            )
+            agg = dist.aggregate(
+                _Count(alias_name="n"), _Sum("dist", alias_name="s")
+            )
+            new_fp = (int(agg["n"]), int(agg["s"]))
         if new_fp == fp:
             break
         fp = new_fp
@@ -368,6 +496,15 @@ def q_graph_sssp(sf_dir: str) -> rd.Dataset:
             f"graph_sssp: still improving after {SSSP_MAX_ROUNDS} rounds — "
             f"negative-weight-like divergence or a pathological diameter; "
             f"raise SSSP_MAX_ROUNDS"
+        )
+    if nodes is not None:  # converged while under the broadcast cap
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "dist": pa.array(dvals, pa.int64()),
+                }
+            )
         )
     return dist
 
