@@ -900,6 +900,38 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
         .aggregate(_Sum("w", alias_name="w"))
         .materialize()
     )
+    n_edges = edges.count()  # free from materialized metadata
+    if n_edges <= PR_BROADCAST_MAX:
+        # the EDGE table (host-pair cardinality) fits the broadcast cap:
+        # the distributed part of the operator is exactly the
+        # corpus-sized reduction above (read -> per-batch edge combiner
+        # -> (src, dst) Sum); the iteration over the reduced graph runs
+        # on the driver WITH THE SAME KERNELS (bit-identity with the
+        # distributed loop by construction; the forced-branch test and
+        # the oracle cover it). Same bounded-pull class as the LM
+        # vocabulary / cluster_top_terms folds. The join loop below is
+        # the web-scale (|hosts| ~ 10^7) path.
+        parts = [
+            b for b in edges.iter_batches(batch_format="pyarrow") if len(b)
+        ]
+        et = pa.concat_tables(parts)
+        srcs = et["src"].to_pylist()
+        wvals = et["w"].to_pylist()
+        wout_map: dict = {}
+        for s, w in zip(srcs, wvals):
+            wout_map[s] = wout_map.get(s, 0) + w
+        edges_w_t = et.append_column(
+            "wout", pa.array([wout_map[s] for s in srcs], pa.int64())
+        )
+        hosts_t = pr_nodes_partial(et)
+        rt = pr_init_rank(hosts_t)
+        rmap = dict(zip(rt["host"].to_pylist(), rt["r"].to_pylist()))
+        for _ in range(PR_ITERS):
+            ct = pr_contrib_broadcast(edges_w_t, rank_ref=rmap)
+            mmap = dict(zip(ct["dst"].to_pylist(), ct["c"].to_pylist()))
+            rt = pr_rank_broadcast(hosts_t, mass_ref=mmap)
+            rmap = dict(zip(rt["host"].to_pylist(), rt["r"].to_pylist()))
+        return rd.from_arrow(rt.rename_columns(["host", "pagerank_fx"]))
     wout = (
         edges.groupby("src")
         .aggregate(_Sum("w", alias_name="wout"))
@@ -935,39 +967,7 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
         remote_fn("khl_pdf_ocr_ray.pipelines.queries_extract", "pr_init_rank"),
         batch_format="pyarrow",
     ).materialize()
-    n_hosts = nodes.count()  # free from materialized metadata
-    small = n_hosts <= PR_BROADCAST_MAX
     for _ in range(PR_ITERS):
-        if small:
-            # host table under the cap: rank and mass broadcast as dicts
-            # and both per-round joins + the aggregate become map passes
-            # (the skew_join / BFS-frontier convention). Driver state is
-            # two host-cardinality dicts per round, bounded by the cap;
-            # the join path below is the web-scale (|hosts| ~ 10^7) path.
-            rmap: dict = {}
-            for b in rank.iter_batches(batch_format="pyarrow"):
-                rmap.update(zip(b["host"].to_pylist(), b["r"].to_pylist()))
-            contribs = edges_w.map_batches(
-                remote_fn(
-                    "khl_pdf_ocr_ray.pipelines.queries_extract",
-                    "pr_contrib_broadcast",
-                    rank_ref=ray.put(rmap),
-                ),
-                batch_format="pyarrow",
-            )
-            mmap: dict = {}
-            for b in contribs.iter_batches(batch_format="pyarrow"):
-                for d, c in zip(b["dst"].to_pylist(), b["c"].to_pylist()):
-                    mmap[d] = mmap.get(d, 0) + c
-            rank = nodes.map_batches(
-                remote_fn(
-                    "khl_pdf_ocr_ray.pipelines.queries_extract",
-                    "pr_rank_broadcast",
-                    mass_ref=ray.put(mmap),
-                ),
-                batch_format="pyarrow",
-            ).materialize()
-            continue
         j = edges_w.join(
             rank.rename_columns({"host": "rhost"}),
             join_type="inner",
