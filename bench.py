@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "graph_bfs_depths",       # iterative frontier traversal (round 4)
     "curriculum_order",       # two-sort run-tagged global rank (round 4)
     "events_ewma",            # top-16-per-user decayed-state combiner (round 4)
+    "graph_sssp",             # weighted Bellman-Ford relaxation (round 4)
 ]
 
 
