@@ -169,6 +169,50 @@ def q_doc_graph_coreness(sf_dir: str) -> rd.Dataset:
     n_adj = adj.count()  # free from materialized metadata
     nparts = partitions_for_rows(n_adj)
 
+    if n_adj <= CORE_BROADCAST_MAX:
+        # the REDUCED adjacency (2|E| host-pair-class rows) fits the
+        # broadcast cap: the distributed part of the operator is exactly
+        # the corpus-sized edge reduction above; the H-index iteration
+        # folds on the driver WITH THE SAME KERNELS (bit-identity by
+        # construction; the independent peel oracle covers the result).
+        # The join loop below is the web-scale (corpus-sized |V|) path.
+        at = pa.concat_tables(
+            [b for b in adj.iter_batches(batch_format="pyarrow") if len(b)]
+        )
+        deg = (
+            at.select(["src"])
+            .to_pandas()
+            .groupby("src", as_index=False)
+            .size()
+            .rename(columns={"size": "val"})
+        )
+        nodes_np = deg["src"].to_numpy(dtype=np.int64)
+        vals_np = deg["val"].to_numpy(dtype=np.int64)
+        order = np.argsort(nodes_np)
+        nodes_np, vals_np = nodes_np[order], vals_np[order]
+        prev = int(vals_np.sum())
+        for _ in range(CORE_MAX_ROUNDS):
+            nv = attach_vals_broadcast(at, (nodes_np, vals_np))
+            vdf = hindex_shard(nv.to_pandas()).sort_values("node")
+            nodes_np = vdf["node"].to_numpy(dtype=np.int64)
+            vals_np = vdf["val"].to_numpy(dtype=np.int64)
+            cur = int(vals_np.sum())
+            if cur == prev:
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(nodes_np, pa.int64()),
+                            "coreness": pa.array(vals_np, pa.int64()),
+                        }
+                    )
+                )
+            prev = cur
+        raise RuntimeError(
+            f"doc_graph_coreness: H-index iteration did not converge in "
+            f"{CORE_MAX_ROUNDS} rounds (sum={prev}); the planted graph "
+            "converges in <10 — investigate the input before raising the cap"
+        )
+
     # v0 = degree: one adjacency row per (src, neighbor)
     values = (
         adj.groupby("src")
