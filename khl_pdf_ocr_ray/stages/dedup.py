@@ -797,6 +797,51 @@ def shortcut_project(batch: pa.Table) -> pa.Table:
     return pa.table({"node": batch["src_node"], "label": batch["label"]})
 
 
+CC_BROADCAST_MAX = 1 << 20  # edge tables below this fold driver-side
+
+
+def _cc_local_clusters(et: pa.Table, max_rounds: int):
+    """Driver-side min-label propagation over an under-cap edge table —
+    the same fixed point (per-component label minimum) as the
+    distributed loop, in vectorized numpy with pointer jumping. The
+    union-find dump twin gates the result; a forced-branch test pins
+    equivalence with the distributed loop."""
+    src = _i64(et["src"])
+    dst = _i64(et["dst"])
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    si = np.array([idx[int(s)] for s in src], dtype=np.int64)
+    di = np.array([idx[int(d)] for d in dst], dtype=np.int64)
+    label = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(max_rounds):
+        prev = label.copy()
+        # edge relax: dst takes min(label[dst], label[src]) (edges are
+        # already both-direction)
+        np.minimum.at(label, di, label[si])
+        # pointer jumping: label <- label[label] until path-compressed
+        while True:
+            nxt = label[label]
+            if (nxt == label).all():
+                break
+            label = nxt
+        if (label == prev).all():
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds"
+        )
+    cluster_id = nodes[label]
+    sizes = np.bincount(label, minlength=len(nodes))[label]
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(cluster_id, pa.int64()),
+            "cluster_size": pa.array(sizes.astype(np.int64), pa.int64()),
+            "keep": pa.array(nodes == cluster_id),
+        }
+    )
+
+
 def label_propagation_clusters(pairs_ds, max_rounds: int = 64, doubling: bool = False):
     """Distributed connected components: min-label propagation over the
     pair table (no driver-side union-find — the round-1 design collected
@@ -827,6 +872,19 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64, doubling: bool = 
     edges = pairs_ds.map_batches(
         _rfn("edges_undirected"), batch_format="pyarrow"
     ).materialize()
+    n_edges = edges.count()  # free from materialized metadata
+    if 0 < n_edges <= CC_BROADCAST_MAX:
+        # the PAIR graph fits the broadcast cap (near-dup pair tables
+        # are duplication-cardinality, tiny next to the corpus): fold
+        # the propagation driver-side (same fixed point; union-find
+        # dump twin + forced-branch test gate it). The loop below is
+        # the duplication-heavy-crawl path where pairs are corpus-sized.
+        import ray.data as rd
+
+        et = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_format="pyarrow") if len(b)]
+        )
+        return rd.from_arrow(_cc_local_clusters(et, max_rounds))
     # the identity maps normalize the aggregates' blocks to Arrow:
     # union requires homogeneous block types across its inputs
     labels = (
@@ -852,10 +910,19 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64, doubling: bool = 
                 }
             )
         )
+    from ..joins import partitions_for_rows
+
+    nparts = partitions_for_rows(n_edges)
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
-        msgs = safe_join(edges, labels, on=("src",), right_on=("node",)).map_batches(
+        # labels non-empty was checked above and edges non-empty follows
+        # (labels come from the same pair table): streaming join, width
+        # derived once from the materialized edge count
+        msgs = safe_join(
+            edges, labels, on=("src",), right_on=("node",),
+            assume_non_empty=True, num_partitions=nparts,
+        ).map_batches(
             _rfn("messages_project"), batch_format="pyarrow"
         )
         merged = labels.union(msgs)
@@ -865,6 +932,8 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64, doubling: bool = 
                 _rfn("rename_cols", mapping={"node": "src_node", "label": "via"}),
                 batch_format="pyarrow",
             )
+            # keyed on VIA (= label values) — same giant-cluster skew
+            # class as the counts join: fallback sizing
             jumped = safe_join(lhs, labels, on=("via",), right_on=("node",))
             merged = merged.union(
                 jumped.map_batches(_rfn("shortcut_project"), batch_format="pyarrow")
@@ -902,6 +971,12 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 64, doubling: bool = 
             batch_format="pyarrow",
         )
     )
+    # keyed on LABEL — cluster-count cardinality with pathological skew
+    # (a giant cluster puts every row under one key): keep the
+    # materialize-fallback sizing, which collapses to one partition when
+    # the counts side is tiny (multi-partition sizing would leave
+    # empty-key partitions and trip the Join operator's schema-less
+    # empty-block wart). Runs once per call, not per round.
     joined = safe_join(labels, counts, on=("label",), right_on=("cluster_label",))
     return joined.map_batches(_rfn("cluster_rows_project"), batch_format="pyarrow")
 

@@ -180,12 +180,16 @@ def test_label_propagation_matches_union_find(ray_session, sf):
     pd.testing.assert_frame_equal(lp, uf)
 
 
-def test_label_propagation_deep_chain(ray_session):
+def test_label_propagation_deep_chain(ray_session, monkeypatch):
     """A long path graph (diameter >> 1) converges to one component —
-    exercises the multi-round propagation loop, not just 1-hop spread."""
+    exercises the multi-round DISTRIBUTED propagation loop (the cap is
+    forced to 0 so the under-cap driver fold cannot shortcut it)."""
     import pandas as pd
     import ray.data as rd
 
+    import khl_pdf_ocr_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "CC_BROADCAST_MAX", 0)
     n = 24
     chain = pd.DataFrame({"doc_a": range(n), "doc_b": range(1, n + 1)}).astype("int64")
     from khl_pdf_ocr_ray.stages.dedup import label_propagation_clusters
@@ -196,13 +200,18 @@ def test_label_propagation_deep_chain(ray_session):
     assert out.loc[out["doc_id"] == 0, "keep"].item() is True
 
 
-def test_label_propagation_giant_cluster(ray_session):
+def test_label_propagation_giant_cluster(ray_session, monkeypatch):
     """A planted giant cluster (one label, 10^4 nodes as a star graph):
-    the cluster-size attachment is aggregate-Count + join, so no single
-    task ever holds the whole cluster — and the output still matches the
-    sequential union-find oracle."""
+    the DISTRIBUTED path's cluster-size attachment is aggregate-Count +
+    join, so no single task ever holds the whole cluster — and the
+    output still matches the sequential union-find oracle (cap forced to
+    0 so the driver fold cannot shortcut the plan under test)."""
     import pandas as pd
     import ray.data as rd
+
+    import khl_pdf_ocr_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "CC_BROADCAST_MAX", 0)
 
     n = 10_000
     star = pd.DataFrame({"doc_a": [0] * (n - 1), "doc_b": range(1, n)}).astype("int64")
@@ -222,20 +231,25 @@ def test_label_propagation_giant_cluster(ray_session):
     assert (out["cluster_size"] == n).all() and set(out["cluster_id"]) == {0}
 
 
-def test_label_propagation_diameter_over_default_raises(ray_session):
-    """A chain LONGER than the default 64 max_rounds must fail LOUDLY at
-    default settings (exhaustion is never silently reported as converged),
-    and the same graph must converge with pointer doubling in O(log d)
-    rounds, matching the union-find oracle row-for-row."""
+def test_label_propagation_diameter_over_default_raises(ray_session, monkeypatch):
+    """On the DISTRIBUTED path (cap forced to 0), a chain LONGER than
+    the default 64 max_rounds must fail LOUDLY at default settings
+    (exhaustion is never silently reported as converged), and the same
+    graph must converge with pointer doubling in O(log d) rounds,
+    matching the union-find oracle row-for-row. The under-cap driver
+    fold pointer-jumps by construction, so the same graph converges
+    there WITHOUT error — asserted last."""
     import pandas as pd
     import pytest as _pytest
     import ray.data as rd
 
+    import khl_pdf_ocr_ray.stages.dedup as dd
     from khl_pdf_ocr_ray.stages.dedup import (
         label_propagation_clusters,
         union_find_clusters,
     )
 
+    monkeypatch.setattr(dd, "CC_BROADCAST_MAX", 0)
     n = 80  # diameter 80 > default max_rounds=64
     chain = pd.DataFrame({"doc_a": range(n), "doc_b": range(1, n + 1)}).astype(
         "int64"
@@ -254,6 +268,14 @@ def test_label_propagation_diameter_over_default_raises(ray_session):
     uf = union_find_clusters(chain).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, uf)
     assert set(out["cluster_id"]) == {0} and (out["cluster_size"] == n + 1).all()
+    # the under-cap driver fold converges on the same graph at default
+    # settings (pointer jumping is built in) and matches the oracle
+    monkeypatch.setattr(dd, "CC_BROADCAST_MAX", 1 << 20)
+    loc = (
+        label_propagation_clusters(rd.from_pandas(chain))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, uf)
 
 
 def test_label_propagation_doubling_matches_plain(ray_session, sf):
@@ -280,13 +302,18 @@ def test_label_propagation_doubling_matches_plain(ray_session, sf):
     pd.testing.assert_frame_equal(plain, doubled)
 
 
-def test_label_propagation_exhaustion_raises(ray_session):
-    """max_rounds below the graph diameter must raise, never silently
-    return split clusters."""
+def test_label_propagation_exhaustion_raises(ray_session, monkeypatch):
+    """On the DISTRIBUTED path, max_rounds below the graph diameter
+    must raise, never silently return split clusters (the under-cap
+    driver fold pointer-jumps, so it converges within 2 rounds on this
+    graph — forced off here)."""
     import pandas as pd
     import pytest as _pytest
     import ray.data as rd
 
+    import khl_pdf_ocr_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "CC_BROADCAST_MAX", 0)
     chain = pd.DataFrame({"doc_a": range(6), "doc_b": range(1, 7)}).astype("int64")
     from khl_pdf_ocr_ray.stages.dedup import label_propagation_clusters
 
