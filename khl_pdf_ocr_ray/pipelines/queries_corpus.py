@@ -620,13 +620,26 @@ def q_events_pivot(sf_dir: str) -> rd.Dataset:
     )
 
 
-def melt_batch(df: pd.DataFrame) -> pd.DataFrame:
+def melt_batch(batch: pa.Table) -> pa.Table:
     """Wide per-day counts -> long (day, event_type, n) rows, zero rows
     dropped (the long form only has observed combinations)."""
-    long = df.melt(id_vars=["day"], var_name="event_type", value_name="n")
-    long["event_type"] = long["event_type"].str.removeprefix("n_")
-    long = long[long["n"] > 0]
-    return long.astype({"day": "int64", "n": "int64"})
+    import pyarrow.compute as pc
+
+    day = pc.cast(batch["day"], pa.int64())
+    parts = []
+    for name in batch.column_names:
+        if not name.startswith("n_"):
+            continue
+        n = pc.cast(batch[name], pa.int64())
+        t = pa.table(
+            {
+                "day": day,
+                "event_type": pa.array([name[2:]] * len(batch), pa.string()),
+                "n": n,
+            }
+        )
+        parts.append(t.filter(pc.greater(n, 0)))
+    return pa.concat_tables(parts)
 
 
 def q_events_unpivot(sf_dir: str) -> rd.Dataset:
@@ -635,7 +648,7 @@ def q_events_unpivot(sf_dir: str) -> rd.Dataset:
     groupby, so the gate certifies pivot->unpivot == identity. The melt
     is map-only over the (already |days|-sized) pivot output."""
     return q_events_pivot(sf_dir).map_batches(
-        remote_fn(_QC, "melt_batch"), batch_format="pandas"
+        remote_fn(_QC, "melt_batch"), batch_format="pyarrow"
     )
 
 
@@ -876,15 +889,18 @@ def q_corpus_prep(sf_dir: str) -> rd.Dataset:
 WATCHLIST = (("en", 1), ("ru", 2), ("xx", 3))  # 'ru'/'xx' absent from the corpus
 
 
-def watchlist_coalesce(df: pd.DataFrame) -> pd.DataFrame:
+def watchlist_coalesce(batch: pa.Table) -> pa.Table:
     """Post-full-outer projection: Ray's join already unifies the key
     into one ``lang`` column; replace the null sides with concrete
     sentinels (0) so the output is null-free on both engines."""
-    return pd.DataFrame(
+    import pyarrow.compute as pc
+
+    zero = pa.scalar(0, pa.int64())
+    return pa.table(
         {
-            "lang": df["lang"].astype("string"),
-            "n_docs": df["n_docs"].fillna(0).astype("int64"),
-            "priority": df["priority"].fillna(0).astype("int64"),
+            "lang": pc.cast(batch["lang"], pa.string()),
+            "n_docs": pc.fill_null(pc.cast(batch["n_docs"], pa.int64()), zero),
+            "priority": pc.fill_null(pc.cast(batch["priority"], pa.int64()), zero),
         }
     )
 
@@ -911,7 +927,7 @@ def q_lang_watchlist_full(sf_dir: str) -> rd.Dataset:
     )
     assert joined is not None  # neither side is ever empty
     return joined.map_batches(
-        remote_fn(_QC, "watchlist_coalesce"), batch_format="pandas"
+        remote_fn(_QC, "watchlist_coalesce"), batch_format="pyarrow"
     )
 
 
