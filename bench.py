@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "curriculum_order",       # two-sort run-tagged global rank (round 4)
     "events_ewma",            # top-16-per-user decayed-state combiner (round 4)
     "graph_sssp",             # weighted Bellman-Ford relaxation (round 4)
+    "graph_common_neighbors",  # wedge link-prediction scores (round 4)
+    "trigram_diversity",       # distinct-n lexical diversity (round 4)
 ]
 
 

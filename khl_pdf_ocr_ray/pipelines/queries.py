@@ -1683,6 +1683,18 @@ from .queries_eval import EVAL_ORACLES, EVAL_QUERIES  # noqa: E402
 QUERIES.update(EVAL_QUERIES)
 ORACLES.update(EVAL_ORACLES)
 
+# Link prediction + 2-hop aggregation on the planted doc graph
+from .queries_linkpred import LINKPRED_ORACLES, LINKPRED_QUERIES  # noqa: E402
+
+QUERIES.update(LINKPRED_QUERIES)
+ORACLES.update(LINKPRED_ORACLES)
+
+# Lexical diversity: type-token ratio, distinct-n trigram diversity
+from .queries_lexstats import LEXSTATS_ORACLES, LEXSTATS_QUERIES  # noqa: E402
+
+QUERIES.update(LEXSTATS_QUERIES)
+ORACLES.update(LEXSTATS_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
