@@ -1009,6 +1009,118 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
     )
 
 
+# --- bigram LM (add-one smoothed) --------------------------------------------
+def lm2_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch LM-training combiner for the BIGRAM model: unigram rows
+    tagged w2='' (vocabulary + context feed) and adjacent-pair rows.
+    Tokens are the non-empty space-split words (an LM has no empty
+    token); pairs never span documents."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        ws = [w for w in (t or "").split(" ") if w]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    w1s = sorted(uni) + [a for a, _ in sorted(bi)]
+    w2s = [""] * len(uni) + [b for _, b in sorted(bi)]
+    ns = [uni[w] for w in sorted(uni)] + [bi[k] for k in sorted(bi)]
+    return pa.table(
+        {
+            "w1": pa.array(w1s, pa.string()),
+            "w2": pa.array(w2s, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def lm2_model_from_counts(counts: pd.DataFrame):
+    """Reduced (w1, w2, n) rows -> the add-one-smoothed bigram model:
+    p(w2|w1) = (n12 + 1) / (ctx1 + V), V = unigram vocabulary size,
+    ctx1 = successor occurrences of w1. Fixed-point per-pair doubles
+    floor(log2(p) * 2^20 + 0.5) — independent per pair, no accumulation
+    order, so the distributed plan and the sequential twin compute
+    identical bits. Returns (pair logp table, per-context unseen
+    penalty, OOV-context penalty)."""
+    uni = counts[counts["w2"] == ""]
+    vocab = int(uni.shape[0])
+    bi = counts[counts["w2"] != ""]
+    ctx = bi.groupby("w1")["n"].sum()
+    model: Dict[str, int] = {}
+    ctx_arr = ctx.reindex(bi["w1"]).to_numpy(dtype=np.float64)
+    p = (bi["n"].to_numpy(dtype=np.float64) + 1.0) / (ctx_arr + vocab)
+    fx = np.floor(np.log2(p) * LM_SCALE + 0.5).astype(np.int64)
+    for w1, w2, v in zip(bi["w1"].to_numpy(), bi["w2"].to_numpy(), fx):
+        model[f"{w1} {w2}"] = int(v)
+    ctx_fx: Dict[str, int] = {
+        str(w): int(np.floor(np.log2(1.0 / (c + vocab)) * LM_SCALE + 0.5))
+        for w, c in ctx.items()
+    }
+    oov_fx = int(np.floor(np.log2(1.0 / max(vocab, 1)) * LM_SCALE + 0.5))
+    return model, ctx_fx, oov_fx
+
+
+def lm2_score_batch(batch: pa.Table, model_ref) -> pa.Table:
+    """Per-doc bigram NLL under the broadcast model: integer sum of
+    per-pair fixed-point log-probs (order-independent — any batching
+    gives identical bits). Unseen pairs with a seen context take the
+    context's add-one floor 1/(ctx+V); unseen contexts take 1/V."""
+    import ray
+
+    model, ctx_fx, oov_fx = (
+        ray.get(model_ref)
+        if not isinstance(model_ref, tuple)
+        else model_ref
+    )
+    ids, nbs, lps = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = [w for w in (t or "").split(" ") if w]
+        nll = 0
+        for a, b in zip(ws, ws[1:]):
+            v = model.get(f"{a} {b}")
+            if v is None:
+                v = ctx_fx.get(a, oov_fx)
+            nll -= v
+        ids.append(d)
+        nbs.append(max(len(ws) - 1, 0))
+        lps.append(nll)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(nbs, pa.int64()),
+            "nll2_fx": pa.array(lps, pa.int64()),
+        }
+    )
+
+
+def q_bigram_logprob(sf_dir: str) -> rd.Dataset:
+    """KenLM-style bigram quality scoring (one smoothing order up from
+    unigram_logprob): train add-one-smoothed bigram probabilities on the
+    corpus (distributed gram combiner -> ONE (w1, w2)-keyed Sum),
+    broadcast the fixed-point model once via ray.put, score every
+    document map-only. 100 TB: the gram exchange carries per-batch
+    distinct-gram partials (the n-gram-count bound); the model table is
+    distinct-bigram-sized — the deployment path prunes it (min-count /
+    quantized KenLM binary) and hosts it in an actor pool exactly like
+    stages/extract.py's OCR engine, which changes nothing upstream."""
+    import ray
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(remote_fn(_QC, "lm2_count_partial"), batch_format="pyarrow")
+        .repartition(_docs_coalesce(sf_dir))  # blocks x grams combiner rows
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # distinct-gram-sized (model working set)
+    )
+    ref = ray.put(lm2_model_from_counts(counts))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        remote_fn(_QC, "lm2_score_batch", model_ref=ref),
+        batch_format="pyarrow",
+    )
+
+
 # --- per-doc character entropy (gibberish / encoding-noise signal) ------------
 def char_entropy_batch(batch: pa.Table) -> pa.Table:
     """Per-doc Shannon entropy of the character distribution, fixed-point:
@@ -1587,6 +1699,7 @@ CORPUS_QUERIES: Dict[str, object] = {
     "ccnet_buckets": q_ccnet_buckets,  # dump-backed oracle (unigram dump)
     "domain_classifier": q_domain_classifier,  # dump-backed oracle
     "unigram_logprob": q_unigram_logprob,  # dump-backed oracle
+    "bigram_logprob": q_bigram_logprob,    # dump-backed oracle
     "lang_watchlist_full": q_lang_watchlist_full,
     "word_repetition": q_word_repetition,
     "gopher_repetition": q_gopher_repetition,

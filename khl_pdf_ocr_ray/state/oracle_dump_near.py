@@ -728,6 +728,21 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
     model = lm_model_from_counts(lm_count_partial(docs_raw).to_pandas())
     _write("unigram_lm_seq.parquet", lm_score_batch(docs_raw, model).to_pandas())
 
+    # bigram-LM twin: same kernels single-process (one full-table count
+    # pass IS the reduced gram table; per-doc integer NLL sums are
+    # order-independent; the per-pair log2 doubles come from the one
+    # shared lm2_model_from_counts).
+    from ..pipelines.queries_corpus import (
+        lm2_count_partial,
+        lm2_model_from_counts,
+        lm2_score_batch,
+    )
+
+    model2 = lm2_model_from_counts(lm2_count_partial(docs_raw).to_pandas())
+    _write(
+        "bigram_lm_seq.parquet", lm2_score_batch(docs_raw, model2).to_pandas()
+    )
+
     # DSIR twin: same count/model/score kernels single-process (integer
     # bucket counts and per-doc integer weight sums are order-independent;
     # the per-bucket log2 doubles come from the one shared
@@ -897,6 +912,7 @@ SELECT cluster, rnk, term, tf, lift_x1e6 FROM (
         "semdedup": f"SELECT vec_id, cluster, kept FROM read_parquet('{p('semdedup_seq.parquet')}')",
         "pca_project": f"SELECT vec_id, pc1_fx, pc2_fx FROM read_parquet('{p('pca_seq.parquet')}')",
         "unigram_logprob": f"SELECT doc_id, n_tokens, neg_logprob_fx FROM read_parquet('{p('unigram_lm_seq.parquet')}')",
+        "bigram_logprob": f"SELECT doc_id, n_bigrams, nll2_fx FROM read_parquet('{p('bigram_lm_seq.parquet')}')",
         "dsir_topk": f"SELECT doc_id, n_feats, logw_fx FROM read_parquet('{p('dsir_topk_seq.parquet')}')",
         "domain_classifier": f"SELECT doc_id, y, prob_fx, pred_target FROM read_parquet('{p('domain_clf_seq.parquet')}')",
         # ccnet_buckets: the scores are the certified unigram twin's; the

@@ -190,3 +190,66 @@ def test_ccnet_offsets_split_run():
     assert offsets["b1|de"] == 0
     assert offsets["b2|en"] == 7          # 4 + 3 accumulated
     assert totals == {"en": 12, "de": 2}
+
+
+# --- bigram LM ---------------------------------------------------------------
+
+from khl_pdf_ocr_ray.pipelines.queries_corpus import (  # noqa: E402
+    lm2_count_partial,
+    lm2_model_from_counts,
+    lm2_score_batch,
+)
+
+
+def test_lm2_counts_split_invariant():
+    whole = (
+        lm2_count_partial(_batch(ROWS))
+        .to_pandas()
+        .groupby(["w1", "w2"])["n"]
+        .sum()
+    )
+    parts = pd.concat(
+        [lm2_count_partial(_batch(ROWS[:2])).to_pandas(),
+         lm2_count_partial(_batch(ROWS[2:])).to_pandas()]
+    )
+    summed = parts.groupby(["w1", "w2"])["n"].sum()
+    pd.testing.assert_series_equal(
+        whole.sort_index(), summed.sort_index(), check_names=False
+    )
+    # empty tokens are filtered (an LM has no empty token): None text
+    # contributes nothing, unlike the unigram counter
+    assert ("", "") not in whole.index
+
+
+def test_lm2_model_addone_and_score():
+    counts = lm2_count_partial(_batch(ROWS)).to_pandas()
+    model, ctx_fx, oov_fx = lm2_model_from_counts(counts)
+    # corpus: "a b a", "b c", None, "a a a a" -> vocab {a, b, c} (V=3)
+    # contexts: a -> {b:1, a:3}, b -> {a:1, c:1}
+    import math
+
+    def fx(p):
+        return int(math.floor(math.log2(p) * LM_SCALE + 0.5))
+
+    assert model["a b"] == fx((1 + 1) / (4 + 3))
+    assert model["a a"] == fx((3 + 1) / (4 + 3))
+    assert model["b c"] == fx((1 + 1) / (2 + 3))
+    assert ctx_fx["a"] == fx(1 / (4 + 3))
+    assert oov_fx == fx(1 / 3)
+
+    whole = lm2_score_batch(_batch(ROWS), (model, ctx_fx, oov_fx)).to_pandas()
+    parts = pd.concat(
+        [lm2_score_batch(_batch(ROWS[:1]), (model, ctx_fx, oov_fx)).to_pandas(),
+         lm2_score_batch(_batch(ROWS[1:]), (model, ctx_fx, oov_fx)).to_pandas()]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, parts)
+    by_id = whole.set_index("doc_id")
+    assert by_id.loc[3, "n_bigrams"] == 0 and by_id.loc[3, "nll2_fx"] == 0
+    assert by_id.loc[1, "nll2_fx"] == -(model["a b"] + model["b a"])
+    # unseen pair with seen context falls to the context floor; unseen
+    # context falls to 1/V
+    probe = _batch([(9, "c a"), (10, "zzz q")])
+    out = lm2_score_batch(probe, (model, ctx_fx, oov_fx)).to_pandas()
+    got = out.set_index("doc_id")["nll2_fx"]
+    assert got[9] == -oov_fx        # 'c' never a context
+    assert got[10] == -oov_fx       # 'zzz' unseen entirely

@@ -47,6 +47,7 @@ DUMP_QUERIES = [
     "kmeans_clusters",
     "pca_project",
     "unigram_logprob",
+    "bigram_logprob",
     "dsir_topk",
     "ccnet_buckets",
     "domain_classifier",
