@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "graph_sssp",             # weighted Bellman-Ford relaxation (round 4)
     "graph_common_neighbors",  # wedge link-prediction scores (round 4)
     "trigram_diversity",       # distinct-n lexical diversity (round 4)
+    "zorder_layout",           # Morton-key locality stats (round 4)
+    "readability_score",       # map-only Flesch scoring (round 4)
 ]
 
 

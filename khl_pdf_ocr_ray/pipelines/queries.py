@@ -1695,6 +1695,33 @@ from .queries_lexstats import LEXSTATS_ORACLES, LEXSTATS_QUERIES  # noqa: E402
 QUERIES.update(LEXSTATS_QUERIES)
 ORACLES.update(LEXSTATS_ORACLES)
 
+# Data layout: Z-order clustering stats + compaction (FFD) planning
+from .queries_layout import LAYOUT_ORACLES, LAYOUT_QUERIES  # noqa: E402
+
+QUERIES.update(LAYOUT_QUERIES)
+ORACLES.update(LAYOUT_ORACLES)
+
+# Readability scoring (Flesch reading ease, integer milli-units)
+from .queries_textmetrics import (  # noqa: E402
+    TEXTMETRICS_ORACLES,
+    TEXTMETRICS_QUERIES,
+)
+
+QUERIES.update(TEXTMETRICS_QUERIES)
+ORACLES.update(TEXTMETRICS_ORACLES)
+
+# Pipeline-health monitoring: CUSUM drift over daily volume
+from .queries_monitor import MONITOR_ORACLES, MONITOR_QUERIES  # noqa: E402
+
+QUERIES.update(MONITOR_QUERIES)
+ORACLES.update(MONITOR_ORACLES)
+
+# Local clustering coefficient (triangle-machinery reuse)
+from .queries_graphx import GRAPHX_ORACLES, GRAPHX_QUERIES  # noqa: E402
+
+QUERIES.update(GRAPHX_QUERIES)
+ORACLES.update(GRAPHX_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

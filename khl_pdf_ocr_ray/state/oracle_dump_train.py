@@ -32,6 +32,7 @@ def dumps_dir(sf_dir: str) -> str:
     for rel in (
         "pipelines/queries_train.py",
         "pipelines/queries_graph.py",  # coreness twin shares the edge rule
+        "pipelines/queries_layout.py",  # compaction FFD kernel (shared)
         "state/oracle_dump_train.py",
         "stages/dedup.py",  # variant-corpus rule (cdc twin input)
     ):
@@ -167,6 +168,51 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     )
     pq.write_table(
         _coreness_seq(sf_dir), os.path.join(tmp_dir, "coreness_seq.parquet")
+    )
+    pq.write_table(
+        _compaction_seq(sf_dir), os.path.join(tmp_dir, "compaction_seq.parquet")
+    )
+
+
+def _compaction_seq(sf_dir: str) -> pa.Table:
+    """Sequential compaction-plan twin: the whole file inventory in one
+    pandas frame, sharded and packed with the SAME ffd_pack kernel the
+    distributed map_groups stage runs — the gate certifies the
+    distributed inventory aggregation + per-shard packing reproduces
+    this exactly."""
+    import numpy as np
+
+    from ..pipelines.queries_layout import (
+        BIN_CAP,
+        BIN_STRIDE,
+        FILE_DOCS,
+        PLAN_SHARDS,
+        ffd_pack,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    ).to_pandas()
+    docs["file_id"] = docs["doc_id"].to_numpy() // FILE_DOCS
+    inv = (
+        docs.groupby("file_id", as_index=False)["n_chars"]
+        .sum()
+        .rename(columns={"n_chars": "size_chars"})
+    )
+    fid = inv["file_id"].to_numpy().astype(np.int64)
+    size = inv["size_chars"].to_numpy().astype(np.int64)
+    bin_id = np.zeros(len(fid), dtype=np.int64)
+    for shard in range(PLAN_SHARDS):
+        m = fid % PLAN_SHARDS == shard
+        if m.any():
+            bin_id[m] = shard * BIN_STRIDE + ffd_pack(fid[m], size[m], BIN_CAP)
+    return pa.table(
+        {
+            "file_id": pa.array(fid, pa.int64()),
+            "size_chars": pa.array(size, pa.int64()),
+            "bin_id": pa.array(bin_id, pa.int64()),
+        }
     )
 
 
@@ -339,5 +385,9 @@ def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "doc_graph_coreness": (
             "SELECT node, coreness "
             f"FROM read_parquet('{p('coreness_seq.parquet')}')"
+        ),
+        "compaction_plan": (
+            "SELECT file_id, size_chars, bin_id "
+            f"FROM read_parquet('{p('compaction_seq.parquet')}')"
         ),
     }

@@ -64,6 +64,7 @@ DUMP_QUERIES = [
     "temperature_sample",
     "doc_graph_coreness",
     "span_corruption",
+    "compaction_plan",
     # link-graph extraction (state/oracle_dump_links.py twins)
     "html_links",
     "html_link_degree",

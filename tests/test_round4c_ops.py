@@ -1,0 +1,249 @@
+"""Kernel-level checks for the round-4c operators (layout / readability /
+CUSUM / clustering coefficient), beyond oracle parity: Morton locality,
+FFD packing invariants, the planted-drift alarm path, punctuated
+readability fixtures, and the graphx/train constant agreement."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _t(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# --- Z-order layout ------------------------------------------------------
+
+
+def test_morton16_matches_bitwise_reference():
+    from khl_pdf_ocr_ray.pipelines.queries_layout import Z_DIM, _morton16
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, Z_DIM, 500).astype(np.int64)
+    d = rng.integers(0, Z_DIM, 500).astype(np.int64)
+    z = _morton16(u, d)
+
+    def ref(uu: int, dd: int) -> int:
+        out = 0
+        for i in range(8):
+            out |= ((uu >> i) & 1) << (2 * i + 1)
+            out |= ((dd >> i) & 1) << (2 * i)
+        return out
+
+    assert z.tolist() == [ref(a, b) for a, b in zip(u.tolist(), d.tolist())]
+    # and it is a bijection over the 16-bit domain
+    uu, dd = np.meshgrid(np.arange(Z_DIM), np.arange(Z_DIM))
+    full = _morton16(uu.ravel().astype(np.int64), dd.ravel().astype(np.int64))
+    assert len(np.unique(full)) == Z_DIM * Z_DIM
+
+
+def test_zbucket_covers_small_rectangles():
+    """The layout's whole point: within one Z-bucket both dimensions span
+    a bounded range (low Z_BUCKET_SHIFT bits interleave 3 bits of each
+    dim), so a 2-D range scan prunes to few buckets."""
+    from khl_pdf_ocr_ray.pipelines.queries_layout import (
+        Z_BUCKET_SHIFT,
+        Z_DIM,
+        _morton16,
+    )
+
+    rng = np.random.default_rng(12)
+    u = rng.integers(0, Z_DIM, 20000).astype(np.int64)
+    d = rng.integers(0, Z_DIM, 20000).astype(np.int64)
+    zb = _morton16(u, d) >> Z_BUCKET_SHIFT
+    df = pd.DataFrame({"zb": zb, "u": u, "d": d})
+    side = 1 << (Z_BUCKET_SHIFT // 2)  # 3 bits of each dim vary -> span < 8
+    g = df.groupby("zb").agg(us=("u", lambda s: s.max() - s.min()),
+                             ds=("d", lambda s: s.max() - s.min()))
+    assert (g["us"] < side).all()
+    assert (g["ds"] < side).all()
+
+
+def test_zorder_pair_partial_is_mergeable():
+    """Partial applied to split batches, then the same min/max/sum merge,
+    equals one global pass (the property the two-level groupby relies
+    on)."""
+    from khl_pdf_ocr_ray.pipelines.queries_layout import zorder_pair_partial
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    ts = rng.integers(0, 400, n).astype("int64") * 86_400_000_000 + rng.integers(
+        0, 86_400_000_000, n
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 900, n).astype("int64"),
+            "ts": pd.to_datetime(ts, unit="us"),
+        }
+    )
+    whole = zorder_pair_partial(_t(df)).to_pandas()
+    parts = pd.concat(
+        [
+            zorder_pair_partial(_t(df.iloc[i : i + 601])).to_pandas()
+            for i in range(0, n, 601)
+        ],
+        ignore_index=True,
+    )
+    merged = parts.groupby(["zbucket", "user_id"], as_index=False).agg(
+        n=("n", "sum"),
+        umin=("umin", "min"),
+        umax=("umax", "max"),
+        dmin=("dmin", "min"),
+        dmax=("dmax", "max"),
+    )
+    a = whole.sort_values(["zbucket", "user_id"]).reset_index(drop=True)
+    b = merged.sort_values(["zbucket", "user_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+# --- compaction planning -------------------------------------------------
+
+
+def test_ffd_pack_respects_capacity_and_is_first_fit_decreasing():
+    from khl_pdf_ocr_ray.pipelines.queries_layout import ffd_pack
+
+    fids = np.arange(8, dtype=np.int64)
+    sizes = np.array([60, 50, 40, 30, 20, 10, 5, 5], dtype=np.int64)
+    bins = ffd_pack(fids, sizes, 100)
+    # capacity respected in every bin
+    total = pd.Series(sizes).groupby(pd.Series(bins)).sum()
+    assert (total <= 100).all()
+    # hand-computed FFD placement: 60+40 | 50+30+20 | 10+5+5 -> appended
+    # to first bin that fits: 60,50 open bins; 40->bin0(100), 30->bin1(80),
+    # 20->bin1(100), 10 -> new bin2, 5,5 -> bin2
+    assert bins.tolist() == [0, 1, 0, 1, 1, 2, 2, 2]
+
+
+def test_ffd_pack_oversize_file_gets_own_bin():
+    from khl_pdf_ocr_ray.pipelines.queries_layout import ffd_pack
+
+    fids = np.array([0, 1, 2], dtype=np.int64)
+    sizes = np.array([500, 60, 60], dtype=np.int64)
+    bins = ffd_pack(fids, sizes, 100)
+    # the oversize file sits alone (its bin marked full, nothing joins it)
+    assert (bins[1:] != bins[0]).all()
+
+
+def test_ffd_pack_ties_break_by_file_id():
+    from khl_pdf_ocr_ray.pipelines.queries_layout import ffd_pack
+
+    fids = np.array([3, 1, 2], dtype=np.int64)
+    sizes = np.array([50, 50, 50], dtype=np.int64)
+    bins = ffd_pack(fids, sizes, 100)
+    # order of placement: fid 1, 2, 3 -> bins 0,0,1 regardless of input order
+    assert bins.tolist() == [1, 0, 0]
+
+
+# --- CUSUM drift ---------------------------------------------------------
+
+
+def test_cusum_fold_planted_drift_alarms():
+    """A sustained +50% volume shift must push the CUSUM over h and fire
+    the alarm; the pre-shift days must stay quiet."""
+    from khl_pdf_ocr_ray.pipelines.queries_monitor import cusum_fold
+
+    days = np.arange(60, dtype=np.int64)
+    counts = np.full(60, 1000, dtype=np.int64)
+    counts[40:] = 1500  # crawler loop from day 40
+    s, alarm = cusum_fold(days, counts)
+    assert alarm[:40].sum() == 0
+    assert alarm[-1] == 1  # sustained drift eventually alarms
+    # monotone accumulation during the drift window until saturation
+    assert (np.diff(s[41:]) > 0).all()
+
+
+def test_cusum_fold_stable_series_never_alarms():
+    from khl_pdf_ocr_ray.pipelines.queries_monitor import cusum_fold
+
+    rng = np.random.default_rng(5)
+    days = np.arange(120, dtype=np.int64)
+    counts = rng.integers(950, 1051, 120).astype(np.int64)  # +-5% noise
+    s, alarm = cusum_fold(days, counts)
+    assert alarm.sum() == 0
+
+
+def test_cusum_fold_is_input_order_invariant():
+    from khl_pdf_ocr_ray.pipelines.queries_monitor import cusum_fold
+
+    rng = np.random.default_rng(6)
+    days = np.arange(50, dtype=np.int64)
+    counts = rng.integers(500, 2000, 50).astype(np.int64)
+    s0, a0 = cusum_fold(days, counts)
+    perm = rng.permutation(50)
+    s1, a1 = cusum_fold(days[perm], counts[perm])
+    assert s1.tolist() == s0[perm].tolist()
+    assert a1.tolist() == a0[perm].tolist()
+
+
+# --- readability ---------------------------------------------------------
+
+
+def test_readability_punctuated_fixture():
+    """Hand-counted words / sentence runs / vowel groups on punctuated
+    text (the synthetic gate corpus has no punctuation, so this path is
+    held here)."""
+    from khl_pdf_ocr_ray.pipelines.queries_textmetrics import readability_batch
+
+    t = _t(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the cat sat. it sat!? done.",
+                    "strength",  # one word, zero terminators, one vowel group
+                    None,
+                ],
+            }
+        )
+    )
+    out = readability_batch(t).to_pandas().set_index("doc_id")
+    # doc 0: 6 space-split tokens? "the cat sat. it sat!? done." -> the,
+    # cat, sat., it, sat!?, done. = 6; runs: ".", "!?", "." = 3; vowel
+    # groups: e, a, a, i, a, o, e = 7
+    assert out.loc[0, "n_words"] == 6
+    assert out.loc[0, "n_sentences"] == 3
+    assert out.loc[0, "n_syllables"] == 7
+    assert (
+        out.loc[0, "fre_milli"]
+        == 206_835 - (1015 * 6) // 3 - (84_600 * 7) // 6
+    )
+    # doc 1: "strength" -> 1 word, min 1 sentence, 1 vowel group ("e")
+    assert out.loc[1, "n_words"] == 1
+    assert out.loc[1, "n_sentences"] == 1
+    assert out.loc[1, "n_syllables"] == 1
+    # doc 2: null -> '' -> split(' ') = [''] -> 1 word, 0 syllables
+    assert out.loc[2, "n_words"] == 1
+    assert out.loc[2, "n_syllables"] == 0
+
+
+# --- clustering coefficient ----------------------------------------------
+
+
+def test_graphx_sql_constant_agrees_with_train_tri_nodes():
+    """The static SQL twin bakes TRI_NODES=100; the Ray plan reads
+    queries_train.TRI_NODES — this pins them together so the twin can't
+    drift."""
+    from khl_pdf_ocr_ray.pipelines.queries_graphx import (
+        SQL_GRAPH_CLUSTERING_COEFF,
+        _sql,
+    )
+    from khl_pdf_ocr_ray.pipelines.queries_train import TRI_NODES
+
+    assert SQL_GRAPH_CLUSTERING_COEFF == _sql(TRI_NODES)
+
+
+def test_lcc_finalize_null_triangles_and_low_degree():
+    from khl_pdf_ocr_ray.pipelines.queries_graphx import LCC_SCALE, lcc_finalize
+
+    t = pa.table(
+        {
+            "node": pa.array([0, 1, 2, 3], pa.int64()),
+            "deg": pa.array([1, 2, 4, 3], pa.int64()),
+            "n_triangles": pa.array([None, 1, None, 3], pa.int64()),
+        }
+    )
+    out = lcc_finalize(t).to_pandas().set_index("node")
+    assert out.loc[0, "lcc_fx"] == 0  # deg < 2
+    assert out.loc[1, "lcc_fx"] == (2 * 1 * LCC_SCALE) // (2 * 1)  # full closure
+    assert out.loc[2, "n_triangles"] == 0 and out.loc[2, "lcc_fx"] == 0
+    assert out.loc[3, "lcc_fx"] == (2 * 3 * LCC_SCALE) // (3 * 2)
