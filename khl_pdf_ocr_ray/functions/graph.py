@@ -64,6 +64,41 @@ def pr_contrib(r_src: int, w: int, wout: int) -> int:
     return (r_src * w * PR_DAMP_NUM) // (wout * PR_DAMP_DEN)
 
 
+HITS_SCALE = 1 << 20
+HITS_ITERS = 3
+
+
+def hits_normalize(raw: int, mx: int) -> int:
+    """THE shared HITS normalization — scale so the max score is
+    HITS_SCALE (single floor division, identical operands on both
+    engines; mx == 0 only on an edgeless graph)."""
+    return (raw * HITS_SCALE) // mx if mx else 0
+
+
+def hits_sequential(edges, nodes, iters: int = HITS_ITERS):
+    """Single-process twin (Kleinberg 1999, int64 fixed point): edges =
+    {(src, dst): w}, nodes = iterable of host strings. Returns
+    {host: (hub_fx, auth_fx)}. Per round: raw authority = sum of
+    w * hub(src) over in-edges, max-normalized; then raw hub = sum of
+    w * auth(dst) over out-edges, max-normalized. Order-independent
+    integer sums + one shared floor division per node, so any
+    partitioning of the distributed plan is bit-identical."""
+    hub = {v: HITS_SCALE for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw = {v: 0 for v in nodes}
+        for (s, d), w in edges.items():
+            raw[d] += w * hub[s]
+        mx = max(raw.values(), default=0)
+        auth = {v: hits_normalize(r, mx) for v, r in raw.items()}
+        raw = {v: 0 for v in nodes}
+        for (s, d), w in edges.items():
+            raw[s] += w * auth[d]
+        mx = max(raw.values(), default=0)
+        hub = {v: hits_normalize(r, mx) for v, r in raw.items()}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
 def pagerank_sequential(edges, nodes, iters: int = PR_ITERS):
     """Single-process twin: edges = {(src, dst): w}, nodes = iterable of
     host strings. Returns {host: rank_fx}. Used by the oracle dump; the

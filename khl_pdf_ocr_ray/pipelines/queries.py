@@ -1722,6 +1722,18 @@ from .queries_graphx import GRAPHX_ORACLES, GRAPHX_QUERIES  # noqa: E402
 QUERIES.update(GRAPHX_QUERIES)
 ORACLES.update(GRAPHX_ORACLES)
 
+# HITS hubs/authorities over the planted host graph (dump-backed oracle)
+from .queries_webgraph import WEBGRAPH_ORACLES, WEBGRAPH_QUERIES  # noqa: E402
+
+QUERIES.update(WEBGRAPH_QUERIES)
+ORACLES.update(WEBGRAPH_ORACLES)
+
+# Chi-square term/class feature selection
+from .queries_featsel import FEATSEL_ORACLES, FEATSEL_QUERIES  # noqa: E402
+
+QUERIES.update(FEATSEL_QUERIES)
+ORACLES.update(FEATSEL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

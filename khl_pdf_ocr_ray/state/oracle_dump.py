@@ -436,6 +436,22 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "pagerank_seq.parquet"),
     )
 
+    # host-HITS twin: the same planted edge set through the sequential
+    # hub/authority iteration (functions/graph.py:hits_sequential)
+    from ..functions.graph import hits_sequential
+
+    ha = hits_sequential(pr_edges, pr_nodes)
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(sorted(ha), pa.string()),
+                "hub_fx": pa.array([ha[h][0] for h in sorted(ha)], pa.int64()),
+                "auth_fx": pa.array([ha[h][1] for h in sorted(ha)], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "hits_seq.parquet"),
+    )
+
     # rolling fingerprint via an INDEPENDENT power-sum formulation:
     # h = sum(b_i * BASE^(n-1-i)) mod M, computed with precomputed powers —
     # algebraically equal to the kernel's Horner loop but separate code
@@ -546,6 +562,9 @@ FROM read_parquet('{p("lineage_seq.parquet")}')
 """,
         "host_pagerank": f"""
 SELECT host, pagerank_fx FROM read_parquet('{p("pagerank_seq.parquet")}')
+""",
+        "host_hits": f"""
+SELECT host, hub_fx, auth_fx FROM read_parquet('{p("hits_seq.parquet")}')
 """,
         "url_blocklist": f"""
 SELECT host, kept, blocked FROM read_parquet('{p("url_block_seq.parquet")}')

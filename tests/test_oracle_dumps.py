@@ -19,6 +19,7 @@ DUMP_QUERIES = [
     "url_template_topk",
     "line_dedup",
     "host_pagerank",
+    "host_hits",
     "url_blocklist",
     "media_image_features",
     "media_audio_features",

@@ -247,3 +247,117 @@ def test_lcc_finalize_null_triangles_and_low_degree():
     assert out.loc[1, "lcc_fx"] == (2 * 1 * LCC_SCALE) // (2 * 1)  # full closure
     assert out.loc[2, "n_triangles"] == 0 and out.loc[2, "lcc_fx"] == 0
     assert out.loc[3, "lcc_fx"] == (2 * 3 * LCC_SCALE) // (3 * 2)
+
+
+# --- HITS hubs/authorities -------------------------------------------------
+
+
+def test_hits_sequential_star_graph():
+    """A star (hub u -> many leaves) must give u the max hub score and
+    the leaves the max authority; reverse roles stay at zero."""
+    from khl_pdf_ocr_ray.functions.graph import HITS_SCALE, hits_sequential
+
+    edges = {("u", f"l{i}"): 1 for i in range(5)}
+    ha = hits_sequential(edges, ["u"] + [f"l{i}" for i in range(5)])
+    assert ha["u"] == (HITS_SCALE, 0)  # pure hub
+    for i in range(5):
+        assert ha[f"l{i}"] == (0, HITS_SCALE)  # pure authorities
+
+
+def test_hits_sequential_weight_sensitivity():
+    """A heavier edge must pull its target's authority above a lighter
+    sibling's, proportionally (single normalize divide)."""
+    from khl_pdf_ocr_ray.functions.graph import HITS_SCALE, hits_sequential
+
+    edges = {("u", "a"): 3, ("u", "b"): 1}
+    ha = hits_sequential(edges, ["u", "a", "b"])
+    assert ha["a"][1] == HITS_SCALE
+    assert ha["b"][1] == HITS_SCALE // 3
+
+
+def test_hits_join_path_matches_broadcast_path(ray_session, sf_smoke_dir, monkeypatch):
+    """Force the large-|hosts| keyed-join branch (the 100 TB path) and
+    check bit-identical scores (integer fixed point, order-independent)."""
+    import khl_pdf_ocr_ray.pipelines.queries_extract as qe
+    from khl_pdf_ocr_ray.pipelines.queries_webgraph import q_host_hits
+
+    broadcast = q_host_hits(sf_smoke_dir).to_pandas()
+    monkeypatch.setattr(qe, "PR_BROADCAST_MAX", 0)
+    joined = q_host_hits(sf_smoke_dir).to_pandas()
+    a = broadcast.sort_values("host").reset_index(drop=True)
+    b = joined.sort_values("host").reset_index(drop=True)[a.columns]
+    assert a.equals(b)
+
+
+# --- chi-square feature selection -----------------------------------------
+
+
+def test_chi2_pairs_partial_is_mergeable():
+    """Partial applied to split batches then a plain keyed sum equals one
+    global pass (the property the Sum exchange relies on)."""
+    from khl_pdf_ocr_ray.pipelines.queries_featsel import chi2_pairs_partial
+
+    rng = np.random.default_rng(21)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    n = 240
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["en", "ru"], n),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(1, 9)))
+                for _ in range(n)
+            ],
+        }
+    )
+    whole = chi2_pairs_partial(_t(df)).to_pandas()
+    parts = pd.concat(
+        [
+            chi2_pairs_partial(_t(df.iloc[i : i + 37])).to_pandas()
+            for i in range(0, n, 37)
+        ],
+        ignore_index=True,
+    )
+    merged = parts.groupby(["lang", "term"], as_index=False)["n"].sum()
+    a = whole.groupby(["lang", "term"], as_index=False)["n"].sum()
+    a = a.sort_values(["lang", "term"]).reset_index(drop=True)
+    b = merged.sort_values(["lang", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_chi2_finalize_hand_computed_cell():
+    """2-class corpus with a perfectly class-separating term: n11=3,
+    n10=0, n01=0, n00=3 -> chi2 = N = 6 exactly (in milli-units)."""
+    from khl_pdf_ocr_ray.pipelines.queries_featsel import (
+        _CLASS_SENTINEL,
+        chi2_finalize,
+    )
+
+    cells = pd.DataFrame(
+        {
+            "lang": ["en", "ru", "en", "ru"],
+            "term": ["cat", "dog", _CLASS_SENTINEL, _CLASS_SENTINEL],
+            "n": [3, 3, 3, 3],
+        }
+    )
+    out = chi2_finalize(cells).set_index(["lang", "term"])
+    assert out.loc[("en", "cat"), "chi2_milli"] == 6000
+    assert out.loc[("ru", "dog"), "chi2_milli"] == 6000
+
+
+def test_chi2_finalize_universal_term_is_zero():
+    """A term in EVERY doc (df = N) has a degenerate margin -> chi2 = 0
+    on both engines (the CASE guard)."""
+    from khl_pdf_ocr_ray.pipelines.queries_featsel import (
+        _CLASS_SENTINEL,
+        chi2_finalize,
+    )
+
+    cells = pd.DataFrame(
+        {
+            "lang": ["en", "ru", "en", "ru"],
+            "term": ["the", "the", _CLASS_SENTINEL, _CLASS_SENTINEL],
+            "n": [4, 2, 4, 2],
+        }
+    )
+    out = chi2_finalize(cells)
+    assert (out["chi2_milli"] == 0).all()
