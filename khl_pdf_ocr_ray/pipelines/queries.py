@@ -1734,6 +1734,12 @@ from .queries_featsel import FEATSEL_ORACLES, FEATSEL_QUERIES  # noqa: E402
 QUERIES.update(FEATSEL_QUERIES)
 ORACLES.update(FEATSEL_ORACLES)
 
+# Behavioral analytics: cohort retention + inter-arrival dispersion
+from .queries_behavior import BEHAVIOR_ORACLES, BEHAVIOR_QUERIES  # noqa: E402
+
+QUERIES.update(BEHAVIOR_QUERIES)
+ORACLES.update(BEHAVIOR_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -361,3 +361,113 @@ def test_chi2_finalize_universal_term_is_zero():
     )
     out = chi2_finalize(cells)
     assert (out["chi2_milli"] == 0).all()
+
+
+# --- cohort retention / inter-arrival dispersion ---------------------------
+
+
+def test_user_week_partial_distinct_merge_idempotent():
+    """Re-applying the distinct-(user, week) combiner to concatenated
+    partials equals one global pass (what the Count exchange relies on)."""
+    from khl_pdf_ocr_ray.pipelines.queries_behavior import user_week_partial
+
+    rng = np.random.default_rng(31)
+    n = 1500
+    ts = rng.integers(0, 200, n).astype("int64") * 86_400_000_000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype("int64"),
+            "ts": pd.to_datetime(ts, unit="us"),
+        }
+    )
+    whole = user_week_partial(_t(df)).to_pandas()
+    parts = pd.concat(
+        [
+            user_week_partial(_t(df.iloc[i : i + 211])).to_pandas()
+            for i in range(0, n, 211)
+        ],
+        ignore_index=True,
+    )
+    merged = parts.drop_duplicates().sort_values(["user_id", "week"])
+    a = whole.sort_values(["user_id", "week"]).reset_index(drop=True)
+    b = merged.reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_dispersion_per_user_fixtures():
+    from khl_pdf_ocr_ray.pipelines.queries_behavior import dispersion_per_user
+
+    def mk(ts_list):
+        return pd.DataFrame(
+            {
+                "user_id": np.int64(7),
+                "event_id": np.arange(len(ts_list), dtype=np.int64),
+                "ts": pd.to_datetime(np.array(ts_list, dtype="int64"), unit="us"),
+            }
+        )
+
+    # perfectly regular stream -> zero variance -> D = 0
+    out = dispersion_per_user(mk([0, 10, 20, 30]))
+    assert out["n_gaps"].iloc[0] == 3 and out["dispersion_milli"].iloc[0] == 0
+    # bursty stream: gaps 1,1,98 -> n=3, s1=100, s2=9606
+    # D_milli = 1000*(3*9606 - 10000) // 300 = 1000*18818 // 300
+    out = dispersion_per_user(mk([0, 1, 2, 100]))
+    assert out["dispersion_milli"].iloc[0] == (1000 * (3 * 9606 - 100 * 100)) // 300
+    # single event -> no gap rows at all
+    out = dispersion_per_user(mk([5]))
+    assert len(out) == 0
+
+
+# --- degree assortativity --------------------------------------------------
+
+
+def test_assort_finalize_matches_float_pearson():
+    """Signed fixed-point r^2 against numpy's Pearson on a random degree
+    sample: same sign, magnitude within one milli-unit of 1000*r^2."""
+    from khl_pdf_ocr_ray.pipelines.queries_graphx import assort_finalize
+
+    rng = np.random.default_rng(41)
+    dx = rng.integers(1, 30, 400)
+    dy = (dx * 2 + rng.integers(-8, 9, 400)).clip(1)  # positively correlated
+    x = np.concatenate([dx, dy]).astype(float)
+    y = np.concatenate([dy, dx]).astype(float)
+    n = len(x)
+    sx = int(x.sum()); sxy = int((x * y).sum()); sx2 = int((x * x).sum())
+    got = assort_finalize(n, sx, sxy, sx2)
+    r = np.corrcoef(x, y)[0, 1]
+    want = 1000 * r * r * (1 if r >= 0 else -1)
+    assert abs(got - want) <= 1
+    assert got > 0
+
+
+def test_assort_star_graph_is_perfectly_disassortative():
+    """A star: every edge joins deg-k hub to deg-1 leaf -> r = -1 ->
+    assort_r2_milli = -1000 exactly."""
+    from khl_pdf_ocr_ray.pipelines.queries_graphx import assort_finalize
+
+    k = 6
+    dx = np.full(k, k, dtype=np.int64)  # hub endpoint
+    dy = np.ones(k, dtype=np.int64)     # leaf endpoint
+    x = np.concatenate([dx, dy]); y = np.concatenate([dy, dx])
+    n = len(x)
+    got = assort_finalize(n, int(x.sum()), int((x * y).sum()), int((x * x).sum()))
+    assert got == -1000
+
+
+def test_assort_regular_graph_is_zero():
+    """Constant degree (a cycle) -> zero variance -> defined as 0."""
+    from khl_pdf_ocr_ray.pipelines.queries_graphx import assort_finalize
+
+    x = np.full(10, 2, dtype=np.int64)
+    got = assort_finalize(10, int(x.sum()), int((x * x).sum()), int((x * x).sum()))
+    assert got == 0
+
+
+def test_assort_sql_constant_agrees_with_train_tri_nodes():
+    from khl_pdf_ocr_ray.pipelines.queries_graphx import (
+        SQL_GRAPH_ASSORTATIVITY,
+        _assort_sql,
+    )
+    from khl_pdf_ocr_ray.pipelines.queries_train import TRI_NODES
+
+    assert SQL_GRAPH_ASSORTATIVITY == _assort_sql(TRI_NODES)
