@@ -1740,6 +1740,12 @@ from .queries_behavior import BEHAVIOR_ORACLES, BEHAVIOR_QUERIES  # noqa: E402
 QUERIES.update(BEHAVIOR_QUERIES)
 ORACLES.update(BEHAVIOR_ORACLES)
 
+# Reciprocal-rank fusion (two-ranker retrieval fusion)
+from .queries_fusion import FUSION_ORACLES, FUSION_QUERIES  # noqa: E402
+
+QUERIES.update(FUSION_QUERIES)
+ORACLES.update(FUSION_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

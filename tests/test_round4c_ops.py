@@ -471,3 +471,88 @@ def test_assort_sql_constant_agrees_with_train_tri_nodes():
     from khl_pdf_ocr_ray.pipelines.queries_train import TRI_NODES
 
     assert SQL_GRAPH_ASSORTATIVITY == _assort_sql(TRI_NODES)
+
+
+# --- session lift / weekly growth / RRF -------------------------------------
+
+
+def test_session_pairs_per_user_fixture():
+    """Two sessions (gap > 30 min): s1 = {a, b}, s2 = {a, c} -> pairs
+    (a,b)=1, (a,c)=1; singles a=2, b=1, c=1; total=2."""
+    from khl_pdf_ocr_ray.pipelines.queries_behavior import (
+        _LIFT_TOTAL,
+        session_pairs_per_user,
+    )
+
+    us = 1_000_000
+    g = pd.DataFrame(
+        {
+            "user_id": np.int64(1),
+            "ts": pd.to_datetime(
+                np.array([0, 60, 120, 7200, 7260], dtype="int64") * us,
+                unit="us",
+            ),
+            "event_type": ["a", "b", "a", "a", "c"],
+        }
+    )
+    out = session_pairs_per_user(g)
+    cells = {
+        (r.type_a, r.type_b): int(r.n) for r in out.itertuples()
+    }
+    assert cells[("a", "b")] == 1 and cells[("a", "c")] == 1
+    assert cells[("a", _LIFT_TOTAL)] == 2
+    assert cells[("b", _LIFT_TOTAL)] == 1
+    assert cells[(_LIFT_TOTAL, _LIFT_TOTAL)] == 2
+    assert ("b", "c") not in cells  # never co-session
+
+
+def test_lift_finalize_hand_computed():
+    """S=4, n_a=2, n_b=2, n_ab=2 (always together) -> lift = 2.0 =
+    2000 milli; independents n_ab=1 -> lift = 1000."""
+    from khl_pdf_ocr_ray.pipelines.queries_behavior import (
+        _LIFT_TOTAL,
+        lift_finalize,
+    )
+
+    cells = pd.DataFrame(
+        {
+            "type_a": ["a", "a", "b", _LIFT_TOTAL],
+            "type_b": ["b", _LIFT_TOTAL, _LIFT_TOTAL, _LIFT_TOTAL],
+            "n": [2, 2, 2, 4],
+        }
+    )
+    out = lift_finalize(cells).set_index(["type_a", "type_b"])
+    assert out.loc[("a", "b"), "lift_milli"] == 2000
+    assert out.loc[("a", "b"), "n_a"] == 2 and out.loc[("a", "b"), "n_b"] == 2
+
+
+def test_weekly_growth_fold_fixture():
+    from khl_pdf_ocr_ray.pipelines.queries_behavior import weekly_growth_fold
+
+    weeks = np.array([3, 1, 2], dtype=np.int64)  # unordered on purpose
+    counts = np.array([300, 100, 200], dtype=np.int64)
+    prev, growth = weekly_growth_fold(weeks, counts)
+    # ordered: week1 n=100 (first -> 0), week2 n=200 prev=100 -> +1000,
+    # week3 n=300 prev=200 -> 1500-1000 = +500
+    assert prev.tolist() == [200, 0, 100]
+    assert growth.tolist() == [500, 0, 1000]
+
+
+def test_rrf_score_batch_formula():
+    from khl_pdf_ocr_ray.pipelines.queries_fusion import (
+        RRF_K,
+        RRF_SCALE,
+        rrf_score_batch,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "rank_len": pa.array([1, 1000], pa.int64()),
+            "rank_tok": pa.array([1000, 1], pa.int64()),
+        }
+    )
+    out = rrf_score_batch(t).to_pandas()
+    want = RRF_SCALE // (RRF_K + 1) + RRF_SCALE // (RRF_K + 1000)
+    assert (out["rrf_fx"] == want).all()  # symmetric ranks -> equal score
+    assert (out["neg_fx"] + out["rrf_fx"] == 2 * RRF_SCALE).all()
