@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "trigram_diversity",       # distinct-n lexical diversity (round 4)
     "zorder_layout",           # Morton-key locality stats (round 4)
     "readability_score",       # map-only Flesch scoring (round 4)
+    "doc_tiers",               # quality-tier extraction headline (round 4)
 ]
 
 

@@ -1746,6 +1746,12 @@ from .queries_fusion import FUSION_ORACLES, FUSION_QUERIES  # noqa: E402
 QUERIES.update(FUSION_QUERIES)
 ORACLES.update(FUSION_ORACLES)
 
+# Quality-tier extraction (the graft's headline bucketing)
+from .queries_tiers import TIERS_ORACLES, TIERS_QUERIES  # noqa: E402
+
+QUERIES.update(TIERS_QUERIES)
+ORACLES.update(TIERS_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -556,3 +556,55 @@ def test_rrf_score_batch_formula():
     want = RRF_SCALE // (RRF_K + 1) + RRF_SCALE // (RRF_K + 1000)
     assert (out["rrf_fx"] == want).all()  # symmetric ranks -> equal score
     assert (out["neg_fx"] + out["rrf_fx"] == 2 * RRF_SCALE).all()
+
+
+# --- quality tiers ----------------------------------------------------------
+
+
+def test_tier_batch_hand_fixture():
+    """Three docs engineered into the three tiers."""
+    from khl_pdf_ocr_ray.pipelines.queries_tiers import tier_batch
+
+    hi = " ".join(f"w{i}" for i in range(50))          # wc=50, rep=20
+    mid = " ".join(["a"] * 4 + [f"w{i}" for i in range(21)])  # wc=25, rep=160
+    low = " ".join(["spam"] * 30)                       # rep=1000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [hi, mid, low],
+            "n_chars": np.array([len(hi), len(mid), len(low)], dtype=np.int64),
+        }
+    )
+    out = tier_batch(_t(df)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "tier"] == 2 and out.loc[0, "rep_milli"] == 20
+    assert out.loc[1, "tier"] == 1 and out.loc[1, "rep_milli"] == 160
+    assert out.loc[2, "tier"] == 0 and out.loc[2, "rep_milli"] == 1000
+
+
+def test_tier_batch_is_batching_invariant():
+    """Map-only assignment: any split of the batch yields the same rows
+    (the per-doc top-term count must not leak across docs)."""
+    from khl_pdf_ocr_ray.pipelines.queries_tiers import tier_batch
+
+    rng = np.random.default_rng(51)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 60)))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": texts,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    whole = tier_batch(_t(df)).to_pandas()
+    parts = pd.concat(
+        [tier_batch(_t(df.iloc[i : i + 17])).to_pandas() for i in range(0, 120, 17)],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(
+        whole.sort_values("doc_id").reset_index(drop=True),
+        parts.sort_values("doc_id").reset_index(drop=True),
+    )
