@@ -1752,6 +1752,18 @@ from .queries_tiers import TIERS_ORACLES, TIERS_QUERIES  # noqa: E402
 QUERIES.update(TIERS_QUERIES)
 ORACLES.update(TIERS_ORACLES)
 
+# Encoding-anomaly QC (planted-variant mojibake profiling)
+from .queries_encqc import ENCQC_ORACLES, ENCQC_QUERIES  # noqa: E402
+
+QUERIES.update(ENCQC_QUERIES)
+ORACLES.update(ENCQC_ORACLES)
+
+# Per-user Gini-Simpson behavioral diversity
+from .queries_diversity import DIVERSITY_ORACLES, DIVERSITY_QUERIES  # noqa: E402
+
+QUERIES.update(DIVERSITY_QUERIES)
+ORACLES.update(DIVERSITY_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -608,3 +608,86 @@ def test_tier_batch_is_batching_invariant():
         whole.sort_values("doc_id").reset_index(drop=True),
         parts.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+# --- encoding QC / Simpson diversity ----------------------------------------
+
+
+def test_encqc_batch_planted_counts():
+    """The plant appends doc_id%4 U+FFFD and doc_id%3 BEL chars; the
+    RE2 counters must find exactly those on clean base text."""
+    from khl_pdf_ocr_ray.pipelines.queries_encqc import encqc_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 5, 7, 11], dtype=np.int64),
+            "text": ["abcd", "abcd", "abcd", None],
+        }
+    )
+    out = encqc_batch(_t(df)).to_pandas().set_index("doc_id")
+    for d in (0, 5, 7, 11):
+        assert out.loc[d, "n_repl"] == d % 4
+        assert out.loc[d, "n_ctrl"] == d % 3
+        assert out.loc[d, "n_nonascii"] == d % 4  # only the U+FFFD are non-ascii
+    # doc 11: null text -> base '' -> only the plant remains
+    assert out.loc[11, "n_chars_v"] == 11 % 4 + 11 % 3
+    # milli scores: doc 5 -> base 4 chars + 1 repl + 2 ctrl = 7 chars
+    assert out.loc[5, "mojibake_milli"] == 1000 * 3 // 7
+
+
+def test_encqc_base_nonascii_is_counted():
+    """Non-ASCII in the BASE text (cyrillic) counts toward nonascii but
+    not toward mojibake."""
+    from khl_pdf_ocr_ray.pipelines.queries_encqc import encqc_batch
+
+    df = pd.DataFrame(
+        {"doc_id": np.array([0], dtype=np.int64), "text": ["привет ok"]}
+    )
+    out = encqc_batch(_t(df)).to_pandas()
+    assert out["n_nonascii"].iloc[0] == 6  # 6 cyrillic letters
+    assert out["n_repl"].iloc[0] == 0 and out["n_ctrl"].iloc[0] == 0
+
+
+def test_simpson_per_user_fixtures():
+    from khl_pdf_ocr_ray.pipelines.queries_diversity import simpson_per_user
+
+    def mk(counts):
+        return pd.DataFrame(
+            {
+                "user_id": np.int64(3),
+                "event_type": [f"t{i}" for i in range(len(counts))],
+                "n": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    # monomaniac -> 0
+    assert simpson_per_user(mk([10]))["simpson_milli"].iloc[0] == 0
+    # uniform over 4 types -> 1000 - 1000/4 = 750
+    assert simpson_per_user(mk([5, 5, 5, 5]))["simpson_milli"].iloc[0] == 750
+    # skewed 9+1: 1000 - 1000*82//100 = 180
+    assert simpson_per_user(mk([9, 1]))["simpson_milli"].iloc[0] == 180
+
+
+def test_user_type_partial_is_mergeable():
+    from khl_pdf_ocr_ray.pipelines.queries_diversity import user_type_partial
+
+    rng = np.random.default_rng(61)
+    n = 900
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n).astype("int64"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    whole = user_type_partial(_t(df)).to_pandas()
+    parts = pd.concat(
+        [
+            user_type_partial(_t(df.iloc[i : i + 111])).to_pandas()
+            for i in range(0, n, 111)
+        ],
+        ignore_index=True,
+    )
+    merged = parts.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+    a = whole.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    b = merged.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
