@@ -25,7 +25,12 @@ def _footer_schema(path) -> pa.Schema:
     if isinstance(path, (list, tuple)):  # before isdir: it raises on lists
         path = path[0]
     if os.path.isdir(path):
-        frags = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: hive-partitioned layouts keep fragments in subdirs
+        # (note the fragment footer does NOT carry hive partition columns
+        # — read such dirs with plain read_parquet when those are needed)
+        frags = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         path = frags[0]
     return pq.read_schema(path).remove_metadata()
 
@@ -46,7 +51,8 @@ def input_nbytes(path) -> int:
         return sum(input_nbytes(p) for p in path)
     if os.path.isdir(path):
         return sum(
-            os.path.getsize(p) for p in glob.glob(os.path.join(path, "*.parquet"))
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
     return os.path.getsize(path)
 
@@ -66,7 +72,8 @@ def input_nrows(path) -> int:
         return sum(input_nrows(p) for p in path)
     if os.path.isdir(path):
         return sum(
-            input_nrows(p) for p in glob.glob(os.path.join(path, "*.parquet"))
+            input_nrows(p)
+            for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
     return pq.ParquetFile(path).metadata.num_rows
 

@@ -89,6 +89,15 @@ def tier_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def tier_with_text_batch(batch: pa.Table) -> pa.Table:
+    """tier_batch's columns + the payload (lang, text) — the export form
+    scripts/run_tier_job.py writes hive-partitioned by tier."""
+    out = tier_batch(batch)
+    return out.append_column("lang", batch["lang"]).append_column(
+        "text", batch["text"]
+    )
+
+
 def tier_project(batch: pa.Table) -> pa.Table:
     return batch.select(["doc_id", "n_words", "rep_milli", "tier"])
 
