@@ -1764,6 +1764,12 @@ from .queries_diversity import DIVERSITY_ORACLES, DIVERSITY_QUERIES  # noqa: E40
 QUERIES.update(DIVERSITY_QUERIES)
 ORACLES.update(DIVERSITY_ORACLES)
 
+# A/B conversion chi-square (experimentation primitive)
+from .queries_abtest import ABTEST_ORACLES, ABTEST_QUERIES  # noqa: E402
+
+QUERIES.update(ABTEST_QUERIES)
+ORACLES.update(ABTEST_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

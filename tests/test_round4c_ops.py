@@ -691,3 +691,58 @@ def test_user_type_partial_is_mergeable():
     a = whole.sort_values(["user_id", "event_type"]).reset_index(drop=True)
     b = merged.sort_values(["user_id", "event_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_session_lift_sql_gap_pinned_to_sessionize():
+    """SQL_SESSION_LIFT bakes the 1800 s gap; pin it to the shared
+    SESSION_GAP_S so the twin can't drift."""
+    from khl_pdf_ocr_ray.pipelines.queries import SESSION_GAP_S
+    from khl_pdf_ocr_ray.pipelines.queries_behavior import SQL_SESSION_LIFT
+
+    assert SESSION_GAP_S == 1800
+    assert "> 1800" in SQL_SESSION_LIFT
+
+
+# --- A/B chi-square ----------------------------------------------------------
+
+
+def test_ab_finalize_hand_computed():
+    """Perfect separation: A all convert (10), B none (10) -> chi2 = N =
+    20 -> 20000 milli; identical cohorts -> 0."""
+    from khl_pdf_ocr_ray.pipelines.queries_abtest import ab_finalize
+
+    cells = pd.DataFrame(
+        {"cohort": [0, 1], "conv": [1, 0], "n": [10, 10]}
+    )
+    out = ab_finalize(cells)
+    assert out["chi2_milli"].iloc[0] == 20000
+    assert out["n_a"].iloc[0] == 10 and out["conv_b"].iloc[0] == 0
+    cells = pd.DataFrame(
+        {"cohort": [0, 0, 1, 1], "conv": [1, 0, 1, 0], "n": [5, 5, 5, 5]}
+    )
+    assert ab_finalize(cells)["chi2_milli"].iloc[0] == 0
+
+
+def test_ab_user_partial_is_max_mergeable():
+    from khl_pdf_ocr_ray.pipelines.queries_abtest import ab_user_partial
+
+    rng = np.random.default_rng(71)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n).astype("int64"),
+            "event_type": rng.choice(["view", "purchase", "click"], n),
+        }
+    )
+    whole = ab_user_partial(_t(df)).to_pandas()
+    parts = pd.concat(
+        [
+            ab_user_partial(_t(df.iloc[i : i + 97])).to_pandas()
+            for i in range(0, n, 97)
+        ],
+        ignore_index=True,
+    )
+    merged = parts.groupby("user_id", as_index=False)["conv"].max()
+    a = whole.sort_values("user_id").reset_index(drop=True)
+    b = merged.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
