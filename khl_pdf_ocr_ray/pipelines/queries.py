@@ -1770,6 +1770,48 @@ from .queries_abtest import ABTEST_ORACLES, ABTEST_QUERIES  # noqa: E402
 QUERIES.update(ABTEST_QUERIES)
 ORACLES.update(ABTEST_ORACLES)
 
+from .queries_benford import BENFORD_ORACLES, BENFORD_QUERIES  # noqa: E402
+
+QUERIES.update(BENFORD_QUERIES)
+ORACLES.update(BENFORD_ORACLES)
+
+from .queries_forecast import (  # noqa: E402
+    FORECAST_ORACLES,
+    FORECAST_QUERIES,
+)
+
+QUERIES.update(FORECAST_QUERIES)
+ORACLES.update(FORECAST_ORACLES)
+
+from .queries_apportion import (  # noqa: E402
+    APPORTION_ORACLES,
+    APPORTION_QUERIES,
+)
+
+QUERIES.update(APPORTION_QUERIES)
+ORACLES.update(APPORTION_ORACLES)
+
+from .queries_drift import DRIFT_ORACLES, DRIFT_QUERIES  # noqa: E402
+
+QUERIES.update(DRIFT_QUERIES)
+ORACLES.update(DRIFT_ORACLES)
+
+from .queries_rankeval import (  # noqa: E402
+    RANKEVAL_ORACLES,
+    RANKEVAL_QUERIES,
+)
+
+QUERIES.update(RANKEVAL_QUERIES)
+ORACLES.update(RANKEVAL_ORACLES)
+
+from .queries_markoveval import (  # noqa: E402
+    MARKOVEVAL_ORACLES,
+    MARKOVEVAL_QUERIES,
+)
+
+QUERIES.update(MARKOVEVAL_QUERIES)
+ORACLES.update(MARKOVEVAL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -1,0 +1,300 @@
+"""Kernel-level checks for the round-4d operators (Benford QC, Holt
+forecast, largest-remainder apportionment, TV drift, NDCG@10,
+Markov backtest), beyond oracle parity: hand fixtures, recurrence
+references, merge/split invariances and tie-break rules."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _t(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# --- Benford QC -----------------------------------------------------------
+
+
+def test_benford_digit_kernel_and_probs():
+    from khl_pdf_ocr_ray.pipelines.queries_benford import (
+        BENFORD_P_MICRO,
+        MICRO,
+        benford_digit_partial,
+    )
+
+    t = _t(pd.DataFrame({"o_totalprice": [1320.51, 912.0, 19999.9, 1.0]}))
+    got = benford_digit_partial(t).to_pandas()
+    counts = dict(zip(got["digit"], got["n"]))
+    assert counts == {1: 3, 9: 1}
+    # the probability table sums to ~1 and is the canonical Benford law
+    assert abs(sum(BENFORD_P_MICRO.values()) - MICRO) <= 5
+    assert BENFORD_P_MICRO[1] == 301030 and BENFORD_P_MICRO[9] == 45757
+
+
+def test_benford_rejects_sub_unit_amounts():
+    import pytest
+
+    from khl_pdf_ocr_ray.pipelines.queries_benford import (
+        benford_digit_partial,
+    )
+
+    with pytest.raises(ValueError):
+        benford_digit_partial(_t(pd.DataFrame({"o_totalprice": [0.5]})))
+
+
+def test_benford_finalize_hand_cell():
+    from khl_pdf_ocr_ray.pipelines.queries_benford import (
+        BENFORD_P_MICRO,
+        MICRO,
+        benford_finalize,
+    )
+
+    cells = pd.DataFrame({"digit": [1, 2], "n": [6, 4]})
+    out = benford_finalize(cells)
+    assert out["digit"].tolist() == list(range(1, 10))
+    assert int(out["n"].sum()) == 10
+    # exact integer chi-square term for digit 1: N=10, e = 10*p1
+    e = 10 * BENFORD_P_MICRO[1]
+    dev = 6 * MICRO - e
+    assert int(out.loc[0, "chi2_term_milli"]) == (1000 * dev * dev) // (
+        e * MICRO
+    )
+    # digits with zero observations still contribute their expected mass
+    assert (out["n"].to_numpy()[2:] == 0).all()
+    assert (out["chi2_term_milli"].to_numpy()[2:] > 0).all()
+
+
+# --- Holt forecast --------------------------------------------------------
+
+
+def test_holt_fold_matches_sequential_reference():
+    from khl_pdf_ocr_ray.pipelines.queries_forecast import holt_fold
+
+    days = np.array([3, 1, 2, 4], dtype=np.int64)  # unordered on purpose
+    counts = np.array([30, 10, 20, 25], dtype=np.int64)
+    lv, tr, fc, er = holt_fold(days, counts)
+    # manual recurrence in day order: y = 10000, 20000, 30000, 25000
+    # t0: l=10000 b=0 f=10000 err=0
+    # t1: f=10000 l=(20000+10000)//2=15000 b=(5000+0)//4=1250 err=10000
+    # t2: f=16250 l=(30000+16250)//2=23125 b=(8125+3750)//4=2968 err=13750
+    # t3: f=26093 l=(25000+26093)//2=25546 b=(2421+8904)//4=2831 err=1093
+    order = np.argsort(days)
+    assert lv[order].tolist() == [10000, 15000, 23125, 25546]
+    assert tr[order].tolist() == [0, 1250, 2968, 2831]
+    assert fc[order].tolist() == [10000, 10000, 16250, 26093]
+    assert er[order].tolist() == [0, 10000, 13750, 1093]
+
+
+def test_holt_fold_negative_trend_floors():
+    from khl_pdf_ocr_ray.pipelines.queries_forecast import holt_fold
+
+    days = np.arange(3, dtype=np.int64)
+    counts = np.array([100, 50, 10], dtype=np.int64)
+    lv, tr, fc, er = holt_fold(days, counts)
+    # decreasing series drives the trend negative; floor division on
+    # negatives must match Python // (the DuckDB semantics)
+    assert tr[1] == ((lv[1] - lv[0]) + 0) // 4 and tr[1] < 0
+    assert er[2] == abs(10_000 - (lv[1] + tr[1]))
+
+
+# --- Largest-remainder apportionment --------------------------------------
+
+
+def test_apportion_sums_exactly_and_breaks_ties_by_source():
+    from khl_pdf_ocr_ray.pipelines.queries_apportion import apportion_fold
+
+    out = apportion_fold(["a", "b", "c"], [1, 1, 1], budget=10)
+    assert int(out["budget"].sum()) == 10
+    # remainders all equal -> leftover goes to lexicographically first
+    assert out.set_index("source")["budget"].to_dict() == {
+        "a": 4,
+        "b": 3,
+        "c": 3,
+    }
+
+
+def test_apportion_proportionality():
+    from khl_pdf_ocr_ray.pipelines.queries_apportion import apportion_fold
+
+    out = apportion_fold(["x", "y"], [900, 100], budget=1000)
+    assert out.set_index("source")["budget"].to_dict() == {
+        "x": 900,
+        "y": 100,
+    }
+    out2 = apportion_fold(["x", "y", "z"], [2, 3, 5], budget=7)
+    assert int(out2["budget"].sum()) == 7
+    # exact shares 1.4/2.1/3.5 -> floors 1/2/3, leftover 1 to max rem (x: .4
+    # vs y: .1 vs z: .5 -> z)
+    assert out2.set_index("source")["budget"].to_dict() == {
+        "x": 1,
+        "y": 2,
+        "z": 4,
+    }
+
+
+# --- TV drift -------------------------------------------------------------
+
+
+def test_tv_finalize_identical_and_disjoint():
+    from khl_pdf_ocr_ray.pipelines.queries_drift import tv_finalize
+
+    same = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b"],
+            "word": ["w", "v", "w", "v"],
+            "n": [2, 2, 2, 2],
+        }
+    )
+    out = tv_finalize(same)
+    assert out["tv_milli"].tolist() == [0, 0]
+    disjoint = pd.DataFrame(
+        {
+            "source": ["a", "b"],
+            "word": ["w", "v"],
+            "n": [3, 3],
+        }
+    )
+    out2 = tv_finalize(disjoint)
+    # each source: own word p=1 vs q=1/2, other word 0 vs 1/2 -> TV = 1/2
+    assert out2["tv_milli"].tolist() == [500, 500]
+
+
+def test_tv_partial_counts_tokens_with_empties():
+    from khl_pdf_ocr_ray.pipelines.queries_drift import source_word_partial
+
+    t = _t(
+        pd.DataFrame(
+            {"source": ["s"], "text": ["a  b a"]}  # double space -> empty tok
+        )
+    )
+    got = source_word_partial(t).to_pandas()
+    counts = dict(zip(got["word"], got["n"]))
+    assert counts == {"a": 2, "b": 1, "": 1}
+
+
+# --- NDCG@10 --------------------------------------------------------------
+
+
+def test_ndcg_weights_and_gain_tables():
+    import math
+
+    from khl_pdf_ocr_ray.pipelines.queries_rankeval import (
+        FX,
+        NDCG_K,
+        NDCG_W,
+        _GAIN,
+    )
+
+    assert NDCG_W[1] == FX and len(NDCG_W) == NDCG_K
+    assert NDCG_W[3] == int(round(FX / math.log2(4)))
+    assert _GAIN == {0: 0, 1: 1, 2: 3, 3: 7}
+
+
+def test_ndcg_topk_superset_split_invariance():
+    from khl_pdf_ocr_ray.pipelines.queries_rankeval import (
+        ndcg_finalize,
+        ndcg_topk_partial,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["s1", "s2", "s3"], n),
+            "doc_id": np.arange(n, dtype=np.int64),
+            "score": rng.integers(0, 50, n).astype(np.int64),
+            "rel": rng.integers(0, 4, n).astype(np.int64),
+        }
+    )
+    n_docs = df.groupby("source").size().to_dict()
+    whole = ndcg_topk_partial(_t(df)).to_pandas()
+    parts = pd.concat(
+        [
+            ndcg_topk_partial(_t(df.iloc[:150])).to_pandas(),
+            ndcg_topk_partial(_t(df.iloc[150:260])).to_pandas(),
+            ndcg_topk_partial(_t(df.iloc[260:])).to_pandas(),
+        ],
+        ignore_index=True,
+    )
+    a = ndcg_finalize(whole, n_docs)
+    b = ndcg_finalize(parts, n_docs)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ndcg_perfect_ranking_is_1000():
+    from khl_pdf_ocr_ray.pipelines.queries_rankeval import (
+        ndcg_finalize,
+        ndcg_topk_partial,
+    )
+
+    # score strictly increasing WITH rel -> DCG ordering == ideal ordering
+    df = pd.DataFrame(
+        {
+            "source": ["s"] * 8,
+            "doc_id": np.arange(8, dtype=np.int64),
+            "score": np.arange(8, dtype=np.int64),
+            "rel": np.minimum(3, np.arange(8) // 2).astype(np.int64),
+        }
+    )
+    cells = ndcg_topk_partial(_t(df)).to_pandas()
+    out = ndcg_finalize(cells, {"s": 8})
+    assert out["ndcg_milli"].tolist() == [1000]
+    assert int(out["dcg_fx"].iloc[0]) == int(out["idcg_fx"].iloc[0]) > 0
+
+
+# --- Markov backtest ------------------------------------------------------
+
+
+def test_markov_split_rule_and_counts():
+    from khl_pdf_ocr_ray.pipelines.queries_markoveval import (
+        markov_split_pairs_per_user,
+    )
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(np.arange(5), unit="s"),
+            "event_id": np.arange(5, dtype=np.int64),
+            "user_id": [1] * 5,
+            "event_type": ["a", "b", "a", "b", "a"],
+        }
+    )
+    g = markov_split_pairs_per_user(df)
+    # n=5 -> positions 2..5; train when pos <= 3: pairs (a,b),(b,a) train;
+    # (a,b),(b,a) test
+    cells = {
+        (r.prev, r.nxt, int(r.is_test)): int(r.n) for r in g.itertuples()
+    }
+    assert cells == {
+        ("a", "b", 0): 1,
+        ("b", "a", 0): 1,
+        ("a", "b", 1): 1,
+        ("b", "a", 1): 1,
+    }
+    # singleton users emit nothing, with the right schema
+    empty = markov_split_pairs_per_user(df.iloc[:1])
+    assert list(empty.columns) == ["prev", "nxt", "is_test", "n"]
+    assert len(empty) == 0
+
+
+def test_markov_finalize_argmax_tiebreak_and_accuracy():
+    from khl_pdf_ocr_ray.pipelines.queries_markoveval import (
+        markov_eval_finalize,
+    )
+
+    cells = pd.DataFrame(
+        {
+            "prev": ["a", "a", "a", "a", "b"],
+            "nxt": ["x", "y", "x", "y", "x"],
+            "is_test": [0, 0, 1, 1, 0],
+            "n": [3, 3, 5, 2, 1],
+        }
+    )
+    out = markov_eval_finalize(cells).set_index("prev_type")
+    # tie 3-3 on train counts -> lexicographically smaller 'x' wins
+    assert out.loc["a", "predicted"] == "x"
+    assert int(out.loc["a", "n_test"]) == 7
+    assert int(out.loc["a", "n_correct"]) == 5
+    assert int(out.loc["a", "acc_milli"]) == (1000 * 5) // 7
+    # prev 'b' trained but never tested -> zero row, not a crash
+    assert int(out.loc["b", "n_test"]) == 0
+    assert int(out.loc["b", "acc_milli"]) == 0
