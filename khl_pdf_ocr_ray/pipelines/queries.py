@@ -1812,6 +1812,19 @@ from .queries_markoveval import (  # noqa: E402
 QUERIES.update(MARKOVEVAL_QUERIES)
 ORACLES.update(MARKOVEVAL_ORACLES)
 
+from .queries_journeys import (  # noqa: E402
+    JOURNEYS_ORACLES,
+    JOURNEYS_QUERIES,
+)
+
+QUERIES.update(JOURNEYS_QUERIES)
+ORACLES.update(JOURNEYS_ORACLES)
+
+from .queries_robust import ROBUST_ORACLES, ROBUST_QUERIES  # noqa: E402
+
+QUERIES.update(ROBUST_QUERIES)
+ORACLES.update(ROBUST_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -242,6 +242,157 @@ def test_ndcg_perfect_ranking_is_1000():
     assert int(out["dcg_fx"].iloc[0]) == int(out["idcg_fx"].iloc[0]) > 0
 
 
+# --- session paths / rolling actives ---------------------------------------
+
+
+def test_session_paths_fold_breaks_and_truncates():
+    from khl_pdf_ocr_ray.pipelines.queries_journeys import (
+        session_paths_per_user,
+    )
+
+    # 5 events, gap of 2h between #3 and #4 -> two sessions; first path
+    # truncated at 3, second has 2 events
+    ts = pd.to_datetime([0, 10, 20, 30, 7300, 7310], unit="s")
+    df = pd.DataFrame(
+        {
+            "ts": ts,
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": [1] * 6,
+            "event_type": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    g = session_paths_per_user(df)
+    got = dict(zip(g["path"], g["n"]))
+    assert got == {"a>b>c": 1, "e>f": 1}
+    # exactly-1800s gap does NOT break (strict >, the sessionize rule)
+    ts2 = pd.to_datetime([0, 1800], unit="s")
+    df2 = pd.DataFrame(
+        {
+            "ts": ts2,
+            "event_id": np.arange(2, dtype=np.int64),
+            "user_id": [1, 1],
+            "event_type": ["a", "b"],
+        }
+    )
+    g2 = session_paths_per_user(df2)
+    assert dict(zip(g2["path"], g2["n"])) == {"a>b": 1}
+
+
+def test_cover_windows_dedups_overlaps():
+    from khl_pdf_ocr_ray.pipelines.queries_journeys import (
+        cover_windows_per_user,
+    )
+
+    g = cover_windows_per_user(pd.DataFrame({"day": [10, 12, 30]}))
+    got = g["wday"].tolist()
+    # [10..16] U [12..18] U [30..36] with no duplicates
+    assert got == list(range(10, 19)) + list(range(30, 37))
+
+
+def test_user_day_partial_distinct():
+    from khl_pdf_ocr_ray.pipelines.queries_journeys import (
+        DAY_US,
+        user_day_partial,
+    )
+
+    ts = pd.to_datetime([5, 10, 86405, 7], unit="s")
+    t = _t(
+        pd.DataFrame(
+            {"user_id": np.array([1, 1, 1, 2], dtype=np.int64), "ts": ts}
+        )
+    )
+    got = user_day_partial(t).to_pandas()
+    pairs = set(zip(got["user_id"], got["day"]))
+    assert pairs == {(1, 0), (1, 1), (2, 0)}
+    assert DAY_US == 86_400_000_000
+
+
+# --- trimmed mean / split balance -------------------------------------------
+
+
+def test_trim_filter_keeps_the_middle():
+    from khl_pdf_ocr_ray.pipelines.queries_robust import trim_filter
+
+    # 12 rows, one lang: cut = 1 -> keep ranks 2..11
+    t = _t(
+        pd.DataFrame(
+            {
+                "lang": ["en"] * 12,
+                "rn": np.arange(1, 13, dtype=np.int64),
+                "n_chars": np.arange(1, 13, dtype=np.int64) * 10,
+            }
+        )
+    )
+    got = trim_filter(t, counts={"en": 12}).to_pandas()
+    assert int(got["kept_n"].iloc[0]) == 10
+    assert int(got["kept_sum"].iloc[0]) == sum(range(2, 12)) * 10
+    # tiny group (n < TRIM_DIV) keeps everything
+    t2 = _t(
+        pd.DataFrame(
+            {
+                "lang": ["fr"] * 3,
+                "rn": np.array([1, 2, 3], dtype=np.int64),
+                "n_chars": np.array([5, 6, 7], dtype=np.int64),
+            }
+        )
+    )
+    got2 = trim_filter(t2, counts={"fr": 3}).to_pandas()
+    assert int(got2["kept_n"].iloc[0]) == 3
+
+
+def test_split_chi2_finalize_hand_grid():
+    from khl_pdf_ocr_ray.pipelines.queries_robust import (
+        split_chi2_finalize,
+    )
+
+    cells = pd.DataFrame(
+        {
+            "split": ["train", "train", "test"],
+            "lang": ["en", "fr", "en"],
+            "n": [90, 90, 20],
+        }
+    )
+    out = split_chi2_finalize(cells)
+    # full 2x2 grid materializes the missing (test, fr) zero cell
+    assert len(out) == 4
+    z = out[(out["split"] == "test") & (out["lang"] == "fr")]
+    assert int(z["n"].iloc[0]) == 0
+    # hand term for (test, en): o=20, N=200, rt=20, ct=110
+    dev = 20 * 200 - 20 * 110
+    want = (1000 * dev * dev) // (200 * 20 * 110)
+    te = out[(out["split"] == "test") & (out["lang"] == "en")]
+    assert int(te["term_milli"].iloc[0]) == want
+
+
+# --- shared-constant pins (circular-import workaround) ---------------------
+
+
+def test_journeys_gap_matches_corpus_rule():
+    from khl_pdf_ocr_ray.pipelines.queries import SESSION_GAP_S
+    from khl_pdf_ocr_ray.pipelines.queries_journeys import (
+        SESSION_GAP_S_LOCAL,
+    )
+
+    assert SESSION_GAP_S_LOCAL == SESSION_GAP_S
+
+
+def test_split_constants_match_corpus_rule():
+    from khl_pdf_ocr_ray.pipelines.queries import (
+        SPLIT_ID_MOD,
+        SPLIT_MULT,
+        SPLIT_TRAIN_PCT,
+    )
+    from khl_pdf_ocr_ray.pipelines.queries_robust import (
+        SPLIT_ID_MOD_LOCAL,
+        SPLIT_MULT_LOCAL,
+        SPLIT_TRAIN_PCT_LOCAL,
+    )
+
+    assert SPLIT_ID_MOD_LOCAL == SPLIT_ID_MOD
+    assert SPLIT_MULT_LOCAL == SPLIT_MULT
+    assert SPLIT_TRAIN_PCT_LOCAL == SPLIT_TRAIN_PCT
+
+
 # --- Markov backtest ------------------------------------------------------
 
 
