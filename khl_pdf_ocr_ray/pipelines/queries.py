@@ -1825,6 +1825,19 @@ from .queries_robust import ROBUST_ORACLES, ROBUST_QUERIES  # noqa: E402
 QUERIES.update(ROBUST_QUERIES)
 ORACLES.update(ROBUST_ORACLES)
 
+from .queries_tierdrift import (  # noqa: E402
+    TIERDRIFT_ORACLES,
+    TIERDRIFT_QUERIES,
+)
+
+QUERIES.update(TIERDRIFT_QUERIES)
+ORACLES.update(TIERDRIFT_ORACLES)
+
+from .queries_dedupeval import DEDUPEVAL_QUERIES  # noqa: E402
+
+QUERIES.update(DEDUPEVAL_QUERIES)
+# dedupeval oracles are dump-path-dependent: added by oracles()
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -1838,9 +1851,12 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     from ..state.oracle_dump_near import near_oracle_sqls
     from ..state.oracle_dump_train import train_oracle_sqls
 
+    from .queries_dedupeval import dedupeval_oracle_sqls
+
     out = dict(ORACLES)
     out.update(extract_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(near_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(train_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(links_oracle_sqls(sf_dir or ORACLE_SF))
+    out.update(dedupeval_oracle_sqls(sf_dir or ORACLE_SF))
     return out

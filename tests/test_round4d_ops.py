@@ -393,6 +393,112 @@ def test_split_constants_match_corpus_rule():
     assert SPLIT_TRAIN_PCT_LOCAL == SPLIT_TRAIN_PCT
 
 
+# --- tier drift -------------------------------------------------------------
+
+
+def test_tierdrift_constants_match_scd2():
+    from khl_pdf_ocr_ray.pipelines.queries_eval import (
+        SCD_CHG_MOD,
+        SCD_SNAPS,
+    )
+    from khl_pdf_ocr_ray.pipelines.queries_tierdrift import (
+        DRIFT_CHG_MOD,
+        DRIFT_SNAPS,
+    )
+
+    assert DRIFT_SNAPS == SCD_SNAPS
+    assert DRIFT_CHG_MOD == SCD_CHG_MOD
+
+
+def test_tier_drift_closed_form_equals_materialized_snapshots():
+    """The signal-shift closed form must equal literally appending the
+    filler tokens and re-running the certified tier kernel."""
+    from khl_pdf_ocr_ray.pipelines.queries_tierdrift import (
+        DRIFT_CHG_MOD,
+        DRIFT_SNAPS,
+        FILLER_K,
+        FILLER_TOKEN,
+        tier_drift_partial,
+    )
+    from khl_pdf_ocr_ray.pipelines.queries_tiers import tier_batch
+
+    rng = np.random.default_rng(23)
+    vocab = ["the", "cat", "sat", "on", "mat", "a"]
+    ids = np.arange(37, dtype=np.int64)
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 90)))
+        for _ in ids
+    ]
+    df = pd.DataFrame({"doc_id": ids, "text": texts, "n_chars": [
+        len(t) for t in texts]})
+    got = tier_drift_partial(_t(df[["doc_id", "text"]])).to_pandas()
+    got_cells = {
+        (int(r.tier_from), int(r.tier_to)): int(r.n)
+        for r in got.itertuples()
+    }
+    # brute force: materialize each snapshot's text, tier it
+    tiers = []
+    for s in range(DRIFT_SNAPS):
+        rows = []
+        for d, t in zip(ids, texts):
+            rev = sum(
+                1
+                for s2 in range(1, s + 1)
+                if (int(d) + s2) % DRIFT_CHG_MOD == 0
+            )
+            rows.append(t + (" " + FILLER_TOKEN) * (rev * FILLER_K))
+        snap_df = pd.DataFrame(
+            {"doc_id": ids, "text": rows, "n_chars": [len(x) for x in rows]}
+        )
+        tiers.append(
+            tier_batch(_t(snap_df)).to_pandas()["tier"].to_numpy()
+        )
+    want: dict = {}
+    for s in range(DRIFT_SNAPS - 1):
+        for a, b in zip(tiers[s], tiers[s + 1]):
+            want[(int(a), int(b))] = want.get((int(a), int(b)), 0) + 1
+    assert got_cells == want
+    # and the fixture actually drifts (off-diagonal transitions exist)
+    assert any(a != b for a, b in got_cells)
+
+
+# --- dedup/ANN eval ----------------------------------------------------------
+
+
+def test_pr_finalize_hand_numbers():
+    from khl_pdf_ocr_ray.pipelines.queries_dedupeval import pr_finalize
+
+    out = pr_finalize(n_pred=8, n_truth=10, n_both=6)
+    assert int(out["precision_milli"].iloc[0]) == 750
+    assert int(out["recall_milli"].iloc[0]) == 600
+    assert int(out["f1_milli"].iloc[0]) == (2000 * 6) // 18
+    z = pr_finalize(0, 0, 0)
+    assert int(z["f1_milli"].iloc[0]) == 0
+
+
+def test_pr_classify_partial_counts():
+    from khl_pdf_ocr_ray.pipelines.queries_dedupeval import (
+        pr_classify_partial,
+    )
+
+    t = _t(
+        pd.DataFrame(
+            {
+                "doc_a": np.array([1, 2, 3], dtype=np.int64),
+                "doc_b": np.array([9, 9, 9], dtype=np.int64),
+                "p": np.array([1, 1, 0], dtype=np.int64),
+                "t": np.array([1, 0, 1], dtype=np.int64),
+            }
+        )
+    )
+    got = pr_classify_partial(t).to_pandas()
+    assert (
+        int(got["n_pred"].iloc[0]),
+        int(got["n_truth"].iloc[0]),
+        int(got["n_both"].iloc[0]),
+    ) == (2, 2, 1)
+
+
 # --- Markov backtest ------------------------------------------------------
 
 
