@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "zorder_layout",           # Morton-key locality stats (round 4)
     "readability_score",       # map-only Flesch scoring (round 4)
     "doc_tiers",               # quality-tier extraction headline (round 4)
+    "tier_transitions",        # closed-form tier drift over snapshots (round 4)
+    "ndcg_eval",               # top-k superset combiner ranking eval (round 4)
+    "rolling_7d_active_users",  # sliding COUNT DISTINCT via window cover (round 4)
+    "session_paths_topk",       # per-user journey fold + path rollup (round 4)
 ]
 
 

@@ -135,6 +135,64 @@ def q_extract_host_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_extract_error_rates(sf_dir: str) -> rd.Dataset:
+    """Per-(host, engine) extraction error rates over the pipeline output
+    — the operational QC report a crawl operator reads to spot hosts
+    whose payloads break the parser (retry budget / blocklist feed).
+    (host, engine, n_pages, n_err, err_milli), err_milli exact integer.
+
+    Plan: map-side (host, engine) combiner (in-band ok=false rows are
+    counted, never dropped — the reference's error-row contract,
+    app.py:349-362), ONE host-cardinality exchange, map-only milli
+    finalize. Oracle: the same rollup over the sequential pages dump."""
+    from ray.data.aggregate import Sum
+
+    return (
+        _extracted(sf_dir)
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.pipelines.queries_extract",
+                "error_rates_partial",
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["host", "engine"])
+        .aggregate(
+            Sum("n", alias_name="n_pages"),
+            Sum("n_err", alias_name="n_err"),
+        )
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.pipelines.queries_extract",
+                "error_rates_finalize",
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def error_rates_partial(batch: pa.Table) -> pa.Table:
+    df = batch.select(["host", "engine", "ok"]).to_pandas()
+    df["err"] = (~df["ok"].astype(bool)).astype("int64")
+    g = df.groupby(["host", "engine"], as_index=False, dropna=False).agg(
+        n=("err", "size"), n_err=("err", "sum")
+    )
+    g["host"] = g["host"].fillna("")
+    for c in ("n", "n_err"):
+        g[c] = g[c].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def error_rates_finalize(batch: pa.Table) -> pa.Table:
+    import numpy as np
+
+    n = batch["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+    e = batch["n_err"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.append_column(
+        "err_milli", pa.array(1000 * e // np.maximum(n, 1), pa.int64())
+    )
+
+
 def host_stats_partial(batch: pa.Table) -> pa.Table:
     df = batch.select(["host", "content_type", "n_bytes", "n_chars"]).to_pandas()
     g = df.groupby(["host", "content_type"], as_index=False, dropna=False).agg(
@@ -1003,6 +1061,7 @@ EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
     "extract_host_stats": q_extract_host_stats,
+    "extract_error_rates": q_extract_error_rates,
     "master_validate": q_master_validate,
     "skew_partition_stats": q_skew_partition_stats,
     "lineage": q_lineage,

@@ -520,6 +520,15 @@ SELECT host, content_type, CAST(count(*) AS BIGINT) AS n_docs,
 FROM read_parquet('{p("extracted_seq.parquet")}')
 GROUP BY host, content_type
 """,
+        "extract_error_rates": f"""
+SELECT host, engine,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_err,
+       CAST((1000 * sum(CASE WHEN ok THEN 0 ELSE 1 END))
+            // GREATEST(count(*), 1) AS BIGINT) AS err_milli
+FROM read_parquet('{p("extracted_seq.parquet")}')
+GROUP BY host, engine
+""",
         "master_validate": f"""
 -- both kinds ALWAYS present (the engine emits zero-count rows for a kind
 -- that extracted nothing; the bare GROUP BY would drop it)
