@@ -1838,6 +1838,16 @@ from .queries_dedupeval import DEDUPEVAL_QUERIES  # noqa: E402
 QUERIES.update(DEDUPEVAL_QUERIES)
 # dedupeval oracles are dump-path-dependent: added by oracles()
 
+from .queries_trade import TRADE_ORACLES, TRADE_QUERIES  # noqa: E402
+
+QUERIES.update(TRADE_QUERIES)
+ORACLES.update(TRADE_ORACLES)
+
+from .queries_budget import BUDGET_ORACLES, BUDGET_QUERIES  # noqa: E402
+
+QUERIES.update(BUDGET_QUERIES)
+ORACLES.update(BUDGET_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -499,6 +499,99 @@ def test_pr_classify_partial_counts():
     ) == (2, 2, 1)
 
 
+# --- trade matrix / RFM -----------------------------------------------------
+
+
+def test_line_supp_cells_cents_and_broadcast_decode():
+    from khl_pdf_ocr_ray.pipelines.queries_trade import line_supp_cells
+
+    t = _t(
+        pd.DataFrame(
+            {
+                "l_orderkey": np.array([1, 1, 2], dtype=np.int64),
+                "l_suppkey": np.array([10, 11, 10], dtype=np.int64),
+                "l_extendedprice": [100.0, 200.0, 0.015],
+                "l_discount": [0.1, 0.0, 0.0],
+            }
+        )
+    )
+    got = line_supp_cells(t, supp_nation={10: 5, 11: 7}).to_pandas()
+    cells = {
+        (int(r.l_orderkey), int(r.supp_nation)): (int(r.cents), int(r.n))
+        for r in got.itertuples()
+    }
+    # 100*(1-0.1)*100 = 9000 cents; 200*100 = 20000; floor(1.5+0.5) = 2
+    assert cells == {(1, 5): (9000, 1), (1, 7): (20000, 1), (2, 5): (2, 1)}
+
+
+def test_rfm_bucket_thresholds():
+    from khl_pdf_ocr_ray.pipelines.queries_trade import (
+        DAY_US,
+        RFM_F_ORDERS,
+        RFM_M_CENTS,
+        RFM_R_DAYS,
+        rfm_bucket,
+    )
+
+    max_us = 1000 * DAY_US
+    t = _t(
+        pd.DataFrame(
+            {
+                "o_custkey": np.array([1, 2, 3], dtype=np.int64),
+                "last_us": np.array(
+                    [
+                        max_us - RFM_R_DAYS[0] * DAY_US,      # boundary -> r0
+                        max_us - (RFM_R_DAYS[1] + 1) * DAY_US,  # -> r2
+                        max_us,                                 # -> r0
+                    ],
+                    dtype=np.int64,
+                ),
+                "cents": np.array(
+                    [RFM_M_CENTS[0], RFM_M_CENTS[1] - 1, 0], dtype=np.int64
+                ),
+                "n": np.array(
+                    [RFM_F_ORDERS[0], RFM_F_ORDERS[1], 1], dtype=np.int64
+                ),
+            }
+        )
+    )
+    got = rfm_bucket(t, max_us=max_us).to_pandas()
+    cells = {
+        (int(r.r_bucket), int(r.f_bucket), int(r.m_bucket)): int(
+            r.n_customers
+        )
+        for r in got.itertuples()
+    }
+    assert cells == {(0, 0, 0): 1, (2, 1, 2): 1, (0, 2, 2): 1}
+
+
+# --- context budget / k-anonymity -------------------------------------------
+
+
+def test_bit_length_matches_python():
+    from khl_pdf_ocr_ray.pipelines.queries_budget import bit_length_i64
+
+    n = np.array(
+        [1, 2, 3, 4, 7, 8, 1023, 1024, (1 << 62) - 1, 1 << 62],
+        dtype=np.int64,
+    )
+    got = bit_length_i64(n)
+    assert got.tolist() == [int(x).bit_length() for x in n.tolist()]
+
+
+def test_len_bucket_partial_counts():
+    from khl_pdf_ocr_ray.pipelines.queries_budget import len_bucket_partial
+
+    t = _t(pd.DataFrame({"text": ["a b c", "x", None, "w x y z"]}))
+    got = len_bucket_partial(t).to_pandas()
+    cells = {
+        int(r.bucket): (int(r.n_docs), int(r.total_tokens))
+        for r in got.itertuples()
+    }
+    # token counts: 3, 1, 1 (null -> ['']), 4 -> buckets 2, 1, 1, 3
+    assert cells == {1: (2, 2), 2: (1, 3), 3: (1, 4)}
+
+
 # --- Markov backtest ------------------------------------------------------
 
 
