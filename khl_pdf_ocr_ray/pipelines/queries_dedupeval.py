@@ -164,6 +164,106 @@ def q_minhash_pr_eval(sf_dir: str) -> pd.DataFrame:
     )
 
 
+CURVE_THRESHOLDS = (70, 75, 80, 85, 90, 95)
+
+
+def curve_hist_partial(batch: pa.Table) -> pa.Table:
+    """minhash pair batch -> per-threshold >=t counts (cumulative curve
+    partials; thresholds are a 6-element constant grid)."""
+    est = (
+        batch["est_jaccard_x100"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ts = np.array(CURVE_THRESHOLDS, dtype=np.int64)
+    counts = (est[None, :] >= ts[:, None]).sum(axis=1).astype(np.int64)
+    return pa.table(
+        {
+            "threshold_x100": pa.array(ts, pa.int64()),
+            "n_pairs": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def q_minhash_threshold_curve(sf_dir: str) -> "object":
+    """(threshold_x100, n_pairs >= t) — the S-curve report a dedup owner
+    reads to pick the similarity cutoff. One pass over the certified
+    pair stream (duplication-cardinality), 6-row exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import docs_with_variants, minhash_dedup
+
+    return (
+        minhash_dedup(
+            docs_with_variants(sf_dir), threshold_x100=PR_THRESHOLD_X100
+        )
+        .map_batches(
+            remote_fn(_QDE, "curve_hist_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("threshold_x100")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
+def cluster_hist_partial(batch: pa.Table) -> pa.Table:
+    """cluster-assignment batch -> (cluster_size, n_docs) partials."""
+    t = batch.select(["cluster_size"])
+    g = t.group_by("cluster_size").aggregate([([], "count_all")])
+    out = pa.table(
+        {
+            "cluster_size": g["cluster_size"].cast(pa.int64()),
+            "n_docs": g["count_all"].cast(pa.int64()),
+        }
+    )
+    return out
+
+
+def cluster_hist_finalize(batch: pa.Table) -> pa.Table:
+    """(cluster_size, n_docs) -> + n_clusters = n_docs // size (every
+    cluster of size s contributes exactly s member rows)."""
+    s = (
+        batch["cluster_size"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    d = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(s) and (d % np.maximum(s, 1) != 0).any():
+        raise RuntimeError(
+            "cluster size histogram: member rows not divisible by size"
+        )
+    return batch.append_column(
+        "n_clusters", pa.array(d // np.maximum(s, 1), pa.int64())
+    )
+
+
+def q_dup_cluster_histogram(sf_dir: str) -> "object":
+    """(cluster_size, n_docs, n_clusters) over the minhash dup-cluster
+    assignment — the dedup-savings shape report (giant-cluster watch)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import docs_with_variants, minhash_clusters
+
+    return (
+        minhash_clusters(
+            docs_with_variants(sf_dir), threshold_x100=PR_THRESHOLD_X100
+        )
+        .map_batches(
+            remote_fn(_QDE, "cluster_hist_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("cluster_size")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .map_batches(
+            remote_fn(_QDE, "cluster_hist_finalize"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
 def dedupeval_oracle_sqls(sf_dir: str) -> dict:
     """Dump-derived oracle SQL (state/oracle_dump_near.py dumps must
     exist — built on demand by ensure_dumps)."""
@@ -219,10 +319,37 @@ SELECT n_pred, n_truth, n_both,
          AS f1_milli
 FROM np_ CROSS JOIN nt CROSS JOIN nb
 """
-    return {"ann_recall_eval": ann, "minhash_pr_eval": pr}
+    tvals = ", ".join(f"({t})" for t in CURVE_THRESHOLDS)
+    curve = f"""
+WITH ts(threshold_x100) AS (VALUES {tvals}),
+p AS (SELECT est_jaccard_x100
+      FROM read_parquet('{p("minhash_pairs_seq.parquet")}'))
+SELECT CAST(ts.threshold_x100 AS BIGINT) AS threshold_x100,
+       CAST(coalesce(sum(CASE WHEN p.est_jaccard_x100
+                               >= ts.threshold_x100
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM ts LEFT JOIN p ON TRUE
+GROUP BY ts.threshold_x100
+"""
+    hist = f"""
+WITH c AS (SELECT cluster_id, cluster_size
+           FROM read_parquet('{p("minhash_clusters_seq.parquet")}'))
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM c GROUP BY cluster_size
+"""
+    return {
+        "ann_recall_eval": ann,
+        "minhash_pr_eval": pr,
+        "minhash_threshold_curve": curve,
+        "dup_cluster_histogram": hist,
+    }
 
 
 DEDUPEVAL_QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "minhash_pr_eval": q_minhash_pr_eval,
+    "minhash_threshold_curve": q_minhash_threshold_curve,
+    "dup_cluster_histogram": q_dup_cluster_histogram,
 }
