@@ -1848,6 +1848,15 @@ from .queries_budget import BUDGET_ORACLES, BUDGET_QUERIES  # noqa: E402
 QUERIES.update(BUDGET_QUERIES)
 ORACLES.update(BUDGET_ORACLES)
 
+# Bot/velocity abuse flagging over the events stream (telescoped mean gap)
+from .queries_velocity import (  # noqa: E402
+    VELOCITY_ORACLES,
+    VELOCITY_QUERIES,
+)
+
+QUERIES.update(VELOCITY_QUERIES)
+ORACLES.update(VELOCITY_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

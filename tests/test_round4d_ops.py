@@ -592,6 +592,63 @@ def test_len_bucket_partial_counts():
     assert cells == {1: (2, 2), 2: (1, 3), 3: (1, 4)}
 
 
+# --- bot velocity ------------------------------------------------------------
+
+
+def test_velocity_telescoping_identity():
+    """(max-min)/(n-1) must equal the mean of consecutive sorted gaps."""
+    from khl_pdf_ocr_ray.pipelines.queries_velocity import (
+        velocity_finalize,
+        velocity_partial,
+    )
+
+    rng = np.random.default_rng(3)
+    ts_us = np.sort(rng.integers(0, 10**9, 61)).astype("datetime64[us]")
+    df = pd.DataFrame({"user_id": np.int64(7), "ts": ts_us})
+    part = velocity_partial(_t(df)).to_pandas()
+    assert len(part) == 1
+    span = int(part["max_us"].iloc[0] - part["min_us"].iloc[0])
+    gaps = np.diff(np.sort(ts_us.astype(np.int64)))
+    assert span // 60 == int(gaps.sum()) // 60  # telescoping
+    out = velocity_finalize(
+        _t(part.rename(columns={}))
+    ).to_pandas()
+    # n=61 >= 60 and tiny gaps -> flagged
+    assert out["user_id"].tolist() == [7]
+    assert int(out["mean_gap_s"].iloc[0]) == (span // 60) // 1_000_000
+
+
+def test_velocity_thresholds_filter():
+    from khl_pdf_ocr_ray.pipelines.queries_velocity import (
+        BOT_MAX_GAP_S,
+        BOT_MIN_EVENTS,
+        velocity_finalize,
+    )
+
+    part = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2, 3], dtype=np.int64),
+            "min_us": np.array([0, 0, 0], dtype=np.int64),
+            "max_us": np.array(
+                [
+                    (BOT_MIN_EVENTS - 1) * BOT_MAX_GAP_S * 10**6,  # slow
+                    (BOT_MIN_EVENTS - 1) * BOT_MAX_GAP_S * 10**6,  # boundary
+                    10**6,                                          # fast
+                ],
+                dtype=np.int64,
+            ),
+            "n": np.array(
+                [BOT_MIN_EVENTS - 1, BOT_MIN_EVENTS, BOT_MIN_EVENTS],
+                dtype=np.int64,
+            ),
+        }
+    )
+    out = velocity_finalize(_t(part)).to_pandas()
+    # user 1: too few events; user 2: gap exactly at threshold -> flagged;
+    # user 3: fast -> flagged
+    assert out["user_id"].tolist() == [2, 3]
+
+
 # --- Markov backtest ------------------------------------------------------
 
 
