@@ -1848,6 +1848,13 @@ from .queries_budget import BUDGET_ORACLES, BUDGET_QUERIES  # noqa: E402
 QUERIES.update(BUDGET_QUERIES)
 ORACLES.update(BUDGET_ORACLES)
 
+# Correlated-subquery rewrites: argmin-per-group (Q2), multi-EXISTS (Q21),
+# scalar-broadcast + anti join (Q22)
+from .queries_relx import RELX_ORACLES, RELX_QUERIES  # noqa: E402
+
+QUERIES.update(RELX_QUERIES)
+ORACLES.update(RELX_ORACLES)
+
 # Bot/velocity abuse flagging over the events stream (telescoped mean gap)
 from .queries_velocity import (  # noqa: E402
     VELOCITY_ORACLES,

@@ -1,0 +1,129 @@
+"""Kernel tests for the round-4e operator wave (session 4)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _t(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# --- part_best_supplier ------------------------------------------------------
+
+
+def test_best_supp_packed_argmin_tiebreak():
+    """Min(packed) must pick lowest unit price, then lowest suppkey."""
+    from khl_pdf_ocr_ray.pipelines.queries_relx import (
+        SUPP_PACK,
+        best_supp_partial,
+    )
+
+    df = pd.DataFrame(
+        {
+            "l_partkey": np.int64([1, 1, 1, 2]),
+            "l_suppkey": np.int64([9, 3, 7, 5]),
+            # unit prices: part 1 -> 2.00 (supp 9), 2.00 (supp 3), 3.00
+            # (supp 7); tie at 200 cents resolves to supp 3
+            "l_quantity": np.float64([2.0, 1.0, 1.0, 4.0]),
+            "l_extendedprice": np.float64([4.0, 2.0, 3.0, 8.0]),
+            "l_discount": np.float64([0.0, 0.0, 0.0, 0.0]),
+        }
+    )
+    out = best_supp_partial(_t(df)).to_pandas().set_index("l_partkey")
+    assert int(out.loc[1, "packed"]) == 200 * SUPP_PACK + 3
+    assert int(out.loc[2, "packed"]) == 200 * SUPP_PACK + 5
+
+
+def test_best_supp_pack_bound_asserts():
+    from khl_pdf_ocr_ray.pipelines.queries_relx import (
+        SUPP_PACK,
+        best_supp_partial,
+    )
+
+    df = pd.DataFrame(
+        {
+            "l_partkey": np.int64([1]),
+            "l_suppkey": np.int64([SUPP_PACK]),  # out of packing range
+            "l_quantity": np.float64([1.0]),
+            "l_extendedprice": np.float64([1.0]),
+            "l_discount": np.float64([0.0]),
+        }
+    )
+    with pytest.raises(AssertionError, match="SUPP_PACK"):
+        best_supp_partial(_t(df))
+
+
+# --- sole_return_suppliers ---------------------------------------------------
+
+
+def test_sole_return_filter_semantics():
+    """Qualify only: multi-supplier order, this supp returned, alone."""
+    from khl_pdf_ocr_ray.pipelines.queries_relx import sole_return_filter
+
+    df = pd.DataFrame(
+        {
+            # (n_supp, has_r, r_supp): qualifying row is supp 1 only
+            "l_suppkey": np.int64([1, 2, 3, 4]),
+            "has_r": np.int64([1, 0, 1, 1]),
+            "n_supp": np.int64([2, 2, 2, 1]),  # supp 4: single-supp order
+            "r_supp": np.int64([1, 1, 2, 1]),  # supp 3: two R-suppliers
+        }
+    )
+    out = sole_return_filter(_t(df)).to_pandas()
+    assert out["l_suppkey"].tolist() == [1]
+    assert out["n"].tolist() == [1]
+
+
+def test_order_supp_flags_max_over_lines():
+    from khl_pdf_ocr_ray.pipelines.queries_relx import order_supp_flags
+
+    df = pd.DataFrame(
+        {
+            "l_orderkey": np.int64([10, 10, 10]),
+            "l_suppkey": np.int64([5, 5, 6]),
+            "l_returnflag": ["N", "R", "N"],
+        }
+    )
+    out = (
+        order_supp_flags(_t(df))
+        .to_pandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    assert out["has_r"].tolist() == [1, 0]
+
+
+# --- idle_rich_customers -----------------------------------------------------
+
+
+def test_idle_rich_cross_multiplied_boundary():
+    """cents * n_pos > tot_pos: strict inequality — the exact-average
+    customer is NOT rich."""
+    from khl_pdf_ocr_ray.pipelines.queries_relx import idle_rich_rollup
+
+    # avg over positives = (100 + 300) / 2 = 200
+    df = pd.DataFrame(
+        {
+            "c_custkey": np.int64([1, 2, 3]),
+            "c_nationkey": np.int64([0, 0, 1]),
+            "cents": np.int64([200, 201, 199]),
+        }
+    )
+    out = idle_rich_rollup(_t(df), tot_pos=400, n_pos=2).to_pandas()
+    assert out["c_nationkey"].tolist() == [0]
+    assert out["n"].tolist() == [1]  # only cents=201 passes
+    assert out["cents"].tolist() == [201]
+
+
+def test_recent_order_keys_cutoff_strict():
+    from khl_pdf_ocr_ray.pipelines.queries_relx import recent_order_keys
+
+    ts = np.array(
+        ["2001-01-01", "2001-06-01", "2001-12-31"], dtype="datetime64[us]"
+    )
+    df = pd.DataFrame({"o_custkey": np.int64([1, 2, 3]), "o_orderdate": ts})
+    cutoff = int(ts[1].astype(np.int64))  # strictly-after semantics
+    out = recent_order_keys(_t(df), cutoff_us=cutoff).to_pandas()
+    assert sorted(out["o_custkey"].tolist()) == [3]
