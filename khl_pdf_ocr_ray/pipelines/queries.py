@@ -1855,6 +1855,12 @@ from .queries_relx import RELX_ORACLES, RELX_QUERIES  # noqa: E402
 QUERIES.update(RELX_QUERIES)
 ORACLES.update(RELX_ORACLES)
 
+# Exact-integer two-sample KS drift (cross-multiplied CDFs)
+from .queries_kstest import KSTEST_ORACLES, KSTEST_QUERIES  # noqa: E402
+
+QUERIES.update(KSTEST_QUERIES)
+ORACLES.update(KSTEST_ORACLES)
+
 # Bot/velocity abuse flagging over the events stream (telescoped mean gap)
 from .queries_velocity import (  # noqa: E402
     VELOCITY_ORACLES,

@@ -127,3 +127,54 @@ def test_recent_order_keys_cutoff_strict():
     cutoff = int(ts[1].astype(np.int64))  # strictly-after semantics
     out = recent_order_keys(_t(df), cutoff_us=cutoff).to_pandas()
     assert sorted(out["o_custkey"].tolist()) == [3]
+
+
+# --- ks_drift ----------------------------------------------------------------
+
+
+def test_ks_fold_matches_bruteforce():
+    """Cross-multiplied KS == brute-force max |CDF_A - CDF_B|."""
+    from fractions import Fraction
+
+    from khl_pdf_ocr_ray.pipelines.queries_kstest import ks_fold
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 40, 300)
+    b = np.concatenate([rng.integers(5, 45, 200), rng.integers(30, 60, 50)])
+    vals = np.union1d(a, b)
+    counts = pd.DataFrame(
+        {
+            "v": vals,
+            "n_a": [(a == v).sum() for v in vals],
+            "n_b": [(b == v).sum() for v in vals],
+        }
+    )
+    row = ks_fold(counts)
+    # brute force with exact rationals
+    best = Fraction(0)
+    for v in vals:
+        d = abs(
+            Fraction(int((a <= v).sum()), len(a))
+            - Fraction(int((b <= v).sum()), len(b))
+        )
+        best = max(best, d)
+    assert Fraction(row["ks_num"], row["n_a"] * row["n_b"]) == best
+    assert row["ks_milli"] == (1000 * row["ks_num"]) // (len(a) * len(b))
+
+
+def test_ks_fold_identical_slices_zero():
+    from khl_pdf_ocr_ray.pipelines.queries_kstest import ks_fold
+
+    counts = pd.DataFrame(
+        {"v": [1, 2, 3], "n_a": [5, 3, 2], "n_b": [5, 3, 2]}
+    )
+    row = ks_fold(counts)
+    assert row["ks_num"] == 0 and row["ks_milli"] == 0
+
+
+def test_ks_fold_asserts_empty_slice():
+    from khl_pdf_ocr_ray.pipelines.queries_kstest import ks_fold
+
+    counts = pd.DataFrame({"v": [1], "n_a": [3], "n_b": [0]})
+    with pytest.raises(AssertionError, match="empty"):
+        ks_fold(counts)
