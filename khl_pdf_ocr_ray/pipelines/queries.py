@@ -1861,6 +1861,12 @@ from .queries_kstest import KSTEST_ORACLES, KSTEST_QUERIES  # noqa: E402
 QUERIES.update(KSTEST_QUERIES)
 ORACLES.update(KSTEST_ORACLES)
 
+# Classifier-calibration reliability bins (lang-ID evidence vs label)
+from .queries_calib import CALIB_ORACLES, CALIB_QUERIES  # noqa: E402
+
+QUERIES.update(CALIB_QUERIES)
+ORACLES.update(CALIB_ORACLES)
+
 # Bot/velocity abuse flagging over the events stream (telescoped mean gap)
 from .queries_velocity import (  # noqa: E402
     VELOCITY_ORACLES,

