@@ -1861,6 +1861,12 @@ from .queries_kstest import KSTEST_ORACLES, KSTEST_QUERIES  # noqa: E402
 QUERIES.update(KSTEST_QUERIES)
 ORACLES.update(KSTEST_ORACLES)
 
+# Lag-k autocorrelation of daily event volume (exact integer ACF)
+from .queries_acf import ACF_ORACLES, ACF_QUERIES  # noqa: E402
+
+QUERIES.update(ACF_QUERIES)
+ORACLES.update(ACF_ORACLES)
+
 # Classifier-calibration reliability bins (lang-ID evidence vs label)
 from .queries_calib import CALIB_ORACLES, CALIB_QUERIES  # noqa: E402
 
