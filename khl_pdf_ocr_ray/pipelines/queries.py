@@ -1882,6 +1882,12 @@ from .queries_velocity import (  # noqa: E402
 QUERIES.update(VELOCITY_QUERIES)
 ORACLES.update(VELOCITY_ORACLES)
 
+# Perceptual-hash image near-dup (banded LSH; brute-force dump twin in
+# state/oracle_dump.py, added by oracles())
+from .queries_phash import PHASH_QUERIES  # noqa: E402
+
+QUERIES.update(PHASH_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -131,3 +131,44 @@ def test_audio_samples_roundtrip_big_endian():
     # a declared-BE container decoded as BE yields the bounded sine+noise,
     # not byte-swapped full-range garbage
     assert abs(int(samples.max())) <= 8500 and abs(int(samples.min())) <= 8500
+
+
+def test_phash_family_separation_and_band_completeness():
+    """The planted DCT-space families must separate: in-family pairs land at
+    small Hamming, cross-family pairs far above the threshold, and the
+    16+16+16+15 banding is pigeonhole-complete at PHASH_HAMMING_MAX."""
+    import numpy as np
+
+    from khl_pdf_ocr_ray.stages.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
+        PHASH_HAMMING_MAX,
+        PHASH_VARIANTS,
+        decode_image,
+        media_phash_table,
+        phash63,
+    )
+
+    # pigeonhole: <=3 flipped bits spread over 4 disjoint bands leave at
+    # least one band untouched, so banding misses nothing at the threshold
+    assert PHASH_HAMMING_MAX < PHASH_BANDS
+
+    t = media_phash_table(n_families=8, variants=PHASH_VARIANTS)
+    hashes = [phash63(decode_image(p)) for p in t["payload"].to_pylist()]
+    fams = [mid // PHASH_VARIANTS for mid in t["media_id"].to_pylist()]
+    in_fam, cross = [], []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            (in_fam if fams[i] == fams[j] else cross).append(d)
+    # at least some in-family pairs survive the threshold; no cross-family
+    # pair does (zero false positives on the planted corpus)
+    assert sum(d <= PHASH_HAMMING_MAX for d in in_fam) >= 4
+    assert min(cross) > PHASH_HAMMING_MAX
+    # hash is sign-free (63 bits) and brightness-invariant (DC excluded)
+    assert max(hashes) < (1 << PHASH_BITS)
+    img = decode_image(t["payload"][0].as_py()).astype(np.int64)
+    shifted = np.clip(img + 25, 0, 255).astype(np.uint8)
+    assert phash63(shifted) == hashes[0] or bin(
+        phash63(shifted) ^ hashes[0]
+    ).count("1") <= 2  # clipping at 0/255 may flip a coef near the median

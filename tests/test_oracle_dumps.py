@@ -24,6 +24,7 @@ DUMP_QUERIES = [
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
+    "media_phash_dups",
     "lineage",
     # near-dup / ANN family (state/oracle_dump_near.py sequential twins)
     "minhash_dups",
