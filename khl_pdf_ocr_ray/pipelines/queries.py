@@ -1888,6 +1888,13 @@ from .queries_phash import PHASH_QUERIES  # noqa: E402
 
 QUERIES.update(PHASH_QUERIES)
 
+# Scalar-subquery rewrites II: per-part-average compare (Q17), global
+# argmax window (Q15), disjunctive pushdown (Q19)
+from .queries_relx2 import RELX2_ORACLES, RELX2_QUERIES  # noqa: E402
+
+QUERIES.update(RELX2_QUERIES)
+ORACLES.update(RELX2_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

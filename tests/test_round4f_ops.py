@@ -1,0 +1,216 @@
+"""Kernel tests for the round-4f operator wave (Q17/Q15/Q19 rewrites)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _t(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# --- small_qty_revenue (Q17) -------------------------------------------------
+
+
+def test_small_qty_fold_strict_boundary():
+    """qty * 5 * n == sum_qty is NOT below 20% of average — excluded."""
+    from khl_pdf_ocr_ray.pipelines.queries_relx2 import small_qty_fold
+
+    # part with lines qty [1, 1, 3, 5]: sum=10, n=4, avg=2.5, 0.2*avg=0.5
+    # qty 1: 1*5*4=20 >= 10 -> excluded (boundary check: nothing qualifies)
+    cells = _t(
+        pd.DataFrame(
+            {
+                "l_partkey": np.int64([7, 7, 7]),
+                "qty": np.int64([1, 3, 5]),
+                "n_lines": np.int64([2, 1, 1]),
+                "rev_cents": np.int64([100, 300, 500]),
+            }
+        )
+    )
+    out = small_qty_fold(cells)
+    assert out.num_rows == 0
+
+    # skew one giant line in: qty [1 x2, 100]: sum=102, n=3; qty 1:
+    # 1*5*3=15 < 102 -> the two small lines qualify
+    cells2 = _t(
+        pd.DataFrame(
+            {
+                "l_partkey": np.int64([7, 7]),
+                "qty": np.int64([1, 100]),
+                "n_lines": np.int64([2, 1]),
+                "rev_cents": np.int64([100, 900]),
+            }
+        )
+    )
+    out2 = small_qty_fold(cells2).to_pandas()
+    assert out2["n_small"].tolist() == [2]
+    assert out2["rev_small"].tolist() == [100]
+
+
+def test_qty_cells_remerge_across_blocks():
+    """Cells for the same (part, qty) arriving from two source blocks
+    must re-aggregate inside the fold, not double-count."""
+    from khl_pdf_ocr_ray.pipelines.queries_relx2 import (
+        qty_cell_partial,
+        small_qty_fold,
+    )
+
+    def block(n):
+        return _t(
+            pd.DataFrame(
+                {
+                    "l_partkey": np.int64([1] * n + [1]),
+                    "l_quantity": np.float64([1.0] * n + [50.0]),
+                    "l_extendedprice": np.float64([10.0] * (n + 1)),
+                    "l_discount": np.float64([0.0] * (n + 1)),
+                }
+            )
+        )
+
+    cells = pa.concat_tables([qty_cell_partial(block(2)), qty_cell_partial(block(2))])
+    out = small_qty_fold(cells).to_pandas()
+    # merged: qty 1 x4 (rev 4000 cents), qty 50 x2; sum=104, n=6
+    # qty 1: 1*5*6=30 < 104 -> 4 small lines
+    assert out["n_small"].tolist() == [4]
+    assert out["rev_small"].tolist() == [4000]
+
+
+# --- top_window_suppliers (Q15) ----------------------------------------------
+
+
+def test_window_rev_partial_boundaries_and_cents():
+    """Window is [lo, hi): lo inclusive, hi exclusive; cents floor per
+    row in the ext*(1-disc)*100 association order."""
+    from khl_pdf_ocr_ray.pipelines.queries_relx2 import window_rev_partial
+
+    ts = pd.to_datetime(
+        ["2020-01-01", "2020-01-10", "2020-02-01"]
+    )  # lo, inside, hi
+    lo = int(ts[0].value // 1000)
+    hi = int(ts[2].value // 1000)
+    batch = pa.table(
+        {
+            "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+            # us precision — the parquet tables' timestamp unit
+            "l_shipdate": pa.array(
+                [int(t.value // 1000) for t in ts], pa.timestamp("us")
+            ),
+            "l_extendedprice": pa.array([100.004, 100.004, 100.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+        }
+    )
+    out = window_rev_partial(batch, lo_us=lo, hi_us=hi).to_pandas()
+    # hi-boundary row excluded; two rows of floor(100.004*100+0.5)=10000
+    assert out["rev"].tolist() == [10000 + 10000]
+
+    # empty window -> typed empty table (schema survives)
+    empty = window_rev_partial(batch, lo_us=hi, hi_us=hi)
+    assert empty.num_rows == 0 and empty.column_names == ["l_suppkey", "rev"]
+
+
+def test_top_window_tie_kept(ray_session, tmp_path):
+    """Two suppliers tied at max revenue must BOTH survive the equality
+    filter (the Q15 ties-kept contract), end-to-end through the query."""
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.pipelines.queries_relx2 import (
+        DAY_US,
+        WIN_LO_DAYS,
+        q_top_window_suppliers,
+    )
+
+    base = pd.Timestamp("2019-01-01").value // 1000
+    inside = base + (WIN_LO_DAYS + 10) * DAY_US
+    li = pa.table(
+        {
+            "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "l_shipdate": pa.array([inside, inside, inside], pa.timestamp("us")),
+            "l_extendedprice": pa.array([50.0, 50.0, 10.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            # min(l_shipdate) anchor: give the table an early row too
+            "l_partkey": pa.array([1, 1, 1], pa.int64()),
+            "l_quantity": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        }
+    )
+    anchor = pa.table(
+        {
+            "l_suppkey": pa.array([3], pa.int64()),
+            "l_shipdate": pa.array([base], pa.timestamp("us")),
+            "l_extendedprice": pa.array([1.0], pa.float64()),
+            "l_discount": pa.array([0.0], pa.float64()),
+            "l_partkey": pa.array([1], pa.int64()),
+            "l_quantity": pa.array([1.0], pa.float64()),
+        }
+    )
+    pq.write_table(pa.concat_tables([li, anchor]), tmp_path / "lineitem.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["a", "b", "c"], pa.string()),
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    out = (
+        q_top_window_suppliers(str(tmp_path))
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["rev_cents"].tolist() == [5000, 5000]
+
+
+# --- promo_revenue_disjunct (Q19) --------------------------------------------
+
+
+def test_promo_arm_partial_matches_bruteforce(ray_session):
+    """The vectorized OR-of-ANDs equals a per-row Python evaluation."""
+    import ray
+
+    from khl_pdf_ocr_ray.pipelines.queries_relx2 import (
+        PROMO_ARMS,
+        promo_arm_partial,
+    )
+
+    rs = np.random.RandomState(7)
+    n_parts = 60
+    brands = np.array(
+        [arm[0] for arm in PROMO_ARMS] + ["Brand#99"], dtype=object
+    )
+    brand_arr = brands[rs.randint(0, len(brands), n_parts)]
+    size_arr = rs.randint(1, 51, n_parts).astype(np.int64)
+    dims_ref = ray.put((brand_arr, size_arr))
+
+    n = 500
+    pk = rs.randint(0, n_parts, n).astype(np.int64)
+    qty = rs.randint(1, 51, n).astype(np.float64)
+    ext = rs.uniform(1, 100, n)
+    disc = rs.uniform(0, 0.1, n)
+    batch = _t(
+        pd.DataFrame(
+            {
+                "l_partkey": pk,
+                "l_quantity": qty,
+                "l_extendedprice": ext,
+                "l_discount": disc,
+            }
+        )
+    )
+    out = (
+        promo_arm_partial(batch, dims_ref)
+        .to_pandas()
+        .set_index("arm")["n_lines"]
+        .to_dict()
+    )
+    want = {}
+    for i in range(n):
+        for arm_id, (brand, slo, shi, qlo, qhi) in enumerate(PROMO_ARMS):
+            if (
+                brand_arr[pk[i]] == brand
+                and slo <= size_arr[pk[i]] <= shi
+                and qlo <= qty[i] <= qhi
+            ):
+                want[arm_id] = want.get(arm_id, 0) + 1
+    assert out == want
