@@ -1895,6 +1895,18 @@ from .queries_relx2 import RELX2_ORACLES, RELX2_QUERIES  # noqa: E402
 QUERIES.update(RELX2_QUERIES)
 ORACLES.update(RELX2_ORACLES)
 
+# Importance-weight ESS diagnostic (Kish) per language
+from .queries_ess import ESS_ORACLES, ESS_QUERIES  # noqa: E402
+
+QUERIES.update(ESS_QUERIES)
+ORACLES.update(ESS_ORACLES)
+
+# Exact grouped mode with pinned tie-break (packed argmax)
+from .queries_modal import MODAL_ORACLES, MODAL_QUERIES  # noqa: E402
+
+QUERIES.update(MODAL_QUERIES)
+ORACLES.update(MODAL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 
 def _t(df: pd.DataFrame) -> pa.Table:
@@ -214,3 +215,121 @@ def test_promo_arm_partial_matches_bruteforce(ray_session):
             ):
                 want[arm_id] = want.get(arm_id, 0) + 1
     assert out == want
+
+
+# --- lang_ess ----------------------------------------------------------------
+
+
+def test_ess_uniform_weights_is_1000_and_skew_shrinks():
+    from khl_pdf_ocr_ray.pipelines.queries_ess import ess_finalize, ess_partial
+
+    uniform = _t(
+        pd.DataFrame({"lang": ["en"] * 10, "n_chars": np.int64([7] * 10)})
+    )
+    p = ess_partial(uniform)
+    out = ess_finalize(p).to_pandas()
+    assert out["ess_permille"].tolist() == [1000]
+    assert out["n_docs"].tolist() == [10]
+
+    # one dominating weight: ESS collapses toward 1/n
+    skew = _t(
+        pd.DataFrame(
+            {"lang": ["en"] * 10, "n_chars": np.int64([1] * 9 + [10000])}
+        )
+    )
+    out2 = ess_finalize(ess_partial(skew)).to_pandas()
+    assert out2["ess_permille"].iloc[0] < 150
+
+    # w <= 0 rows are excluded from n and the sums
+    zeros = _t(
+        pd.DataFrame({"lang": ["en"] * 4, "n_chars": np.int64([5, 5, 0, 0])})
+    )
+    out3 = ess_finalize(ess_partial(zeros)).to_pandas()
+    assert out3["n_docs"].tolist() == [2]
+    assert out3["ess_permille"].tolist() == [1000]
+
+
+def test_ess_finalize_square_is_arbitrary_precision():
+    """(sum_w)^2 past int64 must not overflow in the finalize."""
+    import pyarrow as pa_
+
+    from khl_pdf_ocr_ray.pipelines.queries_ess import ess_finalize
+
+    big = 4 * 10**9  # big^2 = 1.6e19 > 2^63
+    t = pa_.table(
+        {
+            "lang": pa_.array(["en"], pa_.string()),
+            "sum_w": pa_.array([big], pa_.int64()),
+            "sum_w2": pa_.array([big], pa_.int64()),
+            "n": pa_.array([big], pa_.int64()),
+        }
+    )
+    out = ess_finalize(t).to_pandas()
+    # all weights 1: ESS/n = 1
+    assert out["ess_permille"].tolist() == [1000]
+
+
+# --- user_modal_event --------------------------------------------------------
+
+
+def test_modal_pack_tiebreak_smallest_type(ray_session):
+    """Equal counts resolve to the lexicographically smallest type via
+    Max over the rank-complement pack."""
+    import ray
+
+    from khl_pdf_ocr_ray.pipelines.queries_modal import (
+        modal_decode,
+        modal_pack,
+    )
+
+    types = ["click", "view"]
+    types_ref = ray.put({t: i for i, t in enumerate(types)})
+    names_ref = ray.put(types)
+    cells = _t(
+        pd.DataFrame(
+            {
+                "user_id": np.int64([1, 1]),
+                "event_type": ["view", "click"],
+                "n": np.int64([3, 3]),
+            }
+        )
+    )
+    packed = modal_pack(cells, types_ref).to_pandas()
+    win = packed.loc[packed["packed"].idxmax()]
+    out = modal_decode(
+        _t(pd.DataFrame({"user_id": [1], "packed": [win["packed"]]})), names_ref
+    ).to_pandas()
+    assert out["modal_type"].tolist() == ["click"]
+    assert out["n_events"].tolist() == [3]
+
+
+def test_user_type_cells_merge_and_pack_bound(ray_session):
+    import ray
+
+    from khl_pdf_ocr_ray.pipelines.queries_modal import (
+        modal_pack,
+        user_type_cells,
+    )
+
+    b = _t(
+        pd.DataFrame(
+            {
+                "user_id": np.int64([1, 1, 2]),
+                "event_type": ["x", "x", "y"],
+            }
+        )
+    )
+    cells = user_type_cells(b).to_pandas()
+    assert cells.set_index(["user_id", "event_type"])["n"].to_dict() == {
+        (1, "x"): 2,
+        (2, "y"): 1,
+    }
+
+    types_ref = ray.put({"x": 0})
+    huge = _t(
+        pd.DataFrame(
+            {"user_id": np.int64([1]), "event_type": ["x"], "n": np.int64([1 << 39])}
+        )
+    )
+    with pytest.raises(AssertionError, match="widen pack"):
+        modal_pack(huge, types_ref)
