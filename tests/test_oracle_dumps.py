@@ -25,6 +25,7 @@ DUMP_QUERIES = [
     "media_audio_features",
     "media_frame_sample",
     "media_phash_dups",
+    "media_audiofp_dups",
     "lineage",
     # near-dup / ANN family (state/oracle_dump_near.py sequential twins)
     "minhash_dups",
