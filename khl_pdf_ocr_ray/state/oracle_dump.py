@@ -404,6 +404,14 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
         AFP_HAMMING_MAX,
         "media_afp_seq.parquet",
     )
+    from ..stages.multimodal import decode_video, media_vhash_table, vhash63
+
+    _fp_pairs(
+        media_vhash_table(),
+        lambda p: vhash63(decode_video(p)),
+        PHASH_HAMMING_MAX,
+        "media_vhash_seq.parquet",
+    )
 
     # skew partition keys, recomputed sequentially: exact host histogram ->
     # hot hosts (> 20% of rows) -> salted/giant-isolated part_key per row
@@ -652,6 +660,7 @@ GROUP BY l.url
         "media_frame_sample": f"SELECT * FROM read_parquet('{p('media_frames_seq.parquet')}')",
         "media_phash_dups": f"SELECT * FROM read_parquet('{p('media_phash_seq.parquet')}')",
         "media_audiofp_dups": f"SELECT * FROM read_parquet('{p('media_afp_seq.parquet')}')",
+        "media_vhash_dups": f"SELECT * FROM read_parquet('{p('media_vhash_seq.parquet')}')",
         "pdf_table_cells": (
             "SELECT url, page, table_id, row, col, cell_text "
             f"FROM read_parquet('{p('table_cells_seq.parquet')}')"

@@ -227,3 +227,36 @@ def test_afp_band_stage_matches_kernel(ray_session):
         # band keys re-assemble into the hash: 16+16+16+15 layout
         key = {int(r.band_id): int(r.band_key) for r in grp.itertuples()}
         assert key[0] | key[1] << 16 | key[2] << 32 | key[3] << 48 == want[mid]
+
+
+def test_vhash_family_separation_and_order_invariance():
+    """Planted video families separate; the hash is invariant to frame
+    reordering (mean-frame construction)."""
+    import numpy as np
+
+    from khl_pdf_ocr_ray.stages.multimodal import (
+        PHASH_HAMMING_MAX,
+        VHASH_VARIANTS,
+        decode_video,
+        media_vhash_table,
+        vhash63,
+    )
+
+    t = media_vhash_table(n_families=8, variants=VHASH_VARIANTS)
+    hashes = [vhash63(decode_video(p)) for p in t["payload"].to_pylist()]
+    fams = [mid // VHASH_VARIANTS for mid in t["media_id"].to_pylist()]
+    in_fam, cross = [], []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            (in_fam if fams[i] == fams[j] else cross).append(d)
+    assert sum(d <= PHASH_HAMMING_MAX for d in in_fam) >= len(in_fam) // 2
+    assert min(cross) > PHASH_HAMMING_MAX
+
+    # any frame permutation leaves the hash bit-identical
+    frames = decode_video(t["payload"][0].as_py())
+    perm = frames[::-1].copy()
+    assert vhash63(perm) == hashes[0]
+    rs = np.random.RandomState(3)
+    shuf = frames[rs.permutation(len(frames))]
+    assert vhash63(shuf) == hashes[0]

@@ -26,6 +26,7 @@ DUMP_QUERIES = [
     "media_frame_sample",
     "media_phash_dups",
     "media_audiofp_dups",
+    "media_vhash_dups",
     "lineage",
     # near-dup / ANN family (state/oracle_dump_near.py sequential twins)
     "minhash_dups",
