@@ -1907,6 +1907,15 @@ from .queries_modal import MODAL_ORACLES, MODAL_QUERIES  # noqa: E402
 QUERIES.update(MODAL_QUERIES)
 ORACLES.update(MODAL_ORACLES)
 
+# Cross-source trigram-overlap matrix (mixing diagnostic)
+from .queries_srcoverlap import (  # noqa: E402
+    SRCOVERLAP_ORACLES,
+    SRCOVERLAP_QUERIES,
+)
+
+QUERIES.update(SRCOVERLAP_QUERIES)
+ORACLES.update(SRCOVERLAP_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

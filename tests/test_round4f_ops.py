@@ -333,3 +333,51 @@ def test_user_type_cells_merge_and_pack_bound(ray_session):
     )
     with pytest.raises(AssertionError, match="widen pack"):
         modal_pack(huge, types_ref)
+
+
+# --- source_overlap_matrix ---------------------------------------------------
+
+
+def test_source_overlap_exact_jaccard_and_zero_pairs(ray_session, tmp_path):
+    """Inclusion-exclusion Jaccard matches brute force; zero-overlap
+    pairs are absent from the output."""
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.pipelines.queries_srcoverlap import (
+        q_source_overlap_matrix,
+    )
+
+    docs = {
+        "a": ["w1 w2 w3 w4", "w2 w3 w4"],   # trigrams {123, 234}
+        "b": ["w1 w2 w3"],                   # {123} -> a∩b = {123}
+        "c": ["x1 x2 x3 x4"],                # disjoint from a and b
+    }
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    i = 0
+    for s, texts in docs.items():
+        for t in texts:
+            rows["doc_id"].append(i)
+            rows["text"].append(t)
+            rows["lang"].append("en")
+            rows["source"].append(s)
+            rows["n_chars"].append(len(t))
+            i += 1
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "text": pa.array(rows["text"], pa.string()),
+                "lang": pa.array(rows["lang"], pa.string()),
+                "source": pa.array(rows["source"], pa.string()),
+                "n_chars": pa.array(rows["n_chars"], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q_source_overlap_matrix(str(tmp_path)).to_pandas()
+    assert len(out) == 1  # only (a, b) overlaps; c-pairs absent
+    r = out.iloc[0]
+    assert (r["src_a"], r["src_b"]) == ("a", "b")
+    # a = {123, 234}, b = {123}: common 1, union 2 -> 500 permille
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (1, 2, 1)
+    assert r["jaccard_permille"] == 500
