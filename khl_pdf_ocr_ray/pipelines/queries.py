@@ -1916,6 +1916,12 @@ from .queries_srcoverlap import (  # noqa: E402
 QUERIES.update(SRCOVERLAP_QUERIES)
 ORACLES.update(SRCOVERLAP_ORACLES)
 
+# Heaps-law vocabulary-growth curve (first-occurrence + bit-length bands)
+from .queries_heaps import HEAPS_ORACLES, HEAPS_QUERIES  # noqa: E402
+
+QUERIES.update(HEAPS_QUERIES)
+ORACLES.update(HEAPS_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -381,3 +381,45 @@ def test_source_overlap_exact_jaccard_and_zero_pairs(ray_session, tmp_path):
     # a = {123, 234}, b = {123}: common 1, union 2 -> 500 permille
     assert (r["n_common"], r["n_a"], r["n_b"]) == (1, 2, 1)
     assert r["jaccard_permille"] == 500
+
+
+# --- vocab_growth (Heaps) ----------------------------------------------------
+
+
+def test_vocab_growth_first_occurrence_and_bands(ray_session, tmp_path):
+    """The curve counts each trigram type ONCE, at its first doc_id's
+    bit-length band; repeats later never re-count."""
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_ray.pipelines.queries_heaps import q_vocab_growth
+
+    # doc 0 (band 1): type A; docs 1-2 (band 2): A again + type B;
+    # docs 3-6 (band 3): B again + type C
+    texts = {0: "a a a a", 1: "a a a", 2: "b b b", 3: "b b b", 6: "c c c"}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts.values()], pa.int64()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q_vocab_growth(str(tmp_path))
+    assert out["bucket"].tolist() == [1, 2, 3]
+    assert out["n_new_types"].tolist() == [1, 1, 1]  # a a a / b b b / c c c
+    assert out["cum_types"].tolist() == [1, 2, 3]
+
+
+def test_bit_length_bands_match_python():
+    import numpy as np
+
+    from khl_pdf_ocr_ray.pipelines.queries_budget import bit_length_i64
+
+    vals = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 2**62], dtype=np.int64)
+    assert bit_length_i64(vals).tolist() == [int(v).bit_length() for v in vals]
