@@ -1922,6 +1922,12 @@ from .queries_heaps import HEAPS_ORACLES, HEAPS_QUERIES  # noqa: E402
 QUERIES.update(HEAPS_QUERIES)
 ORACLES.update(HEAPS_ORACLES)
 
+# Rendezvous-hashing resize-movement matrix (layout evidence)
+from .queries_hrw import HRW_ORACLES, HRW_QUERIES  # noqa: E402
+
+QUERIES.update(HRW_QUERIES)
+ORACLES.update(HRW_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -423,3 +423,54 @@ def test_bit_length_bands_match_python():
 
     vals = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 2**62], dtype=np.int64)
     assert bit_length_i64(vals).tolist() == [int(v).bit_length() for v in vals]
+
+
+# --- shard_resize_moves (HRW) ------------------------------------------------
+
+
+def test_hrw_moves_only_to_new_shard_and_bounded_fraction():
+    """The rendezvous-hashing invariant: every moved key lands on the
+    NEW shard; the moved fraction is near 1/(K_OLD+1)."""
+    from khl_pdf_ocr_ray.pipelines.queries_hrw import (
+        K_NEW,
+        K_OLD,
+        resize_cells,
+    )
+
+    n = 20000
+    batch = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    cells = resize_cells(batch).to_pandas()
+    moved = cells[cells["old_shard"] != cells["new_shard"]]
+    assert (moved["new_shard"] == K_NEW - 1).all()  # only INTO the new shard
+    frac = moved["n_docs"].sum() / n
+    assert 0.7 / K_NEW < frac < 1.3 / K_NEW  # ~1/9 of keys move
+    # balance: every old shard holds a reasonable share
+    per_old = cells.groupby("old_shard")["n_docs"].sum()
+    assert len(per_old) == K_OLD
+    assert per_old.min() > 0.6 * n / K_OLD
+
+
+def test_hrw_weights_match_sql_arithmetic():
+    """numpy uint64-wraparound weights == DuckDB HUGEINT modular math."""
+    import duckdb
+
+    from khl_pdf_ocr_ray.pipelines.queries_hrw import (
+        HRW_A,
+        HRW_B,
+        hrw_weights,
+    )
+
+    d = np.array([0, 1, 17, 2**31 - 1, 2**40 + 123], dtype=np.int64)
+    for shard in (0, 3, 8):
+        want = duckdb.sql(
+            f"""
+            WITH h1 AS (SELECT CAST((CAST(x AS HUGEINT) * {HRW_A}
+                   + ({shard} + 1) * {HRW_B}) % 4294967296 AS BIGINT) AS h
+              FROM (SELECT unnest({list(map(int, d))}) AS x)),
+            h2 AS (SELECT xor(h, h // 65536) AS h FROM h1),
+            h3 AS (SELECT CAST((CAST(h AS HUGEINT) * {HRW_A})
+                   % 4294967296 AS BIGINT) AS h FROM h2)
+            SELECT xor(h, h // 8192) AS w FROM h3
+            """
+        ).fetchnumpy()["w"]
+        assert hrw_weights(d, shard).astype(np.int64).tolist() == want.tolist()
