@@ -107,10 +107,115 @@ def q_media_vhash_dups(sf_dir: str) -> rd.Dataset:
     )
 
 
+def pr_tag(batch, variants: int, modality: str):
+    """pairs batch -> one (modality, tp, fp) partial row."""
+    import numpy as np
+    import pyarrow as pa
+
+    a = batch["id_a"].to_numpy(zero_copy_only=False).astype("int64")
+    b = batch["id_b"].to_numpy(zero_copy_only=False).astype("int64")
+    tp = int(((a // variants) == (b // variants)).sum())
+    return pa.table(
+        {
+            "modality": pa.array([modality], pa.string()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([len(a) - tp], pa.int64()),
+        }
+    )
+
+
+def pr_finalize(batch, planted: int):
+    """(modality, tp, fp) totals -> permille precision/recall/F1."""
+    import pyarrow as pa
+
+    rows = {
+        "modality": [], "tp": [], "fp": [], "fn": [],
+        "precision_permille": [], "recall_permille": [], "f1_permille": [],
+    }
+    for r in batch.to_pylist():
+        tp, fp = int(r["tp"]), int(r["fp"])
+        fn = planted - tp
+        rows["modality"].append(r["modality"])
+        rows["tp"].append(tp)
+        rows["fp"].append(fp)
+        rows["fn"].append(fn)
+        rows["precision_permille"].append(1000 * tp // (tp + fp))
+        rows["recall_permille"].append(1000 * tp // planted)
+        rows["f1_permille"].append(2000 * tp // (2 * tp + fp + fn))
+    return pa.table(
+        {
+            "modality": pa.array(rows["modality"], pa.string()),
+            "tp": pa.array(rows["tp"], pa.int64()),
+            "fp": pa.array(rows["fp"], pa.int64()),
+            "fn": pa.array(rows["fn"], pa.int64()),
+            "precision_permille": pa.array(
+                rows["precision_permille"], pa.int64()
+            ),
+            "recall_permille": pa.array(rows["recall_permille"], pa.int64()),
+            "f1_permille": pa.array(rows["f1_permille"], pa.int64()),
+        }
+    )
+
+
+def q_fingerprint_pr_eval(sf_dir: str) -> rd.Dataset:
+    """Precision/recall/F1 of each fingerprint modality's banded pair set
+    against the PLANTED family ground truth (id // variants) — the
+    minhash_pr_eval pattern for the image/audio/video trio. All three
+    corpora plant 40 families x 5 variants, so planted = 40 * C(5,2) =
+    400 per modality; the pair sets are the SAME certified-by-dump sets
+    the media_*_dups queries emit, so the eval's inputs carry their own
+    oracle. Plan: three pair streams tag map-side into one (modality,
+    tp, fp) row each; ONE 3-row exchange; integer permille finalize."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.multimodal import (
+        AFP_VARIANTS,
+        N_AFP_FAMILIES,
+        N_PHASH_FAMILIES,
+        N_VHASH_FAMILIES,
+        PHASH_VARIANTS,
+        VHASH_VARIANTS,
+    )
+
+    assert (
+        N_PHASH_FAMILIES == N_AFP_FAMILIES == N_VHASH_FAMILIES
+        and PHASH_VARIANTS == AFP_VARIANTS == VHASH_VARIANTS
+    ), "per-modality planted totals diverged — recompute per modality"
+    v = PHASH_VARIANTS
+    planted = N_PHASH_FAMILIES * (v * (v - 1) // 2)
+    parts = [
+        q_media_phash_dups(sf_dir).map_batches(
+            remote_fn(_QP, "pr_tag", variants=v, modality="phash"),
+            batch_format="pyarrow",
+        ),
+        q_media_audiofp_dups(sf_dir).map_batches(
+            remote_fn(_QP, "pr_tag", variants=v, modality="audiofp"),
+            batch_format="pyarrow",
+        ),
+        q_media_vhash_dups(sf_dir).map_batches(
+            remote_fn(_QP, "pr_tag", variants=v, modality="vhash"),
+            batch_format="pyarrow",
+        ),
+    ]
+    return (
+        parts[0]
+        .union(parts[1], parts[2])
+        .groupby("modality")
+        .aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"))
+        .map_batches(
+            remote_fn(_QP, "pr_finalize", planted=planted),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_QP = "khl_pdf_ocr_ray.pipelines.queries_phash"
+
 PHASH_QUERIES = {
     "media_phash_dups": q_media_phash_dups,
     "media_audiofp_dups": q_media_audiofp_dups,
     "media_vhash_dups": q_media_vhash_dups,
+    "fingerprint_pr_eval": q_fingerprint_pr_eval,
 }
 # oracles: dump-backed (state/oracle_dump.py brute-force pair dumps),
 # added by pipelines.queries.oracles()

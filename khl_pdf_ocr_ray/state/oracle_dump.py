@@ -661,6 +661,31 @@ GROUP BY l.url
         "media_phash_dups": f"SELECT * FROM read_parquet('{p('media_phash_seq.parquet')}')",
         "media_audiofp_dups": f"SELECT * FROM read_parquet('{p('media_afp_seq.parquet')}')",
         "media_vhash_dups": f"SELECT * FROM read_parquet('{p('media_vhash_seq.parquet')}')",
+        # dump-derived eval: the pair sets ARE the certified dumps; the
+        # planted ground truth is id // 5 (40 families x 5 variants = 400
+        # planted pairs per modality — constants pinned by the Ray-side
+        # assert in q_fingerprint_pr_eval)
+        "fingerprint_pr_eval": f"""
+WITH pairs AS (
+  SELECT 'phash' AS modality, id_a, id_b
+  FROM read_parquet('{p('media_phash_seq.parquet')}')
+  UNION ALL
+  SELECT 'audiofp', id_a, id_b
+  FROM read_parquet('{p('media_afp_seq.parquet')}')
+  UNION ALL
+  SELECT 'vhash', id_a, id_b
+  FROM read_parquet('{p('media_vhash_seq.parquet')}')),
+c AS (
+  SELECT modality,
+    CAST(sum(CASE WHEN id_a // 5 = id_b // 5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN id_a // 5 = id_b // 5 THEN 0 ELSE 1 END) AS BIGINT) AS fp
+  FROM pairs GROUP BY 1)
+SELECT modality, tp, fp, CAST(400 - tp AS BIGINT) AS fn,
+  CAST(1000 * tp // (tp + fp) AS BIGINT) AS precision_permille,
+  CAST(1000 * tp // 400 AS BIGINT) AS recall_permille,
+  CAST(2000 * tp // (2 * tp + fp + (400 - tp)) AS BIGINT) AS f1_permille
+FROM c
+""",
         "pdf_table_cells": (
             "SELECT url, page, table_id, row, col, cell_text "
             f"FROM read_parquet('{p('table_cells_seq.parquet')}')"

@@ -27,6 +27,7 @@ DUMP_QUERIES = [
     "media_phash_dups",
     "media_audiofp_dups",
     "media_vhash_dups",
+    "fingerprint_pr_eval",
     "lineage",
     # near-dup / ANN family (state/oracle_dump_near.py sequential twins)
     "minhash_dups",
