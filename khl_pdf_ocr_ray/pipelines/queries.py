@@ -1928,6 +1928,12 @@ from .queries_hrw import HRW_ORACLES, HRW_QUERIES  # noqa: E402
 QUERIES.update(HRW_QUERIES)
 ORACLES.update(HRW_ORACLES)
 
+# Gaps-and-islands longest streak (window-island rewrite)
+from .queries_streak import STREAK_ORACLES, STREAK_QUERIES  # noqa: E402
+
+QUERIES.update(STREAK_QUERIES)
+ORACLES.update(STREAK_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -474,3 +474,27 @@ def test_hrw_weights_match_sql_arithmetic():
             """
         ).fetchnumpy()["w"]
         assert hrw_weights(d, shard).astype(np.int64).tolist() == want.tolist()
+
+
+# --- user_longest_streak -----------------------------------------------------
+
+
+def test_streak_fold_islands_and_tie_order():
+    """Run lengths follow (ts, event_id) order; interleaving breaks runs."""
+    from khl_pdf_ocr_ray.pipelines.queries_streak import user_streak_fold
+
+    g = pd.DataFrame(
+        {
+            "user_id": np.int64([1] * 6),
+            "event_id": np.int64([10, 11, 12, 13, 14, 15]),
+            "ts": np.int64([1, 2, 3, 3, 4, 5]),  # tie at ts=3 -> event_id order
+            "event_type": ["a", "a", "b", "a", "a", "a"],
+        }
+    )
+    out = user_streak_fold(g)
+    # order: a a b a a a -> best streak 3
+    assert out["max_streak"].tolist() == [3]
+
+    # single island
+    g2 = g.assign(event_type=["x"] * 6)
+    assert user_streak_fold(g2)["max_streak"].tolist() == [6]
