@@ -1057,9 +1057,68 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
     return rank.rename_columns({"r": "pagerank_fx"})
 
 
+def ref_team_partial(batch: pa.Table) -> pa.Table:
+    """gamesheet rows -> (referee, team, n) co-occurrence cell partials:
+    each game contributes every chief referee x {home, away} team."""
+    keep = pc.or_(
+        pc.equal(batch["engine"], "pdf-text"), pc.equal(batch["engine"], "pdf-ocr")
+    )
+    b = batch.filter(keep)
+    cells: dict = {}
+    for refs, th, ta in zip(
+        b["ref_main"].to_pylist(),
+        b["team_home"].to_pylist(),
+        b["team_away"].to_pylist(),
+    ):
+        for r in refs or []:
+            if not r:
+                continue
+            for team in (th, ta):
+                if team:
+                    cells[(r, team)] = cells.get((r, team), 0) + 1
+    if not cells:
+        return pa.table(
+            {
+                "referee": pa.array([], pa.string()),
+                "team": pa.array([], pa.string()),
+                "n_games": pa.array([], pa.int64()),
+            }
+        )
+    ks = sorted(cells)
+    return pa.table(
+        {
+            "referee": pa.array([k[0] for k in ks], pa.string()),
+            "team": pa.array([k[1] for k in ks], pa.string()),
+            "n_games": pa.array([cells[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def q_ref_team_matrix(sf_dir: str) -> rd.Dataset:
+    """(referee, team, n_games) — chief-referee x team assignment matrix
+    over the extraction surface (officiating-exposure report; the
+    entity analogue of the host co-occurrence rollups). Exchange is
+    entity-vocabulary-bounded (|referees| x |teams| cells), combined
+    map-side; the document payload never leaves the extraction stage."""
+    from ray.data.aggregate import Sum
+
+    return (
+        _extracted(sf_dir)
+        .map_batches(
+            remote_fn(
+                "khl_pdf_ocr_ray.pipelines.queries_extract", "ref_team_partial"
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["referee", "team"])
+        .aggregate(Sum("n_games", alias_name="n_games"))
+    )
+
+
 EXTRACT_QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_entities": q_extract_entities,
+    "ref_team_matrix": q_ref_team_matrix,
     "extract_host_stats": q_extract_host_stats,
     "extract_error_rates": q_extract_error_rates,
     "master_validate": q_master_validate,

@@ -574,6 +574,20 @@ SELECT url, engine, ref_main, ref_linesmen
 FROM read_parquet('{p("extracted_seq.parquet")}')
 WHERE engine IN ('pdf-text', 'pdf-ocr')
 """,
+        "ref_team_matrix": f"""
+WITH g AS (
+  SELECT unnest(string_split(ref_main, '|')) AS referee,
+         team_home, team_away
+  FROM read_parquet('{p("extracted_seq.parquet")}')
+  WHERE engine IN ('pdf-text', 'pdf-ocr') AND ref_main <> ''),
+pairs AS (
+  SELECT referee, team_home AS team FROM g WHERE team_home <> ''
+  UNION ALL
+  SELECT referee, team_away FROM g WHERE team_away <> '')
+SELECT referee, team, CAST(count(*) AS BIGINT) AS n_games
+FROM pairs WHERE referee <> ''
+GROUP BY referee, team
+""",
         "extract_host_stats": f"""
 SELECT host, content_type, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_bytes) AS BIGINT) AS bytes_in,

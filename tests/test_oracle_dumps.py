@@ -9,6 +9,7 @@ DUMP_QUERIES = [
     "extract_pages",
     "extract_entities",
     "extract_refs_mode",
+    "ref_team_matrix",
     "extract_host_stats",
     "master_validate",
     "pdf_words",
