@@ -1934,6 +1934,11 @@ from .queries_streak import STREAK_ORACLES, STREAK_QUERIES  # noqa: E402
 QUERIES.update(STREAK_QUERIES)
 ORACLES.update(STREAK_ORACLES)
 
+# Per-source unigram KL drift (dump-backed fixed-point twin)
+from .queries_kl import KL_QUERIES  # noqa: E402
+
+QUERIES.update(KL_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

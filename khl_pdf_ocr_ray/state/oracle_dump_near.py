@@ -63,6 +63,7 @@ def dumps_dir(sf_dir: str) -> str:
         "pipelines/queries_embed.py",
         "pipelines/queries_prep.py",    # trigram/chunk constants (recipe twin)
         "pipelines/queries_recipe.py",  # recipe kernels
+        "pipelines/queries_kl.py",      # source-KL fixed-point constants
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             parts.append(hashlib.md5(f.read()).hexdigest())
@@ -475,6 +476,48 @@ def _build_dumps(sf_dir: str, out_dir: str) -> None:
             os.path.join(out_dir, name),
         )
 
+    # source-KL drift: an INDEPENDENT Counter pass over the raw documents
+    # (no shared rollup with the distributed plan; only the fixed-point
+    # log2 form is shared, by definition)
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    raw = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    ).to_pandas()
+    per_src: dict = collections.defaultdict(collections.Counter)
+    for s, t in zip(raw["source"], raw["text"]):
+        per_src[s].update((t or "").split(" "))
+    corpus_c: collections.Counter = collections.Counter()
+    for c in per_src.values():
+        corpus_c.update(c)
+    n_corpus = sum(corpus_c.values())
+    _SC = 1 << 20
+
+    def _lfx(c: int, n: int) -> int:
+        return int(np.floor(np.log2(c / n) * _SC + 0.5))
+
+    kl_rows = {"source": [], "n_tokens": [], "kl_fx": [], "kl_micro": []}
+    for s in sorted(per_src):
+        cnt = per_src[s]
+        n_s = sum(cnt.values())
+        kl = sum(
+            c * (_lfx(c, n_s) - _lfx(corpus_c[w], n_corpus))
+            for w, c in cnt.items()
+        )
+        kl_rows["source"].append(s)
+        kl_rows["n_tokens"].append(n_s)
+        kl_rows["kl_fx"].append(kl)
+        kl_rows["kl_micro"].append(1_000_000 * kl // (n_s * _SC))
+    _write(
+        "source_kl_seq.parquet",
+        pd.DataFrame(kl_rows).astype(
+            {"n_tokens": "int64", "kl_fx": "int64", "kl_micro": "int64"}
+        ),
+    )
+
     docs = _docs_with_variants_df(sf_dir)
     mh = _minhash_pairs(docs)
     _write("minhash_pairs_seq.parquet", mh)
@@ -861,6 +904,7 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
 
     return {
         "minhash_dups": f"SELECT doc_a, doc_b, est_jaccard_x100 FROM read_parquet('{p('minhash_pairs_seq.parquet')}')",
+        "source_kl_drift": f"SELECT source, n_tokens, kl_fx, kl_micro FROM read_parquet('{p('source_kl_seq.parquet')}')",
         "minhash_clusters": f"SELECT doc_id, cluster_id, cluster_size, keep FROM read_parquet('{p('minhash_clusters_seq.parquet')}')",
         "simhash_dups": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p('simhash_pairs_seq.parquet')}')",
         "ngram_jaccard_dups": f"SELECT doc_a, doc_b, jaccard_x100 FROM read_parquet('{p('ngram_pairs_seq.parquet')}')",

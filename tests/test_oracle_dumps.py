@@ -32,6 +32,7 @@ DUMP_QUERIES = [
     "lineage",
     # near-dup / ANN family (state/oracle_dump_near.py sequential twins)
     "minhash_dups",
+    "source_kl_drift",
     "minhash_clusters",
     "simhash_dups",
     "ngram_jaccard_dups",

@@ -498,3 +498,38 @@ def test_streak_fold_islands_and_tie_order():
     # single island
     g2 = g.assign(event_type=["x"] * 6)
     assert user_streak_fold(g2)["max_streak"].tolist() == [6]
+
+
+# --- source_kl_drift ---------------------------------------------------------
+
+
+def test_kl_zero_for_identical_and_positive_for_skewed():
+    """KL(P||P) == 0 exactly in fixed point; a diverging source > 0."""
+    from khl_pdf_ocr_ray.pipelines.queries_kl import kl_from_counts
+
+    # one source == corpus: KL must be exactly zero
+    r1 = kl_from_counts(
+        pd.DataFrame(
+            {"source": ["s"] * 2, "term": ["a", "b"], "n": np.int64([3, 1])}
+        )
+    )
+    assert r1["kl_fx"].tolist() == [0] and r1["kl_micro"].tolist() == [0]
+
+    # two sources with different mixes: both diverge from the blend
+    r2 = kl_from_counts(
+        pd.DataFrame(
+            {
+                "source": ["x", "x", "y"],
+                "term": ["a", "b", "b"],
+                "n": np.int64([9, 1, 10]),
+            }
+        )
+    ).set_index("source")
+    assert r2.loc["x", "kl_fx"] > 0 and r2.loc["y", "kl_fx"] > 0
+    # y only emits 'b' (corpus p(b)=11/20): KL_y = log2(20/11) exactly
+    import numpy as np_
+
+    want = int(np_.floor(np_.log2(1.0) * (1 << 20) + 0.5)) - int(
+        np_.floor(np_.log2(11 / 20) * (1 << 20) + 0.5)
+    )
+    assert int(r2.loc["y", "kl_fx"]) == 10 * want
