@@ -1939,6 +1939,12 @@ from .queries_kl import KL_QUERIES  # noqa: E402
 
 QUERIES.update(KL_QUERIES)
 
+# Rolling order-statistic window (odd-window exact running median)
+from .queries_rollmed import ROLLMED_ORACLES, ROLLMED_QUERIES  # noqa: E402
+
+QUERIES.update(ROLLMED_QUERIES)
+ORACLES.update(ROLLMED_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -533,3 +533,32 @@ def test_kl_zero_for_identical_and_positive_for_skewed():
         np_.floor(np_.log2(11 / 20) * (1 << 20) + 0.5)
     )
     assert int(r2.loc["y", "kl_fx"]) == 10 * want
+
+
+# --- rolling_median5 ---------------------------------------------------------
+
+
+def test_rollmed_fold_exact_and_outlier_robust():
+    from khl_pdf_ocr_ray.pipelines.queries_rollmed import (
+        WIN,
+        user_rollmed_fold,
+    )
+
+    assert WIN % 2 == 1  # the exactness contract: odd window only
+    v = [10, 20, 30, 40, 1000000, 50, 60]  # one spike
+    g = pd.DataFrame(
+        {
+            "user_id": np.int64([1] * len(v)),
+            "event_id": np.int64(range(len(v))),
+            "ts": np.int64(range(len(v))),
+            "v": np.int64(v),
+        }
+    )
+    out = user_rollmed_fold(g)
+    # windows: [10,20,30,40,1e6]->30, [20,30,40,1e6,50]->40,
+    # [30,40,1e6,50,60]->50 — the spike never surfaces
+    assert out["med_x1000"].tolist() == [30, 40, 50]
+    assert out["event_id"].tolist() == [4, 5, 6]
+
+    # fewer than WIN events -> no output rows
+    assert len(user_rollmed_fold(g.head(4))) == 0
