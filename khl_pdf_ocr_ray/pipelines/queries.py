@@ -1945,6 +1945,12 @@ from .queries_rollmed import ROLLMED_ORACLES, ROLLMED_QUERIES  # noqa: E402
 QUERIES.update(ROLLMED_QUERIES)
 ORACLES.update(ROLLMED_ORACLES)
 
+# Skyline / Pareto frontier (local-skyline-then-merge)
+from .queries_skyline import SKYLINE_ORACLES, SKYLINE_QUERIES  # noqa: E402
+
+QUERIES.update(SKYLINE_QUERIES)
+ORACLES.update(SKYLINE_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -562,3 +562,48 @@ def test_rollmed_fold_exact_and_outlier_robust():
 
     # fewer than WIN events -> no output rows
     assert len(user_rollmed_fold(g.head(4))) == 0
+
+
+# --- doc_skyline -------------------------------------------------------------
+
+
+def test_skyline_filter_matches_bruteforce_with_ties():
+    from khl_pdf_ocr_ray.pipelines.queries_skyline import skyline_filter
+
+    rs = np.random.RandomState(11)
+    for trial in range(20):
+        n = 200
+        x = rs.randint(0, 30, n).astype(np.int64)  # small domain -> many ties
+        y = rs.randint(0, 30, n).astype(np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        keep = set(skyline_filter(ids, x, y).tolist())
+        want = set()
+        for i in range(n):
+            dominated = any(
+                x[j] >= x[i]
+                and y[j] >= y[i]
+                and (x[j] > x[i] or y[j] > y[i])
+                for j in range(n)
+            )
+            if not dominated:
+                want.add(i)
+        assert keep == {int(ids[i]) for i in want} or keep == want
+
+
+def test_skyline_merge_property():
+    """skyline(union of local skylines) == skyline(all) — the property
+    the distributed plan rests on."""
+    from khl_pdf_ocr_ray.pipelines.queries_skyline import skyline_filter
+
+    rs = np.random.RandomState(5)
+    x = rs.randint(0, 1000, 500).astype(np.int64)
+    y = (1000 - x + rs.randint(-50, 50, 500)).astype(np.int64)  # anti-corr
+    ids = np.arange(500, dtype=np.int64)
+    full = set(skyline_filter(ids, x, y).tolist())
+    merged_ids = []
+    for s in (slice(0, 200), slice(200, 350), slice(350, 500)):
+        idx = skyline_filter(ids[s], x[s], y[s])
+        merged_ids.extend(np.arange(*s.indices(500))[idx].tolist())
+    m = np.array(sorted(merged_ids), dtype=np.int64)
+    final = {int(v) for v in m[skyline_filter(ids[m], x[m], y[m])]}
+    assert final == full
