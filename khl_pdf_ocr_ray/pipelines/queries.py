@@ -1951,6 +1951,15 @@ from .queries_skyline import SKYLINE_ORACLES, SKYLINE_QUERIES  # noqa: E402
 QUERIES.update(SKYLINE_QUERIES)
 ORACLES.update(SKYLINE_ORACLES)
 
+# Sampling-estimator error audit (probe-calibration evidence)
+from .queries_sampleval import (  # noqa: E402
+    SAMPLEVAL_ORACLES,
+    SAMPLEVAL_QUERIES,
+)
+
+QUERIES.update(SAMPLEVAL_QUERIES)
+ORACLES.update(SAMPLEVAL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

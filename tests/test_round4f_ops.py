@@ -607,3 +607,38 @@ def test_skyline_merge_property():
     m = np.array(sorted(merged_ids), dtype=np.int64)
     final = {int(v) for v in m[skyline_filter(ids[m], x[m], y[m])]}
     assert final == full
+
+
+# --- sample_error_eval -------------------------------------------------------
+
+
+def test_sample_estimator_residue_and_scaling():
+    from khl_pdf_ocr_ray.pipelines.queries_sampleval import (
+        KNUTH,
+        SAMPLE_RATE,
+        _THRESH,
+        sample_count_partial,
+        sample_eval_finalize,
+    )
+
+    n = 50000
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    p = sample_count_partial(batch).to_pandas()
+    # the residue sample over a dense id range lands near 1/RATE
+    frac = p["n_sampled"].iloc[0] / n
+    assert 0.8 / SAMPLE_RATE < frac < 1.2 / SAMPLE_RATE
+    # membership matches the scalar arithmetic exactly
+    want7 = ((7 * KNUTH) % (1 << 32)) < _THRESH
+    p7 = sample_count_partial(batch.slice(7, 1)).to_pandas()
+    assert bool(p7["n_sampled"].iloc[0]) == want7
+
+    out = sample_eval_finalize(
+        pa.Table.from_pandas(p, preserve_index=False)
+    ).to_pandas()
+    assert out["n_est"].iloc[0] == out["n_sampled"].iloc[0] * SAMPLE_RATE
+    assert out["err_permille"].iloc[0] < 200
