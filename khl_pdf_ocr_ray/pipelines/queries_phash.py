@@ -1,26 +1,31 @@
-"""Multimodal near-duplicate detection: perceptual-hash image dedup.
+"""Multimodal near-duplicate detection: fingerprint dedup + eval.
 
-``media_phash_dups`` — the image twin of simhash_dups: decode ->
-63-bit DCT perceptual hash -> banded LSH (16+16+16+15 bits) ->
-in-bucket SWAR-popcount verify -> distinct pairs with Hamming <=
-PHASH_HAMMING_MAX. The banding is pigeonhole-COMPLETE at that
-threshold, so the distributed plan's pair set equals the sequential
-brute-force twin's exactly — that twin (state/oracle_dump.py) is the
-oracle.
+``media_phash_dups`` / ``media_audiofp_dups`` / ``media_vhash_dups`` —
+the image / audio / video near-dup trio, one shared plan: decode ->
+63-bit fingerprint (DCT pHash / Haitsma-Kalker spectral hash /
+mean-frame pHash) -> banded LSH (16+16+16+15 bits) -> in-bucket
+SWAR-popcount verify -> distinct pairs with Hamming <= the threshold.
+The banding is pigeonhole-COMPLETE at Hamming <= 3, so each
+distributed plan's pair set equals its sequential brute-force twin's
+exactly — those twins (state/oracle_dump.py) are the oracles.
 
-The corpus is the planted image-family table
-(stages/multimodal.media_phash_table): per-family structure lives in
-the low-frequency DCT coefficients, variants add pixel noise and a
-brightness shift (invisible to the hash — DC excluded). See the
-multimodal.py section comment for the measured separation.
+``fingerprint_pr_eval`` scores all three pair sets against the
+planted family ground truth (id // variants) in integer permille.
+
+The corpora are the planted family tables in stages/multimodal.py
+(per-family structure in DCT coefficients / band envelopes / mean
+frames; variants add noise plus the invariance each hash exists for —
+brightness shift, gain change, frame reorder). See the multimodal.py
+section comments for measured separations.
 
 Plan / 100 TB notes: decode+hash is an ACTOR-POOL stage (per-actor
-DCT basis; stands in for real embedder weights) with small batches
-(binary payloads are wide rows); the only exchange moves (media_id,
-phash, band) rows — 4 x 16 bytes per image, payloads never shuffle;
-in-bucket verify is capped (BUCKET_CAP) and vectorized. Identical
-shape to the text simhash plan that already carries the 100 TB
-skew/cap documentation (stages/dedup.py:45-55).
+DCT basis — real held state) with small batches (binary payloads are
+wide rows); the only exchange moves (media_id, fp, band) rows — 4 x
+16 bytes per item, payloads never shuffle; in-bucket verify is
+vectorized with a LOUD bucket-cap assert (hot buckets take the
+simhash split-on-extra-bits treatment). Identical shape to the text
+simhash plan carrying the 100 TB skew documentation
+(stages/dedup.py:45-55).
 
 Reference analogue: /root/reference/app.py has no media surface;
 brief scope (multimodal dedup as a first-class component).
@@ -33,78 +38,46 @@ import ray.data as rd
 from ..remote import remote_cls, remote_fn
 
 _MM = "khl_pdf_ocr_ray.stages.multimodal"
+_QP = "khl_pdf_ocr_ray.pipelines.queries_phash"
+
+
+def _fp_dups(table_fn_name: str, stage_name: str, batch_size: int) -> rd.Dataset:
+    """The shared banded-LSH near-dup plan over one planted media table."""
+    import importlib
+
+    from ray.data.aggregate import Min
+
+    mm = importlib.import_module(_MM)
+    media = rd.from_arrow(getattr(mm, table_fn_name)()).repartition(8)
+    bands = media.map_batches(
+        remote_cls(_MM, stage_name),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(2, 4),
+        num_cpus=0.5,
+    )
+    pairs = bands.groupby("shard").map_groups(
+        remote_fn(_MM, "phash_bucket_pairs"), batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
 
 
 def q_media_phash_dups(sf_dir: str) -> rd.Dataset:
-    """(id_a, id_b, hamming) pairs with Hamming <= PHASH_HAMMING_MAX."""
-    from ray.data.aggregate import Min
-
-    from ..stages.multimodal import media_phash_table
-
-    media = rd.from_arrow(media_phash_table()).repartition(8)
-    bands = media.map_batches(
-        remote_cls(_MM, "PhashBandStage"),
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=(2, 4),
-        num_cpus=0.5,
-    )
-    pairs = bands.groupby("shard").map_groups(
-        remote_fn(_MM, "phash_bucket_pairs"), batch_format="pyarrow"
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    """(id_a, id_b, hamming) image pairs, Hamming <= PHASH_HAMMING_MAX."""
+    return _fp_dups("media_phash_table", "PhashBandStage", 32)
 
 
 def q_media_audiofp_dups(sf_dir: str) -> rd.Dataset:
-    """(id_a, id_b, hamming) audio pairs with Hamming <= AFP_HAMMING_MAX
-    — the audio twin of media_phash_dups: decode -> 63-bit Haitsma-
-    Kalker-style spectral fingerprint -> the SAME pigeonhole-complete
-    banding and in-bucket SWAR verify (fp_band_rows /
-    phash_bucket_pairs are hash-agnostic over 63-bit fingerprints)."""
-    from ray.data.aggregate import Min
-
-    from ..stages.multimodal import media_afp_table
-
-    media = rd.from_arrow(media_afp_table()).repartition(8)
-    bands = media.map_batches(
-        remote_cls(_MM, "AfpBandStage"),
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=(2, 4),
-        num_cpus=0.5,
-    )
-    pairs = bands.groupby("shard").map_groups(
-        remote_fn(_MM, "phash_bucket_pairs"), batch_format="pyarrow"
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    """(id_a, id_b, hamming) audio pairs, Hamming <= AFP_HAMMING_MAX."""
+    return _fp_dups("media_afp_table", "AfpBandStage", 32)
 
 
 def q_media_vhash_dups(sf_dir: str) -> rd.Dataset:
-    """(id_a, id_b, hamming) video pairs with Hamming <= PHASH_HAMMING_MAX
-    — the video twin: frame-average -> phash63 (frame-order- and
-    noise-invariant), same banding and in-bucket verify."""
-    from ray.data.aggregate import Min
-
-    from ..stages.multimodal import media_vhash_table
-
-    media = rd.from_arrow(media_vhash_table()).repartition(8)
-    bands = media.map_batches(
-        remote_cls(_MM, "VhashBandStage"),
-        batch_format="pyarrow",
-        batch_size=16,  # video payloads are the widest rows
-        concurrency=(2, 4),
-        num_cpus=0.5,
-    )
-    pairs = bands.groupby("shard").map_groups(
-        remote_fn(_MM, "phash_bucket_pairs"), batch_format="pyarrow"
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    """(id_a, id_b, hamming) video pairs, Hamming <= PHASH_HAMMING_MAX
+    (video payloads are the widest rows, hence the smaller batch)."""
+    return _fp_dups("media_vhash_table", "VhashBandStage", 16)
 
 
 def pr_tag(batch, variants: int, modality: str):
@@ -125,7 +98,8 @@ def pr_tag(batch, variants: int, modality: str):
 
 
 def pr_finalize(batch, planted: int):
-    """(modality, tp, fp) totals -> permille precision/recall/F1."""
+    """(modality, tp, fp) totals -> permille precision/recall/F1.
+    Empty pair sets report precision 0 (nothing found), not a crash."""
     import pyarrow as pa
 
     rows = {
@@ -139,7 +113,9 @@ def pr_finalize(batch, planted: int):
         rows["tp"].append(tp)
         rows["fp"].append(fp)
         rows["fn"].append(fn)
-        rows["precision_permille"].append(1000 * tp // (tp + fp))
+        rows["precision_permille"].append(
+            1000 * tp // (tp + fp) if tp + fp else 0
+        )
         rows["recall_permille"].append(1000 * tp // planted)
         rows["f1_permille"].append(2000 * tp // (2 * tp + fp + fn))
     return pa.table(
@@ -160,12 +136,13 @@ def pr_finalize(batch, planted: int):
 def q_fingerprint_pr_eval(sf_dir: str) -> rd.Dataset:
     """Precision/recall/F1 of each fingerprint modality's banded pair set
     against the PLANTED family ground truth (id // variants) — the
-    minhash_pr_eval pattern for the image/audio/video trio. All three
-    corpora plant 40 families x 5 variants, so planted = 40 * C(5,2) =
-    400 per modality; the pair sets are the SAME certified-by-dump sets
-    the media_*_dups queries emit, so the eval's inputs carry their own
-    oracle. Plan: three pair streams tag map-side into one (modality,
-    tp, fp) row each; ONE 3-row exchange; integer permille finalize."""
+    minhash_pr_eval pattern for the image/audio/video trio. The pair
+    sets are the SAME certified-by-dump sets the media_*_dups queries
+    emit, so the eval's inputs carry their own oracle. Plan: three pair
+    streams tag map-side into one (modality, tp, fp) row each; ONE
+    3-row exchange; integer permille finalize. The planted-total and
+    variants constants are shared with the dump-SQL twin through
+    state/oracle_dump.py's imports — not re-hardcoded there."""
     from ray.data.aggregate import Sum
 
     from ..stages.multimodal import (
@@ -208,8 +185,6 @@ def q_fingerprint_pr_eval(sf_dir: str) -> rd.Dataset:
         )
     )
 
-
-_QP = "khl_pdf_ocr_ray.pipelines.queries_phash"
 
 PHASH_QUERIES = {
     "media_phash_dups": q_media_phash_dups,

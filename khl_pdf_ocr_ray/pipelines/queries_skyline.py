@@ -40,7 +40,7 @@ _QSK = "khl_pdf_ocr_ray.pipelines.queries_skyline"
 SKYLINE_CAP = 1 << 20  # driver-fold candidate bound (loud, documented)
 
 
-def skyline_filter(ids: np.ndarray, x: np.ndarray, y: np.ndarray):
+def skyline_filter(x: np.ndarray, y: np.ndarray):
     """Indices of the (x, y) skyline under >=/>-dominance, ties kept.
 
     Per distinct x keep only its max-y rows (lower-y rows are dominated
@@ -77,7 +77,7 @@ def skyline_partial(batch: pa.Table) -> pa.Table:
     )
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-    idx = skyline_filter(ids, x, n_tok)
+    idx = skyline_filter(x, n_tok)
     return pa.table(
         {
             "doc_id": pa.array(ids[idx], pa.int64()),
@@ -106,7 +106,6 @@ def q_doc_skyline(sf_dir: str) -> pd.DataFrame:
         "degenerate metric pair; add a grid-partitioned distributed round"
     )
     idx = skyline_filter(
-        cand["doc_id"].to_numpy(np.int64),
         cand["n_chars"].to_numpy(np.int64),
         cand["n_tokens"].to_numpy(np.int64),
     )

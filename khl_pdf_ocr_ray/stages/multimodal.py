@@ -376,7 +376,7 @@ def media_phash_table(
     )
 
 
-def phash63(img: np.ndarray) -> int:
+def phash63(img: np.ndarray, basis: np.ndarray = None) -> int:
     """HxW[xC] uint8 -> 63-bit perceptual hash (see section comment)."""
     g = img.astype(np.float64)
     if g.ndim == 3:
@@ -385,7 +385,8 @@ def phash63(img: np.ndarray) -> int:
         f"phash63 expects {PHASH_SIZE}x{PHASH_SIZE} input, got {g.shape} — "
         "resize (ImageFeatureStage thumbnailing) before hashing"
     )
-    d = _PHASH_BASIS @ g @ _PHASH_BASIS.T
+    b = _PHASH_BASIS if basis is None else basis
+    d = b @ g @ b.T
     co = d[:PHASH_LOW, :PHASH_LOW].flatten()[1:]  # 63 coefs, DC excluded
     med = np.partition(co, PHASH_BITS // 2)[PHASH_BITS // 2]
     v = 0
@@ -436,14 +437,15 @@ class PhashBandStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         hashes = [
-            phash63(decode_image(p)) for p in batch["payload"].to_pylist()
+            phash63(decode_image(p), self.basis)
+            for p in batch["payload"].to_pylist()
         ]
         return fp_band_rows(ids, hashes)
 
 
 def phash_bucket_pairs(shard: pa.Table) -> pa.Table:
     """In-bucket pair generation + popcount verify (simhash machinery:
-    lexsort, run bounds, vectorized SWAR popcount, BUCKET_CAP truncation)."""
+    lexsort, run bounds, vectorized SWAR popcount, loud BUCKET_CAP assert)."""
     from .dedup import BUCKET_CAP, _group_bounds, _i64, popcount64
 
     empty = pa.table(
@@ -466,8 +468,17 @@ def phash_bucket_pairs(shard: pa.Table) -> pa.Table:
     for s, e in zip(starts, ends):
         if e - s < 2:
             continue
-        g_ids = mid[s:e][:BUCKET_CAP]
-        g_ph = ph[s:e][:BUCKET_CAP]
+        # LOUD on overflow rather than silently truncating: the exact-
+        # equality contract with the uncapped brute-force dump twin only
+        # holds while every band bucket fits; a real hot bucket needs the
+        # simhash skew treatment (split the bucket on extra hash bits)
+        assert e - s <= BUCKET_CAP, (
+            f"fingerprint band bucket has {e - s} rows > BUCKET_CAP "
+            f"({BUCKET_CAP}) — split hot buckets on extra hash bits "
+            "(stages/dedup.py simhash skew convention) before pairing"
+        )
+        g_ids = mid[s:e]
+        g_ph = ph[s:e]
         ia, ib = np.triu_indices(len(g_ids), k=1)
         ham = popcount64(g_ph[ia] ^ g_ph[ib])
         keep = (ham <= PHASH_HAMMING_MAX) & (g_ids[ia] != g_ids[ib])
@@ -584,9 +595,10 @@ class AfpBandStage:
     fp_band_rows layout; verified downstream by phash_bucket_pairs)."""
 
     def __init__(self):
-        # per-actor state stand-in (a real system would hold filterbank
-        # weights / a codec context here)
-        self.nbands = AFP_NBANDS
+        # stateless by design: the rfft path has no precomputable state in
+        # numpy (a real system would hold filterbank weights / a codec
+        # context here — that pattern is exercised by Phash/VhashBandStage)
+        pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -614,10 +626,10 @@ N_VHASH_FAMILIES = 40
 VHASH_VARIANTS = 5
 
 
-def vhash63(frames: np.ndarray) -> int:
+def vhash63(frames: np.ndarray, basis: np.ndarray = None) -> int:
     """(n, H, W) uint8 frames -> 63-bit mean-frame perceptual hash."""
     assert frames.ndim == 3, "vhash63 expects (n_frames, H, W)"
-    return phash63(frames.astype(np.float64).mean(axis=0))
+    return phash63(frames.astype(np.float64).mean(axis=0), basis)
 
 
 def synth_video_vhash(family_id: int, variant_id: int) -> bytes:
@@ -671,6 +683,7 @@ class VhashBandStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         hashes = [
-            vhash63(decode_video(p)) for p in batch["payload"].to_pylist()
+            vhash63(decode_video(p), self.basis)
+            for p in batch["payload"].to_pylist()
         ]
         return fp_band_rows(ids, hashes)

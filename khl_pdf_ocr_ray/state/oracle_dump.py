@@ -676,10 +676,27 @@ GROUP BY l.url
         "media_audiofp_dups": f"SELECT * FROM read_parquet('{p('media_afp_seq.parquet')}')",
         "media_vhash_dups": f"SELECT * FROM read_parquet('{p('media_vhash_seq.parquet')}')",
         # dump-derived eval: the pair sets ARE the certified dumps; the
-        # planted ground truth is id // 5 (40 families x 5 variants = 400
-        # planted pairs per modality — constants pinned by the Ray-side
-        # assert in q_fingerprint_pr_eval)
-        "fingerprint_pr_eval": f"""
+        # variants / planted-total constants are IMPORTED from
+        # stages.multimodal (same source as the Ray side) — never
+        # re-hardcoded here. A modality with an empty pair set still
+        # yields its row (LEFT JOIN against the modality list) with
+        # precision 0, matching pr_finalize's zero guard.
+        "fingerprint_pr_eval": _fp_pr_eval_sql(p),
+        "pdf_table_cells": (
+            "SELECT url, page, table_id, row, col, cell_text "
+            f"FROM read_parquet('{p('table_cells_seq.parquet')}')"
+        ),
+    })
+
+
+def _fp_pr_eval_sql(p) -> str:
+    """fingerprint_pr_eval oracle SQL with constants imported from the
+    same module the Ray side reads (stages.multimodal)."""
+    from ..stages.multimodal import N_PHASH_FAMILIES, PHASH_VARIANTS
+
+    v = PHASH_VARIANTS
+    planted = N_PHASH_FAMILIES * (v * (v - 1) // 2)
+    return f"""
 WITH pairs AS (
   SELECT 'phash' AS modality, id_a, id_b
   FROM read_parquet('{p('media_phash_seq.parquet')}')
@@ -689,22 +706,23 @@ WITH pairs AS (
   UNION ALL
   SELECT 'vhash', id_a, id_b
   FROM read_parquet('{p('media_vhash_seq.parquet')}')),
+mods AS (SELECT unnest(['phash', 'audiofp', 'vhash']) AS modality),
 c AS (
-  SELECT modality,
-    CAST(sum(CASE WHEN id_a // 5 = id_b // 5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-    CAST(sum(CASE WHEN id_a // 5 = id_b // 5 THEN 0 ELSE 1 END) AS BIGINT) AS fp
-  FROM pairs GROUP BY 1)
-SELECT modality, tp, fp, CAST(400 - tp AS BIGINT) AS fn,
-  CAST(1000 * tp // (tp + fp) AS BIGINT) AS precision_permille,
-  CAST(1000 * tp // 400 AS BIGINT) AS recall_permille,
-  CAST(2000 * tp // (2 * tp + fp + (400 - tp)) AS BIGINT) AS f1_permille
+  SELECT m.modality,
+    CAST(coalesce(sum(CASE WHEN id_a // {v} = id_b // {v}
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+    CAST(coalesce(sum(CASE WHEN id_a IS NULL THEN 0
+                           WHEN id_a // {v} = id_b // {v}
+                           THEN 0 ELSE 1 END), 0) AS BIGINT) AS fp
+  FROM mods m LEFT JOIN pairs USING (modality) GROUP BY 1)
+SELECT modality, tp, fp, CAST({planted} - tp AS BIGINT) AS fn,
+  CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE 1000 * tp // (tp + fp) END AS BIGINT) AS precision_permille,
+  CAST(1000 * tp // {planted} AS BIGINT) AS recall_permille,
+  CAST(2000 * tp // (2 * tp + fp + ({planted} - tp)) AS BIGINT)
+    AS f1_permille
 FROM c
-""",
-        "pdf_table_cells": (
-            "SELECT url, page, table_id, row, col, cell_text "
-            f"FROM read_parquet('{p('table_cells_seq.parquet')}')"
-        ),
-    })
+"""
 
 
 def _alias_same_result(sqls: Dict[str, str]) -> Dict[str, str]:

@@ -575,8 +575,7 @@ def test_skyline_filter_matches_bruteforce_with_ties():
         n = 200
         x = rs.randint(0, 30, n).astype(np.int64)  # small domain -> many ties
         y = rs.randint(0, 30, n).astype(np.int64)
-        ids = np.arange(n, dtype=np.int64)
-        keep = set(skyline_filter(ids, x, y).tolist())
+        keep = set(skyline_filter(x, y).tolist())
         want = set()
         for i in range(n):
             dominated = any(
@@ -587,7 +586,7 @@ def test_skyline_filter_matches_bruteforce_with_ties():
             )
             if not dominated:
                 want.add(i)
-        assert keep == {int(ids[i]) for i in want} or keep == want
+        assert keep == want
 
 
 def test_skyline_merge_property():
@@ -598,14 +597,13 @@ def test_skyline_merge_property():
     rs = np.random.RandomState(5)
     x = rs.randint(0, 1000, 500).astype(np.int64)
     y = (1000 - x + rs.randint(-50, 50, 500)).astype(np.int64)  # anti-corr
-    ids = np.arange(500, dtype=np.int64)
-    full = set(skyline_filter(ids, x, y).tolist())
+    full = set(skyline_filter(x, y).tolist())
     merged_ids = []
     for s in (slice(0, 200), slice(200, 350), slice(350, 500)):
-        idx = skyline_filter(ids[s], x[s], y[s])
+        idx = skyline_filter(x[s], y[s])
         merged_ids.extend(np.arange(*s.indices(500))[idx].tolist())
     m = np.array(sorted(merged_ids), dtype=np.int64)
-    final = {int(v) for v in m[skyline_filter(ids[m], x[m], y[m])]}
+    final = {int(v) for v in m[skyline_filter(x[m], y[m])]}
     assert final == full
 
 
