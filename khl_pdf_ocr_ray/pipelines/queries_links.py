@@ -194,9 +194,74 @@ def q_anchor_text_agg(sf_dir: str) -> rd.Dataset:
     )
 
 
+def block_stats_partial(batch: pa.Table) -> pa.Table:
+    """HTML pages -> per-host boilerplate-strip accounting partials:
+    (host, n_pages, n_blocks, n_kept, kept_chars, dropped_chars). Runs
+    the SAME block scorer the extraction tier ships
+    (functions/html_extract.extract_main_content — text/link-density
+    keep rule), so this is the extraction headline's own yield report:
+    how much of each host's markup survives the strip."""
+    from ..functions.graph import host_of
+    from ..functions.html_extract import extract_main_content
+    from ..sources.wordbox import sniff_content_type
+
+    cells: dict = {}
+    for url, payload in zip(
+        batch["url"].to_pylist(), batch["html"].to_pylist()
+    ):
+        if sniff_content_type(payload) != "text/html":
+            continue
+        blocks = extract_main_content(payload)["blocks"]
+        c = cells.setdefault(host_of(url), [0, 0, 0, 0, 0])
+        c[0] += 1
+        for b in blocks:
+            c[1] += 1
+            if b["kept"]:
+                c[2] += 1
+                c[3] += len(b["text"])
+            else:
+                c[4] += len(b["text"])
+    hosts = sorted(cells)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "n_pages": pa.array([cells[h][0] for h in hosts], pa.int64()),
+            "n_blocks": pa.array([cells[h][1] for h in hosts], pa.int64()),
+            "n_kept": pa.array([cells[h][2] for h in hosts], pa.int64()),
+            "kept_chars": pa.array([cells[h][3] for h in hosts], pa.int64()),
+            "dropped_chars": pa.array(
+                [cells[h][4] for h in hosts], pa.int64()
+            ),
+        }
+    )
+
+
+def q_html_block_stats(sf_dir: str) -> rd.Dataset:
+    """(host, n_pages, n_blocks, n_kept, kept_chars, dropped_chars) —
+    the boilerplate-strip yield report per host. Map-only scoring (the
+    payload never leaves the parse task) + ONE host-cardinality Sum."""
+    return (
+        _pages(sf_dir)
+        .map_batches(
+            remote_fn(_QL, "block_stats_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_blocks", alias_name="n_blocks"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_chars", alias_name="kept_chars"),
+            Sum("dropped_chars", alias_name="dropped_chars"),
+        )
+    )
+
+
 LINKS_QUERIES = {
     "html_links": q_html_links,
     "html_link_degree": q_html_link_degree,
     "html_meta": q_html_meta,
     "anchor_text_agg": q_anchor_text_agg,
+    "html_block_stats": q_html_block_stats,
 }

@@ -31,6 +31,7 @@ def dumps_dir(sf_dir: str) -> str:
     parts = []
     for rel in (
         "functions/links.py",
+        "functions/html_extract.py",  # block-scoring kernel (block stats)
         "pipelines/queries_links.py",
         "state/oracle_dump_links.py",
         "sources/synth.py",  # pages-corpus generator
@@ -56,6 +57,15 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     )
     pq.write_table(meta_explode(pages), os.path.join(tmp_dir, "meta_seq.parquet"))
 
+    # per-host boilerplate-strip accounting: the same kernel, one process,
+    # whole corpus in one batch (the per-host cells merge by construction)
+    from ..pipelines.queries_links import block_stats_partial
+
+    pq.write_table(
+        block_stats_partial(pages),
+        os.path.join(tmp_dir, "block_stats_seq.parquet"),
+    )
+
 
 def ensure_dumps(sf_dir: str) -> str:
     return ensure_published(dumps_dir(sf_dir), lambda tmp: _build_dumps(sf_dir, tmp))
@@ -68,6 +78,10 @@ def links_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         return os.path.join(d, name)
 
     return {
+        "html_block_stats": (
+            "SELECT host, n_pages, n_blocks, n_kept, kept_chars, "
+            f"dropped_chars FROM read_parquet('{p('block_stats_seq.parquet')}')"
+        ),
         "html_links": (
             "SELECT url, link_id, href, anchor, container "
             f"FROM read_parquet('{p('links_seq.parquet')}')"

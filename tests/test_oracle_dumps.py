@@ -22,6 +22,7 @@ DUMP_QUERIES = [
     "host_pagerank",
     "host_hits",
     "url_blocklist",
+    "html_block_stats",
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
