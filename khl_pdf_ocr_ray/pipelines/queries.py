@@ -1960,6 +1960,12 @@ from .queries_sampleval import (  # noqa: E402
 QUERIES.update(SAMPLEVAL_QUERIES)
 ORACLES.update(SAMPLEVAL_ORACLES)
 
+# Multi-touch linear attribution (largest-remainder exact credit)
+from .queries_attrib import ATTRIB_ORACLES, ATTRIB_QUERIES  # noqa: E402
+
+QUERIES.update(ATTRIB_QUERIES)
+ORACLES.update(ATTRIB_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

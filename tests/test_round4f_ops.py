@@ -640,3 +640,51 @@ def test_sample_estimator_residue_and_scaling():
     ).to_pandas()
     assert out["n_est"].iloc[0] == out["n_sampled"].iloc[0] * SAMPLE_RATE
     assert out["err_permille"].iloc[0] < 200
+
+
+# --- linear_attribution ------------------------------------------------------
+
+
+def test_attrib_fold_largest_remainder_and_window():
+    from khl_pdf_ocr_ray.pipelines.queries_attrib import (
+        ATTRIB_WINDOW_US,
+        user_attrib_fold,
+    )
+
+    H = ATTRIB_WINDOW_US
+    # clicks at t=0,10,20; purchase at t=25: 3 clicks -> 333 each, the
+    # remainder milli-credit goes to the MOST RECENT click (t=20)
+    g = pd.DataFrame(
+        {
+            "user_id": np.int64([1] * 4),
+            "event_id": np.int64([100, 101, 102, 200]),
+            "ts": np.int64([0, 10, 20, 25]),
+            "is_purchase": np.int64([0, 0, 0, 1]),
+        }
+    )
+    out = user_attrib_fold(g).set_index("event_id")["credits_milli"]
+    assert out.to_dict() == {100: 333, 101: 333, 102: 334}
+
+    # window edges: click exactly at pts excluded; click exactly at
+    # pts - WINDOW included
+    g2 = pd.DataFrame(
+        {
+            "user_id": np.int64([1] * 3),
+            "event_id": np.int64([100, 101, 200]),
+            "ts": np.int64([0, H, H]),  # click@0 = pts-H, click@H = pts
+            "is_purchase": np.int64([0, 0, 1]),
+        }
+    )
+    out2 = user_attrib_fold(g2).set_index("event_id")["credits_milli"]
+    assert out2.to_dict() == {100: 1000}
+
+    # purchase with no preceding click emits nothing
+    g3 = pd.DataFrame(
+        {
+            "user_id": np.int64([1]),
+            "event_id": np.int64([200]),
+            "ts": np.int64([5]),
+            "is_purchase": np.int64([1]),
+        }
+    )
+    assert len(user_attrib_fold(g3)) == 0
