@@ -1966,6 +1966,15 @@ from .queries_attrib import ATTRIB_ORACLES, ATTRIB_QUERIES  # noqa: E402
 QUERIES.update(ATTRIB_QUERIES)
 ORACLES.update(ATTRIB_ORACLES)
 
+# Seasonal-naive forecast backtest (exact integer MAE per lag)
+from .queries_backtest import (  # noqa: E402
+    BACKTEST_ORACLES,
+    BACKTEST_QUERIES,
+)
+
+QUERIES.update(BACKTEST_QUERIES)
+ORACLES.update(BACKTEST_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -688,3 +688,32 @@ def test_attrib_fold_largest_remainder_and_window():
         }
     )
     assert len(user_attrib_fold(g3)) == 0
+
+
+# --- seasonal_backtest -------------------------------------------------------
+
+
+def test_backtest_fold_zero_fill_and_exact_mae():
+    from khl_pdf_ocr_ray.pipelines.queries_backtest import backtest_fold
+
+    # days 0..9 present except day 5 (zero-filled); volumes 10 except
+    # day 3 spike 20
+    counts = pd.DataFrame(
+        {
+            "day": np.int64([0, 1, 2, 3, 4, 6, 7, 8, 9]),
+            "n": np.int64([10, 10, 10, 20, 10, 10, 10, 10, 10]),
+        }
+    )
+    out = backtest_fold(counts, lags=(1, 7)).set_index("lag")
+    # lag-1 errors over 9 transitions: |10-10|x2, |20-10|, |10-20|,
+    # |0-10| (zero-filled day 5), |10-0|, then zeros: sae = 40
+    assert out.loc[1, "sae"] == 40 and out.loc[1, "n_days"] == 9
+    assert out.loc[1, "mae_milli"] == 1000 * 40 // 9
+    assert out.loc[1, "n_exact"] == 5
+    # lag-7: pairs (7,0),(8,1),(9,2): all 10 vs 10 -> perfect
+    assert out.loc[7, "sae"] == 0 and out.loc[7, "n_exact"] == 3
+
+    import pytest as _pt
+
+    with _pt.raises(AssertionError, match="lag 7 >= series"):
+        backtest_fold(counts.head(3), lags=(7,))
