@@ -1975,6 +1975,15 @@ from .queries_backtest import (  # noqa: E402
 QUERIES.update(BACKTEST_QUERIES)
 ORACLES.update(BACKTEST_ORACLES)
 
+# Market-share / promo-ratio rollups (TPC-H Q8/Q14 flavored)
+from .queries_mktshare import (  # noqa: E402
+    MKTSHARE_ORACLES,
+    MKTSHARE_QUERIES,
+)
+
+QUERIES.update(MKTSHARE_QUERIES)
+ORACLES.update(MKTSHARE_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
