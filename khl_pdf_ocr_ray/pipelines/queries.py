@@ -1984,6 +1984,12 @@ from .queries_mktshare import (  # noqa: E402
 QUERIES.update(MKTSHARE_QUERIES)
 ORACLES.update(MKTSHARE_ORACLES)
 
+# KMV distinct sketch with union/Jaccard set-operation estimates
+from .queries_kmv import KMV_ORACLES, KMV_QUERIES  # noqa: E402
+
+QUERIES.update(KMV_QUERIES)
+ORACLES.update(KMV_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
