@@ -1990,6 +1990,12 @@ from .queries_kmv import KMV_ORACLES, KMV_QUERIES  # noqa: E402
 QUERIES.update(KMV_QUERIES)
 ORACLES.update(KMV_ORACLES)
 
+# MOSS winnowing fingerprint selection (Schleimer 2003)
+from .queries_winnow import WINNOW_ORACLES, WINNOW_QUERIES  # noqa: E402
+
+QUERIES.update(WINNOW_QUERIES)
+ORACLES.update(WINNOW_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
