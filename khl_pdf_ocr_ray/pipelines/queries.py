@@ -1996,6 +1996,11 @@ from .queries_winnow import WINNOW_ORACLES, WINNOW_QUERIES  # noqa: E402
 QUERIES.update(WINNOW_QUERIES)
 ORACLES.update(WINNOW_ORACLES)
 
+# Crawl politeness scheduling bound (dump-twin oracle)
+from .queries_crawl import CRAWL_QUERIES  # noqa: E402
+
+QUERIES.update(CRAWL_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -682,11 +682,21 @@ GROUP BY l.url
         # yields its row (LEFT JOIN against the modality list) with
         # precision 0, matching pr_finalize's zero guard.
         "fingerprint_pr_eval": _fp_pr_eval_sql(p),
+        "crawl_schedule": _crawl_schedule_sql(p),
         "pdf_table_cells": (
             "SELECT url, page, table_id, row, col, cell_text "
             f"FROM read_parquet('{p('table_cells_seq.parquet')}')"
         ),
     })
+
+
+def _crawl_schedule_sql(p) -> str:
+    """crawl_schedule oracle: independent DuckDB derivation (host
+    counts, char hash, worker assignment, greatest() bound) over the
+    sequential pages dump; constants imported from the query module."""
+    from ..pipelines.queries_crawl import crawl_schedule_dump_sql
+
+    return crawl_schedule_dump_sql(p("extracted_seq.parquet"))
 
 
 def _fp_pr_eval_sql(p) -> str:
