@@ -2001,6 +2001,12 @@ from .queries_crawl import CRAWL_QUERIES  # noqa: E402
 
 QUERIES.update(CRAWL_QUERIES)
 
+# Declarative data-quality constraint suite (Deequ-style)
+from .queries_dq import DQ_ORACLES, DQ_QUERIES  # noqa: E402
+
+QUERIES.update(DQ_QUERIES)
+ORACLES.update(DQ_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
