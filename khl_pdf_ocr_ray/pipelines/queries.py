@@ -2007,6 +2007,15 @@ from .queries_dq import DQ_ORACLES, DQ_QUERIES  # noqa: E402
 QUERIES.update(DQ_QUERIES)
 ORACLES.update(DQ_ORACLES)
 
+# Duffield priority sampling with exact fixed-point estimator
+from .queries_priority import (  # noqa: E402
+    PRIORITY_ORACLES,
+    PRIORITY_QUERIES,
+)
+
+QUERIES.update(PRIORITY_QUERIES)
+ORACLES.update(PRIORITY_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
