@@ -2016,6 +2016,12 @@ from .queries_priority import (  # noqa: E402
 QUERIES.update(PRIORITY_QUERIES)
 ORACLES.update(PRIORITY_ORACLES)
 
+# Parquet footer audit (independent duckdb parquet_metadata oracle,
+# sf-dir-parameterized — added inside oracles())
+from .queries_meta import META_QUERIES  # noqa: E402
+
+QUERIES.update(META_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -2030,6 +2036,7 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     from ..state.oracle_dump_train import train_oracle_sqls
 
     from .queries_dedupeval import dedupeval_oracle_sqls
+    from .queries_meta import meta_oracle_sqls
 
     out = dict(ORACLES)
     out.update(extract_oracle_sqls(sf_dir or ORACLE_SF))
@@ -2037,4 +2044,5 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     out.update(train_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(links_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(dedupeval_oracle_sqls(sf_dir or ORACLE_SF))
+    out.update(meta_oracle_sqls(sf_dir or ORACLE_SF))
     return out
