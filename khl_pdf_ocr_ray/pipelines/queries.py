@@ -2022,6 +2022,15 @@ from .queries_meta import META_QUERIES  # noqa: E402
 
 QUERIES.update(META_QUERIES)
 
+# Grid-bucketed interval-overlap join (owner-cell uniqueness, no dedup)
+from .queries_interval import (  # noqa: E402
+    INTERVAL_ORACLES,
+    INTERVAL_QUERIES,
+)
+
+QUERIES.update(INTERVAL_QUERIES)
+ORACLES.update(INTERVAL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
