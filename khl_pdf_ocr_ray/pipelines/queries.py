@@ -2031,6 +2031,11 @@ from .queries_interval import (  # noqa: E402
 QUERIES.update(INTERVAL_QUERIES)
 ORACLES.update(INTERVAL_ORACLES)
 
+# Fuzzy master-name canonicalization (broadcast hamming-1 join; dump twin)
+from .queries_fuzzy import FUZZY_QUERIES  # noqa: E402
+
+QUERIES.update(FUZZY_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -552,6 +552,8 @@ def extract_oracle_sqls(sf_dir: str) -> Dict[str, str]:
     """Oracle SQL strings for the dump-backed queries (generating the
     dumps first). Paths are embedded literally; the driver runs these at
     ``ORACLE_SF`` via ``__ray_entry__.oracle_sql()``."""
+    from ..pipelines.queries_fuzzy import fuzzy_oracle_sql as _fuzzy_sql
+
     d = ensure_dumps(sf_dir)
 
     def p(name: str) -> str:
@@ -604,6 +606,9 @@ SELECT host, engine,
 FROM read_parquet('{p("extracted_seq.parquet")}')
 GROUP BY host, engine
 """,
+        "master_fuzzy_match": _fuzzy_sql(
+            p("extracted_seq.parquet"), p("master.parquet")
+        ),
         "master_validate": f"""
 -- both kinds ALWAYS present (the engine emits zero-count rows for a kind
 -- that extracted nothing; the bare GROUP BY would drop it)
