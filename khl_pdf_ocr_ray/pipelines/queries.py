@@ -2036,6 +2036,11 @@ from .queries_fuzzy import FUZZY_QUERIES  # noqa: E402
 
 QUERIES.update(FUZZY_QUERIES)
 
+# Cross-source duplication matrix over the minhash pair set (dump twin)
+from .queries_dupmatrix import DUPMATRIX_QUERIES  # noqa: E402
+
+QUERIES.update(DUPMATRIX_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
