@@ -2041,6 +2041,15 @@ from .queries_dupmatrix import DUPMATRIX_QUERIES  # noqa: E402
 
 QUERIES.update(DUPMATRIX_QUERIES)
 
+# Inverted-index postings compression accounting (delta/Elias-γ bits)
+from .queries_postings import (  # noqa: E402
+    POSTINGS_ORACLES,
+    POSTINGS_QUERIES,
+)
+
+QUERIES.update(POSTINGS_QUERIES)
+ORACLES.update(POSTINGS_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
