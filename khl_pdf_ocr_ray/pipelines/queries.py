@@ -2050,6 +2050,15 @@ from .queries_postings import (  # noqa: E402
 QUERIES.update(POSTINGS_QUERIES)
 ORACLES.update(POSTINGS_ORACLES)
 
+# Training-shard source-mix entropy (shuffle-quality audit)
+from .queries_shardmix import (  # noqa: E402
+    SHARDMIX_ORACLES,
+    SHARDMIX_QUERIES,
+)
+
+QUERIES.update(SHARDMIX_QUERIES)
+ORACLES.update(SHARDMIX_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
