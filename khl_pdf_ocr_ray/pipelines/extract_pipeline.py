@@ -161,7 +161,7 @@ def pages_cache_dir(
     # convention shared with state/manifest.fragment_fingerprint)
     key = hashlib.sha256(
         f"{doc_path}:{st.st_size}:{st.st_mtime_ns}:{repeat}:{seed}"
-        f":{giants_per_mille}:{num_blocks}:v6".encode()
+        f":{giants_per_mille}:{num_blocks}:v7".encode()  # v7: HTML tables
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, f"pages_{key}")
 

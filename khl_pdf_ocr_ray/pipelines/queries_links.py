@@ -101,6 +101,41 @@ def meta_explode(batch: pa.Table) -> pa.Table:
     )
 
 
+def tables_explode(batch: pa.Table) -> pa.Table:
+    """One row per table CELL of every HTML page (functions/htmltables):
+    the markup twin of pdf_table_cells. Map-only; payload dropped."""
+    from ..functions.htmltables import extract_html_tables
+    from ..sources.wordbox import sniff_content_type
+
+    urls, tids, rows_, cols_, hdrs, texts = [], [], [], [], [], []
+    for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        if sniff_content_type(payload) != "text/html":
+            continue
+        for tid, row, col, is_header, text in extract_html_tables(payload):
+            urls.append(url)
+            tids.append(tid)
+            rows_.append(row)
+            cols_.append(col)
+            hdrs.append(is_header)
+            texts.append(text)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "table_idx": pa.array(tids, pa.int64()),
+            "row": pa.array(rows_, pa.int64()),
+            "col": pa.array(cols_, pa.int64()),
+            "is_header": pa.array(hdrs, pa.bool_()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def q_html_table_cells(sf_dir: str) -> rd.Dataset:
+    return _pages(sf_dir).map_batches(
+        remote_fn(_QL, "tables_explode"), batch_format="pyarrow"
+    )
+
+
 def degree_partial(batch: pa.Table) -> pa.Table:
     """Per-batch (href, url) pre-collapse. A page's link rows may split
     across combiner batches, so this is a partial for the (href, url)
@@ -262,6 +297,7 @@ LINKS_QUERIES = {
     "html_links": q_html_links,
     "html_link_degree": q_html_link_degree,
     "html_meta": q_html_meta,
+    "html_table_cells": q_html_table_cells,
     "anchor_text_agg": q_anchor_text_agg,
     "html_block_stats": q_html_block_stats,
 }

@@ -83,6 +83,25 @@ def _rng(*parts) -> random.Random:
 
 
 # --- HTML page --------------------------------------------------------------
+def make_html_table(rng: random.Random) -> str:
+    """A small deterministic data table (~35% of HTML pages carry one):
+    one <th> header row + 2-4 body rows x 2-4 cols. Cells are short
+    (< the block scorer's min_text_len), so the main-text extraction is
+    unaffected; the table surface is exercised by html_table_cells."""
+    ncols = rng.randint(2, 4)
+    nrows = rng.randint(2, 4)
+    head = "".join(f"<th>col {c}</th>" for c in range(ncols))
+    body = "".join(
+        "<tr>"
+        + "".join(
+            f"<td>item {r}.{c} v{rng.randint(0, 99)}</td>" for c in range(ncols)
+        )
+        + "</tr>"
+        for r in range(nrows)
+    )
+    return f'<table class="data"><tr>{head}</tr>{body}</table>\n'
+
+
 def make_html_page(rng: random.Random, doc_text: str, title: str) -> str:
     words = doc_text.split()
     paras: List[str] = []
@@ -98,6 +117,7 @@ def make_html_page(rng: random.Random, doc_text: str, title: str) -> str:
         f'<a href="/r{j}">related item {j}</a>' for j in range(rng.randint(4, 9))
     )
     body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
+    table = make_html_table(rng) if rng.random() < 0.35 else ""
     ad = "<p>ad</p>" if rng.random() < 0.5 else ""
     return (
         "<!doctype html>\n<html><head><title>"
@@ -107,7 +127,7 @@ def make_html_page(rng: random.Random, doc_text: str, title: str) -> str:
         + f"<nav><ul>{nav_items}</ul></nav>\n"
         + f'<div class="main"><article>\n<h2>{title} article heading text</h2>\n'
         + body_paras
-        + f"\n{ad}<div class=\"links\">{related}</div>\n</article></div>\n"
+        + f"\n{table}{ad}<div class=\"links\">{related}</div>\n</article></div>\n"
         + '<aside><p>subscribe to our newsletter today</p></aside>\n'
         + f"<footer><p>copyright {rng.randint(2019, 2025)} example press</p></footer>\n"
         + "</body></html>"

@@ -32,6 +32,7 @@ def dumps_dir(sf_dir: str) -> str:
     for rel in (
         "functions/links.py",
         "functions/html_extract.py",  # block-scoring kernel (block stats)
+        "functions/htmltables.py",  # table-cell kernel
         "pipelines/queries_links.py",
         "state/oracle_dump_links.py",
         "sources/synth.py",  # pages-corpus generator
@@ -47,7 +48,11 @@ def dumps_dir(sf_dir: str) -> str:
 def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     from ..pipelines.extract_pipeline import synthesize_pages
     from ..pipelines.queries_extract import _REPEAT
-    from ..pipelines.queries_links import links_explode, meta_explode
+    from ..pipelines.queries_links import (
+        links_explode,
+        meta_explode,
+        tables_explode,
+    )
 
     os.makedirs(tmp_dir, exist_ok=True)
     pages_dir = synthesize_pages(sf_dir, repeat=_REPEAT)
@@ -56,6 +61,9 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
         links_explode(pages), os.path.join(tmp_dir, "links_seq.parquet")
     )
     pq.write_table(meta_explode(pages), os.path.join(tmp_dir, "meta_seq.parquet"))
+    pq.write_table(
+        tables_explode(pages), os.path.join(tmp_dir, "tables_seq.parquet")
+    )
 
     # per-host boilerplate-strip accounting: the same kernel, one process,
     # whole corpus in one batch (the per-host cells merge by construction)
@@ -95,6 +103,10 @@ def links_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "html_meta": (
             "SELECT url, title, n_paras, n_links, footer_year "
             f"FROM read_parquet('{p('meta_seq.parquet')}')"
+        ),
+        "html_table_cells": (
+            "SELECT url, table_idx, row, col, is_header, text "
+            f"FROM read_parquet('{p('tables_seq.parquet')}')"
         ),
         # independent rollup: window row_number + ordered string_agg in
         # DuckDB vs the engine's combiner + per-target assembly
