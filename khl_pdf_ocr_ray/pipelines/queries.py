@@ -2059,6 +2059,15 @@ from .queries_shardmix import (  # noqa: E402
 QUERIES.update(SHARDMIX_QUERIES)
 ORACLES.update(SHARDMIX_ORACLES)
 
+# Measured Bloom false-positive rate (independent HUGEINT splitmix twin)
+from .queries_bloomeval import (  # noqa: E402
+    BLOOMEVAL_ORACLES,
+    BLOOMEVAL_QUERIES,
+)
+
+QUERIES.update(BLOOMEVAL_QUERIES)
+ORACLES.update(BLOOMEVAL_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
