@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "rolling_7d_active_users",  # sliding COUNT DISTINCT via window cover (round 4)
     "session_paths_topk",       # per-user journey fold + path rollup (round 4)
     "media_phash_dups",         # binary-payload fingerprint dedup family (round 4)
+    "interval_overlap_join",    # grid-cell interval join, owner-cell dedup (round 4)
+    "html_table_cells",         # markup table-grid extraction surface (round 4)
+    "master_fuzzy_match",       # broadcast hamming-1 name canonicalization (round 4)
 ]
 
 

@@ -2068,6 +2068,11 @@ from .queries_bloomeval import (  # noqa: E402
 QUERIES.update(BLOOMEVAL_QUERIES)
 ORACLES.update(BLOOMEVAL_ORACLES)
 
+# Contrastive training pairs from near-dup clusters (dump-derived twin)
+from .queries_contrastive import CONTRASTIVE_QUERIES  # noqa: E402
+
+QUERIES.update(CONTRASTIVE_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

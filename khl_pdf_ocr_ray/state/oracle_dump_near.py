@@ -902,10 +902,14 @@ def near_oracle_sqls(sf_dir: str) -> Dict[str, str]:
     def p(name: str) -> str:
         return os.path.join(d, name)
 
+    from ..pipelines.queries_contrastive import contrastive_oracle_sql
     from ..pipelines.queries_dupmatrix import dupmatrix_oracle_sql
 
     return {
         "dup_source_matrix": dupmatrix_oracle_sql(p("minhash_pairs_seq.parquet")),
+        "contrastive_pairs": contrastive_oracle_sql(
+            p("minhash_clusters_seq.parquet")
+        ),
         "minhash_dups": f"SELECT doc_a, doc_b, est_jaccard_x100 FROM read_parquet('{p('minhash_pairs_seq.parquet')}')",
         "source_kl_drift": f"SELECT source, n_tokens, kl_fx, kl_micro FROM read_parquet('{p('source_kl_seq.parquet')}')",
         "minhash_clusters": f"SELECT doc_id, cluster_id, cluster_size, keep FROM read_parquet('{p('minhash_clusters_seq.parquet')}')",
