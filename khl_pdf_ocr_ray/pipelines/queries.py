@@ -2073,6 +2073,11 @@ from .queries_contrastive import CONTRASTIVE_QUERIES  # noqa: E402
 
 QUERIES.update(CONTRASTIVE_QUERIES)
 
+# Footer-stats scan-pruning evaluation (sf-parameterized static SQL)
+from .queries_prune import PRUNE_QUERIES  # noqa: E402
+
+QUERIES.update(PRUNE_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -2088,6 +2093,7 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
 
     from .queries_dedupeval import dedupeval_oracle_sqls
     from .queries_meta import meta_oracle_sqls
+    from .queries_prune import prune_oracle_sqls
 
     out = dict(ORACLES)
     out.update(extract_oracle_sqls(sf_dir or ORACLE_SF))
@@ -2096,4 +2102,5 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     out.update(links_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(dedupeval_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(meta_oracle_sqls(sf_dir or ORACLE_SF))
+    out.update(prune_oracle_sqls(sf_dir or ORACLE_SF))
     return out
