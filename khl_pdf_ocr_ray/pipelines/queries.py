@@ -2078,6 +2078,15 @@ from .queries_prune import PRUNE_QUERIES  # noqa: E402
 
 QUERIES.update(PRUNE_QUERIES)
 
+# Windowed token co-occurrence counts (skip-gram statistics)
+from .queries_cooccur import (  # noqa: E402
+    COOCCUR_ORACLES,
+    COOCCUR_QUERIES,
+)
+
+QUERIES.update(COOCCUR_QUERIES)
+ORACLES.update(COOCCUR_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

@@ -97,16 +97,14 @@ def kmv_partial(batch: pa.Table) -> pa.Table:
 
 
 def kmv_merge(group: pd.DataFrame) -> pd.DataFrame:
-    """Merge block partials of one type -> its final K-smallest sketch."""
+    """Merge block partials of one type -> its final K-smallest sketch.
+    Under K distinct values the sketch IS the exact set (Beyer 2007
+    semantics; the estimator then reports the exact count)."""
     hs = np.unique(group["h"].to_numpy(np.int64))
-    assert len(hs) >= KMV_K, (
-        f"type {group['event_type'].iloc[0]!r} has {len(hs)} < K={KMV_K} "
-        "distinct users — shrink KMV_K for this corpus"
-    )
     top = hs[:KMV_K]
     return pd.DataFrame(
         {
-            "event_type": [group["event_type"].iloc[0]] * KMV_K,
+            "event_type": [group["event_type"].iloc[0]] * len(top),
             "h": top.astype(np.int64),
         }
     )
@@ -120,8 +118,14 @@ def kmv_pair_fold(sketches: pd.DataFrame) -> pa.Table:
         for t, g in sketches.groupby("event_type")
     }
     types = sorted(by_type)
+    # under-K sketch = the exact set -> exact count (Beyer 2007)
     est = {
-        t: (KMV_K - 1) * KMV_SPACE // int(by_type[t][KMV_K - 1]) for t in types
+        t: (
+            (KMV_K - 1) * KMV_SPACE // int(by_type[t][KMV_K - 1])
+            if len(by_type[t]) >= KMV_K
+            else len(by_type[t])
+        )
+        for t in types
     }
     rows = {
         "type_a": [],
@@ -138,14 +142,19 @@ def kmv_pair_fold(sketches: pd.DataFrame) -> pa.Table:
             merged = np.unique(
                 np.concatenate([by_type[a], by_type[b]])
             )[:KMV_K]
-            h_u = int(merged[KMV_K - 1])
+            m = len(merged)
             n_inter = sum(1 for x in merged.tolist() if x in sa and x in sb)
+            est_union = (
+                (KMV_K - 1) * KMV_SPACE // int(merged[KMV_K - 1])
+                if m >= KMV_K
+                else m
+            )
             rows["type_a"].append(a)
             rows["type_b"].append(b)
             rows["est_a"].append(est[a])
             rows["est_b"].append(est[b])
-            rows["est_union"].append((KMV_K - 1) * KMV_SPACE // h_u)
-            rows["jaccard_permille"].append(1000 * n_inter // KMV_K)
+            rows["est_union"].append(est_union)
+            rows["jaccard_permille"].append(1000 * n_inter // m)
     return pa.table(
         {
             "type_a": pa.array(rows["type_a"], pa.string()),
@@ -197,9 +206,13 @@ WITH u AS (
 r AS (
   SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rnk
   FROM u),
-kth AS (SELECT t, max(h) AS hk FROM r WHERE rnk <= {KMV_K} GROUP BY t),
+kth AS (SELECT t, max(h) AS hk, count(*) AS ns
+        FROM r WHERE rnk <= {KMV_K} GROUP BY t),
 est AS (
-  SELECT t, CAST(({KMV_K} - 1) * {KMV_SPACE}::HUGEINT // hk AS BIGINT) AS e
+  -- under-K sketch = the exact set -> exact count (Beyer 2007)
+  SELECT t, CASE WHEN ns < {KMV_K} THEN CAST(ns AS BIGINT)
+               ELSE CAST(({KMV_K} - 1) * {KMV_SPACE}::HUGEINT // hk
+                         AS BIGINT) END AS e
   FROM kth),
 pairs AS (
   SELECT a.t AS ta, b.t AS tb FROM kth a JOIN kth b ON a.t < b.t),
@@ -214,14 +227,15 @@ unr AS (
          row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rnk
   FROM un),
 agg AS (
-  SELECT ta, tb, max(h) AS hu,
+  SELECT ta, tb, max(h) AS hu, count(*) AS m,
          CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
   FROM unr WHERE rnk <= {KMV_K} GROUP BY ta, tb)
 SELECT agg.ta AS type_a, agg.tb AS type_b,
        ea.e AS est_a, eb.e AS est_b,
-       CAST(({KMV_K} - 1) * {KMV_SPACE}::HUGEINT // agg.hu AS BIGINT)
-         AS est_union,
-       CAST(1000 * agg.n_inter // {KMV_K} AS BIGINT) AS jaccard_permille
+       CASE WHEN agg.m < {KMV_K} THEN CAST(agg.m AS BIGINT)
+            ELSE CAST(({KMV_K} - 1) * {KMV_SPACE}::HUGEINT // agg.hu
+                      AS BIGINT) END AS est_union,
+       CAST(1000 * agg.n_inter // agg.m AS BIGINT) AS jaccard_permille
 FROM agg
 JOIN est ea ON ea.t = agg.ta
 JOIN est eb ON eb.t = agg.tb

@@ -56,10 +56,23 @@ def test_estimator_formula_exact():
     assert out["est_a"].iloc[0] == (KMV_K - 1) * KMV_SPACE // KMV_K
 
 
-def test_merge_asserts_under_k():
-    g = pd.DataFrame({"event_type": ["a"] * 5, "h": np.int64([1, 2, 3, 4, 5])})
-    with pytest.raises(AssertionError, match="distinct users"):
-        kmv_merge(g)
+def test_merge_under_k_is_exact_set():
+    g = pd.DataFrame({"event_type": ["a"] * 5, "h": np.int64([3, 1, 2, 1, 5])})
+    out = kmv_merge(g)
+    assert out["h"].tolist() == [1, 2, 3, 5]  # the exact distinct set
+
+
+def test_under_k_estimates_exact():
+    # both sides under K: estimates and union are exact counts, jaccard
+    # is exact over the union set
+    a = np.int64([1, 2, 3])
+    b = np.int64([2, 3, 4, 5])
+    df = _sketch_df([("a", x) for x in a] + [("b", x) for x in b])
+    out = kmv_pair_fold(df).to_pandas()
+    assert out["est_a"].tolist() == [3]
+    assert out["est_b"].tolist() == [4]
+    assert out["est_union"].tolist() == [5]
+    assert out["jaccard_permille"].tolist() == [1000 * 2 // 5]
 
 
 def test_partial_keeps_k_smallest_per_type():
