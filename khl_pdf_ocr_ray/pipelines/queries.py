@@ -2087,6 +2087,12 @@ from .queries_cooccur import (  # noqa: E402
 QUERIES.update(COOCCUR_QUERIES)
 ORACLES.update(COOCCUR_ORACLES)
 
+# Interpolated Kneser-Ney bigram LM in exact integer arithmetic
+from .queries_knlm import KNLM_ORACLES, KNLM_QUERIES  # noqa: E402
+
+QUERIES.update(KNLM_QUERIES)
+ORACLES.update(KNLM_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
