@@ -44,13 +44,20 @@ def test_kn_matches_fraction_reference():
         assert out.loc[(w1, w2), "p_fx"] == want
 
 
-def test_kn_probabilities_sum_below_scale():
-    # per history w1, sum over OBSERVED w2 of P <= 1 (the discount mass
-    # reserved for unseen continuations keeps it strictly below)
+def test_kn_normalization():
+    # when the continuation types of w1 cover EVERY bigram-type ender,
+    # the observed-w2 sum is exactly the full-vocabulary normalization:
+    # sum_x n1b(x) over x in {x,y,z} = 4 = T -> sum P = 1 exactly
     rows = [("h", "x", 10), ("h", "y", 4), ("h", "z", 1), ("q", "x", 2)]
     out = kn_fold(_counts(rows))
     s = out[out["w1"] == "h"]["p_fx"].sum()
-    assert s < KN_SCALE
+    assert abs(s - KN_SCALE) <= 3  # 1.0 up to one rounding step per term
+    # with a continuation type h never produces ("q","w"), the observed
+    # sum drops strictly below 1 — that mass is reserved for unseen w2
+    rows2 = rows + [("q", "w", 5)]
+    out2 = kn_fold(_counts(rows2))
+    s2 = out2[out2["w1"] == "h"]["p_fx"].sum()
+    assert s2 < s
 
 
 def test_singleton_bigram_discount_floor():
