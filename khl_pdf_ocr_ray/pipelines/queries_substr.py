@@ -417,6 +417,115 @@ def q_phrase_hits_indexed(sf_dir: str) -> rd.Dataset:
     )
 
 
+def crawl_split_filter(batch: pa.Table, new_crawl: bool) -> pa.Table:
+    """Deterministic crawl split: doc_id % 4 == 0 is the 'new' crawl."""
+    import pyarrow.compute as pc
+
+    is_new = pc.equal(pc.bit_wise_and(batch["doc_id"], 3), 0)
+    return batch.filter(is_new if new_crawl else pc.invert(is_new))
+
+
+def ensure_phrase_index_incremental(sf_dir: str, n: int = PHRASE_N) -> str:
+    """Two-GENERATION positional index: gen=0 indexes the history crawl
+    (doc_id % 4 != 0); the new crawl (doc_id % 4 == 0) APPENDS as gen=1
+    parquet files in the same bucket layout — history is never re-read,
+    re-tokenized or rewritten (asserted on file bytes+mtime inside the
+    build). This is the minhash_incremental recipe on the phrase-search
+    surface: per-crawl index growth costs ONE explode pass over the new
+    crawl only; probes read the probed bucket of every generation (a
+    periodic compaction folds generations without re-tokenizing —
+    file-level concat, documented not built)."""
+    import os
+
+    from ..io import blocks_for_bytes, input_nbytes, read_parquet_clean
+    from ..state.atomic import ensure_published
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    key = hashlib.sha256(
+        f"{path}:{st.st_size}:{st.st_mtime_ns}:n{n}b{PHRASE_INDEX_BUCKETS}"
+        ":incr:v1".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join("/tmp/khlray_cache", f"phraseidx_incr_{key}")
+
+    def _build(tmp_dir: str) -> None:
+        import glob as _glob
+
+        docs = read_parquet_clean(path, columns=["doc_id", "text"]).repartition(
+            blocks_for_bytes(input_nbytes(path))
+        )
+
+        def _write(gen: int, new_crawl: bool) -> None:
+            docs.map_batches(
+                remote_fn(_QS, "crawl_split_filter", new_crawl=new_crawl),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).map_batches(
+                remote_fn(_QS, "ngram_index_batch", n=n), batch_format="pyarrow"
+            ).write_parquet(
+                os.path.join(tmp_dir, f"gen={gen}"), partition_cols=["bucket"]
+            )
+
+        _write(0, new_crawl=False)  # history
+        gen0 = {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in _glob.glob(os.path.join(tmp_dir, "gen=0", "**", "*.parquet"),
+                                recursive=True)
+        }
+        _write(1, new_crawl=True)  # the new crawl appends
+        after = {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in _glob.glob(os.path.join(tmp_dir, "gen=0", "**", "*.parquet"),
+                                recursive=True)
+        }
+        assert after == gen0, "incremental append modified history files"
+
+    return ensure_published(out_dir, _build)
+
+
+def q_phrase_hits_incremental(sf_dir: str) -> rd.Dataset:
+    """Phrase search over the two-generation incremental index: probe
+    reads ONLY the phrase's bucket directory of EVERY generation and
+    reduces across them — rows hash-equal the scan-time ``phrase_hits``
+    (the append is an access path, not a different answer)."""
+    import glob
+    import os
+
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    index_dir = ensure_phrase_index_incremental(sf_dir)
+    files = sorted(
+        f
+        for gen in ("gen=0", "gen=1")
+        for f in glob.glob(
+            os.path.join(index_dir, gen, f"bucket={_ng_bucket(PHRASE)}", "*.parquet")
+        )
+    )
+    if not files:  # phrase absent from the corpus: typed empty result
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                    "first_pos": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return (
+        rd.read_parquet(files, columns=["doc_id", "pos", "ng"])
+        .map_batches(
+            remote_fn(_QS, "phrase_filter_batch", phrase=PHRASE),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(
+            _Count(alias_name="n_hits"),
+            _Min("pos", alias_name="first_pos"),
+        )
+    )
+
+
 def q_snapshot_dedup(sf_dir: str) -> rd.Dataset:
     """Cross-snapshot incremental dedup: documents of the "new" snapshot
     (odd doc_id) whose content hash never occurs in the "old" snapshot
@@ -564,6 +673,7 @@ SUBSTR_QUERIES: Dict[str, object] = {
     "substring_dup_spans": q_substring_dup_spans,
     "phrase_hits": q_phrase_hits,
     "phrase_hits_indexed": q_phrase_hits_indexed,
+    "phrase_hits_incremental": q_phrase_hits_incremental,
     "snapshot_dedup": q_snapshot_dedup,
     "snapshot_diff": q_snapshot_diff,
 }
@@ -589,6 +699,16 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
 FROM isl GROUP BY doc_id, island
 """,
     "phrase_hits": f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+g AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+{PHRASE_N - 1}], ' ') AS ng
+      FROM w, UNNEST(range(1, len(ws)-{PHRASE_N}+2)) AS t(i))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM g WHERE ng = '{PHRASE}' GROUP BY doc_id
+""",
+    # identical oracle: the two-generation incremental index is an access
+    # path too — same rows as the scan
+    "phrase_hits_incremental": f"""
 WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
 g AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+{PHRASE_N - 1}], ' ') AS ng
       FROM w, UNNEST(range(1, len(ws)-{PHRASE_N}+2)) AS t(i))
