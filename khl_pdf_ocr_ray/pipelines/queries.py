@@ -2093,6 +2093,12 @@ from .queries_knlm import KNLM_ORACLES, KNLM_QUERIES  # noqa: E402
 QUERIES.update(KNLM_QUERIES)
 ORACLES.update(KNLM_ORACLES)
 
+# Multi-pattern dictionary tagging (vectorized substring scan)
+from .queries_dict import DICT_ORACLES, DICT_QUERIES  # noqa: E402
+
+QUERIES.update(DICT_QUERIES)
+ORACLES.update(DICT_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
