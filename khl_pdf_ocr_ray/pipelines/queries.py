@@ -2099,6 +2099,12 @@ from .queries_dict import DICT_ORACLES, DICT_QUERIES  # noqa: E402
 QUERIES.update(DICT_QUERIES)
 ORACLES.update(DICT_ORACLES)
 
+# Decile lift / cumulative-gain ranking eval (doc_ntile machinery)
+from .queries_lift import LIFT_ORACLES, LIFT_QUERIES  # noqa: E402
+
+QUERIES.update(LIFT_QUERIES)
+ORACLES.update(LIFT_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
