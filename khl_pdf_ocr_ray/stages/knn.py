@@ -522,17 +522,14 @@ def triangle_block_pairs(group: pd.DataFrame, tau_e6: int, n_blocks: int) -> pd.
     key = int(group["pair_key"].iloc[0])
     g1, g2 = key // n_blocks, key % n_blocks
     tau = tau_e6 / 1e6
-    out_a: List[int] = []
-    out_b: List[int] = []
     if g1 == g2:
         ids = group["vec_id"].to_numpy().astype(np.int64)
         x = _normalize(_embed_matrix(group))
         sims = x @ x.T
         ia, ib = np.nonzero(sims >= tau)
-        for i, j in zip(ia, ib):
-            if ids[i] < ids[j]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
+        keep = ids[ia] < ids[ib]
+        out_a = ids[ia[keep]]
+        out_b = ids[ib[keep]]
     else:
         left = group[group["grp"] == g1]
         right = group[group["grp"] == g2]
@@ -542,12 +539,11 @@ def triangle_block_pairs(group: pd.DataFrame, tau_e6: int, n_blocks: int) -> pd.
         ids_r = right["vec_id"].to_numpy().astype(np.int64)
         sims = _normalize(_embed_matrix(left)) @ _normalize(_embed_matrix(right)).T
         ia, ib = np.nonzero(sims >= tau)
-        for i, j in zip(ia, ib):
-            a, b = int(ids_l[i]), int(ids_r[j])
-            if a > b:
-                a, b = b, a
-            out_a.append(a)
-            out_b.append(b)
+        # blocks are disjoint (vec_id % B), so a != b always
+        a = ids_l[ia]
+        b = ids_r[ib]
+        out_a = np.minimum(a, b)
+        out_b = np.maximum(a, b)
     return pd.DataFrame({"vec_a": out_a, "vec_b": out_b}).astype(
         {"vec_a": "int64", "vec_b": "int64"}
     )
@@ -593,28 +589,40 @@ def embedding_dups(sf_dir: str, tau_e6: int = 350_000):
     )
 
 
+EMB_BUCKET_CAP = 1024  # max vectors per LSH bucket before pair generation
+                       # truncates (deterministic: sorted vec_id) — the same
+                       # hot-bucket discipline as stages/dedup.py BUCKET_CAP.
+                       # Near-dup corpora produce pathological buckets (10^5
+                       # boilerplate-identical embeddings in one bucket would
+                       # be an O(10^10) single-task matmul); capping bounds
+                       # every task to cap^2 dot products. Recall survives
+                       # because multi-table LSH gives near-dup pairs many
+                       # bucket chances and truncation keeps the cap LOWEST
+                       # vec_ids, identical on every table they co-occur in.
+
+
 def bucket_group_pairs(group: pd.DataFrame, tau_e6: int) -> pd.DataFrame:
     """All-pairs cosine within one LSH bucket; emits vec_a < vec_b with
-    cos >= tau."""
+    cos >= tau. Buckets larger than EMB_BUCKET_CAP truncate
+    deterministically (sorted vec_id) BEFORE the matmul, and the pair
+    emit is a vectorized upper-triangle mask — no per-pair Python."""
     empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
         {"vec_a": "int64", "vec_b": "int64"}
     )
     if len(group) < 2:
         return empty
-    g = group.drop_duplicates("vec_id")
+    g = group.drop_duplicates("vec_id").sort_values("vec_id")
+    if len(g) > EMB_BUCKET_CAP:
+        g = g.iloc[:EMB_BUCKET_CAP]
     ids = g["vec_id"].to_numpy().astype(np.int64)
     x = _normalize(_embed_matrix(g))
     sims = x @ x.T
-    ia, ib = np.nonzero(sims >= tau_e6 / 1e6)
-    out_a: List[int] = []
-    out_b: List[int] = []
-    for i, j in zip(ia, ib):
-        if ids[i] < ids[j]:
-            out_a.append(int(ids[i]))
-            out_b.append(int(ids[j]))
-    return pd.DataFrame({"vec_a": out_a, "vec_b": out_b}).astype(
-        {"vec_a": "int64", "vec_b": "int64"}
-    )
+    # ids ascend, so the strict upper triangle IS the vec_a < vec_b set
+    iu_r, iu_c = np.triu_indices(len(ids), k=1)
+    keep = sims[iu_r, iu_c] >= tau_e6 / 1e6
+    return pd.DataFrame(
+        {"vec_a": ids[iu_r[keep]], "vec_b": ids[iu_c[keep]]}
+    ).astype({"vec_a": "int64", "vec_b": "int64"})
 
 
 def embedding_dups_lsh(sf_dir: str, tau_e6: int = 350_000):

@@ -416,3 +416,49 @@ def test_minhash_incremental_matches_planted_variants(ray_session, sf):
     # second call serves the published index (no rebuild)
     assert ensure_minhash_index(sf) == idx
     assert os.path.getmtime(idx) == mtime
+
+
+def test_bucket_group_pairs_hot_bucket_capped():
+    """A planted pathological LSH bucket (EMB_BUCKET_CAP + 500 near-identical
+    vectors) must truncate deterministically to the CAP lowest vec_ids before
+    the matmul — bounding the task at cap^2 instead of going quadratic in the
+    raw bucket — and the vectorized emit must produce exactly the capped
+    all-pairs set with vec_a < vec_b."""
+    from khl_pdf_ocr_ray.stages.knn import EMB_BUCKET_CAP, bucket_group_pairs
+
+    rs = np.random.RandomState(7)
+    n = EMB_BUCKET_CAP + 500
+    base = rs.rand(8)
+    vecs = [np.asarray(base + rs.rand(8) * 1e-4, dtype=np.float32) for _ in range(n)]
+    # shuffled ids: truncation must be by SORTED vec_id, not arrival order
+    ids = rs.permutation(n).astype(np.int64)
+    g = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    pairs = bucket_group_pairs(g, tau_e6=350_000)
+    # only the EMB_BUCKET_CAP lowest vec_ids participate
+    assert int(pairs["vec_b"].max()) < EMB_BUCKET_CAP
+    # near-identical vectors: every capped pair is above tau
+    assert len(pairs) == EMB_BUCKET_CAP * (EMB_BUCKET_CAP - 1) // 2
+    assert (pairs["vec_a"] < pairs["vec_b"]).all()
+    assert pairs["vec_a"].dtype == np.int64 and pairs["vec_b"].dtype == np.int64
+
+
+def test_bucket_group_pairs_under_cap_unchanged():
+    """Below the cap the kernel is exact all-pairs >= tau (loop-free path
+    must agree with a direct O(n^2) reference)."""
+    from khl_pdf_ocr_ray.stages.knn import bucket_group_pairs
+
+    rs = np.random.RandomState(11)
+    n = 60
+    vecs = [np.asarray(rs.rand(8), dtype=np.float32) for _ in range(n)]
+    ids = rs.permutation(1000)[:n].astype(np.int64)
+    g = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    pairs = bucket_group_pairs(g, tau_e6=350_000)
+    x = np.stack(vecs).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    want = set()
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and sims[i, j] >= 0.35:
+                want.add((int(ids[i]), int(ids[j])))
+    assert set(zip(pairs["vec_a"], pairs["vec_b"])) == want
