@@ -142,7 +142,7 @@ def _splitmix_sql(x_expr: str, salt_expr: str) -> str:
 def _sql() -> str:
     h = _splitmix_sql("u", "salt")
     return f"""
-WITH salts AS (SELECT unnest([1, 2, 3, 4]) AS salt),
+WITH salts AS (SELECT unnest([{", ".join(str(i + 1) for i in range(DEFAULT_K))}]) AS salt),
 members AS (SELECT DISTINCT user_id AS u FROM events),
 mb AS (
   SELECT DISTINCT CAST(({h}) % {DEFAULT_M_BITS} AS BIGINT) AS b

@@ -73,8 +73,7 @@ def q_dup_source_matrix(sf_dir: str) -> "object":
         zero_copy_batch=True,
     )
     src = _t(sf_dir, "documents", ["doc_id", "source"])
-    with_a = safe_join(pairs, src, on=("a",), right_on=("doc_id",))
-    if with_a is None:  # no pairs (degenerate corpus)
+    def _empty():
         import ray.data as rd
 
         return rd.from_arrow(
@@ -86,11 +85,16 @@ def q_dup_source_matrix(sf_dir: str) -> "object":
                 }
             )
         )
+
+    with_a = safe_join(pairs, src, on=("a",), right_on=("doc_id",))
+    if with_a is None:  # no pairs (degenerate corpus)
+        return _empty()
     # the join drops the right key column itself; only `source` arrives
     with_a = with_a.rename_columns({"source": "src_a"})
-    with_b = safe_join(with_a, src, on=("b",), right_on=("doc_id",)).rename_columns(
-        {"source": "src_b"}
-    )
+    with_b = safe_join(with_a, src, on=("b",), right_on=("doc_id",))
+    if with_b is None:  # same guard: safe_join's materialize fallback
+        return _empty()  # returns None on an empty left side
+    with_b = with_b.rename_columns({"source": "src_b"})
     return (
         with_b.map_batches(
             remote_fn(_QD, "canonical_cell_batch"),

@@ -57,7 +57,15 @@ def perturb(name: str) -> str:
 
 
 def explode_names_partial(batch: pa.Table) -> pa.Table:
-    """Extracted rows -> DISTINCT (kind, name) partial (noise applied)."""
+    """Extracted rows -> DISTINCT (kind, name) partial (noise applied).
+
+    Filtered to the PDF engines exactly like the oracle's
+    ``engine IN ('pdf-text', 'pdf-ocr')`` — today other engines always
+    carry empty name lists, but equivalence must not depend on that
+    staying true for future extractors."""
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.is_in(batch["engine"], pa.array(["pdf-text", "pdf-ocr"])))
     seen = set()
     for col, kind in _NAME_COLS:
         for names in batch[col].to_pylist():

@@ -118,6 +118,10 @@ def _bounds(pages_dir: str) -> tuple:
         idx = md.schema.names.index("warc_ts")
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
+            # same loud contract as file_stats_batch: a stats-less column
+            # would give np.datetime64(None) -> NaT -> int64 min and
+            # silently corrupt the predicate bounds
+            assert st is not None and st.has_min_max, "ts stats required"
             l = int(np.datetime64(st.min, "us").astype(np.int64))
             h = int(np.datetime64(st.max, "us").astype(np.int64))
             lo = l if lo is None else min(lo, l)
