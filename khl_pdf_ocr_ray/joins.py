@@ -292,3 +292,138 @@ def skew_join(
         batch_format="pyarrow",
     )
     return hot_joined.union(cold_joined)
+
+
+# --- salted skew join (two-sided skew) ----------------------------------------
+def _salt_probe_batch(batch, key: str, hot, n_salt: int):
+    """Append ``_salt``: hot-key probe rows spread over 0..n_salt-1 (any
+    assignment is correct — the build side is replicated to EVERY salt, so
+    the join's row multiset is salt-assignment-independent); cold rows 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    is_hot = pc.is_in(batch[key], value_set=pa.array(hot))
+    spread = np.arange(batch.num_rows, dtype=np.int64) % n_salt
+    salt = pc.if_else(is_hot, pa.array(spread), pa.scalar(0, pa.int64()))
+    return batch.append_column("_salt", salt)
+
+
+def _replicate_build_batch(batch, right_key: str, hot, n_salt: int):
+    """Build side: cold rows pass through with ``_salt`` 0; hot-key rows
+    are replicated n_salt times, one copy per salt value, so every salted
+    probe partition sees the full build slice of its hot key."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    is_hot = pc.is_in(batch[right_key], value_set=pa.array(hot))
+    cold = batch.filter(pc.invert(is_hot))
+    cold = cold.append_column(
+        "_salt_r", pa.array(np.zeros(cold.num_rows, dtype=np.int64))
+    )
+    hot_rows = batch.filter(is_hot)
+    n = hot_rows.num_rows
+    if n == 0:
+        return cold
+    rep = hot_rows.take(np.repeat(np.arange(n, dtype=np.int64), n_salt))
+    salts = pa.array(np.tile(np.arange(n_salt, dtype=np.int64), n))
+    return pa.concat_tables([cold, rep.append_column("_salt_r", salts)])
+
+
+def salted_skew_join(
+    left,
+    right,
+    key: str,
+    right_key: str,
+    out_schema,
+    hot_count_threshold: int = 100_000,
+    n_salt: int = 16,
+    force: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+):
+    """INNER join for the SKEWED-BUILD x SKEWED-PROBE regime ``skew_join``
+    documents but does not cover: when a hot key is heavy on BOTH sides,
+    broadcasting its build slice (skew_join's move) re-creates the
+    straggler in every map task's memory. Here the probe side's hot rows
+    are SALTED over ``n_salt`` sub-keys and the build side's hot rows are
+    REPLICATED once per salt, so the hot key's work spreads over n_salt
+    shuffle partitions while each partition still sees the full build
+    slice of its salt. Cold keys ride along with salt 0 on both sides —
+    ONE hash join on (key, salt), no broadcast, no driver materialization
+    of any data-sized state.
+
+    Output rows are exactly the plain inner join's multiset: replication
+    to every salt makes the result independent of the probe salt
+    assignment (forced-branch equivalence test in tests/test_joins_skew).
+
+    Partitioning assumptions (documented):
+    - the hot-key SET is bounded (<= count(left)/threshold keys reach the
+      driver via the same exact per-key combiner skew_join uses);
+    - the build side's hot slice is replicated n_salt x through the
+      shuffle — pick n_salt ~ (hot probe rows / target partition rows),
+      NOT proportional to build size;
+    - per-key join fan-out (n_probe x n_build rows) is the OUTPUT's
+      inherent size; salting bounds per-task input, not output.
+
+    ``force``: None (size-based), "plain" (skip salting), "salted"
+    (salt even if no key crosses the threshold — test hook, mirrors the
+    BFS forced-branch convention).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from .remote import remote_fn
+
+    assert force in (None, "plain", "salted")
+    assert "_salt" not in [f.name for f in out_schema]
+    cols = [f.name for f in out_schema]
+
+    left = left.materialize()  # consumed twice: key counts + probe
+    counts = (
+        left.map_batches(
+            remote_fn("khl_pdf_ocr_ray.joins", "_key_count_partial", key=key),
+            batch_format="pyarrow",
+        )
+        .groupby("k_")
+        .aggregate(_Sum("n_", alias_name="n_"))
+        .to_pandas()  # one row per distinct probe key — keys, never rows
+    )
+    if force == "salted":
+        hot = sorted(counts.nlargest(1, "n_")["k_"].tolist())
+    elif force == "plain":
+        hot = []
+    else:
+        hot = sorted(counts.loc[counts["n_"] >= hot_count_threshold, "k_"].tolist())
+
+    if not hot:
+        j = safe_join(left, right, on=(key,), right_on=(right_key,))
+        return None if j is None else j.map_batches(
+            remote_fn("khl_pdf_ocr_ray.joins", "_project", cols=cols),
+            batch_format="pyarrow",
+        )
+
+    salted_left = left.map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.joins", "_salt_probe_batch",
+            key=key, hot=hot, n_salt=n_salt,
+        ),
+        batch_format="pyarrow",
+    )
+    replicated_right = right.map_batches(
+        remote_fn(
+            "khl_pdf_ocr_ray.joins", "_replicate_build_batch",
+            right_key=right_key, hot=hot, n_salt=n_salt,
+        ),
+        batch_format="pyarrow",
+    )
+    j = safe_join(
+        salted_left,
+        replicated_right,
+        on=(key, "_salt"),
+        right_on=(right_key, "_salt_r"),
+        num_partitions=num_partitions,
+    )
+    return None if j is None else j.map_batches(
+        remote_fn("khl_pdf_ocr_ray.joins", "_project", cols=cols),
+        batch_format="pyarrow",
+    )

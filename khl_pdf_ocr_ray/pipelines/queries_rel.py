@@ -933,8 +933,87 @@ FROM ev JOIN dim ON ev.user_id = dim.u_r
 """
 
 
+def skew_tag_dim_batch(batch: pa.Table) -> pa.Table:
+    """Distinct users -> the TWO-SIDED-skew build side: the hot user
+    (user 0, ~half the probe stream) carries THREE build rows (tags
+    0,1,2) where every cold user carries one (tag = u % 3) — the
+    build-side slice of the hot key is itself the largest, the regime
+    skew_join's broadcast path documents as out of scope."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    u = batch["u_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rep = np.where(u == 0, 3, 1)
+    idx = np.repeat(np.arange(len(u), dtype=np.int64), n_rep)
+    rep_u = u[idx]
+    # per-copy tag: cumulative position within each key's run
+    starts = np.repeat(np.cumsum(n_rep) - n_rep, n_rep)
+    copy_i = np.arange(len(idx), dtype=np.int64) - starts
+    tag = np.where(rep_u == 0, copy_i, rep_u % 3)
+    return pa.table(
+        {
+            "u_r": pa.array(rep_u),
+            "tag": pa.array(tag.astype(np.int64)),
+        }
+    )
+
+
+def q_skew_join_salted(sf_dir: str) -> rd.Dataset:
+    """Two-sided-skew join through joins.salted_skew_join: the planted
+    stream's hot user (~50% of probe rows) ALSO holds the largest build
+    slice, so its probe rows are salted over sub-keys and its build rows
+    replicated once per salt — one (key, salt) hash join, no broadcast;
+    no shuffle partition holds the hot key's full probe row set."""
+    import pyarrow as _pa
+
+    from ..joins import salted_skew_join
+    from .queries import _t
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        remote_fn(_QR, "skew_plant_batch"), batch_format="pyarrow"
+    )
+    dim = (
+        ev.map_batches(remote_fn(_QR, "skew_dim_partial"), batch_format="pyarrow")
+        .groupby("u_r")
+        .aggregate(Count(alias_name="n_"))
+        .select_columns(["u_r"])
+        .map_batches(remote_fn(_QR, "skew_tag_dim_batch"), batch_format="pyarrow")
+    )
+    out_schema = _pa.schema(
+        [("event_id", _pa.int64()), ("user_id", _pa.int64()), ("tag", _pa.int64())]
+    )
+    joined = salted_skew_join(
+        ev,
+        dim,
+        key="user_id",
+        right_key="u_r",
+        out_schema=out_schema,
+        hot_count_threshold=SKEW_HOT_THRESHOLD,
+        n_salt=8,
+    )
+    assert joined is not None  # events is never empty
+    return joined
+
+
+SQL_SKEW_JOIN_SALTED = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id
+  FROM events),
+u AS (SELECT DISTINCT user_id AS u_r FROM ev),
+dim AS (
+  SELECT u_r, CAST(t.t AS BIGINT) AS tag
+  FROM u, unnest([0, 1, 2]) AS t(t) WHERE u_r = 0
+  UNION ALL
+  SELECT u_r, CAST(u_r % 3 AS BIGINT) AS tag FROM u WHERE u_r <> 0)
+SELECT ev.event_id, ev.user_id, dim.tag
+FROM ev JOIN dim ON ev.user_id = dim.u_r
+"""
+
+
 REL_QUERIES = {
     "skew_join_events": q_skew_join_events,
+    "skew_join_salted": q_skew_join_salted,
     "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
     "lang_confusion": q_lang_confusion,
     "events_iqr_filter": q_events_iqr_filter,
@@ -949,6 +1028,7 @@ REL_QUERIES = {
 
 REL_ORACLES = {
     "skew_join_events": SQL_SKEW_JOIN_EVENTS,
+    "skew_join_salted": SQL_SKEW_JOIN_SALTED,
     "fuzzy_prefix_dups": SQL_FUZZY_PREFIX_DUPS,
     "lang_confusion": _sql_lang_confusion(),
     "events_iqr_filter": SQL_EVENTS_IQR_FILTER,
