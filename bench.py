@@ -220,7 +220,7 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -233,6 +233,22 @@ def run_scaling() -> dict:
         "n_docs": r_hi["n_docs"],
         "sf": SF_DIR,
     }
+    # standing spill gate (round-5 brief item 5): the undersized-object-
+    # store leg runs with every scaling measurement so object-store
+    # regressions surface in the same record as the 8/32-CPU pair
+    env = dict(
+        os.environ,
+        GRAFT_REPEAT=os.environ.get("GRAFT_SPILL_REPEAT", "320"),
+    )
+    spill_out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--spill"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    out["spill"] = json.loads(spill_out.strip().splitlines()[-1])
+    return out
 
 
 def run_spill() -> dict:

@@ -478,6 +478,14 @@ def q_cluster_lang_purity(sf_dir: str) -> rd.Dataset:
 
 # --- SemDeDup (within-cluster semantic dedup) --------------------------------
 SEM_TAU = 0.35  # cosine threshold; matches the embedding_dups family
+SEM_CHUNK = 1024  # prefix-compare tile width: memory per tile is
+                  # SEM_CHUNK^2 doubles (~8 MB), independent of cluster size
+SEM_CLUSTER_WIDTH_MAX = 32_768  # loud guard: a cluster wider than this is
+                                # a ~10^9-dot-product single task — the
+                                # operator's K must scale with the corpus
+                                # (SemDeDup uses ~10^5 clusters at LAION
+                                # scale); failing loudly beats a silent
+                                # multi-minute straggler
 
 
 def semdedup_mark(x: np.ndarray) -> np.ndarray:
@@ -489,18 +497,38 @@ def semdedup_mark(x: np.ndarray) -> np.ndarray:
     the decision for row i is independent of other removals and the rule
     is order-parallel). Shared verbatim by the distributed per-cluster
     task and the sequential dump twin — identical input matrix, identical
-    doubles."""
+    doubles.
+
+    Computed as tiled prefix matmuls (SEM_CHUNK x SEM_CHUNK blocks of
+    x @ x.T, strict lower triangle): O(n^2) compute like the published
+    rule, but O(SEM_CHUNK^2) peak memory and BLAS kernels instead of a
+    per-row Python loop. Clusters wider than SEM_CLUSTER_WIDTH_MAX fail
+    loudly — the guard for a degenerate k-means K rather than silent
+    quadratic stragglers."""
     n = len(x)
+    if n > SEM_CLUSTER_WIDTH_MAX:
+        raise ValueError(
+            f"semdedup cluster width {n} exceeds SEM_CLUSTER_WIDTH_MAX="
+            f"{SEM_CLUSTER_WIDTH_MAX}: raise the k-means K so clusters stay "
+            f"task-sized (K ~ corpus / target cluster width)"
+        )
     kept = np.ones(n, dtype=bool)
     if n <= 1:
         return kept
     norms = np.sqrt(np.einsum("ij,ij->i", x, x))
     norms[norms == 0.0] = 1.0
     xn = x / norms[:, None]
-    for i in range(1, n):
-        # matvec against the fixed prefix — same shape on both engines
-        if (xn[:i] @ xn[i] >= SEM_TAU).any():
-            kept[i] = False
+    for rs in range(1, n, SEM_CHUNK):
+        re_ = min(rs + SEM_CHUNK, n)
+        rows = np.arange(rs, re_)
+        hit = np.zeros(re_ - rs, dtype=bool)
+        for cs in range(0, re_, SEM_CHUNK):
+            ce = min(cs + SEM_CHUNK, re_)
+            sims = xn[rs:re_] @ xn[cs:ce].T
+            # strict prefix: column j counts for row i only when j < i
+            cmask = np.arange(cs, ce)[None, :] < rows[:, None]
+            hit |= ((sims >= SEM_TAU) & cmask).any(axis=1)
+        kept[rs:re_] = ~hit
     return kept
 
 

@@ -207,3 +207,59 @@ def test_semdedup_lowest_id_always_kept(ray_session, sf_smoke_dir):
                     cos(vecs[earlier], vecs[vid]) >= SEM_TAU
                     for earlier in ids[:i]
                 ), vid
+
+
+def test_semdedup_mark_tiled_equals_naive_loop():
+    """The tiled prefix-compare must reproduce the published per-row rule
+    bit-for-bit, including across chunk boundaries (SEM_CHUNK patched to a
+    tiny width so a ~100-row matrix spans many tiles)."""
+    import numpy as np
+
+    from khl_pdf_ocr_ray.pipelines import queries_embed as qe
+
+    rs = np.random.RandomState(5)
+    # near-dup heavy so plenty of rows are removed
+    base = rs.rand(10, 16)
+    x = np.vstack([base[rs.randint(0, 10)] + rs.rand(16) * 0.8 for _ in range(97)])
+
+    def naive(x):
+        n = len(x)
+        kept = np.ones(n, dtype=bool)
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        for i in range(1, n):
+            if (xn[:i] @ xn[i] >= qe.SEM_TAU).any():
+                kept[i] = False
+        return kept
+
+    want = naive(x)
+    got_default = qe.semdedup_mark(x)
+    old_chunk = qe.SEM_CHUNK
+    try:
+        qe.SEM_CHUNK = 7  # prime, far smaller than n: exercises ragged tiles
+        got_tiny = qe.semdedup_mark(x)
+    finally:
+        qe.SEM_CHUNK = old_chunk
+    assert (got_default == want).all()
+    assert (got_tiny == want).all()
+    assert not want.all()  # the planted dups actually removed rows
+
+
+def test_semdedup_giant_cluster_fails_loudly():
+    """A cluster wider than SEM_CLUSTER_WIDTH_MAX must raise, not start a
+    silent quadratic single task (round-5 brief item 6)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from khl_pdf_ocr_ray.pipelines import queries_embed as qe
+
+    old = qe.SEM_CLUSTER_WIDTH_MAX
+    try:
+        qe.SEM_CLUSTER_WIDTH_MAX = 50
+        with _pytest.raises(ValueError, match="SEM_CLUSTER_WIDTH_MAX"):
+            qe.semdedup_mark(np.ones((51, 8)))
+        # at exactly the cap it still runs
+        assert len(qe.semdedup_mark(np.ones((50, 8)))) == 50
+    finally:
+        qe.SEM_CLUSTER_WIDTH_MAX = old
