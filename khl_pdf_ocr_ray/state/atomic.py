@@ -31,19 +31,90 @@ def _exclusive_lock(out_dir: str):
             fcntl.flock(lf, fcntl.LOCK_UN)
 
 
+_MANIFEST = "_MANIFEST"
+_MARKERS = ("_DONE", _MANIFEST)
+
+
+def _collect_entries(root: str) -> dict:
+    """relpath -> (size, mtime_ns) for every artifact file under root."""
+    entries = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f in _MARKERS:
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            entries[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return entries
+
+
+def _write_manifest(root: str) -> None:
+    entries = _collect_entries(root)
+    with open(os.path.join(root, _MANIFEST), "w") as f:
+        for rel in sorted(entries):
+            size, mtime_ns = entries[rel]
+            f.write(f"{size}\t{mtime_ns}\t{rel}\n")
+
+
+def verify_manifest(out_dir: str) -> None:
+    """Loud integrity gate for a published artifact: every file must match
+    the size+mtime_ns recorded at publish time. A corrupted or tampered
+    index (a truncated bucket file, a re-written generation) must FAIL the
+    queries that read it, never silently serve stale or damaged rows.
+    stat-only (no content hashing) — O(files) microseconds per access.
+    Artifacts published before manifests existed (no _MANIFEST file) pass
+    unchecked; rebuilding refreshes them."""
+    mpath = os.path.join(out_dir, _MANIFEST)
+    if not os.path.exists(mpath):
+        return
+    want = {}
+    with open(mpath) as f:
+        for line in f:
+            size, mtime_ns, rel = line.rstrip("\n").split("\t", 2)
+            want[rel] = (int(size), int(mtime_ns))
+    have = _collect_entries(out_dir)
+    if have != want:
+        added = sorted(set(have) - set(want))[:3]
+        missing = sorted(set(want) - set(have))[:3]
+        changed = sorted(r for r in set(want) & set(have) if want[r] != have[r])[:3]
+        raise RuntimeError(
+            f"published artifact {out_dir} was modified after publish "
+            f"(added={added}, missing={missing}, changed={changed}); a "
+            f"corrupted cache must be rebuilt — delete the directory and rerun"
+        )
+
+
+def _bless_legacy(out_dir: str) -> None:
+    """Artifacts published before manifests existed get one written from
+    their CURRENT state on first access (under the builder lock), so they
+    join the integrity contract from then on."""
+    if os.path.exists(os.path.join(out_dir, _MANIFEST)):
+        return
+    with _exclusive_lock(out_dir):
+        if not os.path.exists(os.path.join(out_dir, _MANIFEST)):
+            _write_manifest(out_dir)
+
+
 def ensure_published(out_dir: str, build_fn: Callable[[str], None]) -> str:
     """Return ``out_dir``, building it via ``build_fn(tmp_dir)`` exactly
     once across processes. ``build_fn`` must leave the finished artifact in
-    the tmp dir it is given."""
+    the tmp dir it is given. Every access re-verifies the publish-time
+    size+mtime manifest (see verify_manifest) so post-publish corruption
+    fails loudly instead of serving damaged rows."""
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
+        _bless_legacy(out_dir)
+        verify_manifest(out_dir)
         return out_dir
     with _exclusive_lock(out_dir):
         if os.path.exists(done):  # another builder won the race
+            _bless_legacy(out_dir)
+            verify_manifest(out_dir)
             return out_dir
         tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         build_fn(tmp_dir)
+        _write_manifest(tmp_dir)  # rename preserves inner-file mtimes
         shutil.rmtree(out_dir, ignore_errors=True)  # stale partial (no _DONE)
         os.rename(tmp_dir, out_dir)
         with open(done, "w") as f:

@@ -462,3 +462,29 @@ def test_bucket_group_pairs_under_cap_unchanged():
             if ids[i] < ids[j] and sims[i, j] >= 0.35:
                 want.add((int(ids[i]), int(ids[j])))
     assert set(zip(pairs["vec_a"], pairs["vec_b"])) == want
+
+
+def test_minhash_index_corruption_fails_loudly(ray_session, sf):
+    """The persisted MinHash base index must refuse to serve after
+    post-publish corruption (round-5 brief item 7)."""
+    import glob
+    import os
+    import shutil
+
+    from khl_pdf_ocr_ray.stages.dedup import ensure_minhash_index
+
+    shutil.rmtree(ensure_minhash_index(sf), ignore_errors=True)
+    idx = ensure_minhash_index(sf)
+    victims = sorted(
+        glob.glob(os.path.join(idx, "sigs", "**", "*.parquet"), recursive=True)
+    )
+    assert victims
+    try:
+        with open(victims[0], "ab") as f:
+            f.write(b"X")
+        with pytest.raises(RuntimeError, match="modified after publish"):
+            ensure_minhash_index(sf)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    # clean rebuild serves again
+    assert ensure_minhash_index(sf) == idx
