@@ -2105,6 +2105,12 @@ from .queries_lift import LIFT_ORACLES, LIFT_QUERIES  # noqa: E402
 QUERIES.update(LIFT_QUERIES)
 ORACLES.update(LIFT_ORACLES)
 
+# N-gram novelty: first-occurrence attribution (dedup accounting)
+from .queries_novelty import NOVELTY_ORACLES, NOVELTY_QUERIES  # noqa: E402
+
+QUERIES.update(NOVELTY_QUERIES)
+ORACLES.update(NOVELTY_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
