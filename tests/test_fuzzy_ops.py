@@ -17,12 +17,16 @@ def test_perturb_first_e_only():
 
 
 def test_explode_distinct_and_kinds():
+    # third row: a NON-pdf engine carrying names must be filtered out —
+    # the kernel applies the oracle's engine IN ('pdf-text','pdf-ocr')
+    # instead of trusting other engines to have empty name lists
     batch = pa.table(
         {
-            "ref_main": [["Иванов Иван", "Иванов Иван"], []],
-            "ref_linesmen": [["Петров Олег"], None],
-            "gk_home_names": [[], ["Сидоров Глеб"]],
-            "gk_away_names": [["Сидоров Глеб"], []],
+            "engine": ["pdf-text", "pdf-ocr", "html"],
+            "ref_main": [["Иванов Иван", "Иванов Иван"], [], ["Чужой Судья"]],
+            "ref_linesmen": [["Петров Олег"], None, []],
+            "gk_home_names": [[], ["Сидоров Глеб"], []],
+            "gk_away_names": [["Сидоров Глеб"], [], []],
         }
     )
     out = explode_names_partial(batch).to_pandas()
