@@ -229,7 +229,8 @@ def skew_join(
     - the BUILD side is dimension-like (bounded rows per key), so the
       broadcast slice is |hot| x per-key rows — the classic skew-join
       regime. A skewed-build x skewed-probe pair needs salting WITH
-      build replication instead (no current caller needs it).
+      build replication instead: that is ``salted_skew_join`` below
+      (exercised by the skew_join_salted registry query).
 
     ``out_schema`` (pyarrow.Schema) fixes the output projection so the
     broadcast path and the shuffle path union with identical types.

@@ -12,10 +12,11 @@ Plan / 100 TB notes: map-only — one vectorized ``pc.count_substring``
 sweep per pattern per batch (text never leaves the scan); per-batch
 (pattern, n_docs, n_occ) partials fold through ONE dictionary-sized Sum
 exchange. This vectorized per-pattern form is right for config-sized
-dictionaries; a 10^5-pattern dictionary moves to an Aho-Corasick
-automaton built ONCE per actor (`__init__`, the D2 actor-pool pattern)
-with the same output contract — documented, not built (no such
-dictionary exists in this corpus).
+dictionaries; blocklist-scale dictionaries use ``dictionary_tag_ac``
+below — an Aho-Corasick automaton built ONCE per actor (`__init__`,
+the D2 actor-pool pattern) with the same output contract, one corpus
+pass regardless of pattern count (49x over the per-pattern sweep at
+10^4 patterns, BASELINE.md).
 
 Oracle: static SQL — one UNION ALL leg per pattern with
 ``(length(t) - length(replace(t, pat, ''))) // length(pat)``.
