@@ -319,6 +319,10 @@ def run_spill() -> dict:
     # this container lacks grpc (so ray's memory_summary API is out);
     # the raylet logs its own authoritative spill accounting:
     # "Spilled 3319 MiB, 848 objects, write throughput ..."
+    # The raylet emits the cumulative line asynchronously (throttled) —
+    # give it a beat or the final total is missed (measured: the
+    # 3,164 MiB line landed ~0.2 s after the consume returned).
+    time.sleep(3)
     import glob
 
     try:  # the live session's own dir (RAY_TMPDIR nests sessions)
