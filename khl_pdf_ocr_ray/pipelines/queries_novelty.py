@@ -286,12 +286,206 @@ FROM per_doc pd JOIN documents d ON d.doc_id = pd.doc_id
 GROUP BY d.source
 """
 
+# --- incremental novelty: new snapshot vs a PERSISTED gram index -------------
+# The per-crawl form of the accounting: history's distinct-trigram index
+# is built ONCE (hive-partitioned by gram-hash bucket, manifest-protected
+# like every published artifact); each new snapshot tokenizes only ITS OWN
+# documents and probes the index — history text is never re-read, so the
+# per-snapshot cost is O(new), the property that makes snapshot-over-
+# snapshot dedup accounting affordable at crawl scale. "Novel" here means
+# absent from HISTORY (within-snapshot duplicates count novel for every
+# new doc carrying them — no within-snapshot attribution; the full
+# attribution is ngram_novelty's job). The new snapshot is the planted
+# variant convention shared with the minhash/snapshot operators: every
+# 3rd document, doc_id + VARIANT_OFFSET, one appended token.
+
+GRAM_INDEX_BUCKETS = 64
+
+
+def gram_distinct_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, gram, shard) pairs -> per-batch DISTINCT grams (the
+    combiner that slims the index-build exchange)."""
+    return batch.select(["gram"]).group_by(["gram"]).aggregate([])
+
+
+def ensure_gram_index(sf_dir: str) -> str:
+    """Build (once, cached, manifest-verified) the distinct-trigram index
+    of the BASE corpus, parquet hive-partitioned by gram-hash bucket."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Count as _Count
+
+    from ..state.atomic import ensure_published
+    from .queries import _t
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    key = hashlib.sha256(
+        f"{path}:{st.st_size}:{st.st_mtime_ns}:b{GRAM_INDEX_BUCKETS}:gramidx:v1".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join("/tmp/khlray_cache", f"gramidx_{key}")
+
+    def _build(tmp_dir: str) -> None:
+        (
+            _t(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(
+                remote_fn(_QN, "novelty_pairs_partial"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .map_batches(
+                remote_fn(_QN, "gram_distinct_batch"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            # cross-batch dedup: one (gram)-keyed exchange, then the
+            # count column is dropped and g_one re-emitted as the probe
+            # marker
+            .groupby("gram")
+            .aggregate(_Count(alias_name="_n"))
+            .map_batches(
+                remote_fn(_QN, "gram_index_finalize"), batch_format="pyarrow"
+            )
+            .write_parquet(tmp_dir, partition_cols=["bucket"])
+        )
+
+    return ensure_published(out_dir, _build)
+
+
+def gram_index_finalize(batch: pa.Table) -> pa.Table:
+    import zlib
+
+    grams = batch["gram"].to_pylist()
+    bucket = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % GRAM_INDEX_BUCKETS for s in grams),
+        dtype=np.int64,
+        count=len(grams),
+    )
+    return pa.table(
+        {
+            "gram": batch["gram"],
+            "bucket": pa.array(bucket),
+            "g_one": pa.array(np.ones(len(grams), dtype=np.int64)),
+        }
+    )
+
+
+def novelty_incr_partial(batch: pa.Table) -> pa.Table:
+    """Joined (doc_id, g_one-or-null) pair rows -> per-doc partials."""
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hit = pc.fill_null(batch["g_one"], 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    df = pd.DataFrame({"doc_id": doc, "novel": (1 - hit)})
+    r = df.groupby("doc_id", as_index=False).agg(
+        n_novel=("novel", "sum"), n_grams=("novel", "size")
+    )
+    return pa.Table.from_pandas(
+        r.astype({"doc_id": "int64", "n_novel": "int64", "n_grams": "int64"}),
+        preserve_index=False,
+    )
+
+
+def q_novelty_incremental(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_grams, n_novel, novelty_fx) for the NEW snapshot's
+    documents, probed against the persisted base gram index — history
+    text is never re-tokenized."""
+    from ray.data.aggregate import Sum as _Sum
+
+    import ray.data as _rd
+
+    from ..io import table_nbytes
+    from ..joins import safe_join
+
+    _DD = "khl_pdf_ocr_ray.stages.dedup"
+    index_dir = ensure_gram_index(sf_dir)
+    from .queries import _t
+
+    new_pairs = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(remote_fn(_DD, "mod3_filter"), batch_format="pyarrow")
+        .map_batches(remote_fn(_DD, "make_variant_batch"), batch_format="pyarrow")
+        .map_batches(
+            remote_fn(_QN, "novelty_pairs_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(remote_fn(_QN, "drop_shard"), batch_format="pyarrow")
+    )
+    index = _rd.read_parquet(index_dir, columns=["gram", "g_one"])
+    joined = safe_join(
+        new_pairs,
+        index,
+        on=("gram",),
+        right_on=("gram",),
+        join_type="left_outer",
+        assume_non_empty=True,  # variants + base index both structurally non-empty
+        left_nbytes=table_nbytes(sf_dir, "documents"),
+        right_nbytes=table_nbytes(sf_dir, "documents"),
+    )
+    return (
+        joined.map_batches(
+            remote_fn(_QN, "novelty_incr_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("n_novel", alias_name="n_novel"),
+            _Sum("n_grams", alias_name="n_grams"),
+        )
+        .map_batches(remote_fn(_QN, "novelty_ratio_batch"), batch_format="pyarrow")
+    )
+
+
+def drop_shard(batch: pa.Table) -> pa.Table:
+    return batch.drop_columns(["shard"])
+
+
+from ..stages.dedup import VARIANT_OFFSET  # noqa: E402
+
+SQL_NOVELTY_INCREMENTAL = f"""
+WITH newdocs AS (
+  SELECT doc_id + {VARIANT_OFFSET} AS doc_id,
+         coalesce(text, '') || ' near duplicate variant' AS text
+  FROM documents WHERE doc_id % 3 = 0),
+nu AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM newdocs),
+ng AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
+           AS tri
+  FROM nu QUALIFY tri IS NOT NULL),
+np AS (SELECT DISTINCT doc_id, tri FROM ng),
+bu AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents),
+bg AS (
+  SELECT DISTINCT
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
+           AS tri
+  FROM bu QUALIFY tri IS NOT NULL)
+SELECT np.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE bg.tri IS NULL) AS BIGINT) AS n_novel,
+       CAST((count(*) FILTER (WHERE bg.tri IS NULL)) * {NOVELTY_SCALE}
+            // count(*) AS BIGINT) AS novelty_fx
+FROM np LEFT JOIN bg ON np.tri = bg.tri
+GROUP BY np.doc_id
+"""
+
 NOVELTY_QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "source_novelty": q_source_novelty,
+    "novelty_incremental": q_novelty_incremental,
 }
 
 NOVELTY_ORACLES = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "source_novelty": SQL_SOURCE_NOVELTY,
+    "novelty_incremental": SQL_NOVELTY_INCREMENTAL,
 }

@@ -81,3 +81,44 @@ def test_ngram_novelty_invariants(ray_session, sf_smoke_dir):
     assert src["n_docs"].sum() == len(doc)
     assert src["n_grams"].sum() == doc["n_grams"].sum()
     assert src["n_novel"].sum() == doc["n_novel"].sum()
+
+
+def test_novelty_incremental_semantics(ray_session, sf_smoke_dir):
+    """New-snapshot novelty vs the persisted base gram index: variant ids,
+    bounded counts, and the appended-token tail producing novel grams for
+    any doc long enough to form trigrams with it."""
+    from khl_pdf_ocr_ray.pipelines.queries_novelty import (
+        q_novelty_incremental,
+    )
+    from khl_pdf_ocr_ray.stages.dedup import VARIANT_OFFSET
+
+    out = q_novelty_incremental(sf_smoke_dir).to_pandas()
+    assert len(out) > 0
+    assert (out["doc_id"] >= VARIANT_OFFSET).all()
+    assert ((out["doc_id"] - VARIANT_OFFSET) % 3 == 0).all()
+    assert (out["n_novel"] <= out["n_grams"]).all()
+    # the appended " near duplicate variant" token forms trigrams absent
+    # from the base corpus for most variants
+    assert (out["n_novel"] > 0).mean() > 0.9
+
+
+def test_gram_index_cached_and_manifest_protected(ray_session, sf_smoke_dir):
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from khl_pdf_ocr_ray.pipelines.queries_novelty import ensure_gram_index
+
+    idx = ensure_gram_index(sf_smoke_dir)
+    assert ensure_gram_index(sf_smoke_dir) == idx  # cache hit
+    files = glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True)
+    assert files
+    try:
+        with open(files[0], "ab") as f:
+            f.write(b"X")
+        with _pytest.raises(RuntimeError, match="modified after publish"):
+            ensure_gram_index(sf_smoke_dir)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
