@@ -2111,6 +2111,12 @@ from .queries_novelty import NOVELTY_ORACLES, NOVELTY_QUERIES  # noqa: E402
 QUERIES.update(NOVELTY_QUERIES)
 ORACLES.update(NOVELTY_ORACLES)
 
+# Functional-dependency discovery (data-profiling / key certification)
+from .queries_fd import FD_ORACLES, FD_QUERIES  # noqa: E402
+
+QUERIES.update(FD_QUERIES)
+ORACLES.update(FD_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
