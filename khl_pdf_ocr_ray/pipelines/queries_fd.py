@@ -146,5 +146,144 @@ SQL_FD_DISCOVERY = "\nUNION ALL\n".join(
     _fd_leg(t, l, r) for t, l, r in FD_CANDIDATES
 )
 
-FD_QUERIES = {"fd_discovery": q_fd_discovery}
-FD_ORACLES = {"fd_discovery": SQL_FD_DISCOVERY}
+# --- inclusion-dependency discovery (foreign-key certification) --------------
+# The companion profiling pass: does every value of child.col appear in
+# parent.col? A held IND with a held key on the parent side certifies a
+# usable FK join path; the violation count quantifies referential damage
+# (the dangling-row accounting a pipeline needs before an inner join
+# silently drops rows).
+IND_CANDIDATES = (
+    # (child_table, child_col, parent_table, parent_col)
+    ("orders", "o_custkey", "customer", "c_custkey"),      # true FK
+    ("customer", "c_nationkey", "nation", "n_nationkey"),  # true FK
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),    # true FK
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),  # true FK
+    ("nation", "n_regionkey", "region", "r_regionkey"),    # true FK
+    ("events", "user_id", "customer", "c_custkey"),        # plausible, data decides
+)
+
+
+def ind_distinct_col(batch: pa.Table, col: str, side: int) -> pa.Table:
+    """One batch -> per-batch DISTINCT stringified values, tagged with the
+    side bit (1 = child, 2 = parent) for the one-scan-per-side union."""
+    g = batch.select([col]).group_by([col]).aggregate([])
+    n = g.num_rows
+    return pa.table(
+        {
+            "val": pc.cast(g[col], pa.string()),
+            "side": pa.array(np.full(n, side, dtype=np.int64)),
+        }
+    )
+
+
+def ind_rollup_partial(batch: pa.Table) -> pa.Table:
+    """(val, side_bits) rows -> one (n_child, n_missing) partial. A value
+    with bits & 1 is a child value; bits == 1 means it never occurs in
+    the parent."""
+    bits = batch["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+    child = (bits & 1) > 0
+    return pa.table(
+        {
+            "n_child": pa.array([int(child.sum())], pa.int64()),
+            "n_missing": pa.array([int((bits == 1).sum())], pa.int64()),
+        }
+    )
+
+
+def _ind_stats(sf_dir: str, ct: str, cc: str, pt: str, pc_: str) -> dict:
+    from ray.data.aggregate import Max as _Max
+
+    from .queries import _t
+
+    child = _t(sf_dir, ct, [cc]).map_batches(
+        remote_fn(_QFD, "ind_distinct_col", col=cc, side=1),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parent = _t(sf_dir, pt, [pc_]).map_batches(
+        remote_fn(_QFD, "ind_distinct_col", col=pc_, side=2),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from ray.data.aggregate import Min as _Min
+
+    rolled = (
+        child.union(parent)
+        # one val-keyed exchange: min side == 1 <=> a child occurrence
+        # exists, max side == 1 <=> no parent occurrence (a val may
+        # surface from MANY batches per side, so counting rows is wrong —
+        # the min/max pair is batching-invariant)
+        .groupby("val")
+        .aggregate(_Min("side", alias_name="mn"), _Max("side", alias_name="mx"))
+        .map_batches(
+            remote_fn(_QFD, "ind_bits_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(None)
+        .aggregate(
+            Sum("n_child", alias_name="n_child"),
+            Sum("n_missing", alias_name="n_missing"),
+        )
+        .to_pandas()
+    )
+    r = rolled.iloc[0]
+    return {
+        "dependency": f"{ct}.{cc} IN {pt}.{pc_}",
+        "n_child_distinct": int(r["n_child"]),
+        "n_missing": int(r["n_missing"]),
+        "holds": bool(int(r["n_missing"]) == 0),
+    }
+
+
+def ind_bits_partial(batch: pa.Table) -> pa.Table:
+    """Grouped (val, min-side, max-side) rows -> (n_child, n_missing)
+    partial: min == 1 <=> child occurrence exists; max == 1 <=> value
+    absent from the parent side."""
+    mn = batch["mn"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mx = batch["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    child = mn == 1
+    missing = mx == 1
+    return pa.table(
+        {
+            "n_child": pa.array([int(child.sum())], pa.int64()),
+            "n_missing": pa.array([int(missing.sum())], pa.int64()),
+        }
+    )
+
+
+def q_ind_discovery(sf_dir: str) -> pd.DataFrame:
+    """(dependency, n_child_distinct, n_missing, holds) per candidate."""
+    rows = [_ind_stats(sf_dir, *cand) for cand in IND_CANDIDATES]
+    df = pd.DataFrame(rows)
+    return df.astype(
+        {
+            "dependency": "string",
+            "n_child_distinct": "int64",
+            "n_missing": "int64",
+            "holds": "bool",
+        }
+    )
+
+
+def _ind_leg(ct: str, cc: str, pt: str, pc_: str) -> str:
+    return f"""
+SELECT '{ct}.{cc} IN {pt}.{pc_}' AS dependency,
+       (SELECT CAST(count(DISTINCT CAST({cc} AS VARCHAR)) AS BIGINT)
+        FROM {ct}) AS n_child_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT CAST({cc} AS VARCHAR) AS v FROM {ct}) c
+        WHERE c.v NOT IN
+          (SELECT CAST({pc_} AS VARCHAR) FROM {pt})) AS n_missing,
+       (SELECT count(*) FROM
+         (SELECT DISTINCT CAST({cc} AS VARCHAR) AS v FROM {ct}) c
+        WHERE c.v NOT IN
+          (SELECT CAST({pc_} AS VARCHAR) FROM {pt})) = 0 AS holds"""
+
+
+SQL_IND_DISCOVERY = "\nUNION ALL\n".join(
+    _ind_leg(*cand) for cand in IND_CANDIDATES
+)
+
+FD_QUERIES = {"fd_discovery": q_fd_discovery, "ind_discovery": q_ind_discovery}
+FD_ORACLES = {"fd_discovery": SQL_FD_DISCOVERY, "ind_discovery": SQL_IND_DISCOVERY}
