@@ -2117,6 +2117,12 @@ from .queries_fd import FD_ORACLES, FD_QUERIES  # noqa: E402
 QUERIES.update(FD_QUERIES)
 ORACLES.update(FD_ORACLES)
 
+# Sequential-pattern support mining (ordered pair, gap allowed)
+from .queries_seqpat import SEQPAT_ORACLES, SEQPAT_QUERIES  # noqa: E402
+
+QUERIES.update(SEQPAT_QUERIES)
+ORACLES.update(SEQPAT_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
