@@ -2123,6 +2123,11 @@ from .queries_seqpat import SEQPAT_ORACLES, SEQPAT_QUERIES  # noqa: E402
 QUERIES.update(SEQPAT_QUERIES)
 ORACLES.update(SEQPAT_ORACLES)
 
+# Greedy set-cover source selection (dump-twin oracle via train dumps)
+from .queries_cover import COVER_QUERIES  # noqa: E402
+
+QUERIES.update(COVER_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

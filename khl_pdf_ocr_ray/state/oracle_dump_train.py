@@ -33,6 +33,7 @@ def dumps_dir(sf_dir: str) -> str:
         "pipelines/queries_train.py",
         "pipelines/queries_graph.py",  # coreness twin shares the edge rule
         "pipelines/queries_layout.py",  # compaction FFD kernel (shared)
+        "pipelines/queries_cover.py",   # set-cover tokenizer + greedy (shared)
         "state/oracle_dump_train.py",
         "stages/dedup.py",  # variant-corpus rule (cdc twin input)
     ):
@@ -172,6 +173,43 @@ def _build_dumps(sf_dir: str, tmp_dir: str) -> None:
     pq.write_table(
         _compaction_seq(sf_dir), os.path.join(tmp_dir, "compaction_seq.parquet")
     )
+    pq.write_table(
+        _source_cover_seq(sf_dir),
+        os.path.join(tmp_dir, "source_cover_seq.parquet"),
+    )
+
+
+def _source_cover_seq(sf_dir: str) -> pa.Table:
+    """Sequential set-cover twin: the whole documents table through the
+    SAME tokenizer kernel as ONE batch, a pandas OR-fold for the per-gram
+    source masks (no sharding — the fold is associative, so shard
+    partitioning cannot change it), then the SHARED greedy_cover kernel.
+    The gate certifies the sharded distributed fold + mask-keyed Sum
+    reproduce this exactly."""
+    import numpy as np
+
+    from ..pipelines.queries_cover import (
+        cover_pairs_partial,
+        greedy_cover,
+        source_list,
+    )
+
+    sources = source_list(sf_dir)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    pairs = cover_pairs_partial(docs, sources).to_pandas()
+    masks = pairs.groupby("gram")["src_bit"].apply(
+        lambda srs: int(np.bitwise_or.reduce(srs.to_numpy(dtype=np.int64)))
+    )
+    hist = (
+        masks.to_frame("mask").groupby("mask", as_index=False).size()
+        .rename(columns={"size": "n_grams"})
+    )
+    out = greedy_cover(
+        hist["mask"].to_numpy(), hist["n_grams"].to_numpy(), sources
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _compaction_seq(sf_dir: str) -> pa.Table:
@@ -389,5 +427,9 @@ def train_oracle_sqls(sf_dir: str) -> Dict[str, str]:
         "compaction_plan": (
             "SELECT file_id, size_chars, bin_id "
             f"FROM read_parquet('{p('compaction_seq.parquet')}')"
+        ),
+        "source_set_cover": (
+            "SELECT step, source, marginal_grams, cumulative_grams "
+            f"FROM read_parquet('{p('source_cover_seq.parquet')}')"
         ),
     }
