@@ -2128,6 +2128,12 @@ from .queries_cover import COVER_QUERIES  # noqa: E402
 
 QUERIES.update(COVER_QUERIES)
 
+# Deterministic random-walk generation (node2vec/DeepWalk sampling)
+from .queries_walks import WALKS_ORACLES, WALKS_QUERIES  # noqa: E402
+
+QUERIES.update(WALKS_QUERIES)
+ORACLES.update(WALKS_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
