@@ -101,13 +101,83 @@ def _adjacency(edges: pd.DataFrame):
     return nodes, offsets, dst
 
 
-def q_graph_random_walks(sf_dir: str) -> rd.Dataset:
-    """(walk_id, step, node) walk traces — see module docstring."""
+ADJ_BROADCAST_MAX = 1 << 20  # adjacency entries below this broadcast
+                             # (the BFS_BROADCAST / skew_join convention);
+                             # above it every step runs the two-join
+                             # shuffle regime
+
+
+def ranked_edge_batch(batch: pa.Table) -> pa.Table:
+    """Distinct (lo, hi) -> both directions, tagged with the src shard
+    for the per-src rank kernel."""
+    lo = pc.cast(batch["lo"], pa.int64()).combine_chunks()
+    hi = pc.cast(batch["hi"], pa.int64()).combine_chunks()
+    t = pa.table(
+        {
+            "src": pa.concat_arrays([lo, hi]),
+            "dst": pa.concat_arrays([hi, lo]),
+        }
+    )
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column("rshard", pa.array(s % 64))
+
+
+def rank_edges_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """One src shard -> (src, rnk, dst, deg): neighbors ranked ascending
+    per src, vectorized (one lexsort + cumcount per shard)."""
+    g = g.sort_values(["src", "dst"], kind="mergesort")
+    rnk = g.groupby("src", sort=False).cumcount().to_numpy()
+    deg = g.groupby("src", sort=False)["dst"].transform("size").to_numpy()
+    return pd.DataFrame(
+        {
+            "src": g["src"].to_numpy(np.int64),
+            "rnk": rnk.astype(np.int64),
+            "dst": g["dst"].to_numpy(np.int64),
+            "deg": deg.astype(np.int64),
+        }
+    )
+
+
+def walk_pick_batch(batch: pa.Table, step: int) -> pa.Table:
+    """Frontier rows joined with their degree -> (walk_id, node, pick)
+    probe keys for the ranked-edge join."""
+    wid = batch["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cur = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    deg = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pick = walk_hash(wid, step, cur) % deg
+    return pa.table(
+        {
+            "walk_id": pa.array(wid),
+            "node": pa.array(cur),
+            "pick": pa.array(pick),
+        }
+    )
+
+
+def walk_next_project(batch: pa.Table, step: int) -> pa.Table:
+    """Joined probe x ranked-edge rows -> the next frontier."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "walk_id": pc.cast(batch["walk_id"], pa.int64()),
+            "step": pa.array(np.full(n, step, dtype=np.int64)),
+            "node": pc.cast(batch["dst"], pa.int64()),
+        }
+    )
+
+
+def q_graph_random_walks(sf_dir: str, force: str | None = None) -> rd.Dataset:
+    """(walk_id, step, node) walk traces — see module docstring.
+
+    ``force``: None (size-based regime pick), "broadcast", "shuffle"
+    (test hook; forced-branch equivalence proven in tests/test_walks)."""
     import ray
 
+    from ..joins import partitions_for_rows, safe_join
     from .queries import _t
 
-    edges = (
+    assert force in (None, "broadcast", "shuffle")
+    edges_ds = (
         _t(sf_dir, "documents", ["doc_id"])
         .map_batches(
             remote_fn("khl_pdf_ocr_ray.pipelines.queries_graph", "graph_edge_partial"),
@@ -116,32 +186,82 @@ def q_graph_random_walks(sf_dir: str) -> rd.Dataset:
         )
         .groupby(["lo", "hi"])
         .aggregate(Count(alias_name="_n"))
-        .to_pandas()  # CORE_NODES^2-bounded planted graph: dimension class
+        .materialize()
     )
-    nodes, offsets, neighbors = _adjacency(edges)
-    adj_ref = ray.put((nodes, offsets, neighbors))
+    n_adj = 2 * edges_ds.count()
+    use_broadcast = force == "broadcast" or (
+        force is None and n_adj <= ADJ_BROADCAST_MAX
+    )
 
-    wid = np.repeat(nodes, WALKS_PER_NODE) * WALKS_PER_NODE + np.tile(
-        np.arange(WALKS_PER_NODE, dtype=np.int64), len(nodes)
+    if use_broadcast:
+        edges = edges_ds.to_pandas()  # within ADJ_BROADCAST_MAX by regime pick
+        nodes, offsets, neighbors = _adjacency(edges)
+        adj_ref = ray.put((nodes, offsets, neighbors))
+        start_nodes = nodes
+    else:
+        ranked = (
+            edges_ds.map_batches(
+                remote_fn(_QW, "ranked_edge_batch"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("rshard")
+            .map_groups(remote_fn(_QW, "rank_edges_kernel"), batch_format="pandas")
+            .materialize()  # probed every step
+        )
+        deg_tbl = ranked.groupby("src").aggregate(Count(alias_name="deg")).materialize()
+        # start set: distinct srcs — node-bounded pull, same bound as the
+        # broadcast regime's adjacency nodes
+        start_nodes = np.sort(
+            deg_tbl.select_columns(["src"]).to_pandas()["src"].to_numpy(np.int64)
+        )
+
+    wid = np.repeat(start_nodes, WALKS_PER_NODE) * WALKS_PER_NODE + np.tile(
+        np.arange(WALKS_PER_NODE, dtype=np.int64), len(start_nodes)
     )
     start = pa.table(
         {
             "walk_id": pa.array(wid),
             "step": pa.array(np.zeros(len(wid), dtype=np.int64)),
-            "node": pa.array(np.repeat(nodes, WALKS_PER_NODE)),
+            "node": pa.array(np.repeat(start_nodes, WALKS_PER_NODE)),
         }
     )
     steps = [rd.from_arrow(start).repartition(4).materialize()]
+    nparts = partitions_for_rows(len(wid))
     for t in range(1, WALK_STEPS + 1):
-        steps.append(
-            steps[-1]
-            .map_batches(
+        if use_broadcast:
+            nxt = steps[-1].map_batches(
                 remote_fn(_QW, "walk_step_batch", adj_ref=adj_ref, step=t),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            .materialize()  # each step feeds the next AND the union: tiny
-        )
+        else:
+            with_deg = safe_join(
+                steps[-1],
+                deg_tbl,
+                on=("node",),
+                right_on=("src",),
+                assume_non_empty=True,  # frontier + degree table never empty
+                num_partitions=nparts,
+            )
+            probes = with_deg.map_batches(
+                remote_fn(_QW, "walk_pick_batch", step=t),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            nxt = safe_join(
+                probes,
+                ranked,
+                on=("node", "pick"),
+                right_on=("src", "rnk"),
+                assume_non_empty=True,  # pick < deg by construction
+                num_partitions=nparts,
+            ).map_batches(
+                remote_fn(_QW, "walk_next_project", step=t),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        steps.append(nxt.materialize())  # feeds the next step AND the union
     out = steps[0]
     for s in steps[1:]:
         out = out.union(s)

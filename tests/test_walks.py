@@ -58,3 +58,23 @@ def test_walks_are_valid_paths(ray_session, sf_smoke_dir):
     a = out.sort_values(["walk_id", "step"]).reset_index(drop=True)
     b = again.sort_values(["walk_id", "step"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_walks_forced_branch_equivalence(ray_session, sf_smoke_dir):
+    """Broadcast and shuffle regimes must emit identical traces — the
+    BFS/SSSP forced-branch convention."""
+    from khl_pdf_ocr_ray.pipelines.queries_walks import q_graph_random_walks
+
+    a = (
+        q_graph_random_walks(sf_smoke_dir, force="broadcast")
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_graph_random_walks(sf_smoke_dir, force="shuffle")
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
