@@ -2134,6 +2134,12 @@ from .queries_walks import WALKS_ORACLES, WALKS_QUERIES  # noqa: E402
 QUERIES.update(WALKS_QUERIES)
 ORACLES.update(WALKS_ORACLES)
 
+# Redirect-chain resolution (pointer-doubling functional closure)
+from .queries_redirect import REDIRECT_ORACLES, REDIRECT_QUERIES  # noqa: E402
+
+QUERIES.update(REDIRECT_QUERIES)
+ORACLES.update(REDIRECT_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
