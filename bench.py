@@ -91,6 +91,16 @@ BENCH_QUERIES = [
     "interval_overlap_join",    # grid-cell interval join, owner-cell dedup (round 4)
     "html_table_cells",         # markup table-grid extraction surface (round 4)
     "master_fuzzy_match",       # broadcast hamming-1 name canonicalization (round 4)
+    "dictionary_tag_ac",        # actor-held Aho-Corasick blocklist scan (round 5)
+    "skew_join_salted",         # build-replicated two-sided skew join (round 5)
+    "ngram_novelty",            # first-occurrence attribution (round 5)
+    "novelty_incremental",      # snapshot novelty vs persisted gram index (round 5)
+    "source_set_cover",         # greedy submodular source selection (round 5)
+    "fd_discovery",             # functional-dependency profiling (round 5)
+    "ind_discovery",            # inclusion-dependency / FK certification (round 5)
+    "seq_pair_support",         # ordered-pair sequence-pattern support (round 5)
+    "graph_random_walks",       # deterministic node2vec-style walks (round 5)
+    "redirect_resolve",         # pointer-doubling chain resolution (round 5)
 ]
 
 
