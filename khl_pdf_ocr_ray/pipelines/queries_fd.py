@@ -52,27 +52,38 @@ FD_CANDIDATES = (
 )
 
 
+FD_SHARDS = 64
+
+
 def fd_pair_distinct(batch: pa.Table, lhs: str, rhs: str) -> pa.Table:
-    """One batch -> per-batch DISTINCT (lhs, rhs) pairs, stringified so
-    every candidate's pair table unions through one schema."""
+    """One batch -> per-batch DISTINCT (lhs, rhs) pairs, stringified,
+    sharded by an lhs hash so every copy of an lhs lands in one shard
+    group (the BUCKET_SHARDS convention: O(shards) vectorized kernel
+    calls, 2 exchanges total instead of 3 keyed aggregates)."""
+    import zlib
+
     g = batch.select([lhs, rhs]).group_by([lhs, rhs]).aggregate([])
-    return pa.table(
-        {
-            "lhs": pc.cast(g[lhs], pa.string()),
-            "rhs": pc.cast(g[rhs], pa.string()),
-        }
+    lv = pc.cast(g[lhs], pa.string())
+    rv = pc.cast(g[rhs], pa.string())
+    shard = np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) % FD_SHARDS for v in lv.to_pylist()),
+        dtype=np.int64,
+        count=len(lv),
     )
+    return pa.table({"lhs": lv, "rhs": rv, "shard": pa.array(shard)})
 
 
-def fd_rollup_partial(batch: pa.Table) -> pa.Table:
-    """(lhs, fanout) rows -> one (n_lhs, n_viol, max_fanout) partial."""
-    fan = batch["fanout"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
+def fd_shard_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """One lhs shard -> ONE (n_lhs, n_viol, max_fanout) partial row:
+    cross-batch pair dedup + per-lhs rhs fan-out, vectorized."""
+    g = g.drop_duplicates(["lhs", "rhs"])
+    fan = g.groupby("lhs")["rhs"].nunique()
+    return pd.DataFrame(
         {
-            "n_lhs": pa.array([len(fan)], pa.int64()),
-            "n_viol": pa.array([int((fan > 1).sum())], pa.int64()),
-            "max_fanout": pa.array(
-                [int(fan.max()) if len(fan) else 0], pa.int64()
+            "n_lhs": pd.array([len(fan)], dtype="int64"),
+            "n_viol": pd.array([int((fan > 1).sum())], dtype="int64"),
+            "max_fanout": pd.array(
+                [int(fan.max()) if len(fan) else 0], dtype="int64"
             ),
         }
     )
@@ -88,15 +99,8 @@ def _fd_stats(sf_dir: str, table: str, lhs: str, rhs: str) -> dict:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby(["lhs", "rhs"])
-        .aggregate(Count(alias_name="_n"))  # cross-batch pair dedup
-        .groupby("lhs")
-        .aggregate(Count(alias_name="fanout"))
-        .map_batches(
-            remote_fn(_QFD, "fd_rollup_partial"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        .groupby("shard")
+        .map_groups(remote_fn(_QFD, "fd_shard_kernel"), batch_format="pandas")
         .groupby(None)
         .aggregate(
             Sum("n_lhs", alias_name="n_lhs"),
@@ -165,34 +169,43 @@ IND_CANDIDATES = (
 
 def ind_distinct_col(batch: pa.Table, col: str, side: int) -> pa.Table:
     """One batch -> per-batch DISTINCT stringified values, tagged with the
-    side bit (1 = child, 2 = parent) for the one-scan-per-side union."""
+    side bit (1 = child, 2 = parent) and sharded by a value hash so every
+    copy of a value meets in one shard group."""
+    import zlib
+
     g = batch.select([col]).group_by([col]).aggregate([])
+    vals = pc.cast(g[col], pa.string())
     n = g.num_rows
+    shard = np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) % FD_SHARDS for v in vals.to_pylist()),
+        dtype=np.int64,
+        count=n,
+    )
     return pa.table(
         {
-            "val": pc.cast(g[col], pa.string()),
+            "val": vals,
             "side": pa.array(np.full(n, side, dtype=np.int64)),
+            "shard": pa.array(shard),
         }
     )
 
 
-def ind_rollup_partial(batch: pa.Table) -> pa.Table:
-    """(val, side_bits) rows -> one (n_child, n_missing) partial. A value
-    with bits & 1 is a child value; bits == 1 means it never occurs in
-    the parent."""
-    bits = batch["side"].to_numpy(zero_copy_only=False).astype(np.int64)
-    child = (bits & 1) > 0
-    return pa.table(
+def ind_shard_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """One value shard -> ONE (n_child, n_missing) partial row: per-val
+    min/max side (batching-invariant — a val may surface from many
+    batches per side, so counting rows would be wrong), vectorized."""
+    agg = g.groupby("val")["side"].agg(["min", "max"])
+    child = agg["min"].to_numpy() == 1
+    missing = agg["max"].to_numpy() == 1
+    return pd.DataFrame(
         {
-            "n_child": pa.array([int(child.sum())], pa.int64()),
-            "n_missing": pa.array([int((bits == 1).sum())], pa.int64()),
+            "n_child": pd.array([int(child.sum())], dtype="int64"),
+            "n_missing": pd.array([int(missing.sum())], dtype="int64"),
         }
     )
 
 
 def _ind_stats(sf_dir: str, ct: str, cc: str, pt: str, pc_: str) -> dict:
-    from ray.data.aggregate import Max as _Max
-
     from .queries import _t
 
     child = _t(sf_dir, ct, [cc]).map_batches(
@@ -205,21 +218,10 @@ def _ind_stats(sf_dir: str, ct: str, cc: str, pt: str, pc_: str) -> dict:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from ray.data.aggregate import Min as _Min
-
     rolled = (
         child.union(parent)
-        # one val-keyed exchange: min side == 1 <=> a child occurrence
-        # exists, max side == 1 <=> no parent occurrence (a val may
-        # surface from MANY batches per side, so counting rows is wrong —
-        # the min/max pair is batching-invariant)
-        .groupby("val")
-        .aggregate(_Min("side", alias_name="mn"), _Max("side", alias_name="mx"))
-        .map_batches(
-            remote_fn(_QFD, "ind_bits_partial"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        .groupby("shard")
+        .map_groups(remote_fn(_QFD, "ind_shard_kernel"), batch_format="pandas")
         .groupby(None)
         .aggregate(
             Sum("n_child", alias_name="n_child"),
@@ -234,22 +236,6 @@ def _ind_stats(sf_dir: str, ct: str, cc: str, pt: str, pc_: str) -> dict:
         "n_missing": int(r["n_missing"]),
         "holds": bool(int(r["n_missing"]) == 0),
     }
-
-
-def ind_bits_partial(batch: pa.Table) -> pa.Table:
-    """Grouped (val, min-side, max-side) rows -> (n_child, n_missing)
-    partial: min == 1 <=> child occurrence exists; max == 1 <=> value
-    absent from the parent side."""
-    mn = batch["mn"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mx = batch["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    child = mn == 1
-    missing = mx == 1
-    return pa.table(
-        {
-            "n_child": pa.array([int(child.sum())], pa.int64()),
-            "n_missing": pa.array([int(missing.sum())], pa.int64()),
-        }
-    )
 
 
 def q_ind_discovery(sf_dir: str) -> pd.DataFrame:

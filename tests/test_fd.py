@@ -4,7 +4,7 @@ import pyarrow as pa
 
 
 def test_fd_pair_distinct_kernel():
-    from khl_pdf_ocr_ray.pipelines.queries_fd import fd_pair_distinct
+    from khl_pdf_ocr_ray.pipelines.queries_fd import FD_SHARDS, fd_pair_distinct
 
     batch = pa.table(
         {"a": pa.array([1, 1, 2, 1], pa.int64()), "b": ["x", "x", "y", "z"]}
@@ -13,6 +13,26 @@ def test_fd_pair_distinct_kernel():
     assert sorted(zip(out["lhs"], out["rhs"])) == [
         ("1", "x"), ("1", "z"), ("2", "y"),
     ]
+    assert out["shard"].between(0, FD_SHARDS - 1).all()
+    # same lhs -> same shard (the all-copies-meet invariant)
+    assert out.groupby("lhs")["shard"].nunique().max() == 1
+
+
+def test_fd_shard_kernel():
+    import pandas as pd
+
+    from khl_pdf_ocr_ray.pipelines.queries_fd import fd_shard_kernel
+
+    g = pd.DataFrame(
+        {
+            "lhs": ["1", "1", "1", "2", "2"],
+            "rhs": ["x", "x", "z", "y", "y"],  # cross-batch dups included
+        }
+    )
+    out = fd_shard_kernel(g)
+    assert out["n_lhs"].tolist() == [2]
+    assert out["n_viol"].tolist() == [1]   # lhs 1 fans out to {x, z}
+    assert out["max_fanout"].tolist() == [2]
 
 
 def test_fd_discovery_certifies_keys(ray_session, sf_smoke_dir):
@@ -30,21 +50,22 @@ def test_fd_discovery_certifies_keys(ray_session, sf_smoke_dir):
     assert (df["n_viol"] <= df["n_lhs"]).all()
 
 
-def test_ind_bits_kernel_planted_violation():
+def test_ind_shard_kernel_planted_violation():
     """Min/max side folding: child-only values are missing, parent-only
-    values are ignored, both-sides values count as covered children."""
-    import pyarrow as pa
+    values are ignored, both-sides values count as covered children —
+    and duplicate per-batch rows per side must not change counts."""
+    import pandas as pd
 
-    from khl_pdf_ocr_ray.pipelines.queries_fd import ind_bits_partial
+    from khl_pdf_ocr_ray.pipelines.queries_fd import ind_shard_kernel
 
-    batch = pa.table(
+    g = pd.DataFrame(
         {
-            # child-only, both-sides, parent-only
-            "mn": pa.array([1, 1, 2], pa.int64()),
-            "mx": pa.array([1, 2, 2], pa.int64()),
+            # "a": child-only (x2 batches), "b": both sides, "c": parent-only
+            "val": ["a", "a", "b", "b", "c", "c"],
+            "side": [1, 1, 1, 2, 2, 2],
         }
     )
-    out = ind_bits_partial(batch).to_pandas()
+    out = ind_shard_kernel(g)
     assert out["n_child"].tolist() == [2]
     assert out["n_missing"].tolist() == [1]
 
