@@ -2140,6 +2140,12 @@ from .queries_redirect import REDIRECT_ORACLES, REDIRECT_QUERIES  # noqa: E402
 QUERIES.update(REDIRECT_QUERIES)
 ORACLES.update(REDIRECT_ORACLES)
 
+# Join-explosion profiling (skew advisor for the join family)
+from .queries_joinprof import JOINPROF_ORACLES, JOINPROF_QUERIES  # noqa: E402
+
+QUERIES.update(JOINPROF_QUERIES)
+ORACLES.update(JOINPROF_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
