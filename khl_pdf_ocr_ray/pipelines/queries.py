@@ -2146,6 +2146,12 @@ from .queries_joinprof import JOINPROF_ORACLES, JOINPROF_QUERIES  # noqa: E402
 QUERIES.update(JOINPROF_QUERIES)
 ORACLES.update(JOINPROF_ORACLES)
 
+# Embedding isotropy diagnostics (representation-collapse QC)
+from .queries_isotropy import ISOTROPY_ORACLES, ISOTROPY_QUERIES  # noqa: E402
+
+QUERIES.update(ISOTROPY_QUERIES)
+ORACLES.update(ISOTROPY_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
