@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "seq_pair_support",         # ordered-pair sequence-pattern support (round 5)
     "graph_random_walks",       # deterministic node2vec-style walks (round 5)
     "redirect_resolve",         # pointer-doubling chain resolution (round 5)
+    "join_explosion_profile",   # pre-join skew advisor (round 5)
+    "embedding_isotropy",       # representation-collapse QC (round 5)
 ]
 
 
