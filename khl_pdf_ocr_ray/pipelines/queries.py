@@ -2152,6 +2152,12 @@ from .queries_isotropy import ISOTROPY_ORACLES, ISOTROPY_QUERIES  # noqa: E402
 QUERIES.update(ISOTROPY_QUERIES)
 ORACLES.update(ISOTROPY_ORACLES)
 
+# Grouped hypothesis tests (skew/kurtosis, Welch t, Spearman, Kendall, MWU)
+from .queries_stats2 import STATS2_ORACLES, STATS2_QUERIES  # noqa: E402
+
+QUERIES.update(STATS2_QUERIES)
+ORACLES.update(STATS2_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
