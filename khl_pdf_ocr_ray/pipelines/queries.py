@@ -2158,6 +2158,13 @@ from .queries_stats2 import STATS2_ORACLES, STATS2_QUERIES  # noqa: E402
 QUERIES.update(STATS2_QUERIES)
 ORACLES.update(STATS2_ORACLES)
 
+# Graph additions: double-sweep diameter, LPA communities, Borůvka MSF
+# (LPA/MSF oracles are dump-twins added by oracles())
+from .queries_graphy import GRAPHY_ORACLES, GRAPHY_QUERIES  # noqa: E402
+
+QUERIES.update(GRAPHY_QUERIES)
+ORACLES.update(GRAPHY_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -2172,6 +2179,7 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     from ..state.oracle_dump_train import train_oracle_sqls
 
     from .queries_dedupeval import dedupeval_oracle_sqls
+    from .queries_graphy import graphy_oracle_sqls
     from .queries_meta import meta_oracle_sqls
     from .queries_prune import prune_oracle_sqls
 
@@ -2183,4 +2191,5 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     out.update(dedupeval_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(meta_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(prune_oracle_sqls(sf_dir or ORACLE_SF))
+    out.update(graphy_oracle_sqls(sf_dir or ORACLE_SF))
     return out

@@ -139,11 +139,13 @@ def bfs_expand_unvisited_broadcast(batch: pa.Table, fr_ref, vis_ref) -> pa.Table
     return pa.table({"node": pa.array(new, pa.int64())})
 
 
-def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
-    """See module docstring."""
+def bfs_edges_ds(sf_dir: str) -> rd.Dataset:
+    """Corpus -> globally-distinct planted (src, dst) edge Dataset,
+    materialized (iterated against every BFS round; also reused by the
+    double-sweep diameter operator in queries_graphy)."""
     from .queries import _t
 
-    edges = (
+    return (
         _t(sf_dir, "documents", ["doc_id"])
         .map_batches(
             remote_fn(_QB, "bfs_edge_partial"),
@@ -153,15 +155,27 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
         .groupby(["src", "dst"])
         .aggregate(Min("src", alias_name="_one"))
         .select_columns(["src", "dst"])
-        .materialize()  # iterated against every round
+        .materialize()
     )
+
+
+def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
+    """See module docstring."""
+    return bfs_depths_from(bfs_edges_ds(sf_dir), BFS_SEED)
+
+
+def bfs_depths_from(edges: rd.Dataset, seed_node: int) -> rd.Dataset:
+    """Frontier-expansion BFS from ``seed_node`` over a materialized
+    (src, dst) edge Dataset -> (node, depth). The seed is a parameter so
+    the double-sweep diameter operator can rerun the identical traversal
+    from the first sweep's peak."""
     import numpy as np
 
     import ray
 
     seed = pa.table(
         {
-            "node": pa.array([BFS_SEED], pa.int64()),
+            "node": pa.array([seed_node], pa.int64()),
             "depth": pa.array([0], pa.int64()),
         }
     )
@@ -175,8 +189,8 @@ def q_graph_bfs_depths(sf_dir: str) -> rd.Dataset:
     visited = rd.from_arrow(seed).materialize()
     frontier = visited.select_columns(["node"]).materialize()
     n_frontier = 1
-    depth_of = {BFS_SEED: 0}
-    frontier_ids = np.array([BFS_SEED], dtype=np.int64)
+    depth_of = {seed_node: 0}
+    frontier_ids = np.array([seed_node], dtype=np.int64)
     visited_ids = frontier_ids.copy()
     for depth in range(1, BFS_MAX_ROUNDS + 1):
         if visited_ids is not None and len(visited_ids) <= BFS_BROADCAST_MAX \

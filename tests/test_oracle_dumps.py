@@ -82,6 +82,9 @@ DUMP_QUERIES = [
     "bloom_line_dedup",
     # table-region cells (oracle_dump.py pages surface)
     "pdf_table_cells",
+    # graph additions (queries_graphy in-module twins)
+    "graph_label_communities",
+    "graph_mst_boruvka",
 ]
 
 
