@@ -2165,6 +2165,24 @@ from .queries_graphy import GRAPHY_ORACLES, GRAPHY_QUERIES  # noqa: E402
 QUERIES.update(GRAPHY_QUERIES)
 ORACLES.update(GRAPHY_ORACLES)
 
+# Zipf fit, percent_rank/cume_dist, correlated-subquery decorrelation
+from .queries_rank2 import RANK2_ORACLES, RANK2_QUERIES  # noqa: E402
+
+QUERIES.update(RANK2_QUERIES)
+ORACLES.update(RANK2_ORACLES)
+
+# Incremental materialized-view maintenance (counting algebra)
+from .queries_mv import MV_ORACLES, MV_QUERIES  # noqa: E402
+
+QUERIES.update(MV_QUERIES)
+ORACLES.update(MV_ORACLES)
+
+# AMS F2 self-join-size sketch + l-diversity governance audit
+from .queries_estim import ESTIM_ORACLES, ESTIM_QUERIES  # noqa: E402
+
+QUERIES.update(ESTIM_QUERIES)
+ORACLES.update(ESTIM_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
