@@ -2183,6 +2183,11 @@ from .queries_estim import ESTIM_ORACLES, ESTIM_QUERIES  # noqa: E402
 QUERIES.update(ESTIM_QUERIES)
 ORACLES.update(ESTIM_ORACLES)
 
+# MMR-diversified rerank (dump-twin oracle added by oracles())
+from .queries_mmr import MMR_QUERIES_REG  # noqa: E402
+
+QUERIES.update(MMR_QUERIES_REG)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -2210,4 +2215,7 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     out.update(meta_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(prune_oracle_sqls(sf_dir or ORACLE_SF))
     out.update(graphy_oracle_sqls(sf_dir or ORACLE_SF))
+    from .queries_mmr import mmr_oracle_sqls
+
+    out.update(mmr_oracle_sqls(sf_dir or ORACLE_SF))
     return out

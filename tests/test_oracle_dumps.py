@@ -85,6 +85,8 @@ DUMP_QUERIES = [
     # graph additions (queries_graphy in-module twins)
     "graph_label_communities",
     "graph_mst_boruvka",
+    # MMR diversified rerank (queries_mmr in-module twin)
+    "mmr_rerank",
 ]
 
 
