@@ -2188,6 +2188,12 @@ from .queries_mmr import MMR_QUERIES_REG  # noqa: E402
 
 QUERIES.update(MMR_QUERIES_REG)
 
+# Kaplan-Meier survival + Theil-Sen robust trend
+from .queries_surv import SURV_ORACLES, SURV_QUERIES  # noqa: E402
+
+QUERIES.update(SURV_QUERIES)
+ORACLES.update(SURV_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
