@@ -2194,6 +2194,17 @@ from .queries_surv import SURV_ORACLES, SURV_QUERIES  # noqa: E402
 QUERIES.update(SURV_QUERIES)
 ORACLES.update(SURV_ORACLES)
 
+# Wald SPRT sequential test over the ordered event stream
+from .queries_sprt import SPRT_ORACLES, SPRT_QUERIES  # noqa: E402
+
+QUERIES.update(SPRT_QUERIES)
+ORACLES.update(SPRT_ORACLES)
+
+# Isotonic (PAV) calibration — GCM dump-twin oracle added by oracles()
+from .queries_iso import ISO_QUERIES  # noqa: E402
+
+QUERIES.update(ISO_QUERIES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
@@ -2224,4 +2235,7 @@ def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     from .queries_mmr import mmr_oracle_sqls
 
     out.update(mmr_oracle_sqls(sf_dir or ORACLE_SF))
+    from .queries_iso import iso_oracle_sqls
+
+    out.update(iso_oracle_sqls(sf_dir or ORACLE_SF))
     return out

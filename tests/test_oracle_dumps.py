@@ -87,6 +87,8 @@ DUMP_QUERIES = [
     "graph_mst_boruvka",
     # MMR diversified rerank (queries_mmr in-module twin)
     "mmr_rerank",
+    # isotonic calibration (queries_iso GCM-hull twin)
+    "isotonic_calibration",
 ]
 
 
