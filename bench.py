@@ -103,6 +103,19 @@ BENCH_QUERIES = [
     "redirect_resolve",         # pointer-doubling chain resolution (round 5)
     "join_explosion_profile",   # pre-join skew advisor (round 5)
     "embedding_isotropy",       # representation-collapse QC (round 5)
+    "lang_skew_kurtosis",       # hi/lo-split power-sum moments (round 5)
+    "spearman_size_tokens",     # histogram-rank correlation (round 5)
+    "mannwhitney_value",        # tie-corrected rank-sum test (round 5)
+    "graph_label_communities",  # seeded label propagation (round 5)
+    "graph_mst_boruvka",        # Borůvka spanning forest (round 5)
+    "graph_diameter_sweep",     # double-sweep BFS eccentricity (round 5)
+    "mv_incremental_stats",     # counting-algebra MV maintenance (round 5)
+    "ams_f2_events",            # tug-of-war self-join-size sketch (round 5)
+    "zipf_fit",                 # rank-frequency OLS on quantized ln (round 5)
+    "mmr_rerank",               # diversity-aware rerank (round 5)
+    "km_retention",             # censored survival estimator (round 5)
+    "sprt_purchase_rate",       # sequential test, day-sharded scan (round 5)
+    "isotonic_calibration",     # PAV vs GCM-hull dual derivation (round 5)
 ]
 
 
