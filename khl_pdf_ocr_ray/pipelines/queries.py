@@ -2205,6 +2205,12 @@ from .queries_iso import ISO_QUERIES  # noqa: E402
 
 QUERIES.update(ISO_QUERIES)
 
+# Deterministic Poisson bootstrap CI (one-pass resampling)
+from .queries_boot import BOOT_ORACLES, BOOT_QUERIES  # noqa: E402
+
+QUERIES.update(BOOT_QUERIES)
+ORACLES.update(BOOT_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
