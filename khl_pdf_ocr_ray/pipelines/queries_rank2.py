@@ -359,13 +359,83 @@ GROUP BY c.c_mktsegment
 """
 
 
+# --- hill_tail_index --------------------------------------------------------
+HILL_K = 100
+
+
+def hill_top_partial(batch: pa.Table) -> pa.Table:
+    """documents batch -> per-block top-(K+1) sizes (merge-safe: the
+    global top-(K+1) VALUE MULTISET is a subset of the union)."""
+    x = np.sort(
+        batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )[::-1][: HILL_K + 1]
+    return pa.table({"x": pa.array(x, pa.int64())})
+
+
+def hill_from_top(top: np.ndarray):
+    """THE shared finalize: the K+1 largest sizes -> the Hill estimate
+    alpha_x1e6 = K * 2^20 * 1e6 // sum(q_i - q_threshold) over the K
+    exceedances, with q = floor(ln(x) * 2^20)."""
+    x = np.sort(top)[::-1][: HILL_K + 1]
+    q = np.floor(np.log(x.astype(np.float64)) * _LN_SCALE).astype(np.int64)
+    qk = int(q[HILL_K])
+    s = int(q[:HILL_K].astype(object).sum()) - HILL_K * qk
+    assert s > 0, "degenerate tail: top sizes all equal"
+    return int(x[HILL_K]), (HILL_K * _LN_SCALE * 1_000_000) // s
+
+
+def q_hill_tail_index(sf_dir: str) -> pd.DataFrame:
+    """One row: (k, threshold, alpha_x1e6) — the Hill heavy-tail index
+    of the doc-size distribution over the K largest exceedances (the
+    skew diagnostic behind byte-size-aware repartitioning budgets)."""
+    from .queries import _t
+
+    top = (
+        _t(sf_dir, "documents", ["n_chars"])
+        .map_batches(
+            remote_fn(_QR2, "hill_top_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()["x"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    thr, alpha = hill_from_top(top)
+    return pd.DataFrame(
+        [(HILL_K, thr, alpha)],
+        columns=["k", "threshold", "alpha_x1e6"],
+    ).astype("int64")
+
+
+SQL_HILL_TAIL_INDEX = f"""
+WITH top AS (
+  SELECT n_chars AS x,
+         row_number() OVER (ORDER BY n_chars DESC) AS rn
+  FROM documents ORDER BY n_chars DESC LIMIT {HILL_K + 1}),
+q AS (
+  SELECT rn, x,
+         CAST(floor(ln(CAST(x AS DOUBLE)) * {_LN_SCALE}) AS HUGEINT) AS q
+  FROM top),
+base AS (SELECT x AS xk, q AS qk FROM q WHERE rn = {HILL_K + 1}),
+s AS (SELECT sum(q.q - base.qk) AS s FROM q, base WHERE q.rn <= {HILL_K})
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       CAST(base.xk AS BIGINT) AS threshold,
+       CAST(CAST({HILL_K} AS HUGEINT) * {_LN_SCALE} * 1000000 // s.s
+            AS BIGINT) AS alpha_x1e6
+FROM base, s
+"""
+
+
 RANK2_QUERIES = {
     "zipf_fit": q_zipf_fit,
     "doc_percent_rank": q_doc_percent_rank,
     "orders_above_avg": q_orders_above_avg,
+    "hill_tail_index": q_hill_tail_index,
 }
 RANK2_ORACLES = {
     "zipf_fit": SQL_ZIPF_FIT,
     "doc_percent_rank": SQL_DOC_PERCENT_RANK,
     "orders_above_avg": SQL_ORDERS_ABOVE_AVG,
+    "hill_tail_index": SQL_HILL_TAIL_INDEX,
 }

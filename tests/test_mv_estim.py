@@ -192,3 +192,39 @@ def test_above_avg_integer_compare_equals_float_avg():
     # strict-above under exact rational == float comparison here because
     # cents*cnt and sum are exact int64 (the engine never forms the float)
     assert (got == want).all()
+
+
+def test_hill_estimator_on_planted_pareto():
+    """Hill over an exact Pareto(alpha = 2) sample recovers alpha."""
+    from khl_pdf_ocr_ray.pipelines.queries_rank2 import (
+        HILL_K,
+        hill_from_top,
+    )
+
+    rng = np.random.default_rng(12)
+    u = rng.uniform(size=20000)
+    x = (1000.0 / u ** (1 / 2.0)).astype(np.int64)  # Pareto, alpha = 2
+    thr, alpha = hill_from_top(np.sort(x)[::-1][: HILL_K + 1])
+    assert thr == np.sort(x)[::-1][HILL_K]
+    assert 1_500_000 < alpha < 2_600_000  # ~2e6 at K = 100
+
+
+def test_hill_partial_merge_preserves_top_multiset():
+    from khl_pdf_ocr_ray.pipelines.queries_rank2 import (
+        HILL_K,
+        hill_from_top,
+        hill_top_partial,
+    )
+    import pyarrow as pa
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(10, 100000, size=3000).astype(np.int64)
+    whole = hill_from_top(np.sort(x)[::-1][: HILL_K + 1])
+    parts = [
+        hill_top_partial(pa.table({"n_chars": x[i : i + 500]}))["x"]
+        .to_numpy()
+        .astype(np.int64)
+        for i in range(0, 3000, 500)
+    ]
+    merged = hill_from_top(np.concatenate(parts))
+    assert whole == merged
