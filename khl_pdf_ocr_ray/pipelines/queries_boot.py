@@ -62,8 +62,12 @@ BOOT_HI_IDX = BOOT_B - 2
 
 
 def boot_uniform(event_id: np.ndarray, r: int) -> np.ndarray:
-    """THE shared 20-bit uniform per (row, replicate)."""
-    return ((event_id * 40503 + r + 1) * _MULT) % (1 << 32) % _U_MOD
+    """THE shared 20-bit uniform per (row, replicate). The mix is
+    reduced mod 2^31 BEFORE the Knuth multiply (the score_calibration
+    convention) so the product stays inside int64 at any id magnitude —
+    numpy would silently wrap where DuckDB raises."""
+    mix = ((event_id % (1 << 31)) * 40503 + r + 1) % (1 << 31)
+    return (mix * _MULT) % (1 << 32) % _U_MOD
 
 
 def boot_partial(batch: pa.Table) -> pa.Table:
@@ -170,8 +174,8 @@ WITH e AS (
 r AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS r),
 w AS (
   SELECT r.r, e.cents,
-         ((e.event_id * 40503 + r.r + 1) * {_MULT})
-           % 4294967296 % {_U_MOD} AS u
+         ((((e.event_id % 2147483648) * 40503 + r.r + 1) % 2147483648)
+          * {_MULT}) % 4294967296 % {_U_MOD} AS u
   FROM e CROSS JOIN r),
 ww AS (SELECT r, cents, {ladder} AS w FROM w),
 reps AS (
