@@ -20,8 +20,8 @@ int64; replicate means are identical doubles on both engines, and the
 CI bounds are DISCRETE order statistics of the replicate means (no
 interpolation).
 
-Plan: ONE pass, BOOT_B-row partials per batch, one BOOT_B-row Sum
-exchange, a 32-row driver fold. The corpus never shuffles.
+Plan: ONE pass, (BOOT_B + 1)-row partials per batch (the extra row
+carries the unweighted totals), one Sum exchange, a 33-row driver fold. The corpus never shuffles.
 
 Oracle: static SQL — generate_series replicates, the same hash and
 threshold ladder, same discrete percentile picks.
@@ -71,21 +71,27 @@ def boot_uniform(event_id: np.ndarray, r: int) -> np.ndarray:
 
 
 def boot_partial(batch: pa.Table) -> pa.Table:
-    """events batch -> BOOT_B rows (r, sw, swc): Poisson-weight count
-    and weighted cents sum per replicate."""
+    """events batch -> BOOT_B + 1 rows (r, sw, swc): Poisson-weight
+    count and weighted cents sum per replicate, plus the UNWEIGHTED
+    totals as row r = -1 (so the operator is genuinely one pass — no
+    separate totals scan)."""
     from .queries import _cents
 
     eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     cents = _cents(batch["value"]).to_numpy(zero_copy_only=False)
     cums = np.array(_POIS_CUM, dtype=np.int64)
-    rows_r = np.arange(BOOT_B, dtype=np.int64)
-    sw = np.empty(BOOT_B, dtype=np.int64)
-    swc = np.empty(BOOT_B, dtype=np.int64)
-    for r in rows_r:
-        u = boot_uniform(eid, int(r))
+    rows_r = np.empty(BOOT_B + 1, dtype=np.int64)
+    sw = np.empty(BOOT_B + 1, dtype=np.int64)
+    swc = np.empty(BOOT_B + 1, dtype=np.int64)
+    for r in range(BOOT_B):
+        u = boot_uniform(eid, r)
         w = np.searchsorted(cums, u, side="right")  # thresholds cleared
+        rows_r[r] = r
         sw[r] = int(w.sum())
         swc[r] = int((w * cents).sum())
+    rows_r[BOOT_B] = -1  # totals row: n and plain cents sum
+    sw[BOOT_B] = len(eid)
+    swc[BOOT_B] = int(cents.sum())
     return pa.table(
         {
             "r": pa.array(rows_r),
@@ -117,7 +123,7 @@ def q_bootstrap_mean_ci(sf_dir: str) -> pd.DataFrame:
     """One row: (n_events, mean_cents, boot_lo, boot_hi)."""
     from .queries import _t
 
-    parts = (
+    allrows = (
         _t(sf_dir, "events", ["event_id", "value"])
         .map_batches(
             remote_fn(_QBT, "boot_partial"),
@@ -128,37 +134,14 @@ def q_bootstrap_mean_ci(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("sw", alias_name="sw"), Sum("swc", alias_name="swc"))
         .to_pandas()
     )
-    tot = (
-        _t(sf_dir, "events", ["value"])
-        .map_batches(
-            remote_fn(_QBT, "totals_partial"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()
-    )
-    n_events = int(tot["n"].sum())
-    total_cents = int(tot["c"].sum())
+    tot = allrows[allrows["r"] == -1]
+    parts = allrows[allrows["r"] >= 0]
+    n_events = int(tot["sw"].iloc[0])
+    total_cents = int(tot["swc"].iloc[0])
     mean, lo, hi = boot_finalize(parts, n_events, total_cents)
     return pd.DataFrame(
         [(n_events, mean, lo, hi)],
         columns=["n_events", "mean_cents", "boot_lo", "boot_hi"],
-    )
-
-
-def totals_partial(batch: pa.Table) -> pa.Table:
-    from .queries import _cents
-
-    c = _cents(batch["value"])
-    import pyarrow.compute as pc
-
-    return pa.table(
-        {
-            "n": pa.array([len(batch)], pa.int64()),
-            "c": pa.array(
-                [int(pc.sum(c).as_py() or 0)], pa.int64()
-            ),
-        }
     )
 
 

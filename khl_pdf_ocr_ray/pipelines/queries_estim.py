@@ -38,7 +38,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..functions.arrowkit import select_rename
@@ -55,8 +54,12 @@ DAY_US = 86_400_000_000
 
 def ams_signs(users: np.ndarray, r: int) -> np.ndarray:
     """THE shared sign hash: +1 / -1 per user for estimator r (plain
-    integer arithmetic so the SQL twin recomputes it verbatim)."""
-    h = ((users + r + 1) * _MULT) % (1 << 32)
+    integer arithmetic so the SQL twin recomputes it verbatim). The id
+    mix is reduced mod 2^31 BEFORE the Knuth multiply (boot_uniform /
+    score_calibration convention) — numpy would wrap silently past
+    2^63 / MULT where DuckDB raises."""
+    mix = ((users % (1 << 31)) + r + 1) % (1 << 31)
+    h = (mix * _MULT) % (1 << 32)
     return np.where((h // 8) % 2 == 0, 1, -1).astype(np.int64)
 
 
@@ -143,7 +146,8 @@ WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
 r AS (SELECT unnest(generate_series(0, {AMS_R - 1})) AS r),
 z AS (
   SELECT r.r,
-         sum(CASE WHEN (((c.user_id + r.r + 1) * {_MULT})
+         sum(CASE WHEN (((((c.user_id % 2147483648) + r.r + 1)
+                          % 2147483648) * {_MULT})
                         % 4294967296 // 8) % 2 = 0
              THEN CAST(c.c AS HUGEINT) ELSE -CAST(c.c AS HUGEINT) END) AS z
   FROM c CROSS JOIN r GROUP BY r.r),

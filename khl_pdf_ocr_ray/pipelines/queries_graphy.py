@@ -56,7 +56,6 @@ scope (web-graph curation family).
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import Dict
 
@@ -707,14 +706,13 @@ FROM a, b
 
 # --- dump-backed oracles ----------------------------------------------------
 def _dumps_dir(sf_dir: str) -> str:
-    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(pkg, "pipelines", "queries_graphy.py"), "rb") as f:
-        mod_md5 = hashlib.md5(f.read()).hexdigest()
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.sha256(
-        f"{mod_md5}|{st.st_size}:{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:16]
-    return os.path.join("/tmp/khlray_cache", f"oracle_dumps_graphy_{key}")
+    from ..state.atomic import content_keyed_dir
+
+    return content_keyed_dir(
+        os.path.abspath(__file__),
+        os.path.join(sf_dir, "documents.parquet"),
+        "oracle_dumps_graphy",
+    )
 
 
 def ensure_graphy_dumps(sf_dir: str) -> str:

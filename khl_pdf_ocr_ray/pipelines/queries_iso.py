@@ -31,7 +31,6 @@ Reference analogue: none in /root/reference/app.py; brief scope
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import Dict
 
@@ -178,14 +177,13 @@ def isotonic_gcm_sequential(sf_dir: str) -> pd.DataFrame:
 
 
 def _dumps_dir(sf_dir: str) -> str:
-    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(pkg, "pipelines", "queries_iso.py"), "rb") as f:
-        mod_md5 = hashlib.md5(f.read()).hexdigest()
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.sha256(
-        f"{mod_md5}|{st.st_size}:{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:16]
-    return os.path.join("/tmp/khlray_cache", f"oracle_dumps_iso_{key}")
+    from ..state.atomic import content_keyed_dir
+
+    return content_keyed_dir(
+        os.path.abspath(__file__),
+        os.path.join(sf_dir, "documents.parquet"),
+        "oracle_dumps_iso",
+    )
 
 
 def iso_oracle_sqls(sf_dir: str) -> Dict[str, str]:

@@ -38,7 +38,6 @@ Reference analogue: none in /root/reference/app.py; brief scope
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import Dict
 
@@ -223,14 +222,13 @@ def mmr_sequential(sf_dir: str) -> pd.DataFrame:
 
 
 def _dumps_dir(sf_dir: str) -> str:
-    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(pkg, "pipelines", "queries_mmr.py"), "rb") as f:
-        mod_md5 = hashlib.md5(f.read()).hexdigest()
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = hashlib.sha256(
-        f"{mod_md5}|{st.st_size}:{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:16]
-    return os.path.join("/tmp/khlray_cache", f"oracle_dumps_mmr_{key}")
+    from ..state.atomic import content_keyed_dir
+
+    return content_keyed_dir(
+        os.path.abspath(__file__),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "oracle_dumps_mmr",
+    )
 
 
 def mmr_oracle_sqls(sf_dir: str) -> Dict[str, str]:

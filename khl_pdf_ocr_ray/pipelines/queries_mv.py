@@ -37,7 +37,6 @@ Reference analogue: none in /root/reference/app.py; brief scope
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -111,14 +110,13 @@ def mv_support_filter(batch: pa.Table) -> pa.Table:
 
 
 def mv_base_dir(sf_dir: str) -> str:
-    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(pkg, "pipelines", "queries_mv.py"), "rb") as f:
-        mod_md5 = hashlib.md5(f.read()).hexdigest()
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.sha256(
-        f"{mod_md5}|{st.st_size}:{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:16]
-    return os.path.join("/tmp/khlray_cache", f"mv_base_{key}")
+    from ..state.atomic import content_keyed_dir
+
+    return content_keyed_dir(
+        os.path.abspath(__file__),
+        os.path.join(sf_dir, "documents.parquet"),
+        "mv_base",
+    )
 
 
 def ensure_mv_base(sf_dir: str) -> str:

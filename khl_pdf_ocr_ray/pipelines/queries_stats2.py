@@ -52,7 +52,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..functions.arrowkit import select_rename
@@ -72,10 +71,11 @@ def skewkurt_partial(batch: pa.Table) -> pa.Table:
 
     Exactness at any size magnitude: the per-batch sum runs over the
     batch's DISTINCT (lang, size) cells in arbitrary-precision Python
-    (loop bounded by cell cardinality, not rows), then s3/s4 split into
-    (hi, lo) base-2^40 halves so downstream int64 Sums cannot wrap.
-    (lo-sums stay exact below ~8e6 blocks per lang; the hi/lo recombine
-    at the driver is arbitrary-precision.)"""
+    (loop bounded by cell cardinality, not rows), then s2/s3/s4 split
+    into (hi, lo) base-2^40 halves so downstream int64 Sums cannot
+    wrap (s1 <= n * max_size stays under 2^63 through 10^12 docs of
+    10^6 chars; lo-sums stay exact below ~8e6 blocks per lang; the
+    hi/lo recombine at the driver is arbitrary-precision)."""
     cells = (
         pa.table({"lang": batch["lang"], "x": batch["n_chars"]})
         .group_by(["lang", "x"])
@@ -93,32 +93,28 @@ def skewkurt_partial(batch: pa.Table) -> pa.Table:
         a[2] += c * x * x
         a[3] += c * x * x * x
         a[4] += c * x * x * x * x
-    rows = {
-        "lang": [],
-        "n": [],
-        "s1": [],
-        "s2": [],
-        "s3_hi": [],
-        "s3_lo": [],
-        "s4_hi": [],
-        "s4_lo": [],
-    }
+    cols = (
+        "n",
+        "s1",
+        "s2_hi",
+        "s2_lo",
+        "s3_hi",
+        "s3_lo",
+        "s4_hi",
+        "s4_lo",
+    )
+    rows: dict = {"lang": [], **{k: [] for k in cols}}
     for lang, (n, s1, s2, s3, s4) in sorted(acc.items()):
         rows["lang"].append(lang)
         rows["n"].append(n)
         rows["s1"].append(s1)
-        rows["s2"].append(s2)
-        rows["s3_hi"].append(s3 >> 40)
-        rows["s3_lo"].append(s3 & (_SPLIT - 1))
-        rows["s4_hi"].append(s4 >> 40)
-        rows["s4_lo"].append(s4 & (_SPLIT - 1))
+        for name, v in (("s2", s2), ("s3", s3), ("s4", s4)):
+            rows[f"{name}_hi"].append(v >> 40)
+            rows[f"{name}_lo"].append(v & (_SPLIT - 1))
     return pa.table(
         {
             "lang": pa.array(rows["lang"], pa.string()),
-            **{
-                k: pa.array(rows[k], pa.int64())
-                for k in ("n", "s1", "s2", "s3_hi", "s3_lo", "s4_hi", "s4_lo")
-            },
+            **{k: pa.array(rows[k], pa.int64()) for k in cols},
         }
     )
 
@@ -159,16 +155,26 @@ def q_lang_skew_kurtosis(sf_dir: str) -> pd.DataFrame:
         .aggregate(
             *[
                 Sum(c, alias_name=c)
-                for c in ("n", "s1", "s2", "s3_hi", "s3_lo", "s4_hi", "s4_lo")
+                for c in (
+                    "n",
+                    "s1",
+                    "s2_hi",
+                    "s2_lo",
+                    "s3_hi",
+                    "s3_lo",
+                    "s4_hi",
+                    "s4_lo",
+                )
             ]
         )
         .to_pandas()
     )
     out = []
     for r in parts.itertuples(index=False):
+        s2 = int(r.s2_hi) * _SPLIT + int(r.s2_lo)
         s3 = int(r.s3_hi) * _SPLIT + int(r.s3_lo)
         s4 = int(r.s4_hi) * _SPLIT + int(r.s4_lo)
-        skew, kurt = skewkurt_finalize(int(r.n), int(r.s1), int(r.s2), s3, s4)
+        skew, kurt = skewkurt_finalize(int(r.n), int(r.s1), s2, s3, s4)
         out.append((r.lang, int(r.n), skew, kurt))
     return pd.DataFrame(
         out, columns=["lang", "n_docs", "skewness", "kurtosis_excess"]
@@ -337,9 +343,10 @@ def _lang_cells(sf_dir: str) -> pd.DataFrame:
     return cells
 
 
-def rank2_map(vals: np.ndarray, cnts: np.ndarray) -> np.ndarray:
-    """values sorted ascending with tie counts -> 2*average-rank per
-    value (integer: 2*cum_before + cnt + 1)."""
+def rank2_map(cnts: np.ndarray) -> np.ndarray:
+    """Tie counts of the ASCENDING-sorted distinct values -> 2*average
+    rank per value (integer: 2*cum_before + cnt + 1). Only the counts
+    matter; the caller owns the value ordering."""
     cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
     return 2 * cum + cnts + 1
 
@@ -348,12 +355,8 @@ def spearman_from_cells(g: pd.DataFrame):
     """One lang's cells -> (n, rho) via exact integer rank sums."""
     hx = g.groupby("x", as_index=False)["cnt"].sum().sort_values("x")
     hy = g.groupby("y", as_index=False)["cnt"].sum().sort_values("y")
-    r2x = dict(
-        zip(hx["x"], rank2_map(hx["x"].to_numpy(), hx["cnt"].to_numpy()))
-    )
-    r2y = dict(
-        zip(hy["y"], rank2_map(hy["y"].to_numpy(), hy["cnt"].to_numpy()))
-    )
+    r2x = dict(zip(hx["x"], rank2_map(hx["cnt"].to_numpy())))
+    r2y = dict(zip(hy["y"], rank2_map(hy["cnt"].to_numpy())))
     n = sx = sy = sxx = syy = sxy = 0
     for x, y, c in zip(g["x"], g["y"], g["cnt"]):
         a, b, c = int(r2x[x]), int(r2y[y]), int(c)

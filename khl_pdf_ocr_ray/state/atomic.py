@@ -120,3 +120,22 @@ def ensure_published(out_dir: str, build_fn: Callable[[str], None]) -> str:
         with open(done, "w") as f:
             f.write("ok")
     return out_dir
+
+
+def content_keyed_dir(
+    module_file: str, data_file: str, prefix: str, version: str = "v1"
+) -> str:
+    """Shared cache-dir recipe for code+content-keyed dump/state
+    artifacts: /tmp/khlray_cache/<prefix>_<key> with
+    key = sha256(md5(module bytes) | size:mtime_ns(data_file) | version).
+    Editing the owning module or replacing the input file re-keys the
+    artifact; bump ``version`` to force a rebuild with unchanged code."""
+    import hashlib
+
+    with open(module_file, "rb") as f:
+        mod_md5 = hashlib.md5(f.read()).hexdigest()
+    st = os.stat(data_file)
+    key = hashlib.sha256(
+        f"{mod_md5}|{st.st_size}:{st.st_mtime_ns}|{version}".encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp/khlray_cache", f"{prefix}_{key}")

@@ -64,10 +64,15 @@ def test_boot_finalize_ci_brackets_mean():
     rng = np.random.default_rng(8)
     eid = rng.integers(0, 10**6, size=5000).astype(np.int64)
     val = rng.uniform(10, 30, size=5000)
-    parts = boot_partial(
+    allrows = boot_partial(
         pa.table({"event_id": eid, "value": val})
     ).to_pandas()
+    parts = allrows[allrows["r"] >= 0]
+    tot = allrows[allrows["r"] == -1]
     cents = np.floor(val * 100 + 0.5).astype(np.int64)
+    # the r = -1 totals row carries n and the plain cents sum
+    assert int(tot["sw"].iloc[0]) == len(val)
+    assert int(tot["swc"].iloc[0]) == int(cents.sum())
     mean, lo, hi = boot_finalize(parts, len(val), int(cents.sum()))
     assert lo < hi
     assert lo < mean < hi  # CI brackets the point estimate on iid data

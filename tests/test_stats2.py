@@ -57,7 +57,7 @@ def test_skewkurt_partial_split_merge_equals_whole():
                 a = acc.setdefault(r.lang, [0, 0, 0, 0, 0])
                 a[0] += r.n
                 a[1] += r.s1
-                a[2] += r.s2
+                a[2] += r.s2_hi * _SPLIT + r.s2_lo
                 a[3] += r.s3_hi * _SPLIT + r.s3_lo
                 a[4] += r.s4_hi * _SPLIT + r.s4_lo
         return acc
@@ -110,10 +110,9 @@ def test_welch_finalize_matches_numpy():
 
 
 def test_rank2_map_is_twice_average_rank():
-    vals = np.array([3, 5, 9])
     cnts = np.array([2, 3, 1])  # data: 3,3,5,5,5,9
     # average ranks: 3 -> 1.5, 5 -> 4, 9 -> 6
-    assert list(rank2_map(vals, cnts)) == [3, 8, 12]
+    assert list(rank2_map(cnts)) == [3, 8, 12]
 
 
 def test_spearman_from_cells_matches_scipy_formula():
