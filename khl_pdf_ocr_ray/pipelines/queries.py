@@ -2211,6 +2211,12 @@ from .queries_boot import BOOT_ORACLES, BOOT_QUERIES  # noqa: E402
 QUERIES.update(BOOT_QUERIES)
 ORACLES.update(BOOT_ORACLES)
 
+# Chao1/Good-Turing vocabulary richness + weighted median
+from .queries_rich import RICH_ORACLES, RICH_QUERIES  # noqa: E402
+
+QUERIES.update(RICH_QUERIES)
+ORACLES.update(RICH_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
