@@ -442,6 +442,11 @@ def kendall_from_cells(g: pd.DataFrame):
     n0 = n * (n - 1) // 2
     n1 = int(sum(int(c) * (int(c) - 1) // 2 for c in cx))
     n2 = int(sum(int(c) * (int(c) - 1) // 2 for c in cy))
+    if n0 == n1 or n0 == n2:
+        # a variable with ALL pairs tied has no rank order — tau is
+        # undefined (never the case for the driver corpus; the SQL twin
+        # would emit inf/nan from the same zero denominator)
+        return n, C, D, float("nan")
     tau = float(C - D) / (
         math.sqrt(float(n0 - n1)) * math.sqrt(float(n0 - n2))
     )
