@@ -754,6 +754,17 @@ def ensure_graphy_dumps(sf_dir: str) -> str:
             ),
             os.path.join(tmp, "mst_kruskal.parquet"),
         )
+        ppr = ppr_sequential(doc_ids)
+        ns2 = sorted(ppr)
+        pq.write_table(
+            pa.table(
+                {
+                    "node": pa.array(ns2, pa.int64()),
+                    "ppr_fx": pa.array([ppr[n] for n in ns2], pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "ppr_seq.parquet"),
+        )
 
     ensure_published(out_dir, build)
     return out_dir
@@ -770,13 +781,277 @@ def graphy_oracle_sqls(sf_dir: str) -> Dict[str, str]:
             "SELECT lo, hi, w FROM "
             f"read_parquet('{os.path.join(d, 'mst_kruskal.parquet')}')"
         ),
+        "graph_ppr": (
+            "SELECT node, ppr_fx FROM "
+            f"read_parquet('{os.path.join(d, 'ppr_seq.parquet')}')"
+        ),
     }
+
+
+
+
+# --- personalized PageRank ---------------------------------------------------
+# Seed-personalized PageRank (the "random surfer restarts at the SEED
+# SET" variant — crawl-frontier prioritization / topic-conditioned host
+# trust next to the global host_pagerank). Directed planted edges
+# u = doc_id % MST_NODES -> v = (doc_id // 7) % MST_NODES (u != v,
+# distinct); all-integer fixed point:
+#   rank0(v)   = PPR_SCALE for seeds, 0 otherwise
+#   contrib(e) = (r_src * 85) // (out_src * 100)
+#   rank'(v)   = teleport(v) + sum of incoming contribs,
+#   teleport(v) = PPR_SCALE * 15 // 100 for seeds, 0 otherwise.
+# Dangling nodes leak damped mass (the host_pagerank simplification).
+# Two regimes share the vectorized round kernel: a driver fold when the
+# reduced edge table is under PPR_FOLD_MAX, else per-round [broadcast
+# vertex-bounded ranks -> map-side contrib combiner -> dst-keyed Sum ->
+# union with the teleport rows -> node-keyed Sum] — no join operator
+# anywhere (the teleport union replaces the left join). The oracle is
+# an INDEPENDENT dict/loop sequential implementation (no shared
+# kernels) dumped to parquet.
+PPR_SCALE = 1 << 20
+PPR_SEEDS = (0, 7, 42)
+PPR_ITERS = 3
+PPR_TELEPORT = PPR_SCALE * 15 // 100
+PPR_FOLD_MAX = 1 << 20
+
+
+def ppr_edge_partial(batch: pa.Table) -> pa.Table:
+    """doc_id -> directed planted edges (src, dst), per-batch distinct."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = d % MST_NODES
+    v = (d // 7) % MST_NODES
+    keep = u != v
+    return (
+        pa.table(
+            {
+                "src": pa.array(u[keep], pa.int64()),
+                "dst": pa.array(v[keep], pa.int64()),
+            }
+        )
+        .group_by(["src", "dst"])
+        .aggregate([])
+    )
+
+
+def ppr_round_kernel(
+    src: np.ndarray,
+    dst: np.ndarray,
+    out_src: np.ndarray,
+    nodes: np.ndarray,
+    rank: np.ndarray,
+) -> np.ndarray:
+    """THE shared round: damped integer mass along every edge, summed
+    per dst, plus seed teleport. Order-independent (integer sums after
+    one floor division per edge)."""
+    r_src = rank[np.searchsorted(nodes, src)]
+    contrib = (r_src * 85) // (out_src * 100)
+    nxt = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(nxt, np.searchsorted(nodes, dst), contrib)
+    nxt[np.isin(nodes, np.array(PPR_SEEDS))] += PPR_TELEPORT
+    return nxt
+
+
+def ppr_contrib_broadcast(batch: pa.Table, rank_ref) -> pa.Table:
+    """Edge batch (src, dst, out) + broadcast (sorted nodes, ranks) ->
+    per-batch (dst, mass) partials."""
+    import ray
+
+    nodes, rank = (
+        ray.get(rank_ref) if not isinstance(rank_ref, tuple) else rank_ref
+    )
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = batch["out"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_src = rank[np.searchsorted(nodes, src)]
+    contrib = (r_src * 85) // (out * 100)
+    g = (
+        pa.table({"node": batch["dst"], "val": pa.array(contrib, pa.int64())})
+        .group_by(["node"])
+        .aggregate([("val", "sum")])
+    )
+    return pa.table({"node": g["node"], "val": g["val_sum"]})
+
+
+def ppr_attach_out_broadcast(batch: pa.Table, out_ref) -> pa.Table:
+    """(src, dst) edges + broadcast (sorted srcs, outdeg) -> + out."""
+    import ray
+
+    srcs, outd = (
+        ray.get(out_ref) if not isinstance(out_ref, tuple) else out_ref
+    )
+    s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.append_column(
+        "out", pa.array(outd[np.searchsorted(srcs, s)], pa.int64())
+    )
+
+
+def ppr_teleport_rows(batch: pa.Table) -> pa.Table:
+    """Node rows -> (node, teleport value) rows (0 for non-seeds)."""
+    nd = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = np.where(np.isin(nd, np.array(PPR_SEEDS)), PPR_TELEPORT, 0)
+    return pa.table(
+        {"node": pa.array(nd, pa.int64()), "val": pa.array(val, pa.int64())}
+    )
+
+
+def ppr_rename_out(batch: pa.Table) -> pa.Table:
+    return pa.table({"node": batch["node"], "ppr_fx": batch["val"]})
+
+
+def q_graph_ppr(sf_dir: str) -> rd.Dataset:
+    """(node, ppr_fx) after PPR_ITERS personalized-PageRank rounds."""
+    import ray
+
+    from .queries import _t
+
+    edges = (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(
+            remote_fn(_QGY, "ppr_edge_partial"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    if n_edges <= PPR_FOLD_MAX:
+        at = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_format="pyarrow") if len(b)]
+        )
+        src = at["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = at["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        outdeg = np.bincount(
+            np.searchsorted(nodes, src), minlength=len(nodes)
+        )
+        out_src = outdeg[np.searchsorted(nodes, src)].astype(np.int64)
+        rank = np.where(
+            np.isin(nodes, np.array(PPR_SEEDS)), PPR_SCALE, 0
+        ).astype(np.int64)
+        for _ in range(PPR_ITERS):
+            rank = ppr_round_kernel(src, dst, out_src, nodes, rank)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "ppr_fx": pa.array(rank, pa.int64()),
+                }
+            )
+        )
+
+    # distributed rounds: vertex-bounded ranks broadcast each round;
+    # the teleport union replaces a left join entirely
+    nodes_ds = (
+        edges.map_batches(
+            remote_fn(_QGY, "ppr_both_ends"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    outdeg = (
+        edges.groupby("src").aggregate(Count(alias_name="out")).to_pandas()
+    ).sort_values("src", ignore_index=True)
+    out_ref = ray.put(
+        (
+            outdeg["src"].to_numpy().astype(np.int64),
+            outdeg["out"].to_numpy().astype(np.int64),
+        )
+    )
+    edges_w = edges.map_batches(
+        remote_fn(_QGY, "ppr_attach_out_broadcast", out_ref=out_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    teleport = nodes_ds.map_batches(
+        remote_fn(_QGY, "ppr_teleport_rows"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ranks = nodes_ds.map_batches(
+        remote_fn(_QGY, "ppr_init_rows"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    for _ in range(PPR_ITERS):
+        nd, vl = [], []
+        for b in ranks.iter_batches(batch_format="pyarrow"):
+            nd.append(b["node"].to_numpy(zero_copy_only=False))
+            vl.append(b["val"].to_numpy(zero_copy_only=False))
+        nodes = np.concatenate(nd).astype(np.int64)
+        vals = np.concatenate(vl).astype(np.int64)
+        order = np.argsort(nodes)
+        ref = ray.put((nodes[order], vals[order]))
+        mass = edges_w.map_batches(
+            remote_fn(_QGY, "ppr_contrib_broadcast", rank_ref=ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ranks = (
+            mass.union(teleport)
+            .groupby("node")
+            .aggregate(Sum("val", alias_name="val"))
+            .materialize()
+        )
+    return ranks.map_batches(
+        remote_fn(_QGY, "ppr_rename_out"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ppr_both_ends(batch: pa.Table) -> pa.Table:
+    """(src, dst) edges -> (node) rows for both endpoints."""
+    s = batch["src"].to_numpy(zero_copy_only=False)
+    t = batch["dst"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"node": pa.array(np.concatenate([s, t]), pa.int64())}
+    )
+
+
+def ppr_init_rows(batch: pa.Table) -> pa.Table:
+    nd = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = np.where(np.isin(nd, np.array(PPR_SEEDS)), PPR_SCALE, 0)
+    return pa.table(
+        {"node": pa.array(nd, pa.int64()), "val": pa.array(val, pa.int64())}
+    )
+
+
+def ppr_sequential(doc_ids) -> Dict[int, int]:
+    """INDEPENDENT oracle twin: dict/loop personalized PageRank (no
+    numpy kernels, no packing) over the same directed edges."""
+    edges = set()
+    for d in doc_ids:
+        d = int(d)
+        u, v = d % MST_NODES, (d // 7) % MST_NODES
+        if u != v:
+            edges.add((u, v))
+    nodes = sorted({n for e in edges for n in e})
+    out: Dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: (PPR_SCALE if v in PPR_SEEDS else 0) for v in nodes}
+    for _ in range(PPR_ITERS):
+        nxt = {
+            v: (PPR_TELEPORT if v in PPR_SEEDS else 0) for v in nodes
+        }
+        for s, t in edges:
+            nxt[t] += (rank[s] * 85) // (out[s] * 100)
+        rank = nxt
+    return rank
 
 
 GRAPHY_QUERIES = {
     "graph_diameter_sweep": q_graph_diameter_sweep,
     "graph_label_communities": q_graph_label_communities,
     "graph_mst_boruvka": q_graph_mst_boruvka,
+    "graph_ppr": q_graph_ppr,
 }
 GRAPHY_ORACLES = {
     "graph_diameter_sweep": _sweep_sql(),

@@ -134,3 +134,32 @@ def test_diameter_sweep_monotone(ray_session):
     # the double-sweep guarantee: ecc(peak of sweep 1) >= ecc(start)
     assert row.diameter_lb >= row.start_ecc
     assert row.start_node == 0
+
+
+def test_ppr_forced_distributed_equals_fold(ray_session, monkeypatch):
+    """PPR_FOLD_MAX = 0 forces the broadcast-round branch; identical
+    result to the driver fold."""
+    fold = (
+        g.q_graph_ppr(SF).to_pandas().sort_values("node", ignore_index=True)
+    )
+    monkeypatch.setattr(g, "PPR_FOLD_MAX", 0)
+    dist = (
+        g.q_graph_ppr(SF).to_pandas().sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fold, dist)
+
+
+def test_ppr_sequential_mass_concentrates_on_seeds():
+    """Seeds and their out-neighborhood carry the rank mass; a node
+    with no path from any seed has rank zero."""
+    ppr = g.ppr_sequential(range(3000))
+    seeds = set(g.PPR_SEEDS)
+    total = sum(ppr.values())
+    seed_side = sum(v for k, v in ppr.items() if k in seeds)
+    assert total > 0
+    assert seed_side > 0
+    # teleport keeps seeds ranked above the median node
+    med = sorted(ppr.values())[len(ppr) // 2]
+    for s in seeds:
+        if s in ppr:
+            assert ppr[s] >= med
