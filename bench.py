@@ -116,6 +116,11 @@ BENCH_QUERIES = [
     "km_retention",             # censored survival estimator (round 5)
     "sprt_purchase_rate",       # sequential test, day-sharded scan (round 5)
     "isotonic_calibration",     # PAV vs GCM-hull dual derivation (round 5)
+    "hill_tail_index",          # heavy-tail skew diagnostic (round 5)
+    "bootstrap_mean_ci",        # one-pass Poisson bootstrap (round 5)
+    "vocab_richness",           # Chao1 / Good-Turing unseen mass (round 5)
+    "weighted_median_price",    # weighted-quantile histogram walk (round 5)
+    "graph_ppr",                # seed-personalized PageRank (round 5)
 ]
 
 

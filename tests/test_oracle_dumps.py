@@ -85,6 +85,7 @@ DUMP_QUERIES = [
     # graph additions (queries_graphy in-module twins)
     "graph_label_communities",
     "graph_mst_boruvka",
+    "graph_ppr",
     # MMR diversified rerank (queries_mmr in-module twin)
     "mmr_rerank",
     # isotonic calibration (queries_iso GCM-hull twin)
