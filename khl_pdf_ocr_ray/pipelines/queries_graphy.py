@@ -717,8 +717,8 @@ def _dumps_dir(sf_dir: str) -> str:
 
 def ensure_graphy_dumps(sf_dir: str) -> str:
     """Build (once, content-keyed) the sequential-twin parquet dumps:
-    lpa_seq.parquet (node, community) and mst_kruskal.parquet
-    (lo, hi, w)."""
+    lpa_seq.parquet (node, community), mst_kruskal.parquet (lo, hi, w)
+    and ppr_seq.parquet (node, ppr_fx)."""
     from ..state.atomic import ensure_published
 
     out_dir = _dumps_dir(sf_dir)
@@ -833,27 +833,39 @@ def ppr_edge_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+PPR_DAMP_NUM, PPR_DAMP_DEN = 85, 100
+
+
+def ppr_contrib_ints(r_src: np.ndarray, out_src: np.ndarray) -> np.ndarray:
+    """THE per-edge damped contribution — the ONE place the damping
+    formula lives (fold branch, broadcast partials and the sequential
+    twin all pass identical operands through it)."""
+    return (r_src * PPR_DAMP_NUM) // (out_src * PPR_DAMP_DEN)
+
+
 def ppr_round_kernel(
-    src: np.ndarray,
-    dst: np.ndarray,
+    src_idx: np.ndarray,
+    dst_idx: np.ndarray,
     out_src: np.ndarray,
-    nodes: np.ndarray,
+    seed_mask: np.ndarray,
     rank: np.ndarray,
 ) -> np.ndarray:
-    """THE shared round: damped integer mass along every edge, summed
-    per dst, plus seed teleport. Order-independent (integer sums after
-    one floor division per edge)."""
-    r_src = rank[np.searchsorted(nodes, src)]
-    contrib = (r_src * 85) // (out_src * 100)
-    nxt = np.zeros(len(nodes), dtype=np.int64)
-    np.add.at(nxt, np.searchsorted(nodes, dst), contrib)
-    nxt[np.isin(nodes, np.array(PPR_SEEDS))] += PPR_TELEPORT
+    """THE shared round over PRE-RESOLVED edge-end indices: damped
+    integer mass along every edge, summed per dst, plus seed teleport.
+    Order-independent (integer sums after one floor division per
+    edge); the loop-invariant searchsorted/isin work happens once at
+    the caller."""
+    contrib = ppr_contrib_ints(rank[src_idx], out_src)
+    nxt = np.zeros(len(rank), dtype=np.int64)
+    np.add.at(nxt, dst_idx, contrib)
+    nxt[seed_mask] += PPR_TELEPORT
     return nxt
 
 
 def ppr_contrib_broadcast(batch: pa.Table, rank_ref) -> pa.Table:
     """Edge batch (src, dst, out) + broadcast (sorted nodes, ranks) ->
-    per-batch (dst, mass) partials."""
+    per-batch (dst, mass) partials (same ppr_contrib_ints formula as
+    the fold branch)."""
     import ray
 
     nodes, rank = (
@@ -861,8 +873,7 @@ def ppr_contrib_broadcast(batch: pa.Table, rank_ref) -> pa.Table:
     )
     src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     out = batch["out"].to_numpy(zero_copy_only=False).astype(np.int64)
-    r_src = rank[np.searchsorted(nodes, src)]
-    contrib = (r_src * 85) // (out * 100)
+    contrib = ppr_contrib_ints(rank[np.searchsorted(nodes, src)], out)
     g = (
         pa.table({"node": batch["dst"], "val": pa.array(contrib, pa.int64())})
         .group_by(["node"])
@@ -884,10 +895,12 @@ def ppr_attach_out_broadcast(batch: pa.Table, out_ref) -> pa.Table:
     )
 
 
-def ppr_teleport_rows(batch: pa.Table) -> pa.Table:
-    """Node rows -> (node, teleport value) rows (0 for non-seeds)."""
+def ppr_seed_rows(batch: pa.Table, value: int) -> pa.Table:
+    """Node rows -> (node, value-for-seeds / 0) rows — the ONE
+    seed-membership site for both the teleport table (value =
+    PPR_TELEPORT) and the rank init (value = PPR_SCALE)."""
     nd = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-    val = np.where(np.isin(nd, np.array(PPR_SEEDS)), PPR_TELEPORT, 0)
+    val = np.where(np.isin(nd, np.array(PPR_SEEDS)), value, 0)
     return pa.table(
         {"node": pa.array(nd, pa.int64()), "val": pa.array(val, pa.int64())}
     )
@@ -927,12 +940,13 @@ def q_graph_ppr(sf_dir: str) -> rd.Dataset:
         outdeg = np.bincount(
             np.searchsorted(nodes, src), minlength=len(nodes)
         )
-        out_src = outdeg[np.searchsorted(nodes, src)].astype(np.int64)
-        rank = np.where(
-            np.isin(nodes, np.array(PPR_SEEDS)), PPR_SCALE, 0
-        ).astype(np.int64)
+        src_idx = np.searchsorted(nodes, src)
+        dst_idx = np.searchsorted(nodes, dst)
+        out_src = outdeg[src_idx].astype(np.int64)
+        seed_mask = np.isin(nodes, np.array(PPR_SEEDS))
+        rank = np.where(seed_mask, PPR_SCALE, 0).astype(np.int64)
         for _ in range(PPR_ITERS):
-            rank = ppr_round_kernel(src, dst, out_src, nodes, rank)
+            rank = ppr_round_kernel(src_idx, dst_idx, out_src, seed_mask, rank)
         return rd.from_arrow(
             pa.table(
                 {
@@ -970,12 +984,12 @@ def q_graph_ppr(sf_dir: str) -> rd.Dataset:
         zero_copy_batch=True,
     ).materialize()
     teleport = nodes_ds.map_batches(
-        remote_fn(_QGY, "ppr_teleport_rows"),
+        remote_fn(_QGY, "ppr_seed_rows", value=PPR_TELEPORT),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
     ranks = nodes_ds.map_batches(
-        remote_fn(_QGY, "ppr_init_rows"),
+        remote_fn(_QGY, "ppr_seed_rows", value=PPR_SCALE),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
@@ -1015,14 +1029,6 @@ def ppr_both_ends(batch: pa.Table) -> pa.Table:
     )
 
 
-def ppr_init_rows(batch: pa.Table) -> pa.Table:
-    nd = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-    val = np.where(np.isin(nd, np.array(PPR_SEEDS)), PPR_SCALE, 0)
-    return pa.table(
-        {"node": pa.array(nd, pa.int64()), "val": pa.array(val, pa.int64())}
-    )
-
-
 def ppr_sequential(doc_ids) -> Dict[int, int]:
     """INDEPENDENT oracle twin: dict/loop personalized PageRank (no
     numpy kernels, no packing) over the same directed edges."""
@@ -1042,7 +1048,12 @@ def ppr_sequential(doc_ids) -> Dict[int, int]:
             v: (PPR_TELEPORT if v in PPR_SEEDS else 0) for v in nodes
         }
         for s, t in edges:
-            nxt[t] += (rank[s] * 85) // (out[s] * 100)
+            nxt[t] += int(
+                ppr_contrib_ints(
+                    np.array([rank[s]], dtype=np.int64),
+                    np.array([out[s]], dtype=np.int64),
+                )[0]
+            )
         rank = nxt
     return rank
 

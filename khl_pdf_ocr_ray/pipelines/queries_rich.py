@@ -119,9 +119,9 @@ def wq_hist_partial(batch: pa.Table) -> pa.Table:
     from .queries import _cents
 
     cents = _cents(batch["l_extendedprice"])
-    w = pc.cast(
-        pc.floor(pc.add(batch["l_quantity"], 0.5)), pa.int64()
-    )  # quantities are integral doubles; round defensively
+    # the repo-wide quantity convention: direct integral cast (the
+    # values are exact integral doubles), twinned with CAST AS BIGINT
+    w = pc.cast(batch["l_quantity"], pa.int64())
     g = pa.table({"cents": cents, "w": w}).group_by(["cents"]).aggregate(
         [("w", "sum")]
     )
@@ -163,7 +163,7 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
 SQL_WEIGHTED_MEDIAN_PRICE = """
 WITH h AS (
   SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
-         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS w
+         sum(CAST(l_quantity AS BIGINT)) AS w
   FROM lineitem GROUP BY cents),
 c AS (
   SELECT cents, sum(w) OVER (ORDER BY cents) AS cum,

@@ -150,15 +150,33 @@ def test_ppr_forced_distributed_equals_fold(ray_session, monkeypatch):
 
 
 def test_ppr_sequential_mass_concentrates_on_seeds():
-    """Seeds and their out-neighborhood carry the rank mass; a node
-    with no path from any seed has rank zero."""
-    ppr = g.ppr_sequential(range(3000))
+    """Seeds carry teleport mass, a node unreachable from every seed
+    has rank exactly zero, and seeds rank above the median node."""
+    from collections import deque
+
+    doc_ids = range(3000)
+    ppr = g.ppr_sequential(doc_ids)
     seeds = set(g.PPR_SEEDS)
-    total = sum(ppr.values())
-    seed_side = sum(v for k, v in ppr.items() if k in seeds)
-    assert total > 0
-    assert seed_side > 0
-    # teleport keeps seeds ranked above the median node
+    assert sum(ppr.values()) > 0
+    assert sum(v for k, v in ppr.items() if k in seeds) > 0
+    # BFS the directed planted edges from the seeds: any node outside
+    # the reachable set must have rank exactly 0 (its only mass source
+    # would be teleport, which non-seeds never receive)
+    succ = defaultdict(set)
+    for d in doc_ids:
+        u, v = d % g.MST_NODES, (d // 7) % g.MST_NODES
+        if u != v:
+            succ[u].add(v)
+    reach = set(s for s in seeds if s in ppr)
+    q = deque(reach)
+    while q:
+        for nxt in succ[q.popleft()]:
+            if nxt not in reach:
+                reach.add(nxt)
+                q.append(nxt)
+    for node, val in ppr.items():
+        if node not in reach:
+            assert val == 0, (node, val)
     med = sorted(ppr.values())[len(ppr) // 2]
     for s in seeds:
         if s in ppr:

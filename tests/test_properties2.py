@@ -33,19 +33,24 @@ def test_pav_monotone_and_mass_preserving(cells):
     pool_pos, pool_n = pav_pool(np.arange(len(cells)), n, p)
     rate = pool_pos / pool_n
     assert (np.diff(rate) >= -1e-15).all()
-    # each pooled block's (pos, n) equals the sum of its members
+    # blocks tile the array exactly: starting at any block head, the
+    # member cells' widths sum to the pooled width and their positives
+    # to the pooled positives — no conditional skip, every cell is
+    # covered by exactly one block
     i = 0
     while i < len(cells):
+        width = int(pool_n[i])
+        pos = int(pool_pos[i])
+        acc_n = acc_p = 0
         j = i
-        while (
-            j < len(cells)
-            and pool_n[j] == pool_n[i]
-            and pool_pos[j] == pool_pos[i]
-        ):
+        while acc_n < width:
+            assert pool_n[j] == width and pool_pos[j] == pos
+            acc_n += int(n[j])
+            acc_p += int(p[j])
             j += 1
-        if int(n[i:j].sum()) == pool_n[i]:
-            assert int(p[i:j].sum()) == pool_pos[i]
+        assert acc_n == width and acc_p == pos
         i = j
+    assert i == len(cells)
 
 
 @settings(max_examples=100, deadline=None)

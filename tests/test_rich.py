@@ -4,7 +4,6 @@ weighted median."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pytest
 
 from khl_pdf_ocr_ray.pipelines.queries_rich import (
     rich_fof_partial,
