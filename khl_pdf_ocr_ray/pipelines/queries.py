@@ -2217,6 +2217,12 @@ from .queries_rich import RICH_ORACLES, RICH_QUERIES  # noqa: E402
 QUERIES.update(RICH_QUERIES)
 ORACLES.update(RICH_ORACLES)
 
+# PR-AUC step curve + expected calibration error
+from .queries_prcurve import PRCURVE_ORACLES, PRCURVE_QUERIES  # noqa: E402
+
+QUERIES.update(PRCURVE_QUERIES)
+ORACLES.update(PRCURVE_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the

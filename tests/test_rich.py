@@ -61,3 +61,68 @@ def test_wq_hist_partial_sums_weights():
         {"cents": 1000, "w": 5},
         {"cents": 2000, "w": 4},
     ]
+
+
+# --- PR-AUC / ECE (queries_prcurve) -----------------------------------------
+def test_pr_auc_perfect_and_random_classifiers():
+    from khl_pdf_ocr_ray.pipelines.queries_prcurve import (
+        PR_FX,
+        pr_auc_from_cells,
+    )
+
+    # perfect separation: all positives above all negatives -> AUC ~ 1
+    cells = pd.DataFrame(
+        {"score": [9, 8, 1, 0], "n": [5, 5, 5, 5], "n_pos": [5, 5, 0, 0]}
+    )
+    n_pos, n_neg, auc = pr_auc_from_cells(cells)
+    assert (n_pos, n_neg) == (10, 10)
+    assert auc == PR_FX  # exactly 1.0 in fx40
+    # constant-rate classifier: precision == base rate at every
+    # threshold -> AUC ~ p
+    cells = pd.DataFrame(
+        {"score": [3, 2, 1], "n": [10, 10, 10], "n_pos": [3, 3, 3]}
+    )
+    _, _, auc = pr_auc_from_cells(cells)
+    assert abs(auc / PR_FX - 0.3) < 0.01
+
+
+def test_pr_auc_matches_sklearn_style_reference():
+    from khl_pdf_ocr_ray.pipelines.queries_prcurve import (
+        PR_FX,
+        pr_auc_from_cells,
+    )
+
+    rng = np.random.default_rng(21)
+    scores = rng.integers(0, 50, size=400)
+    labels = (rng.random(size=400) < scores / 60).astype(int)
+    cells = (
+        pd.DataFrame({"score": scores, "pos": labels})
+        .groupby("score")
+        .agg(n=("pos", "size"), n_pos=("pos", "sum"))
+        .reset_index()
+    )
+    n_pos, n_neg, auc = pr_auc_from_cells(cells)
+    # independent float reference: same step-curve rectangle rule
+    c = cells.sort_values("score", ascending=False)
+    ctp = c["n_pos"].cumsum().to_numpy()
+    call = c["n"].cumsum().to_numpy()
+    want = float(
+        np.sum((c["n_pos"].to_numpy() / n_pos) * (ctp / call))
+    )
+    assert abs(auc / PR_FX - want) < 1e-6
+
+
+def test_ece_zero_when_perfectly_calibrated():
+    from khl_pdf_ocr_ray.pipelines.queries_prcurve import ece_from_bins
+
+    bins = pd.DataFrame(
+        {
+            "n_docs": [10, 20],
+            "pos_rate_milli": [100, 700],
+            "mean_score_milli": [100, 700],
+        }
+    )
+    assert int(ece_from_bins(bins).ece_ppm.iloc[0]) == 0
+    bins["mean_score_milli"] = [200, 700]  # 10 docs off by 100 milli
+    # 10 * 100 * 1000 // 30 = 33333
+    assert int(ece_from_bins(bins).ece_ppm.iloc[0]) == 33333
