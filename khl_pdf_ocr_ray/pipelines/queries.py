@@ -2223,6 +2223,12 @@ from .queries_prcurve import PRCURVE_ORACLES, PRCURVE_QUERIES  # noqa: E402
 QUERIES.update(PRCURVE_QUERIES)
 ORACLES.update(PRCURVE_ORACLES)
 
+# XML sitemap source (synthesize -> ElementTree parse -> summary)
+from .queries_sitemap import SITEMAP_ORACLES, SITEMAP_QUERIES  # noqa: E402
+
+QUERIES.update(SITEMAP_QUERIES)
+ORACLES.update(SITEMAP_ORACLES)
+
 
 def oracles(sf_dir: Optional[str] = None) -> Dict[str, str]:
     """The full oracle dict: static SQL over the driver's views plus the
